@@ -1,0 +1,208 @@
+"""Pregel-style vertex programs on DataFrames (SURVEY.md §2.5, §3.3).
+
+The reference implements BSP with a nanomsg SURVEYOR barrier, a C
+message broker, and per-worker vertex dicts
+(/root/reference/daemons/initiator/module_vertex.py:68-172,
+/root/reference/daemons/core/module_vertex.py:106-180,
+/root/reference/daemons/vertexbroker/src/main.c:26-87). On Spark all
+three collapse into one shuffle per superstep:
+
+    msgs = vertices ⋈ edges --groupBy(dst)--> inbox
+    vertices' = vertices ⟕ inbox -> update expression
+
+The superstep barrier is the Spark action; message routing is the
+shuffle on ``dst``; halt voting is an aggregate over a ``changed``
+column (module_vertex.py:169-179 semantics).
+
+Scale design:
+- vertices and edges are hash-partitioned on the join key ONCE up
+  front (``repartition(id)`` / ``repartition(src)``) so every
+  superstep's join reuses the same partitioning instead of
+  re-shuffling both sides each iteration;
+- lineage is cut with ``localCheckpoint`` every ``checkpoint_interval``
+  supersteps — without this the plan doubles per iteration and the
+  driver OOMs compiling it long before data size matters (SURVEY §7.2
+  hard part (a));
+- convergence check is a single tiny aggregate per superstep.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class Pregel:
+    """Superstep loop over (vertices, edges) DataFrames.
+
+    Parameters
+    ----------
+    vertices : DataFrame with column ``id`` plus arbitrary state columns.
+    edges : DataFrame with columns ``src``, ``dst``.
+    msg : Column expression over the vertex⋈edge row (vertex state
+        columns + ``src``/``dst``) producing the message value sent
+        along each edge — the reference's ``send_fn`` payload
+        (pagerank.py:40-42).
+    agg : callable Column -> Column combining the inbox, e.g. F.sum /
+        F.max — replaces the per-vertex ``messages`` list iteration
+        (pagerank.py:32-34).
+    update : callable (vertex_df_alias, inbox_col, superstep) ->
+        list[Column] producing the new state columns (must include
+        ``id``); the reference's ``compute`` (pagerank.py:28-45).
+    vote_halt : optional Column over (old, new) state meaning "this
+        vertex votes halt" (highest.py:30-38); when every vertex votes
+        halt the loop stops (module_vertex.py:169-179). None -> run
+        exactly ``max_supersteps``.
+    """
+
+    def __init__(
+        self,
+        vertices: DataFrame,
+        edges: DataFrame,
+        msg: Column,
+        agg: Callable[[Column], Column],
+        update: Callable[[DataFrame, Column, int], list[Column]],
+        vote_halt: Column | None = None,
+        max_supersteps: int = 30,
+        checkpoint_interval: int = 5,
+        num_partitions: int | None = None,
+    ):
+        self.msg = msg
+        self.agg = agg
+        self.update = update
+        self.vote_halt = vote_halt
+        self.max_supersteps = max_supersteps
+        self.checkpoint_interval = checkpoint_interval
+        spark = vertices.sparkSession
+        n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # co-partition once; every superstep's join then lines up
+        self.vertices = vertices.repartition(n, "id")
+        self.edges = edges.repartition(n, "src").localCheckpoint(eager=True)
+
+    def run(self) -> DataFrame:
+        vertices = self.vertices.localCheckpoint(eager=True)
+        for step in range(self.max_supersteps + 1):
+            inbox = (
+                vertices.join(self.edges, vertices["id"] == self.edges["src"])
+                .select(self.edges["dst"].alias("_dst"), self.msg.alias("_msg"))
+                .groupBy("_dst")
+                .agg(self.agg(F.col("_msg")).alias("_inbox"))
+            )
+            joined = vertices.join(
+                inbox, vertices["id"] == inbox["_dst"], "left"
+            )
+            cols = self.update(vertices, F.col("_inbox"), step)
+            if self.vote_halt is not None:
+                cols = cols + [self.vote_halt.alias("_halt")]
+            # cut lineage EVERY superstep: (a) the plan otherwise grows
+            # per iteration and analysis cost explodes, (b) the next
+            # iteration's vertices⋈edges would be a self-join (vertices'
+            # lineage contains edges) and trip ambiguous-attribute
+            # analysis. One materialization per superstep is the BSP
+            # barrier — same as the reference's survey round
+            # (module_vertex.py:106-180).
+            new_vertices = joined.select(*cols).localCheckpoint(eager=True)
+
+            if self.vote_halt is not None:
+                all_halt = new_vertices.agg(
+                    F.min(F.col("_halt").cast("int")).alias("h")
+                ).first()["h"]
+                vertices = new_vertices.drop("_halt")
+                if all_halt == 1:
+                    break
+            else:
+                vertices = new_vertices
+        return vertices
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    num_vertices: int,
+    supersteps: int = 30,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Exact reference semantics (pagerank.py:28-45): rank updates run
+    at supersteps 1..``supersteps``; contribution = rank/outdeg; a
+    vertex with an empty inbox gets rank 0.15/N (sum over empty inbox
+    is 0 in the reference loop, pagerank.py:31-36). Dangling mass is
+    NOT redistributed — faithfully naive.
+
+    vertices: (id); edges: (src, dst). Returns (id, rank).
+    """
+    base = F.lit(1.0 - damping) / F.lit(float(num_vertices))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    # outdeg is |V|-sized: broadcast it into the per-superstep join so
+    # the only shuffle per superstep is the inbox groupBy(dst)
+    edges_deg = edges.join(F.broadcast(outdeg), "src")
+
+    init = vertices.select(
+        "id", (F.lit(1.0) / F.lit(float(num_vertices))).alias("rank")
+    )
+
+    def update(v, inbox, step):
+        if step == 0:  # superstep 0 only sends (pagerank.py:30 guard)
+            return [v["id"], v["rank"]]
+        return [
+            v["id"],
+            (base + F.lit(damping) * F.coalesce(inbox, F.lit(0.0))).alias("rank"),
+        ]
+
+    p = Pregel(
+        vertices=init,
+        edges=edges_deg,
+        msg=F.col("rank") / F.col("_deg"),
+        agg=F.sum,
+        update=update,
+        max_supersteps=supersteps,
+    )
+    return p.run()
+
+
+def flood_max(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Flood-max (highest.py:26-43): each vertex adopts max(inbox),
+    forwards its value, votes halt when unchanged; engine stops when
+    all vertices halt. Equivalent fixpoint: max value over all vertices
+    that can reach v (the oracle computes it as reachability + MAX).
+
+    vertices: (id, value); edges: (src, dst). Returns (id, max_value).
+    """
+    spark = vertices.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    vertices = (
+        vertices.select("id", "value").repartition(n, "id").localCheckpoint(eager=True)
+    )
+    edges = edges.repartition(n, "src").localCheckpoint(eager=True)
+    for _step in range(1000):
+        inbox = (
+            vertices.join(edges, vertices["id"] == edges["src"])
+            .select(edges["dst"].alias("_dst"), F.col("value").alias("_msg"))
+            .groupBy("_dst")
+            .agg(F.max("_msg").alias("_inbox"))
+        )
+        new_vertices = (
+            vertices.join(inbox, vertices["id"] == inbox["_dst"], "left")
+            .select(
+                vertices["id"],
+                F.greatest(
+                    vertices["value"], F.coalesce(F.col("_inbox"), vertices["value"])
+                ).alias("value"),
+                (
+                    F.greatest(
+                        vertices["value"],
+                        F.coalesce(F.col("_inbox"), vertices["value"]),
+                    )
+                    != vertices["value"]
+                )
+                .cast("int")
+                .alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_vertices.agg(F.sum("_changed").alias("c")).first()["c"]
+        vertices = new_vertices.drop("_changed")
+        if changed == 0:
+            break
+    return vertices

@@ -1,0 +1,62 @@
+"""Query registry: every declared query (SURVEY.md §2.13) plus the
+training-data-pipeline extension queries, with their DuckDB oracles.
+
+``ALL_QUERIES``: name -> (spark, sf_dir) -> DataFrame
+``ALL_ORACLES``: name -> ANSI SQL for DuckDB (absent key = rows-only check)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import relational
+from .graphs import GRAPH_ORACLES, dq16_flood_max, dq17_pagerank
+from .oracles import DQ_ORACLES
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+ALL_QUERIES: dict[str, QueryFn] = {
+    "dq01_project": relational.dq01_project,
+    "dq02_filter": relational.dq02_filter,
+    "dq03_wordcount": relational.dq03_wordcount,
+    "dq04_collation": relational.dq04_collation,
+    "dq05_agg": relational.dq05_agg,
+    "dq06_secondary_sort": relational.dq06_secondary_sort,
+    "dq07_topk": relational.dq07_topk,
+    "dq08_join_agg": relational.dq08_join_agg,
+    "dq09_multiway_join": relational.dq09_multiway_join,
+    "dq10_anti": relational.dq10_anti,
+    "dq10_semi": relational.dq10_semi,
+    "dq11_intersect": relational.dq11_intersect,
+    "dq11_except": relational.dq11_except,
+    "dq12_rollup": relational.dq12_rollup,
+    "dq13_tumbling": relational.dq13_tumbling,
+    "dq14_sessionize": relational.dq14_sessionize,
+    "dq15_json": relational.dq15_json,
+    "dq15_year": relational.dq15_year,
+    "dq16_flood_max": dq16_flood_max,
+    "dq17_pagerank": dq17_pagerank,
+    "dq18_grouped_udf": relational.dq18_grouped_udf,
+    "dq19_buckets": relational.dq19_buckets,
+    "dq20_range_join": relational.dq20_range_join,
+}
+
+ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}
+
+
+def register_extensions() -> None:
+    """Extension queries (dedup / similarity / text analysis) register
+    themselves here as they are implemented; imported lazily so a broken
+    extension never takes down the core DQ set."""
+    try:
+        from . import extensions  # noqa: F401
+
+        ALL_QUERIES.update(extensions.EXT_QUERIES)
+        ALL_ORACLES.update(extensions.EXT_ORACLES)
+    except ImportError:
+        pass
+
+
+register_extensions()

@@ -1,0 +1,115 @@
+"""Graph queries DQ16 (flood-max) and DQ17 (pagerank) plus their
+recursive-CTE DuckDB oracles (SURVEY.md §2.13).
+
+Inputs are the reference's own graph fixtures as literals
+(FIXTURES.md A2/A3; /root/reference/testdata/graph/graph{1,2}.txt and
+/root/reference/testdata/highest/test.txt) — the queries don't depend
+on sf_dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pregel import flood_max, pagerank
+
+# graph1.txt + graph2.txt adjacency (pagerank input, 10 vertices)
+PAGERANK_ADJ: dict[str, list[str]] = {
+    "1": ["2", "3", "4", "5", "6", "7", "8", "9", "0"],
+    "2": ["3", "5", "6", "8"],
+    "3": ["0", "9", "2"],
+    "4": ["8", "9", "0"],
+    "5": ["8"],
+    "6": ["1"],
+    "7": ["2", "3", "4"],
+    "8": ["0"],
+    "9": ["0"],
+    "0": ["1"],
+}
+
+# highest/test.txt: id value neighbors...
+FLOODMAX_VERTS: list[tuple[str, int]] = [("a", 3), ("b", 6), ("c", 2), ("d", 1)]
+FLOODMAX_ADJ: dict[str, list[str]] = {
+    "a": ["b"],
+    "b": ["a", "d"],
+    "c": ["b", "d"],
+    "d": ["c"],
+}
+
+
+def _edges_df(spark: SparkSession, adj: dict[str, list[str]]) -> DataFrame:
+    rows = [(s, d) for s, dsts in adj.items() for d in dsts]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def dq16_flood_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verts = spark.createDataFrame(FLOODMAX_VERTS, "id string, value bigint")
+    edges = _edges_df(spark, FLOODMAX_ADJ)
+    return (
+        flood_max(verts, edges)
+        .select(F.col("id").alias("vertex_id"), F.col("value").alias("max_value"))
+        .orderBy("vertex_id")
+    )
+
+
+def dq17_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges_df(spark, PAGERANK_ADJ)
+    verts = spark.createDataFrame(
+        [(v,) for v in PAGERANK_ADJ], "id string"
+    )
+    ranks = pagerank(verts, edges, num_vertices=10, supersteps=30)
+    return ranks.select(
+        F.col("id").alias("vertex_id"), F.round("rank", 5).alias("rank")
+    ).orderBy("vertex_id")
+
+
+def _values_sql(rows: list[tuple]) -> str:
+    return ", ".join(
+        "(" + ", ".join(repr(x) for x in r) + ")" for r in rows
+    )
+
+
+def _edge_values(adj: dict[str, list[str]]) -> str:
+    return _values_sql([(s, d) for s, dsts in adj.items() for d in dsts])
+
+
+GRAPH_ORACLES: dict[str, str] = {
+    # reachability fixpoint: max_value(v) = MAX(value(u)) over all u
+    # with a path u ->* v (including v itself)
+    "dq16_flood_max": f"""
+        WITH RECURSIVE
+        verts(id, value) AS (VALUES {_values_sql(FLOODMAX_VERTS)}),
+        edges(src, dst) AS (VALUES {_edge_values(FLOODMAX_ADJ)}),
+        reach(origin, v) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT r.origin, e.dst FROM reach r JOIN edges e ON e.src = r.v
+        )
+        SELECT r.v AS vertex_id, MAX(vt.value) AS max_value
+        FROM reach r JOIN verts vt ON vt.id = r.origin
+        GROUP BY r.v ORDER BY vertex_id
+    """,
+    # 30 rank updates; contribution rank/outdeg; no dangling handling —
+    # exact pagerank.py:28-45 semantics (see operators/pregel.pagerank)
+    "dq17_pagerank": f"""
+        WITH RECURSIVE
+        edges(src, dst) AS (VALUES {_edge_values(PAGERANK_ADJ)}),
+        outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                   FROM edges GROUP BY src),
+        pr(iter, id, rank) AS (
+            SELECT 0, src, CAST(1.0 AS DOUBLE) / 10 FROM outdeg
+            UNION ALL
+            SELECT r.iter + 1, e.dst,
+                   CAST(0.15 AS DOUBLE) / 10
+                     + CAST(0.85 AS DOUBLE) * SUM(r.rank / od.deg)
+            FROM pr r
+            JOIN outdeg od ON od.src = r.id
+            JOIN edges e ON e.src = r.id
+            WHERE r.iter < 30
+            GROUP BY r.iter, e.dst
+        )
+        SELECT id AS vertex_id, ROUND(rank, 5) AS rank
+        FROM pr WHERE iter = 30 ORDER BY vertex_id
+    """,
+}

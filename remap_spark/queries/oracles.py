@@ -1,0 +1,175 @@
+"""DuckDB oracle SQL for every declared query (SURVEY.md §5.2.1).
+
+Each string is ANSI-ish SQL DuckDB 1.x runs against views named
+region/nation/customer/supplier/part/orders/lineitem/events/documents/
+embeddings. Column names and value semantics match the Spark builders
+in ``relational.py`` / ``graphs.py`` / the extension operators exactly:
+
+- money sums: CAST(expr AS DECIMAL(28,10)) -> SUM -> ROUND -> DOUBLE
+  (exact, order-independent — same as the Spark side);
+- session gaps in microseconds (epoch_us ~ Spark unix_micros);
+- tokenization: translate('.,?:;!"') -> lower -> split \\s+ -> drop ''.
+"""
+
+from __future__ import annotations
+
+TOKENS_CTE = """
+toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\\s+')) AS word
+  FROM documents
+), words AS (SELECT * FROM toks WHERE word <> '')
+"""
+
+DQ_ORACLES: dict[str, str] = {
+    "dq01_project": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice * (1 - l_discount), 5) AS net
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    "dq02_filter": """
+        SELECT l_orderkey, l_quantity FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+          AND l_quantity > 45
+        ORDER BY l_orderkey, l_quantity
+    """,
+    "dq03_wordcount": f"""
+        WITH {TOKENS_CTE}
+        SELECT word, COUNT(*) AS cnt FROM words
+        GROUP BY word ORDER BY cnt DESC, word LIMIT 100
+    """,
+    "dq04_collation": f"""
+        WITH {TOKENS_CTE}
+        SELECT word, string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+        FROM words GROUP BY word ORDER BY word LIMIT 100
+    """,
+    "dq05_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_net,
+               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 5) AS avg_disc,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "dq06_secondary_sort": """
+        SELECT user_id, rn, event_id FROM (
+          SELECT user_id, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ) WHERE rn <= 3 ORDER BY user_id, rn
+    """,
+    "dq07_topk": """
+        SELECT c_custkey, c_name,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey LIMIT 10
+    """,
+    "dq08_join_agg": """
+        SELECT c_mktsegment, COUNT(*) AS cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "dq09_multiway_join": """
+        SELECT n_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "dq10_anti": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+    """,
+    "dq10_semi": """
+        SELECT COUNT(*) AS cnt FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "dq11_intersect": """
+        SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        INTERSECT
+        SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY n_name
+    """,
+    "dq11_except": """
+        SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        EXCEPT
+        SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY n_name
+    """,
+    "dq12_rollup": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls
+    """,
+    "dq13_tumbling": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS cnt,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 5) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dq14_sessionize": """
+        WITH lagged AS (
+          SELECT user_id, ts, event_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events
+        ), flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM lagged
+        ), sess AS (
+          SELECT user_id,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        ), per_sess AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT user_id, COUNT(*) AS session_count, MAX(n_events) AS max_session_len
+        FROM per_sess GROUP BY user_id ORDER BY user_id LIMIT 200
+    """,
+    "dq15_json": """
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "dq15_year": """
+        SELECT year(o_orderdate) AS yr, COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS total
+        FROM orders GROUP BY yr ORDER BY yr
+    """,
+    "dq19_buckets": f"""
+        WITH {TOKENS_CTE}
+        SELECT CASE
+                 WHEN substr(word,1,1) BETWEEN 'a' AND 'e' THEN 'a2e'
+                 WHEN substr(word,1,1) BETWEEN 'f' AND 'n' THEN 'f2n'
+                 WHEN substr(word,1,1) BETWEEN 'o' AND 's' THEN 'o2s'
+                 WHEN substr(word,1,1) BETWEEN 't' AND 'z' THEN 't2z'
+                 ELSE '_default'
+               END AS bucket, COUNT(*) AS cnt
+        FROM words GROUP BY bucket ORDER BY bucket
+    """,
+    "dq20_range_join": """
+        SELECT o_orderpriority, COUNT(*) AS cnt
+        FROM events e JOIN orders o
+          ON e.user_id = o.o_custkey
+         AND e.ts >= o.o_orderdate
+         AND e.ts <= o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+}
+
+# dq18 is DQ5 via the UDF path — the oracle is identical by construction.
+DQ_ORACLES["dq18_grouped_udf"] = DQ_ORACLES["dq05_agg"]

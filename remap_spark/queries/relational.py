@@ -1,0 +1,406 @@
+"""Declared relational queries DQ1-DQ15, DQ18-DQ20 (SURVEY.md §2.13).
+
+Each builder takes (spark, sf_dir) and returns a DataFrame whose column
+names match the DuckDB oracle in ``remap_spark.queries.oracles``.
+
+Determinism rules shared with the oracle:
+- money sums go through DECIMAL so they are exact and order-independent
+  (FP sums over a shuffle are order-nondeterministic — SURVEY §4.3.2);
+- every float output is ROUNDed; every query has a total ORDER BY.
+
+Scale notes:
+- region/nation joins are explicitly broadcast (5 / 25 rows at every SF);
+  customer/supplier/part joins are left to AQE (they grow with SF and
+  must shuffle at 100 TB).
+- aggregations are plain groupBy().agg() → Catalyst does partial
+  aggregation map-side (the reference's combiner, remap.py:136-144).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..engine import load_table
+from ..functions import first_char_bucket, tokenize
+
+DEC = "decimal(28,10)"
+
+
+def _dec_sum(col, scale: int, alias: str):
+    """Exact, order-independent sum of a double expression, rounded and
+    returned as double (mirrors the oracle's CAST..DECIMAL..ROUND..DOUBLE)."""
+    return (
+        F.round(F.sum(col.cast(DEC)), scale).cast("double").alias(alias)
+    )
+
+
+def dq01_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + arithmetic (map-only job, wordcount-style narrow op).
+    Ref semantics: user map() emitting one record per input row
+    (/root/reference/daemons/core/module_mapper.py:48-52)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 5).alias("net"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def dq02_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown check: both predicates reach the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 45)
+        )
+        .select("l_orderkey", "l_quantity")
+        .orderBy("l_orderkey", "l_quantity")
+    )
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> one row per token (wordcount.py:20-27 pipeline:
+    translate punctuation -> lower -> whitespace split -> explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("word")
+    )
+
+
+def dq03_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical example as ONE Spark query
+    (/root/reference/tests/examples/run_wordcount.sh runs it as 6 jobs)."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(100)
+    )
+
+
+def dq04_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word -> sorted distinct sources (collation.py:18-19,41-42:
+    list(set(values)) == collect_set + sort_array)."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias("sources")
+        )
+        .orderBy("word")
+        .limit(100)
+    )
+
+
+def dq05_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape; hash-agg with automatic map-side partial agg
+    (the reference's combiner contract, remap.py:136-144)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
+            _dec_sum(net, 4, "sum_net"),
+            F.round(
+                F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*"), 5
+            ).alias("avg_disc"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def dq06_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort (remap.py:133-135 customkey): first 3 events per
+    user by (ts, event_id) via row_number window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id")
+        .orderBy("user_id", "rn")
+    )
+
+
+def dq07_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by revenue. orders⋈customer shuffles (both grow
+    with SF); the top-k itself is a TakeOrdered — no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(_dec_sum(F.col("o_totalprice"), 2, "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+def dq08_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def dq09_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (no date filter). nation/region are broadcast —
+    they are 25/5 rows at ANY scale factor; the r_name filter prunes
+    before the join so the customer⋈nation join keeps only ASIA rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(net, 2, "revenue"))
+        .orderBy("n_name")
+    )
+
+
+def dq10_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — left_anti join (NOT IN shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def dq10_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of customers WITH orders — left_semi join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _cust_nations(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return cust.join(nation, cust.c_nationkey == nation.n_nationkey).select("n_name")
+
+
+def _supp_nations(spark, sf_dir):
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return supp.join(nation, supp.s_nationkey == nation.n_nationkey).select("n_name")
+
+
+def dq11_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cust_nations(spark, sf_dir)
+        .intersect(_supp_nations(spark, sf_dir))
+        .orderBy("n_name")
+    )
+
+
+def dq11_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep
+    # per-multiplicity leftovers for nations present on both sides
+    return (
+        _cust_nations(spark, sf_dir)
+        .subtract(_supp_nations(spark, sf_dir))
+        .orderBy("n_name")
+    )
+
+
+def dq12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — ABSENT in the reference (SURVEY §2.4), free in Spark.
+    NULL grouping levels coalesced to 'ALL' for stable hashing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cnt",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+def dq13_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling window; the streaming twin lives in
+    remap_spark.streaming.windows (same F.window/date_trunc semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            _dec_sum(F.col("value"), 5, "sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def dq14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (unix_micros ~ DuckDB epoch_us): no float /
+    # truncation ambiguity at the 30-min boundary
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("session_count"),
+            F.max("n_events").alias("max_session_len"),
+        )
+        .orderBy("user_id")
+        .limit(200)
+    )
+
+
+def dq15_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction on events.props (props = '{"k": <int>}')."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("k_sum"), F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+def dq15_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function aggregation on orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), 2, "total"),
+        )
+        .orderBy("yr")
+    )
+
+
+def dq18_grouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ5 via the pandas-UDF escape hatch (the reference's arbitrary
+    reduce() generator, module_reducer.py:72-73). Must hash-match DQ5 —
+    the grouped UDF mirrors the decimal semantics with decimal.Decimal.
+
+    This is deliberately the SLOW path demonstrator: applyInPandas
+    shuffles whole rows to Python. The fast path is dq05_agg.
+    """
+    import pandas as pd
+
+    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def d(x, scale):  # CAST(double AS DECIMAL(_, scale)) mirror
+            return Decimal(repr(float(x))).quantize(
+                Decimal(1).scaleb(-scale), ROUND_HALF_UP
+            )
+
+        net = [
+            d(p * (1.0 - disc), 10)
+            for p, disc in zip(pdf["l_extendedprice"], pdf["l_discount"])
+        ]
+        sum_qty = float(
+            sum(d(q, 10) for q in pdf["l_quantity"]).quantize(
+                Decimal("1e-2"), ROUND_HALF_UP
+            )
+        )
+        sum_net = float(sum(net).quantize(Decimal("1e-4"), ROUND_HALF_UP))
+        disc_sum = sum(d(x, 10) for x in pdf["l_discount"])
+        avg = float(disc_sum) / len(pdf)
+        avg_disc = float(
+            Decimal(repr(avg)).quantize(Decimal("1e-5"), ROUND_HALF_UP)
+        )
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+                "sum_qty": [sum_qty],
+                "sum_net": [sum_net],
+                "avg_disc": [avg_disc],
+                "cnt": [len(pdf)],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    schema = (
+        "l_returnflag string, l_linestatus string, sum_qty double, "
+        "sum_net double, avg_disc double, cnt bigint"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .applyInPandas(agg_group, schema=schema)
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def dq19_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's user-directed partition routing (wordcount.py:28-37)
+    as a plain expression + groupBy."""
+    return (
+        _tokens(spark, sf_dir)
+        .select(first_char_bucket("word").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def dq20_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join: Catalyst plans the user_id=custkey equality as
+    the join key (shuffled hash / sort-merge) and the BETWEEN as a
+    post-join filter — NOT a cartesian product. Check .explain."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        ev.join(
+            orders,
+            (ev.user_id == orders.o_custkey)
+            & (ev.ts >= orders.o_orderdate)
+            & (ev.ts <= F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderpriority")
+    )

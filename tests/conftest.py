@@ -1,0 +1,105 @@
+"""Shared fixtures: one SparkSession per test run + a DuckDB oracle
+comparator that mirrors the driver's gate (row-count + schema + order-
+insensitive value match, columns sorted by name)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_T2 = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from remap_spark.engine import build_session
+
+    s = build_session(app_name="remap_spark_tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for sf in {SF_DIR, SF_DIR_T2}:
+        pass
+    yield con
+    con.close()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _norm(v.item())
+    return v
+
+
+def canon(rows, colnames):
+    """Sort columns by name (driver semantics), normalize values, sort rows."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def assert_matches_oracle(spark, name: str, sf_dir: str = SF_DIR):
+    from remap_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    sdf = ALL_QUERIES[name](spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    con = duck_con(sf_dir)
+    try:
+        res = con.sql(ALL_ORACLES[name])
+        dcols = res.columns
+        drows = res.fetchall()
+    finally:
+        con.close()
+
+    assert sorted(scols) == sorted(dcols), (
+        f"{name}: column names differ: spark={scols} duckdb={dcols}"
+    )
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} != oracle {len(drows)}"
+    )
+    s = canon(srows, scols)
+    d = canon(drows, dcols)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s, d)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} value mismatches; first 5: {mismatches[:5]}"
+    )
