@@ -1,0 +1,52 @@
+"""Sinks (SURVEY.md §2.2).
+
+The reference's final output is ``"k3,v3\\n"`` text lines, one file per
+reduce partition (TextReduceWriter, remap.py:178-188) and its
+intermediate format is ``"k2,json(list)"`` (TextPartitioner,
+remap.py:96-147). Parquet is the engine's real sink; the text modes
+exist for reference parity only (the k,v framing breaks on commas in
+keys — SURVEY §4.3.4 — which is why wordcount strips punctuation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str, partition_cols: list[str] | None = None):
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def write_reduce_text(
+    df: DataFrame,
+    path: str,
+    key_col: str = "k3",
+    value_col: str = "v3",
+    partition_col: str | None = None,
+):
+    """TextReduceWriter parity: "k,v" lines; optional directory per
+    named partition (reduce_<partition> analog via partitionBy)."""
+    line = F.concat_ws(",", F.col(key_col).cast("string"), F.col(value_col).cast("string"))
+    if partition_col:
+        out = df.select(F.col(partition_col).alias("partition"), line.alias("value"))
+        out.write.mode("overwrite").partitionBy("partition").text(path)
+    else:
+        df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def write_intermediate_text(df: DataFrame, path: str):
+    """TextPartitioner file-format parity: one dir per named partition,
+    lines "k2,json(v2_list)" sorted by key within each file
+    (remap.py:132-147). Grouping collapses each key to one line, like
+    a fully-combined spill."""
+    grouped = df.groupBy("partition", "k2").agg(
+        F.to_json(F.collect_list("v2")).alias("vals")
+    )
+    out = grouped.repartition("partition").sortWithinPartitions("k2")
+    out.select(
+        "partition", F.concat_ws(",", "k2", "vals").alias("value")
+    ).write.mode("overwrite").partitionBy("partition").text(path)

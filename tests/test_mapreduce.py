@@ -1,0 +1,150 @@
+"""MapReduceJob parity tests: the reference's example apps re-run on
+the Spark engine must equal the native-DataFrame fast path
+(SURVEY.md §5.2.2 golden-output ports)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from conftest import SF_DIR
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    from remap_spark.engine import load_table
+
+    return load_table(spark, SF_DIR, "documents").select(
+        F.col("source").alias("key"), F.col("text").alias("value")
+    )
+
+
+def make_wordcount_fns():
+    """Defined inside a function so cloudpickle serializes by VALUE —
+    module-level test functions pickle by reference to a module the
+    executors can't import."""
+
+    def wordcount_map(key, value):
+        # examples/wordcount/wordcount.py:20-37, verbatim semantics
+        remove = '.,?:;!"'
+        trans = str.maketrans(remove, " " * len(remove))
+        for word in value.translate(trans).split():
+            word = word.lower()
+            if word[0] in "abcde":
+                yield "a2e", word, 1
+            elif word[0] in "fghijklmn":
+                yield "f2n", word, 1
+            elif word[0] in "opqrs":
+                yield "o2s", word, 1
+            elif word[0] in "tuvwxyz":
+                yield "t2z", word, 1
+            else:
+                yield "_default", word, 1
+
+    def wordcount_reduce(key, values):
+        yield key, sum(values)  # wordcount.py:40-41
+
+    return wordcount_map, wordcount_reduce
+
+
+def test_wordcount_parity(spark):
+    """MapReduceJob wordcount == native groupBy().count() (dq03)."""
+    from remap_spark.operators.mapreduce import MapReduceJob
+    from remap_spark.queries.relational import dq03_wordcount
+
+    wordcount_map, wordcount_reduce = make_wordcount_fns()
+    job = MapReduceJob(map=wordcount_map, reduce=wordcount_reduce)
+    got = {
+        r["k3"]: json.loads(r["v3"]) for r in job.run(_docs(spark)).collect()
+    }
+    expected = {
+        r["word"]: r["cnt"]
+        for r in dq03_wordcount(spark, SF_DIR).limit(100).collect()
+    }
+    for word, cnt in expected.items():
+        assert got[word] == cnt, f"{word}: {got[word]} != {cnt}"
+
+
+def test_collation_parity(spark):
+    """Collation (map -> distinct-set combiner -> reduce) == dq04.
+    Exercises the combiner path (collation.py:18-19,41-42)."""
+    from remap_spark.operators.mapreduce import MapReduceJob
+    from remap_spark.queries.relational import dq04_collation
+
+    def cmap(key, value):
+        remove = '.,?:;!"'
+        trans = str.maketrans(remove, " " * len(remove))
+        for word in value.translate(trans).split():
+            yield "all", word.lower(), key
+
+    def creduce(key, values):
+        yield key, sorted(set(values))
+
+    job = MapReduceJob(map=cmap, reduce=creduce, combiner=lambda l: list(set(l)))
+    got = {r["k3"]: json.loads(r["v3"]) for r in job.run(_docs(spark)).collect()}
+    expected = {
+        r["word"]: r["sources"].split(",")
+        for r in dq04_collation(spark, SF_DIR).collect()
+    }
+    for word, sources in expected.items():
+        assert got[word] == sources
+
+
+def test_combiner_on_off_equivalence(spark):
+    """Algebraic-combiner contract (SURVEY §4.3.3): enabling the
+    combiner must not change results."""
+    from remap_spark.operators.mapreduce import MapReduceJob
+
+    def m(key, value):
+        for w in value.split():
+            yield "p", w[:1], 1
+
+    def r(key, values):
+        yield key, sum(values)
+
+    df = _docs(spark).limit(200)
+    plain = MapReduceJob(map=m, reduce=r).run(df).collect()
+    combined = (
+        MapReduceJob(map=m, reduce=r, combiner=lambda l: [sum(l)])
+        .run(df)
+        .collect()
+    )
+    assert sorted((x["k3"], json.loads(x["v3"])) for x in plain) == sorted(
+        (x["k3"], json.loads(x["v3"])) for x in combined
+    )
+
+
+def test_secondary_sort(spark):
+    """customkey secondary sort (secondarysort.py:8-9): values arrive
+    at reduce ordered by the sort key."""
+    from remap_spark.operators.mapreduce import MapReduceJob
+
+    rows = [("f", f"{i % 7},x{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "key string, value string")
+
+    def m(key, value):
+        num, payload = value.split(",")
+        yield "p", "grp", [int(num), payload]
+
+    def r(key, values):
+        nums = [v[0] for v in values]
+        yield key, nums
+
+    job = MapReduceJob(map=m, reduce=r, sort_key=lambda v: v[0])
+    out = job.run(df).collect()
+    assert len(out) == 1
+    nums = json.loads(out[0]["v3"])
+    assert nums == sorted(nums)
+
+
+def test_map_only_job(spark):
+    """type='mapper' standalone job returns the partitioned
+    intermediate relation."""
+    from remap_spark.operators.mapreduce import MapReduceJob
+
+    wordcount_map, _ = make_wordcount_fns()
+    job = MapReduceJob(map=wordcount_map)
+    mapped = job.run_map_only(_docs(spark).limit(50))
+    assert mapped.columns == ["partition", "k2", "v2"]
+    parts = {r["partition"] for r in mapped.select("partition").distinct().collect()}
+    assert parts <= {"a2e", "f2n", "o2s", "t2z", "_default"}

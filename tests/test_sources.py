@@ -1,0 +1,94 @@
+"""Source/sink parity tests (SURVEY.md §2.1-2.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tmpfiles(tmp_path_factory):
+    d = tmp_path_factory.mktemp("srcdata")
+    (d / "a.txt").write_text("hello world\nsecond line\n")
+    (d / "b.txt").write_text("another file\n")
+    (d / "doc.xml").write_text(
+        "<root><item>alpha</item><item>beta</item><nested><x>gamma</x></nested></root>"
+    )
+    (d / "page.html").write_text(
+        "<html><body>\n<h1>Title Here</h1>\n<p>some <b>bold</b> tail</p>\n</body></html>\n"
+    )
+    (d / "graph.txt").write_text("1 2 3\n2 3\n3 1\n")
+    (d / "valued.txt").write_text("a 3 b\nb 6 a d\nc 2 b d\nd 1 c\n")
+    return d
+
+
+def test_read_text(spark, tmpfiles):
+    from remap_spark.sources import read_text
+
+    df = read_text(spark, str(tmpfiles / "*.txt"))
+    rows = df.collect()
+    lines = {r["line"] for r in rows}
+    assert {"hello world", "second line", "another file"} <= lines
+    assert all(r["filename"].endswith(".txt") for r in rows)
+
+
+def test_read_xml_elements(spark, tmpfiles):
+    from remap_spark.sources import read_xml_elements
+
+    df = read_xml_elements(spark, str(tmpfiles / "doc.xml"))
+    texts = sorted(r["text"] for r in df.collect())
+    assert texts == ["alpha", "beta", "gamma"]
+
+
+def test_read_html_text(spark, tmpfiles):
+    from remap_spark.sources import read_html_text
+
+    df = read_html_text(spark, str(tmpfiles / "page.html"))
+    texts = {r["text"] for r in df.collect()}
+    # reference keeps the LAST text node per line (remap.py:84-90)
+    assert "Title Here" in texts
+    assert "tail" in texts
+
+
+def test_read_adjacency(spark, tmpfiles):
+    from remap_spark.sources import adjacency_to_edges, read_adjacency
+
+    adj = read_adjacency(spark, str(tmpfiles / "graph.txt"))
+    got = {r["id"]: r["neighbors"] for r in adj.collect()}
+    assert got == {"1": ["2", "3"], "2": ["3"], "3": ["1"]}
+    edges = {(r["src"], r["dst"]) for r in adjacency_to_edges(adj).collect()}
+    assert edges == {("1", "2"), ("1", "3"), ("2", "3"), ("3", "1")}
+
+
+def test_read_adjacency_valued(spark, tmpfiles):
+    from remap_spark.sources import read_adjacency
+
+    adj = read_adjacency(spark, str(tmpfiles / "valued.txt"), valued=True)
+    got = {r["id"]: (r["value"], r["neighbors"]) for r in adj.collect()}
+    assert got["b"] == (6, ["a", "d"])
+    assert got["a"] == (3, ["b"])
+
+
+def test_write_reduce_text(spark, tmp_path):
+    from remap_spark.sources import write_reduce_text
+
+    df = spark.createDataFrame(
+        [("the", 12), ("and", 7)], "k3 string, v3 int"
+    )
+    out = tmp_path / "out"
+    write_reduce_text(df, str(out))
+    lines = set()
+    for p in out.glob("part-*"):
+        lines |= set(p.read_text().splitlines())
+    assert lines == {"the,12", "and,7"}
+
+
+def test_flood_max_from_file(spark, tmpfiles):
+    """End-to-end: valued graph file -> flood_max == DQ16 result."""
+    from remap_spark.operators.pregel import flood_max
+    from remap_spark.sources import adjacency_to_edges, read_adjacency
+
+    adj = read_adjacency(spark, str(tmpfiles / "valued.txt"), valued=True)
+    verts = adj.select("id", "value")
+    edges = adjacency_to_edges(adj)
+    got = {r["id"]: r["value"] for r in flood_max(verts, edges).collect()}
+    assert got == {"a": 6, "b": 6, "c": 6, "d": 6}
