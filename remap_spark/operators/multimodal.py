@@ -1,0 +1,141 @@
+"""Multimodal column handling: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The Spark-side plumbing is real and tested: schemas, mapInPandas batch
+iteration, partition sizing. The actual codec work (JPEG decode, audio
+resample, video frame extraction) is STUBBED — the container has no
+image/audio libraries — behind ``_decode_*_impl`` functions that raise
+NotImplementedError unless a deterministic fake is requested. Swapping
+in Pillow/torchaudio/PyAV changes ONLY those functions.
+
+Scale notes:
+- media blobs make rows wide: repartition by target partition *bytes*
+  (``target_rows_per_partition``), not row count, before a decode pass
+  so an executor batch fits in memory;
+- decode is mapInPandas (one Python worker round-trip per partition,
+  Arrow transfer) — never a per-row UDF;
+- feature outputs are fixed-length arrays -> feed operators/similarity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, media binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>"
+)
+
+IMAGE_FEATURES_SCHEMA = "media_id bigint, width int, height int, features array<float>"
+AUDIO_FEATURES_SCHEMA = "media_id bigint, n_samples int, features array<float>"
+FRAME_SAMPLE_SCHEMA = "media_id bigint, frame_idx int, frame binary"
+
+
+def _decode_image_impl(blob: bytes, fake: bool):
+    """STUB: real impl = PIL.Image.open(io.BytesIO(blob)); deterministic
+    fake derives pseudo-pixels from the blob bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+    h = sum(blob) % 251 if blob else 0
+    width, height = 4, 4
+    feats = [((h + i * 37) % 256) / 255.0 for i in range(8)]
+    return width, height, feats
+
+
+def _decode_audio_impl(blob: bytes, fake: bool):
+    """STUB: real impl = soundfile/torchaudio load + resample."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires an audio library not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+    n = len(blob)
+    feats = [((b * 31 + i) % 128) / 128.0 for i, b in enumerate(blob[:8])]
+    feats += [0.0] * (8 - len(feats))
+    return n, feats
+
+
+def image_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id", fake: bool = True
+) -> DataFrame:
+    """binary image column -> (width, height, feature vector)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, fs = [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                w, h, feats = _decode_image_impl(bytes(blob or b""), fake)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                fs.append(feats)
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "features": fs}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def audio_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id", fake: bool = True
+) -> DataFrame:
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, fs = [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                n, feats = _decode_audio_impl(bytes(blob or b""), fake)
+                ids.append(mid)
+                ns.append(n)
+                fs.append(feats)
+            yield pd.DataFrame({"media_id": ids, "n_samples": ns, "features": fs})
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame sampling shape: one input row -> k frame rows.
+    The stub slices the blob; a real impl seeks keyframes (PyAV).
+    Demonstrates the 1->N mapInPandas expansion used for frame
+    extraction at scale."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                blob = bytes(blob or b"")
+                for k, off in enumerate(range(0, len(blob), every_n_bytes)):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(blob[off : off + every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def repartition_for_media(
+    df: DataFrame, approx_row_bytes: int, target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Size partitions by bytes, not rows — a 5 MB-per-row video table
+    needs ~25 rows/partition, not the default splits."""
+    rows_per_part = max(1, target_partition_bytes // max(1, approx_row_bytes))
+    n = max(1, df.count() // rows_per_part)
+    return df.repartition(n)

@@ -1,0 +1,102 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, content fingerprinting.
+
+All pure column expressions (whole-stage codegen; zero Python).
+Each has a matching DuckDB oracle in queries/extensions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import PUNCT, portable_hash60, tokenize
+
+# deliberately small, fixed marker lists — the heuristic is the
+# operator; the lists are config
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "y", "es"],
+    "fr": ["le", "la", "de", "et", "est"],
+}
+
+
+def _count_in(words: Column, vocab: list[str]) -> Column:
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(vocab_arr, w)))
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality metrics: token count, char count, mean token
+    length, punctuation ratio, stopword ratio. The classic cheap
+    quality filters (length/punct/stopword) for corpus cleaning."""
+    words = tokenize(F.col(text_col))
+    n_tokens = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    token_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_punct = n_chars - F.length(F.translate(F.col(text_col), PUNCT, ""))
+    n_stop = _count_in(words, LANG_MARKERS["en"])
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(token_chars.cast("double") / n_tokens, 5).alias("avg_token_len"),
+        F.round(n_punct.cast("double") / n_chars, 5).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 5).alias("stopword_ratio"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-word language heuristic: count hits per language list,
+    predict the argmax (ties broken en > de > es > fr). A real system
+    swaps in char-n-gram profiles; the operator shape (vector of
+    per-class scores -> argmax, all codegen) is identical."""
+    words = tokenize(F.col(text_col))
+    hits = {lang: _count_in(words, v) for lang, v in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["fr"]),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["es"]) & (hits["de"] >= hits["fr"]), F.lit("de"))
+        .when(hits["es"] >= hits["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["es"].alias("es_hits"),
+        hits["fr"].alias("fr_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+def content_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalization-invariant content fingerprint: lowercase, strip
+    punctuation, collapse whitespace, then a 60-bit portable hash —
+    identical across engines (DuckDB:
+    CAST('0x'||substr(md5(norm),1,15) AS BIGINT)). The cheap first
+    pass before any fuzzy dedup."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.translate(F.col(text_col), PUNCT, " " * len(PUNCT))),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        portable_hash60(norm).alias("fingerprint"),
+    )

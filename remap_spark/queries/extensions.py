@@ -1,0 +1,324 @@
+"""Extension queries: dedup / similarity / text analysis over the
+documents and embeddings fixtures, each with a DuckDB oracle.
+
+The oracles are *generated* SQL mirroring the Spark operators'
+portable-hash formulations exactly (md5-derived hashes, identical
+MinHash (a,b) parameters, identical marker lists). The Spark side is
+the production operator from remap_spark.operators.*; the wrapper here
+only adds rounding, casts, and a total ORDER BY for hash stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import load_table
+from ..functions import MINHASH_PRIME, minhash_params
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+
+# ---------------------------------------------------------------------
+# shared oracle CTE fragments
+# ---------------------------------------------------------------------
+
+# tokens with position (filtered empties keep their original index —
+# LEAD over the filtered sequence matches Spark's filtered-array grams)
+_TOKS = """
+toks AS (
+  SELECT doc_id, word, i FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\\s+')) AS word,
+           generate_subscripts(string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\\s+'), 1) AS i
+    FROM documents
+  ) WHERE word <> ''
+)
+"""
+
+_GRAMS = (
+    _TOKS
+    + """,
+grams AS (
+  SELECT doc_id,
+         word || ' ' || LEAD(word, 1) OVER w || ' ' || LEAD(word, 2) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+shingles AS (
+  SELECT DISTINCT doc_id AS doc, gram FROM grams WHERE gram IS NOT NULL
+)
+"""
+)
+
+_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+# ---------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------
+
+
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keep_id"))
+        .orderBy("keep_id")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+    SELECT md5(text) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 5).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+_DEDUP_NGRAM_SQL = f"""
+    WITH {_GRAMS},
+    sizes AS (SELECT doc, COUNT(*) AS n_grams FROM shingles GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.gram = b.gram AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter * 1.0 / (na.n_grams + nb.n_grams - inter), 5) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc = inter.doc_a
+    JOIN sizes nb ON nb.doc = inter.doc_b
+    WHERE inter * 1.0 / (na.n_grams + nb.n_grams - inter) >= 0.5
+    ORDER BY doc_a, doc_b
+"""
+
+
+def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, num_hashes=16, bands=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, seed: int = 42) -> str:
+    params = minhash_params(num_hashes, seed)
+    sig_exprs = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS sig{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rows = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT {bi} AS band, concat_ws('_', {cols}) AS key, doc FROM sigs".format(
+            bi=bi,
+            cols=", ".join(f"sig{bi * rows + r}" for r in range(rows)),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+    WITH {_GRAMS},
+    hashed AS (SELECT doc, {_H32.format(x='gram')} AS h FROM shingles),
+    sigs AS (SELECT doc, {sig_exprs} FROM hashed GROUP BY doc),
+    bands AS ({band_selects})
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+    ORDER BY doc_a, doc_b
+"""
+
+
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dd.simhash_fingerprints(docs)
+        .select(F.col("doc").alias("doc_id"), "simhash")
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    bal = ",\n           ".join(
+        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH {_TOKS},
+    hashed AS (SELECT doc_id AS doc, {_H32.format(x='word')} AS h FROM toks),
+    bal AS (SELECT doc, {bal} FROM hashed GROUP BY doc)
+    SELECT doc AS doc_id, {fp} AS simhash FROM bal ORDER BY doc_id
+"""
+
+
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.embedding_near_dup_pairs(emb, threshold=0.4)
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine", 5).alias("cosine")
+    ).orderBy("vec_a", "vec_b")
+
+
+_DEDUP_EMB_SQL = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_COS.format(a='a.v', b='b.v')}, 5) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4
+    ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------
+
+
+def ext_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    topk = sim.cosine_topk_bruteforce(queries, emb, k=10)
+    return topk.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "vec_id",
+        F.round("cosine", 5).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
+_ANN_TOPK_SQL = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_COS.format(a='q.v', b='c.v')} AS cosine
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, rn AS "rank", vec_id, ROUND(cosine, 5) AS cosine
+    FROM ranked WHERE rn <= 10 ORDER BY query_id, rn
+"""
+
+
+# ---------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------
+
+
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+    ).orderBy("doc_id")
+
+
+_TEXT_STATS_SQL = f"""
+    WITH {_TOKS},
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(length(word)) AS token_chars,
+             SUM(CASE WHEN word IN ('the','and','of','to','is') THEN 1 ELSE 0 END) AS n_stop
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id, p.n_tokens,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           ROUND(p.token_chars * 1.0 / p.n_tokens, 5) AS avg_token_len,
+           ROUND((length(d.text) - length(translate(d.text, '.,?:;!"', ''))) * 1.0
+                 / length(d.text), 5) AS punct_ratio,
+           ROUND(p.n_stop * 1.0 / p.n_tokens, 5) AS stopword_ratio
+    FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.language_id(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(f"{l}_hits").cast("bigint").alias(f"{l}_hits") for l in tx.LANG_MARKERS],
+        "pred_lang",
+    ).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    hit_exprs = ",\n           ".join(
+        "SUM(CASE WHEN word IN ({vals}) THEN 1 ELSE 0 END) AS {lang}_hits".format(
+            vals=", ".join(f"'{w}'" for w in words), lang=lang
+        )
+        for lang, words in tx.LANG_MARKERS.items()
+    )
+    return f"""
+    WITH {_TOKS},
+    hits AS (SELECT doc_id, {hit_exprs} FROM toks GROUP BY doc_id)
+    SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+           CASE
+             WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+             WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+             WHEN es_hits >= fr_hits THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM hits ORDER BY doc_id
+"""
+
+
+def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.content_fingerprint(docs).orderBy("doc_id")
+
+
+_FINGERPRINT_SQL = """
+    SELECT doc_id,
+           CAST('0x' || substr(md5(
+             trim(regexp_replace(lower(translate(text, '.,?:;!"', '       ')),
+                                 '\\s+', ' ', 'g'))
+           ), 1, 15) AS BIGINT) AS fingerprint
+    FROM documents ORDER BY doc_id
+"""
+
+
+EXT_QUERIES = {
+    "ext_dedup_exact": ext_dedup_exact,
+    "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
+    "ext_dedup_minhash_lsh": ext_dedup_minhash_lsh,
+    "ext_dedup_simhash": ext_dedup_simhash,
+    "ext_dedup_embedding": ext_dedup_embedding,
+    "ext_ann_topk": ext_ann_topk,
+    "ext_text_stats": ext_text_stats,
+    "ext_text_langid": ext_text_langid,
+    "ext_text_fingerprint": ext_text_fingerprint,
+}
+
+EXT_ORACLES = {
+    "ext_dedup_exact": _DEDUP_EXACT_SQL,
+    "ext_dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+    "ext_dedup_minhash_lsh": _minhash_oracle(),
+    "ext_dedup_simhash": _simhash_oracle(),
+    "ext_dedup_embedding": _DEDUP_EMB_SQL,
+    "ext_ann_topk": _ANN_TOPK_SQL,
+    "ext_text_stats": _TEXT_STATS_SQL,
+    "ext_text_langid": _langid_oracle(),
+    "ext_text_fingerprint": _FINGERPRINT_SQL,
+}

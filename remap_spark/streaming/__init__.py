@@ -1,0 +1,15 @@
+from .windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+__all__ = [
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "read_events_stream",
+    "run_stream_to_memory",
+]

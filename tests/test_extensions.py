@@ -1,0 +1,149 @@
+"""Extension operator behavior tests (beyond the oracle hash-match):
+recall of the approximate paths vs exact ground truth, multimodal
+plumbing shapes."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_DIR
+
+
+def _docs(spark):
+    from remap_spark.engine import load_table
+
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """LSH candidates must include every high-Jaccard pair (j≈0.99 ->
+    P(miss) ~ 0) and not explode into the cross product."""
+    from remap_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _docs(spark)
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert truth, "fixture should contain planted near-duplicates"
+    assert truth <= cand, f"LSH missed {truth - cand}"
+    n_docs = docs.count()
+    assert len(cand) < n_docs * 5, "LSH candidate set blew up"
+
+
+def test_simhash_pairs_find_near_dups(spark):
+    from remap_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    docs = _docs(spark)
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(docs, max_hamming=6).collect()
+    }
+    # simhash is approximate: require high recall on the planted pairs
+    assert len(truth & got) >= int(0.8 * len(truth))
+
+
+def test_lsh_topk_recall(spark):
+    """Bucketed ANN: reported neighbors must be true cosine neighbors
+    (subset check — each (query, vec) pair it returns appears in the
+    exact top-50)."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    exact50 = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(queries, emb, k=50).collect()
+    }
+    approx = cosine_topk_lsh(queries, emb, k=10, n_planes=4).collect()
+    assert approx, "LSH returned nothing — buckets too fine"
+    hits = sum(1 for r in approx if (r["query_id"], r["vec_id"]) in exact50)
+    assert hits / len(approx) >= 0.5
+
+
+def test_normalize_then_dot_equals_cosine(spark):
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.functions import cosine_similarity, dot_product
+    from remap_spark.operators.similarity import normalize_embeddings
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(20)
+    norm = normalize_embeddings(emb)
+    a = norm.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = norm.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        dot_product(F.col("va"), F.col("vb")).alias("dot")
+    )
+    raw_a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    raw_b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    cos = raw_a.join(raw_b, F.col("ia") < F.col("ib")).select(
+        cosine_similarity(F.col("va"), F.col("vb")).alias("cos")
+    )
+    for d, c in zip(sorted(r["dot"] for r in pairs.collect()),
+                    sorted(r["cos"] for r in cos.collect())):
+        assert abs(d - c) < 1e-9
+
+
+def test_multimodal_plumbing(spark):
+    """Binary media columns through the decode/feature/frame UDFs:
+    schema, 1->N expansion, determinism of the stub."""
+    from remap_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+        sample_frames,
+    )
+
+    rows = [
+        (1, "image", bytearray(b"\x89PNG fake payload " * 10), (4, 4, None, None)),
+        (2, "audio", bytearray(b"RIFF fake wav " * 20), (None, None, 16000, 1200)),
+        (3, "video", bytearray(bytes(range(256))), (640, 480, None, 5000)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, media binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:int>",
+    )
+
+    imgs = image_features(df.where("kind = 'image'")).collect()
+    assert len(imgs) == 1 and len(imgs[0]["features"]) == 8
+    again = image_features(df.where("kind = 'image'")).collect()
+    assert imgs[0]["features"] == again[0]["features"]  # deterministic
+
+    aud = audio_features(df.where("kind = 'audio'")).collect()
+    assert aud[0]["n_samples"] == 280 and len(aud[0]["features"]) == 8
+
+    frames = sample_frames(df.where("kind = 'video'"), every_n_bytes=64).collect()
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3]
+    assert all(len(bytes(f["frame"])) == 64 for f in frames)
+
+
+def test_multimodal_real_decode_raises(spark):
+    from remap_spark.operators.multimodal import _decode_image_impl
+
+    with pytest.raises(NotImplementedError):
+        _decode_image_impl(b"xx", fake=False)
+
+
+def test_exact_dedup_on_constructed_dups(spark):
+    from remap_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id bigint, text string",
+    )
+    groups = exact_duplicates(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["cnt"] == 3 and groups[0]["keep_id"] == 1

@@ -1,0 +1,116 @@
+"""Streaming ≡ batch equivalence: the same window transformations fed
+through a file stream must produce the batch results (SURVEY §7.1
+step 5)."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Materialize the events fixture as a multi-file parquet dir the
+    file-source stream can consume incrementally."""
+    from remap_spark.engine import load_table
+
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def _schema(spark):
+    from remap_spark.engine import load_table
+
+    return load_table(spark, SF_DIR, "events").schema
+
+
+def test_tumbling_stream_equals_batch(spark, events_stream_dir):
+    from remap_spark.engine import load_table
+    from remap_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_counts,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir, schema=_schema(spark))
+    q = run_stream_to_memory(
+        tumbling_counts(stream), "tumbling_test", mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["hour"], r["event_type"]): (r["cnt"], round(r["sum_value"], 5))
+            for r in spark.sql("SELECT * FROM tumbling_test").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = tumbling_counts(load_table(spark, SF_DIR, "events"))
+    expected = {
+        (r["hour"], r["event_type"]): (r["cnt"], round(r["sum_value"], 5))
+        for r in batch.collect()
+    }
+    # the stream emits only watermark-closed windows; every emitted
+    # window must match batch exactly, and most windows must close
+    assert got
+    for key, v in got.items():
+        assert expected[key] == v
+    assert len(got) >= len(expected) - 5
+
+
+def test_session_stream_equals_batch(spark, events_stream_dir):
+    from remap_spark.engine import load_table
+    from remap_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_counts,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir, schema=_schema(spark))
+    q = run_stream_to_memory(session_counts(stream), "session_test", mode="append")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["sess_start"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM session_test").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = session_counts(load_table(spark, SF_DIR, "events"))
+    expected = {
+        (r["user_id"], r["sess_start"]): r["n_events"] for r in batch.collect()
+    }
+    assert got
+    for key, v in got.items():
+        assert expected[key] == v
+
+
+def test_session_batch_equals_dq14(spark):
+    """Native session_window (batch mode) must agree with the
+    gaps-and-islands formulation (dq14) on per-user session counts."""
+    from remap_spark.engine import load_table
+    from remap_spark.queries.relational import dq14_sessionize
+    from remap_spark.streaming import session_counts
+    from pyspark.sql import functions as F
+
+    native = (
+        session_counts(load_table(spark, SF_DIR, "events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("session_count"),
+            F.max("n_events").alias("max_session_len"),
+        )
+    )
+    got = {
+        r["user_id"]: (r["session_count"], r["max_session_len"])
+        for r in native.collect()
+    }
+    expected = {
+        r["user_id"]: (r["session_count"], r["max_session_len"])
+        for r in dq14_sessionize(spark, SF_DIR).collect()
+    }
+    assert got == expected
