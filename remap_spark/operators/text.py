@@ -27,12 +27,20 @@ def _count_in(words: Column, vocab: list[str]) -> Column:
     return F.size(F.filter(words, lambda w: F.array_contains(vocab_arr, w)))
 
 
+def _parallel(df: DataFrame) -> DataFrame:
+    """Small parquet files arrive as ONE split; expression-heavy
+    per-row work needs a repartition to use the cluster."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
 def text_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc quality metrics: token count, char count, mean token
     length, punctuation ratio, stopword ratio. The classic cheap
     quality filters (length/punct/stopword) for corpus cleaning."""
+    df = _parallel(df)
     words = tokenize(F.col(text_col))
     n_tokens = F.size(words)
     n_chars = F.length(F.col(text_col))
@@ -58,6 +66,7 @@ def language_id(
     predict the argmax (ties broken en > de > es > fr). A real system
     swaps in char-n-gram profiles; the operator shape (vector of
     per-class scores -> argmax, all codegen) is identical."""
+    df = _parallel(df)
     words = tokenize(F.col(text_col))
     hits = {lang: _count_in(words, v) for lang, v in LANG_MARKERS.items()}
     pred = (

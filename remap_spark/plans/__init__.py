@@ -1,0 +1,3 @@
+from .analysis import explain_str, plan_report
+
+__all__ = ["explain_str", "plan_report"]

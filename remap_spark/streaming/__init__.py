@@ -1,3 +1,4 @@
+from .stateful import running_user_stats
 from .windows import (
     read_events_stream,
     run_stream_to_memory,
@@ -12,4 +13,5 @@ __all__ = [
     "session_counts",
     "read_events_stream",
     "run_stream_to_memory",
+    "running_user_stats",
 ]

@@ -1,0 +1,95 @@
+"""Physical-plan regression tests: the properties that keep the
+declared queries viable at 100 TB (SURVEY.md §4.2, instructions
+'push down and prune', 'broadcast small dims').
+
+These intentionally pin PLAN SHAPE, not timings — a correct result
+computed through a cartesian product or a full-column scan is a bug
+at scale even when the small-SF test passes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_DIR
+
+
+def _report(spark, name):
+    from remap_spark.plans import plan_report
+    from remap_spark.queries import ALL_QUERIES
+
+    return plan_report(ALL_QUERIES[name](spark, SF_DIR))
+
+
+def test_dq02_filter_pushdown_and_pruning(spark):
+    r = _report(spark, "dq02_filter")
+    assert r["has_pushed_filters"], "shipdate/quantity filters must reach the scan"
+    assert "ReadSchema" in r["plan"]
+    # only 3 columns may be read: the 2 projected + nothing else beyond
+    # the filter columns (shipdate is filter-only)
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", r["plan"])
+    assert schemas and all(len(s.split(",")) <= 4 for s in schemas), schemas
+
+
+def test_dq09_broadcasts_small_dims(spark):
+    r = _report(spark, "dq09_multiway_join")
+    assert r["broadcast_joins"] >= 2, (
+        "nation and region (25/5 rows at every SF) must broadcast:\n" + r["plan"]
+    )
+    assert not r["cartesian"]
+
+
+def test_dq05_partial_aggregation(spark):
+    r = _report(spark, "dq05_agg")
+    # partial + final HashAggregate pair == the reference's
+    # combiner/reducer split, done by Catalyst automatically
+    assert r["partial_aggs"], r["plan"]
+    # note: wholestage_codegen reads as 0 pre-execution under AQE
+    # (AdaptiveSparkPlan defers codegen to the final plan) — asserted
+    # implicitly by HashAggregate presence instead
+    assert "HashAggregate" in r["plan"]
+
+
+def test_dq20_range_join_not_cartesian(spark):
+    r = _report(spark, "dq20_range_join")
+    assert not r["cartesian"], (
+        "equi key user_id=o_custkey must drive the join; BETWEEN is a "
+        "post-join filter:\n" + r["plan"]
+    )
+
+
+def test_dq01_projection_prunes_columns(spark):
+    import re
+
+    r = _report(spark, "dq01_project")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", r["plan"])
+    assert schemas
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols <= {
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+    }, f"scan reads more than the 4 needed columns: {cols}"
+
+
+def test_minhash_single_shuffle_per_stage(spark):
+    """MinHash signatures: explode + ONE groupBy — no extra exchanges
+    from the window/token pipeline beyond doc partitioning."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.dedup import minhash_signatures
+    from remap_spark.plans import plan_report
+
+    docs = load_table(spark, SF_DIR, "documents")
+    r = plan_report(minhash_signatures(docs))
+    assert r["exchanges"] <= 4, r["plan"]
+
+
+def test_topk_uses_take_ordered(spark):
+    """dq07 top-10 must not globally sort the grouped relation."""
+    from remap_spark.plans import explain_str
+    from remap_spark.queries import ALL_QUERIES
+
+    plan = explain_str(ALL_QUERIES["dq07_topk"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan, plan

@@ -114,3 +114,53 @@ def test_session_batch_equals_dq14(spark):
         for r in dq14_sessionize(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_stateful_running_user_stats(spark, events_stream_dir):
+    """applyInPandasWithState: per-user state accumulates across
+    micro-batches and the FINAL emitted row per user equals the batch
+    totals exactly (integer-micros accumulation)."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        running_user_stats,
+    )
+
+    stream = read_events_stream(
+        spark, events_stream_dir, schema=_schema(spark), max_files_per_trigger=1
+    )
+    q = run_stream_to_memory(running_user_stats(stream), "user_stats", mode="update")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM user_stats ORDER BY batches_seen"
+        ).collect()
+    finally:
+        q.stop()
+
+    # last emission per user = final accumulated state
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["events_total"], r["value_sum"], r["batches_seen"])
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("v"),
+        )
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["v"]) for r in batch}
+    assert set(final) == set(expected)
+    multi_batch = 0
+    for uid, (n, v, batches) in final.items():
+        assert expected[uid] == (n, v), uid
+        if batches > 1:
+            multi_batch += 1
+    # with maxFilesPerTrigger=1 over 4 files, state DID span batches
+    assert multi_batch > 0
