@@ -41,6 +41,9 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq18_grouped_udf": relational.dq18_grouped_udf,
     "dq19_buckets": relational.dq19_buckets,
     "dq20_range_join": relational.dq20_range_join,
+    "dq21_left_outer": relational.dq21_left_outer,
+    "dq21_full_outer": relational.dq21_full_outer,
+    "dq22_union": relational.dq22_union,
 }
 
 ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}

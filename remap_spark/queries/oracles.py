@@ -161,6 +161,27 @@ DQ_ORACLES: dict[str, str] = {
                END AS bucket, COUNT(*) AS cnt
         FROM words GROUP BY bucket ORDER BY bucket
     """,
+    "dq21_left_outer": """
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    "dq21_full_outer": """
+        SELECT side, COUNT(*) AS cnt FROM (
+          SELECT CASE WHEN u.user_id IS NULL THEN 'customer_only'
+                      WHEN c.c_custkey IS NULL THEN 'user_only'
+                      ELSE 'both' END AS side
+          FROM (SELECT DISTINCT user_id FROM events) u
+          FULL OUTER JOIN customer c ON u.user_id = c.c_custkey
+        ) GROUP BY side ORDER BY side
+    """,
+    "dq22_union": """
+        SELECT n_name, COUNT(*) AS cnt FROM (
+          SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION ALL
+          SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ) GROUP BY n_name ORDER BY n_name
+    """,
     "dq20_range_join": """
         SELECT o_orderpriority, COUNT(*) AS cnt
         FROM events e JOIN orders o

@@ -387,6 +387,47 @@ def dq19_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq21_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + count — customers keep a row with 0 orders
+    (join surface ABSENT in the reference, SURVEY §2.6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+def dq21_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join partitioned into both/left-only/right-only."""
+    users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    side = (
+        F.when(F.col("user_id").isNull(), F.lit("customer_only"))
+        .when(F.col("c_custkey").isNull(), F.lit("user_only"))
+        .otherwise(F.lit("both"))
+    )
+    return (
+        users.join(cust, users.user_id == cust.c_custkey, "full_outer")
+        .select(side.alias("side"))
+        .groupBy("side")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("side")
+    )
+
+
+def dq22_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + aggregate (set-op surface, SURVEY §2.8)."""
+    both = _cust_nations(spark, sf_dir).unionByName(
+        _supp_nations(spark, sf_dir)
+    )
+    return both.groupBy("n_name").agg(F.count("*").alias("cnt")).orderBy("n_name")
+
+
 def dq20_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi + range join: Catalyst plans the user_id=custkey equality as
     the join key (shuffled hash / sort-merge) and the BETWEEN as a

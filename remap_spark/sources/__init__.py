@@ -1,3 +1,10 @@
+"""Source/sink registry — the reference's app-pluggable I/O factories
+(create_mapper_reader / create_reducer_writer etc.,
+/root/reference/examples/wordcount/wordcount.py:4-14, invoked at
+/root/reference/daemons/core/module_mapper.py:30) become a format
+registry: apps register a name -> reader/writer callable and jobs
+select by name."""
+
 from .readers import (
     adjacency_to_edges,
     read_adjacency,
@@ -9,7 +16,57 @@ from .readers import (
 )
 from .writers import write_intermediate_text, write_parquet, write_reduce_text
 
+SOURCES = {
+    "text": read_text,
+    "csv": read_csv,
+    "parquet": read_parquet,
+    "xml": read_xml_elements,
+    "html": read_html_text,
+    "adjacency": read_adjacency,
+}
+
+SINKS = {
+    "parquet": write_parquet,
+    "reduce_text": write_reduce_text,
+    "intermediate_text": write_intermediate_text,
+}
+
+
+def register_source(name: str, fn) -> None:
+    """fn(spark, path, **opts) -> DataFrame"""
+    SOURCES[name] = fn
+
+
+def register_sink(name: str, fn) -> None:
+    """fn(df, path, **opts) -> None"""
+    SINKS[name] = fn
+
+
+def read(spark, fmt: str, path: str, **opts):
+    try:
+        return SOURCES[fmt](spark, path, **opts)
+    except KeyError:
+        raise ValueError(
+            f"unknown source format {fmt!r}; registered: {sorted(SOURCES)}"
+        ) from None
+
+
+def write(df, fmt: str, path: str, **opts) -> None:
+    try:
+        SINKS[fmt](df, path, **opts)
+    except KeyError:
+        raise ValueError(
+            f"unknown sink format {fmt!r}; registered: {sorted(SINKS)}"
+        ) from None
+
+
 __all__ = [
+    "SOURCES",
+    "SINKS",
+    "register_source",
+    "register_sink",
+    "read",
+    "write",
     "read_text",
     "read_csv",
     "read_parquet",
