@@ -90,6 +90,32 @@ def build_session(
     return builder.getOrCreate()
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make ``remap_spark`` importable by executor Python workers.
+
+    Zips the package once and registers it via ``addPyFile`` — the same
+    mechanism that ships it to 1000 real executors (the Spark analog of
+    the reference's per-job app snapshot copy,
+    ``/root/reference/daemons/initiator/base_module.py:38-52``). Without
+    this, any pandas-UDF closure that references a module-level helper
+    fails on workers whenever the driver process wasn't started inside
+    the repo (cloudpickle serializes module functions by reference)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_remap_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / "remap_spark_pkg.zip"
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg.rglob("*.py")):
+            zf.write(py, f"remap_spark/{py.relative_to(pkg)}")
+    sc.addPyFile(str(zip_path))
+    sc._remap_spark_shipped = True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan.
 
@@ -102,6 +128,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # even when the caller's session wasn't built by build_session
     # (the correctness driver supplies its own SparkSession)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ship_package(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # nanosAsLong surfaces TIMESTAMP(NANOS) columns as bigint; restore
     # them to microsecond timestamps (floor-truncation — values are

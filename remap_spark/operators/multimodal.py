@@ -36,13 +36,16 @@ FRAME_SAMPLE_SCHEMA = "media_id bigint, frame_idx int, frame binary"
 
 def _decode_image_impl(blob: bytes, fake: bool):
     """STUB: real impl = PIL.Image.open(io.BytesIO(blob)); deterministic
-    fake derives pseudo-pixels from the blob bytes."""
+    fake derives pseudo-pixels from md5(blob) — md5 because any engine
+    (the DuckDB oracle included) can replay it bit-for-bit."""
     if not fake:
         raise NotImplementedError(
             "image decode requires an imaging library not present in "
             "this environment; pass fake=True for the deterministic stub"
         )
-    h = sum(blob) % 251 if blob else 0
+    import hashlib
+
+    h = int(hashlib.md5(blob).hexdigest()[:8], 16) % 251
     width, height = 4, 4
     feats = [((h + i * 37) % 256) / 255.0 for i in range(8)]
     return width, height, feats
@@ -55,9 +58,11 @@ def _decode_audio_impl(blob: bytes, fake: bool):
             "audio decode requires an audio library not present in "
             "this environment; pass fake=True for the deterministic stub"
         )
+    import hashlib
+
     n = len(blob)
-    feats = [((b * 31 + i) % 128) / 128.0 for i, b in enumerate(blob[:8])]
-    feats += [0.0] * (8 - len(feats))
+    h = int(hashlib.md5(blob).hexdigest()[:8], 16) % 251
+    feats = [((h * 31 + i * 17) % 128) / 128.0 for i in range(8)]
     return n, feats
 
 

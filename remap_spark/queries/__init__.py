@@ -44,6 +44,10 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq21_left_outer": relational.dq21_left_outer,
     "dq21_full_outer": relational.dq21_full_outer,
     "dq22_union": relational.dq22_union,
+    "dq23_cube": relational.dq23_cube,
+    "dq24_asof_join": relational.dq24_asof_join,
+    "dq25_window_funcs": relational.dq25_window_funcs,
+    "dq26_distinct_agg": relational.dq26_distinct_agg,
 }
 
 ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}
@@ -58,6 +62,13 @@ def register_extensions() -> None:
 
         ALL_QUERIES.update(extensions.EXT_QUERIES)
         ALL_ORACLES.update(extensions.EXT_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from . import multimodal_q  # noqa: F401
+
+        ALL_QUERIES.update(multimodal_q.MM_QUERIES)
+        ALL_ORACLES.update(multimodal_q.MM_ORACLES)
     except ImportError:
         pass
 

@@ -299,6 +299,89 @@ _FINGERPRINT_SQL = """
 """
 
 
+def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH — the 100 TB scale
+    path for ext_ann_topk: candidates come only from the query's sign
+    bucket, turning a full-corpus scan per query into a bucket join.
+    The oracle replays the identical hyperplanes as SQL literals, so
+    recall loss vs brute force is deterministic and hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    topk = sim.cosine_topk_lsh(queries, emb, k=10, n_planes=8, seed=42)
+    return topk.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "vec_id",
+        F.round("cosine", 5).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    planes = sim._hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{vals}]) >= 0 THEN {w} ELSE 0 END)".format(
+            vals=", ".join(repr(x) for x in p), w=1 << i
+        )
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_COS.format(a='q.qv', b='c.v')} AS cosine
+      FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, rn AS "rank", vec_id, ROUND(cosine, 5) AS cosine
+    FROM ranked WHERE rn <= 10 ORDER BY query_id, rn
+"""
+
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single other glyphs
+# (the shape GPT-2-style pre-tokenizers use before merges).
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish regex tokens per
+    document — the cost accounting a training-data pipeline runs over
+    every shard. Pure Catalyst expressions (regexp_extract_all is
+    JVM-side), no shuffle at all until the final ORDER BY."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions import tokenize
+
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(BPE_TOKEN_RE), F.lit(0))
+    n_bpe = F.size(bpe).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.size(tokenize("text")).cast("bigint").alias("ws_tokens"),
+        n_bpe.alias("bpe_tokens"),
+        F.round(
+            F.length("text") / F.greatest(n_bpe, F.lit(1)), 5
+        ).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+_TEXT_TOKENS_SQL = r"""
+    SELECT doc_id,
+           len(list_filter(
+             string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\s+'),
+             w -> w <> '')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+           ROUND(length(text) * 1.0 /
+                 GREATEST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')), 1),
+                 5) AS chars_per_token
+    FROM documents ORDER BY doc_id
+"""
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -306,6 +389,8 @@ EXT_QUERIES = {
     "ext_dedup_simhash": ext_dedup_simhash,
     "ext_dedup_embedding": ext_dedup_embedding,
     "ext_ann_topk": ext_ann_topk,
+    "ext_ann_lsh": ext_ann_lsh,
+    "ext_text_tokens": ext_text_tokens,
     "ext_text_stats": ext_text_stats,
     "ext_text_langid": ext_text_langid,
     "ext_text_fingerprint": ext_text_fingerprint,
@@ -318,6 +403,8 @@ EXT_ORACLES = {
     "ext_dedup_simhash": _simhash_oracle(),
     "ext_dedup_embedding": _DEDUP_EMB_SQL,
     "ext_ann_topk": _ANN_TOPK_SQL,
+    "ext_ann_lsh": _ann_lsh_oracle(),
+    "ext_text_tokens": _TEXT_TOKENS_SQL,
     "ext_text_stats": _TEXT_STATS_SQL,
     "ext_text_langid": _langid_oracle(),
     "ext_text_fingerprint": _FINGERPRINT_SQL,

@@ -194,3 +194,46 @@ DQ_ORACLES: dict[str, str] = {
 
 # dq18 is DQ5 via the UDF path — the oracle is identical by construction.
 DQ_ORACLES["dq18_grouped_udf"] = DQ_ORACLES["dq05_agg"]
+
+DQ_ORACLES["dq23_cube"] = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls
+"""
+
+DQ_ORACLES["dq24_asof_join"] = """
+    WITH j AS (
+      SELECT e.event_id, o.o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id
+       AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+    )
+    SELECT o_orderpriority, COUNT(*) AS cnt
+    FROM j WHERE rn = 1 GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+DQ_ORACLES["dq25_window_funcs"] = """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           CAST(ROUND(AVG(CAST(o_totalprice AS DECIMAL(28,10)))
+                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 5) AS DOUBLE) AS ma3,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 5) AS DOUBLE) AS cum_spend
+    FROM orders WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, rn
+"""
+
+DQ_ORACLES["dq26_distinct_agg"] = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS nd_part,
+           COUNT(DISTINCT l_suppkey) AS nd_supp,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

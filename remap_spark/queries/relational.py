@@ -445,3 +445,91 @@ def dq20_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy("o_orderpriority")
     )
+
+
+def dq23_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (ABSENT in the reference, SURVEY §2.4 —
+    'grouping sets / cube / rollup' come free with Spark). One pass:
+    Catalyst expands the cube into an Expand node feeding a single
+    partial+final aggregation — no N-way union of scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cnt",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+def dq24_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.6: 'as-of joins via union+window or
+    range-join condition'): each event matched to the user's most
+    recent order at-or-before the event timestamp.
+
+    Plan shape: the equality user_id = o_custkey is the shuffle key, the
+    date inequality is a post-join filter, and the 'most recent' pick is
+    a per-event row_number — at scale the window partitions by event_id
+    so no single user's order history concentrates on one task beyond
+    the join itself (AQE skew-split covers hot users)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    j = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey)
+        & (orders.o_orderdate.cast("timestamp") <= ev.ts),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), "o_orderkey"
+    )
+    return (
+        j.select("event_id", "o_orderpriority", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def dq25_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: moving average (ROWS frame), rank, and
+    cumulative sum over each customer's order history. One shuffle on
+    o_custkey serves all three functions (same window spec)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ma3 = (
+        F.avg(F.col("o_totalprice").cast(DEC)).over(w.rowsBetween(-2, 0))
+    )
+    csum = F.sum(F.col("o_totalprice").cast(DEC)).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.round(ma3, 5).cast("double").alias("ma3"),
+        F.round(csum, 5).cast("double").alias("cum_spend"),
+    ).orderBy("o_custkey", "rn")
+
+
+def dq26_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (ABSENT in the reference, SURVEY §2.4).
+    Catalyst plans multi-distinct via Expand — one shuffle, not one
+    scan per distinct column. The approximate twin for 100 TB is
+    approx_count_distinct (HLL, no Expand blow-up); exact is used here
+    so the oracle can hash-match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
