@@ -59,6 +59,13 @@ def build_session(
     cores = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
+        # local mode = ONE JVM for driver + all executor threads; the
+        # 1g default heap OOMs a 32-thread shuffle. On a real cluster
+        # this is spark-submit's --driver-memory / --executor-memory.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # --- adaptivity: the scale story ------------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -71,8 +71,11 @@ def _doc_shingles(
     id_col: str,
     n: int,
     max_doc_freq: float | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
-    """Distinct (doc, gram) relation; optional stop-gram removal.
+    """(doc, gram) relation — distinct when ``dedup`` (Jaccard needs
+    set semantics; MinHash's min-aggregate doesn't, and skipping the
+    distinct saves a whole shuffle); optional stop-gram removal.
 
     Implementation note: tokens are materialized with ONE posexplode
     (tokenize evaluated once per row) and grams assembled with lead()
@@ -80,14 +83,17 @@ def _doc_shingles(
     transform(sequence, i -> concat(words[i..i+n])) — re-evaluates the
     whole tokenize subtree per element in interpreted mode (HOF lambdas
     don't reach codegen), which measured ~10x slower. The input is
-    also repartitioned: a small parquet file is ONE split, and an
-    expression-heavy stage on one task wastes the cluster.
+    repartitioned BY THE ID HASH: a small parquet file is one split,
+    and — more importantly at any scale — the window's
+    partitionBy(doc) and every downstream groupBy(doc) reuse that
+    hash partitioning instead of shuffling again (check .explain: one
+    Exchange, not three).
     """
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    toks = df.repartition(n_part).select(
+    toks = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokenize(F.col(text_col))).alias("i", "w"),
     )
@@ -105,8 +111,9 @@ def _doc_shingles(
         toks.select("doc", gram.alias("gram"), n_parts_expr.alias("_np"))
         .where(F.col("_np") == n - 1)
         .select("doc", "gram")
-        .distinct()
     )
+    if dedup:
+        s = s.distinct()
     if max_doc_freq is not None:
         n_docs = df.count()
         hot = (
@@ -162,8 +169,10 @@ def minhash_signatures(
     portable: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of
-    (a_i*h(shingle)+b_i) mod P. One explode + one groupBy."""
-    s = _doc_shingles(df, text_col, id_col, n, None)
+    (a_i*h(shingle)+b_i) mod P. One explode + one groupBy; duplicate
+    shingles are left in (min is multiset-insensitive), saving the
+    distinct's shuffle."""
+    s = _doc_shingles(df, text_col, id_col, n, None, dedup=False)
     h = portable_hash32("gram") if portable else (
         F.pmod(fast_hash64("gram"), F.lit(1 << 32))
     )
@@ -195,21 +204,27 @@ def minhash_lsh_pairs(
     ~1.0 at j=0.9, ~0.04 at j=0.3."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, portable)
-    band_frames = []
-    for bi in range(bands):
-        key = F.concat_ws(
-            "_",
-            *[
-                F.col(f"sig{bi * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ],
-        )
-        band_frames.append(
-            sig.select(F.lit(bi).alias("band"), key.alias("key"), F.col("doc"))
-        )
-    buckets = band_frames[0]
-    for bf in band_frames[1:]:
-        buckets = buckets.unionByName(bf)
+    # one band-struct array exploded in place — the signature subtree is
+    # computed once (a per-band union would rescan it #bands times
+    # unless exchange reuse happens to fire)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"sig{bi * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "doc", F.explode(band_structs).alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "doc")
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -233,8 +248,10 @@ def simhash_fingerprints(
     """32-bit SimHash over word tokens (occurrence-weighted): bit b of
     the fingerprint = sign of Σ_tokens (±1 by bit b of token hash).
     One explode + one groupBy with 32 codegen'd aggregates."""
+    # repartition by id hash: explode is narrow, so the groupBy(doc)
+    # below reuses this partitioning — no second shuffle
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    toks = df.repartition(n_part).select(
+    toks = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("w")
     )
     h = portable_hash32("w") if portable else F.pmod(fast_hash64("w"), F.lit(1 << 32))

@@ -1,0 +1,93 @@
+"""Skew-mitigation operators: salting patterns for hot keys.
+
+At 100 TB a handful of hot keys (one viral document id, one null-ish
+default user) concentrate a shuffle partition onto one task. AQE's
+skew-join splitting handles the JOIN case at runtime; these helpers
+cover the AGGREGATION case and pre-planned join salting:
+
+- ``salted_agg``: two-phase aggregate — partial groupBy((key, salt))
+  spreads a hot key over ``buckets`` tasks, final groupBy(key) merges
+  bucket partials. Exact for any algebraic aggregate (same contract as
+  the reference's combiner, /root/reference/daemons/core/remap.py:136-144:
+  partial application must be idempotent/algebraic).
+- ``replicate_salt_join``: explode the small side ``buckets`` times so
+  a salted big side still matches every row (the classic skew-join
+  recipe when the small side is too big to broadcast but small enough
+  to replicate).
+
+Salt derivation is DETERMINISTIC (hash of a row-unique column, not
+rand()) so retried tasks re-derive identical salts — rand() salting
+breaks exactly-once semantics under task retry, and determinism is
+what lets the correctness oracle hash-match the salted plan against
+the unsalted SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_column(unique_col: Column | str, buckets: int) -> Column:
+    """Deterministic salt in [0, buckets) from a row-unique column."""
+    c = F.col(unique_col) if isinstance(unique_col, str) else unique_col
+    return F.pmod(F.xxhash64(c), F.lit(buckets)).cast("int")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Column],
+    salt_from: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``partial_aggs``: alias -> aggregate over raw rows (phase 1, per
+    (keys, salt) group). ``final_aggs``: alias -> aggregate over the
+    phase-1 partials (phase 2, per keys). E.g. count: partial
+    ``{"c": F.count("*")}``, final ``{"cnt": F.sum("c")}``.
+
+    Spark's own partial aggregation already does map-side combine; the
+    explicit salt phase additionally splits a hot REDUCE-side key across
+    ``buckets`` tasks — use when one key holds >~1 partition of data.
+    """
+    salted = df.withColumn("_salt", salt_column(salt_from, buckets))
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[c.alias(a) for a, c in partial_aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[c.alias(a) for a, c in final_aggs.items()]
+    )
+
+
+def replicate_salt_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_from: str | None = None,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew join without broadcast: salt the big side, replicate the
+    small side ``buckets``x, join on (keys + salt). Shuffle volume for
+    the small side grows ``buckets``x; the big side's hot keys spread
+    over ``buckets`` tasks. Prefer F.broadcast when the small side
+    fits; prefer AQE skew-split when skew is only occasional."""
+    on = list(on)
+    if salt_from is None:
+        # salt must vary WITHIN a join key (salting by the key itself
+        # would put the whole hot key in one bucket again) — default to
+        # a hash over the entire row
+        salt = F.pmod(F.xxhash64(*big.columns), F.lit(buckets)).cast("int")
+    else:
+        salt = salt_column(salt_from, buckets)
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    out = big_s.join(small_s, [*on, "_salt"], how)
+    return out.drop("_salt")

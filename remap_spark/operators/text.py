@@ -90,6 +90,39 @@ def language_id(
     )
 
 
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite keep/review/drop quality gate: bounded mix of length,
+    stopword density, and punctuation noise — the shape of a Gopher/
+    C4-style rule filter. Weights are config; the operator contract is
+    (doc_id, score, verdict) with score in [0,1], all codegen.
+
+    The verdict thresholds compare UNROUNDED doubles (the oracle does
+    the same arithmetic — bitwise-identical, so the CASE branches
+    agree); only the reported score is rounded."""
+    df = _parallel(df)
+    words = tokenize(F.col(text_col))
+    n_tokens = F.size(words).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_punct = n_chars - F.length(F.translate(F.col(text_col), PUNCT, ""))
+    n_stop = _count_in(words, LANG_MARKERS["en"]).cast("double")
+    len_term = F.least(n_tokens / F.lit(200.0), F.lit(1.0))
+    stop_term = F.least(n_stop / n_tokens * 4.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(n_punct / n_chars * 10.0, F.lit(1.0))
+    score = len_term * 0.5 + stop_term * 0.3 + punct_term * 0.2
+    verdict = (
+        F.when(score >= 0.6, F.lit("keep"))
+        .when(score >= 0.3, F.lit("review"))
+        .otherwise(F.lit("drop"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(score, 5).alias("score"),
+        verdict.alias("verdict"),
+    )
+
+
 def content_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -48,6 +48,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq24_asof_join": relational.dq24_asof_join,
     "dq25_window_funcs": relational.dq25_window_funcs,
     "dq26_distinct_agg": relational.dq26_distinct_agg,
+    "dq27_sliding": relational.dq27_sliding,
 }
 
 ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}

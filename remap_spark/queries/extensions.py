@@ -382,6 +382,74 @@ _TEXT_TOKENS_SQL = r"""
 """
 
 
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate (Gopher/C4-style rule filter) — see
+    operators.text.quality_score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.quality_score(docs).orderBy("doc_id")
+
+
+_TEXT_QUALITY_SQL = r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\s+'),
+               w -> w <> '')) AS DOUBLE) AS n_tokens,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(translate(text, '.,?:;!"', '')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(
+               string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\s+'),
+               w -> w IN ('the','and','of','to','is'))) AS DOUBLE) AS n_stop
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             LEAST(n_tokens / 200.0, 1.0) * 0.5
+             + LEAST(n_stop / n_tokens * 4.0, 1.0) * 0.3
+             + (1.0 - LEAST(n_punct / n_chars * 10.0, 1.0)) * 0.2 AS score
+      FROM m
+    )
+    SELECT doc_id, ROUND(score, 5) AS score,
+           CASE WHEN score >= 0.6 THEN 'keep'
+                WHEN score >= 0.3 THEN 'review'
+                ELSE 'drop' END AS verdict
+    FROM s ORDER BY doc_id
+"""
+
+
+def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators.skew.salted_agg):
+    heavy-hitter counts + sums per event_type where one hot type would
+    otherwise pin a reduce task. Result is EXACTLY the plain groupBy
+    (salting is a physical rewrite, not a semantic one) — which is what
+    the oracle checks."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs={
+            "c": F.count("*"),
+            "s": F.sum(F.col("value").cast("decimal(28,10)")),
+        },
+        final_aggs={
+            "cnt": F.sum("c"),
+            "sum_value": F.round(F.sum("s"), 5).cast("double"),
+        },
+        salt_from="event_id",
+        buckets=32,
+    )
+    return out.select("event_type", "cnt", "sum_value").orderBy("event_type")
+
+
+_SALTED_AGG_SQL = """
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 5) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -391,6 +459,8 @@ EXT_QUERIES = {
     "ext_ann_topk": ext_ann_topk,
     "ext_ann_lsh": ext_ann_lsh,
     "ext_text_tokens": ext_text_tokens,
+    "ext_text_quality": ext_text_quality,
+    "ext_salted_agg": ext_salted_agg,
     "ext_text_stats": ext_text_stats,
     "ext_text_langid": ext_text_langid,
     "ext_text_fingerprint": ext_text_fingerprint,
@@ -405,6 +475,8 @@ EXT_ORACLES = {
     "ext_ann_topk": _ANN_TOPK_SQL,
     "ext_ann_lsh": _ann_lsh_oracle(),
     "ext_text_tokens": _TEXT_TOKENS_SQL,
+    "ext_text_quality": _TEXT_QUALITY_SQL,
+    "ext_salted_agg": _SALTED_AGG_SQL,
     "ext_text_stats": _TEXT_STATS_SQL,
     "ext_text_langid": _langid_oracle(),
     "ext_text_fingerprint": _FINGERPRINT_SQL,

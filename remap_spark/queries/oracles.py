@@ -237,3 +237,22 @@ DQ_ORACLES["dq26_distinct_agg"] = """
            COUNT(*) AS cnt
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+DQ_ORACLES["dq27_sliding"] = """
+    WITH wins AS (
+      -- NAIVE timestamps throughout: to_timestamp() would return
+      -- TIMESTAMPTZ, which string-compares differently from Spark's
+      -- naive window starts
+      SELECT unnest([
+               TIMESTAMP '1970-01-01'
+                 + CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * INTERVAL '1 second',
+               TIMESTAMP '1970-01-01'
+                 + (CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800) * INTERVAL '1 second'
+             ]) AS w_start,
+             event_type, value
+      FROM events
+    )
+    SELECT w_start, event_type, COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 5) AS DOUBLE) AS sum_value
+    FROM wins GROUP BY w_start, event_type ORDER BY w_start, event_type
+"""

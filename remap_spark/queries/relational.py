@@ -533,3 +533,28 @@ def dq26_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def dq27_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h width / 30min slide) in batch mode — the
+    batch twin of the streaming sliding-window op
+    (remap_spark.streaming.windows). F.window expands each event into
+    width/slide = 2 window rows (an Expand node, narrow), then one
+    groupBy — same plan shape Structured Streaming uses incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            _dec_sum(F.col("value"), 5, "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("w_start", "event_type")
+    )

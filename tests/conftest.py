@@ -57,7 +57,10 @@ def _norm(v):
             return "NaN"
         return float(v)
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # keep tzinfo: a TIMESTAMPTZ-producing oracle (e.g. DuckDB
+        # to_timestamp) must FAIL against Spark's naive timestamps,
+        # because the driver's string-hash compare sees them differ
+        return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

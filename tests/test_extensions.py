@@ -147,3 +147,20 @@ def test_exact_dedup_on_constructed_dups(spark):
     groups = exact_duplicates(df).collect()
     assert len(groups) == 1
     assert groups[0]["cnt"] == 3 and groups[0]["keep_id"] == 1
+
+
+def test_replicate_salt_join_matches_plain(spark):
+    """Salting is a physical rewrite: the salted join must return
+    exactly the plain join's rows (including a hot key)."""
+    from remap_spark.operators.skew import replicate_salt_join
+
+    big = spark.createDataFrame(
+        [(i % 3 if i % 5 else 0, i) for i in range(1000)], "k int, v bigint"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (9, "z")], "k int, w string")
+    plain = sorted((r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect())
+    salted = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in replicate_salt_join(big, small, ["k"], buckets=4).collect()
+    )
+    assert plain == salted and len(plain) > 0
