@@ -77,6 +77,7 @@ class Pregel:
         self.checkpoint_interval = checkpoint_interval
         spark = vertices.sparkSession
         n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self.n = n
         # co-partition once; every superstep's join then lines up
         self.vertices = vertices.repartition(n, "id")
         self.edges = edges.repartition(n, "src").localCheckpoint(eager=True)
@@ -84,9 +85,15 @@ class Pregel:
     def run(self) -> DataFrame:
         vertices = self.vertices.localCheckpoint(eager=True)
         for step in range(self.max_supersteps + 1):
+            # explicit repartition pins the message-routing shuffle to
+            # self.n partitions (a tiny graph shouldn't schedule the
+            # session-wide shuffle width every superstep; a huge one
+            # passes num_partitions to match its cluster) and the
+            # groupBy + the vertex join below reuse that partitioning
             inbox = (
                 vertices.join(self.edges, vertices["id"] == self.edges["src"])
                 .select(self.edges["dst"].alias("_dst"), self.msg.alias("_msg"))
+                .repartition(self.n, "_dst")
                 .groupBy("_dst")
                 .agg(self.agg(F.col("_msg")).alias("_inbox"))
             )
@@ -123,6 +130,7 @@ def pagerank(
     num_vertices: int,
     supersteps: int = 30,
     damping: float = 0.85,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact reference semantics (pagerank.py:28-45): rank updates run
     at supersteps 1..``supersteps``; contribution = rank/outdeg; a
@@ -157,11 +165,14 @@ def pagerank(
         agg=F.sum,
         update=update,
         max_supersteps=supersteps,
+        num_partitions=num_partitions,
     )
     return p.run()
 
 
-def flood_max(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+def flood_max(
+    vertices: DataFrame, edges: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
     """Flood-max (highest.py:26-43): each vertex adopts max(inbox),
     forwards its value, votes halt when unchanged; engine stops when
     all vertices halt. Equivalent fixpoint: max value over all vertices
@@ -170,7 +181,7 @@ def flood_max(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     vertices: (id, value); edges: (src, dst). Returns (id, max_value).
     """
     spark = vertices.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     vertices = (
         vertices.select("id", "value").repartition(n, "id").localCheckpoint(eager=True)
     )

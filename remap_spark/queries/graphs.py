@@ -46,8 +46,10 @@ def _edges_df(spark: SparkSession, adj: dict[str, list[str]]) -> DataFrame:
 def dq16_flood_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = spark.createDataFrame(FLOODMAX_VERTS, "id string, value bigint")
     edges = _edges_df(spark, FLOODMAX_ADJ)
+    # literal 4-vertex graph: 2 partitions, not the session's 32 — at
+    # real scale callers size num_partitions to their cluster
     return (
-        flood_max(verts, edges)
+        flood_max(verts, edges, num_partitions=2)
         .select(F.col("id").alias("vertex_id"), F.col("value").alias("max_value"))
         .orderBy("vertex_id")
     )
@@ -58,7 +60,9 @@ def dq17_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = spark.createDataFrame(
         [(v,) for v in PAGERANK_ADJ], "id string"
     )
-    ranks = pagerank(verts, edges, num_vertices=10, supersteps=30)
+    ranks = pagerank(
+        verts, edges, num_vertices=10, supersteps=30, num_partitions=2
+    )
     return ranks.select(
         F.col("id").alias("vertex_id"), F.round("rank", 5).alias("rank")
     ).orderBy("vertex_id")

@@ -83,7 +83,33 @@ def test_minhash_single_shuffle_per_stage(spark):
 
     docs = load_table(spark, SF_DIR, "documents")
     r = plan_report(minhash_signatures(docs))
-    assert r["exchanges"] <= 4, r["plan"]
+    # exactly one: the id-hash repartition; the gram window AND the
+    # signature groupBy both reuse that partitioning
+    assert r["exchanges"] == 1, r["plan"]
+
+
+def test_salted_agg_two_phases(spark):
+    """Salted aggregation = exactly two exchanges (salt phase, merge
+    phase) — and still a map-side partial before each."""
+    from remap_spark.plans import plan_report
+    from remap_spark.queries import ALL_QUERIES
+
+    r = plan_report(ALL_QUERIES["ext_salted_agg"](spark, SF_DIR))
+    # 2 agg exchanges + the final orderBy's range exchange
+    assert r["exchanges"] <= 3, r["plan"]
+    assert r["partial_aggs"], r["plan"]
+
+
+def test_asof_join_not_cartesian(spark):
+    r = _report(spark, "dq24_asof_join")
+    assert not r["cartesian"], r["plan"]
+
+
+def test_ann_lsh_buckets_join_broadcasts_queries(spark):
+    """The query side (5 vectors) must broadcast into the bucket join."""
+    r = _report(spark, "ext_ann_lsh")
+    assert r["broadcast_joins"] >= 1, r["plan"]
+    assert not r["cartesian"]
 
 
 def test_topk_uses_take_ordered(spark):
