@@ -144,6 +144,76 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: candidates are pre-assigned to the
+    cell of their nearest coarse centroid (one broadcast pass, linear);
+    each query scores only the ``n_probe`` cells nearest to it.
+
+    The coarse quantizer here is DETERMINISTIC — the ``n_centroids``
+    lowest-id candidate vectors — so the oracle can replay it; a
+    production deployment trains k-means offline and broadcasts the
+    trained centroids, everything downstream identical. At 100 TB the
+    assignment pass writes (cell) as a partition column so probes
+    become partition-pruned scans."""
+    cent = F.broadcast(
+        candidates.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    assign = (
+        candidates.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2"))
+        .crossJoin(cent)
+        .select(
+            "vec_id",
+            "cv2",
+            "cid",
+            cosine_similarity(F.col("cv2"), F.col("cv")).alias("sim"),
+        )
+        .select("*", F.row_number().over(w_assign).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cv2").alias("vec"), F.col("cid").alias("cell"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cid")
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(cent)
+        .select(
+            "query_id",
+            "qv",
+            "cid",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+        .select("*", F.row_number().over(w_probe).alias("rn"))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("qv"), F.col("vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

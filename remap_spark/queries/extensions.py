@@ -344,6 +344,60 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
 """
 
 
+def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (operators.similarity.ivf_topk): the partition-
+    pruned scale path — cell assignment is one linear broadcast pass,
+    each query probes 2 of 8 cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    topk = sim.ivf_topk(queries, emb, k=10, n_centroids=8, n_probe=2)
+    return topk.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "vec_id",
+        F.round("cosine", 5).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
+def _ann_ivf_oracle(n_centroids: int = 8, n_probe: int = 2, k: int = 10) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+    assign AS (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS.format(a='q.v', b='c.cv')} DESC, c.cid) AS rn
+        FROM e q CROSS JOIN cent c WHERE q.vec_id < 5
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             {_COS.format(a='p.qv', b='a.v')} AS cosine
+      FROM probes p JOIN assign a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, rn AS "rank", vec_id, ROUND(cosine, 5) AS cosine
+    FROM ranked WHERE rn <= {k} ORDER BY query_id, rn
+"""
+
+
 # BPE-ish tokenizer regex: letter runs, digit runs, single other glyphs
 # (the shape GPT-2-style pre-tokenizers use before merges).
 BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -458,6 +512,7 @@ EXT_QUERIES = {
     "ext_dedup_embedding": ext_dedup_embedding,
     "ext_ann_topk": ext_ann_topk,
     "ext_ann_lsh": ext_ann_lsh,
+    "ext_ann_ivf": ext_ann_ivf,
     "ext_text_tokens": ext_text_tokens,
     "ext_text_quality": ext_text_quality,
     "ext_salted_agg": ext_salted_agg,
@@ -474,6 +529,7 @@ EXT_ORACLES = {
     "ext_dedup_embedding": _DEDUP_EMB_SQL,
     "ext_ann_topk": _ANN_TOPK_SQL,
     "ext_ann_lsh": _ann_lsh_oracle(),
+    "ext_ann_ivf": _ann_ivf_oracle(),
     "ext_text_tokens": _TEXT_TOKENS_SQL,
     "ext_text_quality": _TEXT_QUALITY_SQL,
     "ext_salted_agg": _SALTED_AGG_SQL,

@@ -164,3 +164,23 @@ def test_replicate_salt_join_matches_plain(spark):
         for r in replicate_salt_join(big, small, ["k"], buckets=4).collect()
     )
     assert plain == salted and len(plain) > 0
+
+
+def test_ivf_topk_recall(spark):
+    """IVF-flat ANN: every reported neighbor must be a true cosine
+    neighbor (exact top-50 subset), recall >= 0.5 with 2/8 probes."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    exact50 = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(queries, emb, k=50).collect()
+    }
+    approx = ivf_topk(queries, emb, k=10, n_centroids=8, n_probe=2).collect()
+    assert approx, "IVF returned nothing"
+    hits = sum(1 for r in approx if (r["query_id"], r["vec_id"]) in exact50)
+    assert hits / len(approx) >= 0.5

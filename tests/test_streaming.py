@@ -164,3 +164,33 @@ def test_stateful_running_user_stats(spark, events_stream_dir):
             multi_batch += 1
     # with maxFilesPerTrigger=1 over 4 files, state DID span batches
     assert multi_batch > 0
+
+
+def test_sliding_stream_equals_batch(spark, events_stream_dir):
+    from remap_spark.engine import load_table
+    from remap_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        sliding_counts,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir, schema=_schema(spark))
+    q = run_stream_to_memory(sliding_counts(stream), "sliding_test", mode="append")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["win_start"], r["event_type"]): r["cnt"]
+            for r in spark.sql("SELECT * FROM sliding_test").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = sliding_counts(load_table(spark, SF_DIR, "events"))
+    expected = {
+        (r["win_start"], r["event_type"]): r["cnt"] for r in batch.collect()
+    }
+    assert got
+    for key, v in got.items():
+        assert expected[key] == v
+    # width/slide = 4 windows per event; nearly all must close
+    assert len(got) >= len(expected) - 20
