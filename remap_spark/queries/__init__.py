@@ -49,6 +49,10 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq25_window_funcs": relational.dq25_window_funcs,
     "dq26_distinct_agg": relational.dq26_distinct_agg,
     "dq27_sliding": relational.dq27_sliding,
+    "dq21_right_outer": relational.dq21_right_outer,
+    # HLL sketches differ across engines: no SQL oracle (driver runs
+    # the rows-only check); accuracy asserted in tests/test_extensions
+    "ext_approx_distinct": relational.ext_approx_distinct,
 }
 
 ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}

@@ -256,3 +256,9 @@ DQ_ORACLES["dq27_sliding"] = """
            CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 5) AS DOUBLE) AS sum_value
     FROM wins GROUP BY w_start, event_type ORDER BY w_start, event_type
 """
+
+DQ_ORACLES["dq21_right_outer"] = """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+"""

@@ -558,3 +558,33 @@ def dq27_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w_start", "event_type")
     )
+
+
+def dq21_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join — symmetric twin of dq21_left_outer, closing
+    out the §2.6 join surface."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HLL) — the 100 TB path where
+    exact multi-distinct's Expand blow-up is unaffordable. HLL sketches
+    differ across engines, so this query has NO SQL oracle (driver
+    records the weaker rows-only check); tests/test_extensions.py
+    asserts <5%% relative error against the exact count instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("apx_part"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )

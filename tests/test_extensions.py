@@ -184,3 +184,53 @@ def test_ivf_topk_recall(spark):
     assert approx, "IVF returned nothing"
     hits = sum(1 for r in approx if (r["query_id"], r["vec_id"]) in exact50)
     assert hits / len(approx) >= 0.5
+
+
+def test_approx_distinct_accuracy(spark):
+    """ext_approx_distinct has no SQL oracle (HLL sketches are
+    engine-specific); assert <5% relative error vs exact instead."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.queries import ALL_QUERIES
+
+    apx = {
+        r["l_returnflag"]: r["apx_part"]
+        for r in ALL_QUERIES["ext_approx_distinct"](spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["nd"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("nd"))
+        .collect()
+    }
+    for flag, nd in exact.items():
+        assert abs(apx[flag] - nd) / nd < 0.05, (flag, apx[flag], nd)
+
+
+def test_join_hint_strategies_agree(spark):
+    """The full hint surface (broadcast / merge / shuffle_hash) must
+    produce identical results — hints change the physical strategy
+    only."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+
+    def agg(joined):
+        return sorted(
+            (r["c_mktsegment"], r["cnt"])
+            for r in joined.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+
+    base = agg(orders.join(cust, orders.o_custkey == cust.c_custkey))
+    for hint in ("broadcast", "merge", "shuffle_hash"):
+        hinted = agg(
+            orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey)
+        )
+        assert hinted == base, hint
