@@ -14,7 +14,12 @@ from .readers import (
     read_text,
     read_xml_elements,
 )
-from .writers import write_intermediate_text, write_parquet, write_reduce_text
+from .writers import (
+    write_bucketed_table,
+    write_intermediate_text,
+    write_parquet,
+    write_reduce_text,
+)
 
 SOURCES = {
     "text": read_text,
@@ -75,6 +80,7 @@ __all__ = [
     "read_adjacency",
     "adjacency_to_edges",
     "write_parquet",
+    "write_bucketed_table",
     "write_reduce_text",
     "write_intermediate_text",
 ]

@@ -50,3 +50,24 @@ def write_intermediate_text(df: DataFrame, path: str):
     out.select(
         "partition", F.concat_ws(",", "k2", "vals").alias("value")
     ).write.mode("overwrite").partitionBy("partition").text(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table — the
+    co-located-join primitive: two tables bucketed on the same key with
+    the same bucket count join with ZERO exchanges (and zero sorts when
+    sortBy matches). At 100 TB, bucketing the fact tables on their join
+    keys once at ingest removes the dominant shuffle from every
+    downstream join; tests/test_sources.test_bucketed_join_no_exchange
+    pins the no-Exchange plan."""
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)

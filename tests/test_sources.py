@@ -92,3 +92,45 @@ def test_flood_max_from_file(spark, tmpfiles):
     edges = adjacency_to_edges(adj)
     got = {r["id"]: r["value"] for r in flood_max(verts, edges).collect()}
     assert got == {"a": 6, "b": 6, "c": 6, "d": 6}
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    must join with ZERO exchanges — the co-located join primitive that
+    removes the dominant shuffle at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.plans import explain_str
+    from remap_spark.sources import write_bucketed_table
+
+    SF = "/root/testdata/sf0.001"
+    # warehouse.dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored) and are dropped below
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    write_bucketed_table(orders, "orders_b", ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed_table(cust, "cust_b", ["c_custkey"], 8, ["c_custkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the bucket layout is what's tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("orders_b")
+            .join(
+                spark.table("cust_b"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("cnt"))
+        )
+        plan = explain_str(j.select("c_mktsegment", "cnt"), "simple")
+        # the only exchange allowed is the groupBy's (mktsegment), not
+        # the join's
+        assert plan.count("Exchange hashpartitioning(o_custkey") == 0, plan
+        assert plan.count("Exchange hashpartitioning(c_custkey") == 0, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
