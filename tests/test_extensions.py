@@ -234,3 +234,26 @@ def test_join_hint_strategies_agree(spark):
             orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey)
         )
         assert hinted == base, hint
+
+
+def test_salted_agg_bucket_invariance(spark):
+    """salted_agg must return identical results for any bucket count
+    (the salt is physical only)."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, SF_DIR, "events")
+    results = []
+    for buckets in (1, 7, 64):
+        out = salted_agg(
+            ev,
+            keys=["event_type"],
+            partial_aggs={"c": F.count("*")},
+            final_aggs={"cnt": F.sum("c")},
+            salt_from="event_id",
+            buckets=buckets,
+        )
+        results.append(sorted((r["event_type"], r["cnt"]) for r in out.collect()))
+    assert results[0] == results[1] == results[2]

@@ -148,3 +148,19 @@ def test_map_only_job(spark):
     assert mapped.columns == ["partition", "k2", "v2"]
     parts = {r["partition"] for r in mapped.select("partition").distinct().collect()}
     assert parts <= {"a2e", "f2n", "o2s", "t2z", "_default"}
+
+
+def test_spark4_udtf_surface(spark):
+    """The reference's map() generator as a native Spark 4 UDTF
+    (SURVEY §2.11 'Spark 4 udtf' mapping) — 1 row in, 0..n rows out,
+    declared schema."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word string, n int")
+    class Tokenize:
+        def eval(self, text: str):
+            for w in text.split():
+                yield w, len(w)
+
+    rows = Tokenize(lit("a bb ccc")).collect()
+    assert [(r["word"], r["n"]) for r in rows] == [("a", 1), ("bb", 2), ("ccc", 3)]
