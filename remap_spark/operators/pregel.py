@@ -89,28 +89,44 @@ class Pregel:
             # self.n partitions (a tiny graph shouldn't schedule the
             # session-wide shuffle width every superstep; a huge one
             # passes num_partitions to match its cluster) and the
-            # groupBy + the vertex join below reuse that partitioning
+            # groupBy + the vertex join below reuse that partitioning.
+            # Column references are BY NAME, not by DataFrame[attr]:
+            # when supersteps unroll without a checkpoint, the edges
+            # subtree appears multiple times in one plan and id-based
+            # references become ambiguous; names stay unique because
+            # vertex state and edge columns are disjoint by contract
+            # (id/state vs src/dst).
             inbox = (
-                vertices.join(self.edges, vertices["id"] == self.edges["src"])
-                .select(self.edges["dst"].alias("_dst"), self.msg.alias("_msg"))
+                vertices.join(self.edges, F.col("id") == F.col("src"))
+                .select(F.col("dst").alias("_dst"), self.msg.alias("_msg"))
                 .repartition(self.n, "_dst")
                 .groupBy("_dst")
                 .agg(self.agg(F.col("_msg")).alias("_inbox"))
             )
             joined = vertices.join(
-                inbox, vertices["id"] == inbox["_dst"], "left"
+                inbox, F.col("id") == F.col("_dst"), "left"
             )
             cols = self.update(vertices, F.col("_inbox"), step)
             if self.vote_halt is not None:
                 cols = cols + [self.vote_halt.alias("_halt")]
-            # cut lineage EVERY superstep: (a) the plan otherwise grows
-            # per iteration and analysis cost explodes, (b) the next
-            # iteration's vertices⋈edges would be a self-join (vertices'
-            # lineage contains edges) and trip ambiguous-attribute
-            # analysis. One materialization per superstep is the BSP
-            # barrier — same as the reference's survey round
-            # (module_vertex.py:106-180).
-            new_vertices = joined.select(*cols).localCheckpoint(eager=True)
+            new_vertices = joined.select(*cols)
+            # Lineage policy: cut with localCheckpoint every
+            # checkpoint_interval supersteps — otherwise the plan
+            # doubles per iteration and driver-side analysis cost
+            # explodes long before data size matters (SURVEY §7.2 hard
+            # part (a)). Between cuts, supersteps are UNROLLED into one
+            # lazy plan (Catalyst's DeduplicateRelations re-ids the
+            # repeated edges relation), so a K-interval runs
+            # supersteps/K Spark jobs instead of one per superstep.
+            # Halt voting forces an action every superstep anyway, so
+            # voting loops checkpoint every step (the action would
+            # recompute the whole unrolled prefix otherwise).
+            if (
+                self.vote_halt is not None
+                or step % self.checkpoint_interval == self.checkpoint_interval - 1
+                or step == self.max_supersteps
+            ):
+                new_vertices = new_vertices.localCheckpoint(eager=True)
 
             if self.vote_halt is not None:
                 all_halt = new_vertices.agg(
