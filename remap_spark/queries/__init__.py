@@ -50,6 +50,11 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq26_distinct_agg": relational.dq26_distinct_agg,
     "dq27_sliding": relational.dq27_sliding,
     "dq21_right_outer": relational.dq21_right_outer,
+    "dq28_exists": relational.dq28_exists,
+    "dq29_scalar_subquery": relational.dq29_scalar_subquery,
+    "dq30_grouping_sets": relational.dq30_grouping_sets,
+    "dq31_pivot": relational.dq31_pivot,
+    "dq32_session_window": relational.dq32_session_window,
     # HLL sketches differ across engines: no SQL oracle (driver runs
     # the rows-only check); accuracy asserted in tests/test_extensions
     "ext_approx_distinct": relational.ext_approx_distinct,

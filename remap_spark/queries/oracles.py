@@ -257,6 +257,69 @@ DQ_ORACLES["dq27_sliding"] = """
     FROM wins GROUP BY w_start, event_type ORDER BY w_start, event_type
 """
 
+DQ_ORACLES["dq28_exists"] = """
+    SELECT o_orderpriority, COUNT(*) AS cnt
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+DQ_ORACLES["dq29_scalar_subquery"] = """
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS total,
+           COUNT(*) AS cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
+    JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < 0.2 * a.avg_qty
+"""
+
+DQ_ORACLES["dq30_grouping_sets"] = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY rf, ls
+"""
+
+DQ_ORACLES["dq31_pivot"] = """
+    SELECT l_returnflag AS rf,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o
+    FROM lineitem GROUP BY l_returnflag ORDER BY rf
+"""
+
+DQ_ORACLES["dq32_session_window"] = """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN gap IS NULL OR gap >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM lagged
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, COUNT(*) AS session_count, MAX(n_events) AS max_session_len
+    FROM per_sess GROUP BY user_id ORDER BY user_id LIMIT 200
+"""
+
 DQ_ORACLES["dq21_right_outer"] = """
     SELECT c_custkey, COUNT(o_orderkey) AS n_orders
     FROM orders RIGHT JOIN customer ON o_custkey = c_custkey

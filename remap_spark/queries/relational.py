@@ -570,6 +570,115 @@ def dq21_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq28_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (TPC-H Q4 shape) — expressed as a
+    LEFT SEMI join, which is exactly how Catalyst rewrites EXISTS: the
+    filtered lineitem side is the build side and orders never
+    duplicates. No subquery-per-row re-execution at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def dq29_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below
+    0.2x their part's average quantity, for one brand.
+
+    Catalyst de-correlates this into an aggregate + join; we declare
+    that form directly: the per-part average is ONE aggregation over
+    lineitem reused via join, not a per-row subquery. The average is
+    computed as SUM(DECIMAL)/COUNT so the 0.2x threshold comparison is
+    order-independent (a double SUM would make the boundary depend on
+    partial-aggregation order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            _dec_sum(F.col("l_extendedprice"), 2, "total"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def dq30_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (ABSENT in the reference, SURVEY §2.4) —
+    the general form of rollup/cube, via the Spark 4 DataFrame API.
+    Same single-pass Expand + one aggregation plan as dq12/dq23."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cnt",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+def dq31_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list. Listing the pivot values
+    matters at scale: without them Spark runs an extra distinct job
+    over 100 TB just to discover the columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.coalesce("F", F.lit(0)).alias("cnt_f"),
+            F.coalesce("O", F.lit(0)).alias("cnt_o"),
+        )
+        .orderBy("rf")
+    )
+
+
+def dq32_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window) in batch mode — the
+    same operator Structured Streaming runs incrementally with the
+    state store (streaming/windows.py). Sessions close after 30 min of
+    inactivity: an event lands in the previous session iff it is
+    STRICTLY within gap of the previous event (window end exclusive),
+    which the gaps-and-islands oracle mirrors with `gap >= 30min` as
+    the new-session test (contrast dq14's `>` convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_sess = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count("*").alias("n_events"))
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("session_count"),
+            F.max("n_events").alias("max_session_len"),
+        )
+        .orderBy("user_id")
+        .limit(200)
+    )
+
+
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HLL) — the 100 TB path where
     exact multi-distinct's Expand blow-up is unaffordable. HLL sketches
