@@ -1,0 +1,81 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+The reference has no sampling/splitting surface (its closest notion is
+user-directed partition routing, /root/reference/daemons/core/
+module_mapper.py:48-52 — the user picks a named bucket per record).
+These operators generalize that: the bucket is a *pure function of the
+record key*, so the assignment is
+
+- deterministic: re-running over 100 TB (or over a changed file layout,
+  added partitions, different cluster) yields the identical split —
+  unlike ``df.randomSplit``/``df.sample`` whose output depends on
+  partition layout and seed-per-partition;
+- portable: the md5-derived hash is bit-identical in any engine
+  (the DuckDB oracle reproduces it in SQL);
+- leak-free: every record with the same key lands in the same split, so
+  grouped entities (all chunks of one document, all events of one user)
+  never straddle train/test.
+
+Everything is a Catalyst column expression (md5 + conv are JVM codegen)
+— one narrow projection, no shuffle, no Python boundary, trivially
+scales to any data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable_hash32
+
+# Buckets per unit of probability mass; 10_000 gives 0.01% granularity.
+_BUCKETS = 10_000
+
+
+def split_bucket(key: Column | str, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000) from a record key (+ optional salt to
+    decorrelate independent splits of the same keys)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return portable_hash32(F.concat(c.cast("string"), F.lit("|" + salt))) % _BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    fractions: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hashing its key.
+
+    ``fractions`` maps split name -> probability mass (must sum to
+    <= 1.0; remainder falls into the last split). Assignment walks the
+    cumulative distribution over the hash bucket, e.g.
+    ``{"train": 0.98, "val": 0.01, "test": 0.01}``.
+    """
+    total = sum(fractions.values())
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"fractions must sum to (0, 1], got {total}")
+    bucket = split_bucket(key, salt)
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, out)
+
+
+def deterministic_sample(
+    df: DataFrame, key: Column | str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a stable ``fraction`` of rows by key hash — a reproducible
+    alternative to ``df.sample`` whose membership survives reruns,
+    repartitioning, and engine changes. Filter is a narrow predicate and
+    is pushed into the scan when ``key`` is a plain column."""
+    if not 0 < fraction <= 1:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    return df.where(split_bucket(key, salt) < int(round(fraction * _BUCKETS)))

@@ -55,6 +55,11 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq30_grouping_sets": relational.dq30_grouping_sets,
     "dq31_pivot": relational.dq31_pivot,
     "dq32_session_window": relational.dq32_session_window,
+    "dq33_percentiles": relational.dq33_percentiles,
+    "dq34_array_funcs": relational.dq34_array_funcs,
+    "dq35_regexp": relational.dq35_regexp,
+    "dq36_conditional_agg": relational.dq36_conditional_agg,
+    "dq37_lead_lag": relational.dq37_lead_lag,
     # HLL sketches differ across engines: no SQL oracle (driver runs
     # the rows-only check); accuracy asserted in tests/test_extensions
     "ext_approx_distinct": relational.ext_approx_distinct,

@@ -17,6 +17,7 @@ from ..engine import load_table
 from ..functions import MINHASH_PRIME, minhash_params
 from ..operators import dedup as dd
 from ..operators import similarity as sim
+from ..operators import split as sp
 from ..operators import text as tx
 
 # ---------------------------------------------------------------------
@@ -504,6 +505,63 @@ _SALTED_AGG_SQL = """
 """
 
 
+def ext_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leak-free train/val/test split keyed on doc_id
+    (operators/split.hash_split): per-split document count and total
+    chars. The oracle recomputes the identical md5-bucket CDF walk in
+    SQL — proving the assignment is engine-portable, not a Spark RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sp.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1"
+    )
+    return (
+        out.groupBy("split")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+_SPLIT_BUCKET = (
+    _H32.format(x="concat(CAST(doc_id AS VARCHAR), '|v1')") + " % 10000"
+)
+
+_SPLIT_SQL = f"""
+    WITH assigned AS (
+      SELECT n_chars,
+             CASE WHEN {_SPLIT_BUCKET} < 8000 THEN 'train'
+                  WHEN {_SPLIT_BUCKET} < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+def ext_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of lineitem by l_orderkey hash
+    (operators/split.deterministic_sample): membership is a pure
+    function of the key — stable across reruns, partition layouts, and
+    engines (unlike df.sample). Sampling by ORDER key keeps whole
+    orders together (all lineitems of an order in or out)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = sp.deterministic_sample(li, "l_orderkey", 0.1, salt="s1")
+    return out.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(28,10)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+_SAMPLE_SQL = f"""
+    SELECT COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE {_H32.format(x="concat(CAST(l_orderkey AS VARCHAR), '|s1')")} % 10000 < 1000
+"""
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -519,6 +577,8 @@ EXT_QUERIES = {
     "ext_text_stats": ext_text_stats,
     "ext_text_langid": ext_text_langid,
     "ext_text_fingerprint": ext_text_fingerprint,
+    "ext_split_train_test": ext_split_train_test,
+    "ext_sample_det": ext_sample_det,
 }
 
 EXT_ORACLES = {
@@ -536,4 +596,6 @@ EXT_ORACLES = {
     "ext_text_stats": _TEXT_STATS_SQL,
     "ext_text_langid": _langid_oracle(),
     "ext_text_fingerprint": _FINGERPRINT_SQL,
+    "ext_split_train_test": _SPLIT_SQL,
+    "ext_sample_det": _SAMPLE_SQL,
 }

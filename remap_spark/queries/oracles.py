@@ -325,3 +325,47 @@ DQ_ORACLES["dq21_right_outer"] = """
     FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey ORDER BY c_custkey
 """
+
+DQ_ORACLES["dq33_percentiles"] = """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+DQ_ORACLES["dq34_array_funcs"] = """
+    SELECT label, COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(28,10)))
+                      / COUNT(*), 5) AS DOUBLE) AS avg_first,
+           CAST(SUM(list_aggregate(
+                 list_transform(embedding,
+                                x -> CASE WHEN x > 0 THEN 1 ELSE 0 END),
+                 'sum')) AS BIGINT) AS total_pos
+    FROM embeddings GROUP BY label ORDER BY label
+"""
+
+DQ_ORACLES["dq35_regexp"] = """
+    SELECT regexp_extract(text, 's[a-z]+', 0) AS first_s, COUNT(*) AS cnt
+    FROM documents GROUP BY 1 ORDER BY cnt DESC, first_s LIMIT 20
+"""
+
+DQ_ORACLES["dq36_conditional_agg"] = """
+    SELECT l_linestatus,
+           CAST(ROUND(SUM(CAST(CASE WHEN l_discount > 0.05
+                                    THEN l_extendedprice ELSE 0.0 END
+                               AS DECIMAL(28,10))), 2) AS DOUBLE) AS disc_rev,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+DQ_ORACLES["dq37_lead_lag"] = """
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER w AS rn,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+           NTILE(4) OVER w AS quartile
+    FROM events WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, rn
+"""

@@ -679,6 +679,106 @@ def dq32_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (ABSENT in the reference — SURVEY §2.4 lists no
+    distribution aggregates). F.percentile is the exact sort-based
+    aggregate (linear interpolation, same formula as SQL PERCENTILE_CONT
+    / DuckDB quantile_cont) so the oracle can hash-match. The 100 TB
+    path is approx_percentile (t-digest sketch, one pass, mergeable
+    partials) — same call shape, no global sort of the group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def dq34_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embeddings table
+    (array<float>, dim 64): element_at + a lambda fold, all JVM-side
+    Catalyst expressions — no Python boundary per SURVEY §2.9's
+    native-first policy. The positive-component count folds with
+    integer arithmetic (exact); the float mean goes through DECIMAL so
+    partial-aggregation order cannot change the rounded result."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_pos = F.aggregate(
+        "embedding",
+        F.lit(0),
+        lambda acc, v: acc + F.when(v > 0, 1).otherwise(0),
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(
+                F.sum(F.element_at("embedding", 1).cast("double").cast(DEC))
+                / F.count("*"),
+                5,
+            ).cast("double").alias("avg_first"),
+            F.sum(n_pos).alias("total_pos"),
+        )
+        .orderBy("label")
+    )
+
+
+def dq35_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction (ABSENT in the reference — §2.9 notes regex is
+    missing). First s-word per document; the pattern avoids
+    dialect-divergent constructs so Java regex (Spark) and RE2 (DuckDB)
+    agree. Rows with no match keep '' in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.regexp_extract("text", "s[a-z]+", 0).alias("first_s"))
+        .groupBy("first_s")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "first_s")
+        .limit(20)
+    )
+
+
+def dq36_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SUM(CASE WHEN) / count_if): filtered
+    aggregates without a second scan — one pass, partial-agg friendly,
+    the idiomatic replacement for the reference's per-key reduce
+    branching (module_reducer.py:72-73 user code)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount") > 0.05
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            _dec_sum(F.when(disc, F.col("l_extendedprice")).otherwise(0.0), 2, "disc_rev"),
+            F.count_if(disc).alias("n_disc"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def dq37_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + ntile window functions — inter-event gaps in exact integer
+    microseconds (unix_micros on both sides, no float time math) and
+    activity quartiles per user. One window spec → one shuffle on
+    user_id serves both."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            (F.unix_micros("ts") - prev).alias("gap_us"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HLL) — the 100 TB path where
     exact multi-distinct's Expand blow-up is unaffordable. HLL sketches

@@ -257,3 +257,55 @@ def test_salted_agg_bucket_invariance(spark):
         )
         results.append(sorted((r["event_type"], r["cnt"]) for r in out.collect()))
     assert results[0] == results[1] == results[2]
+
+
+def test_hash_split_invariants(spark):
+    """Splits are disjoint+exhaustive, deterministic across
+    repartitioning, and leak-free (same key -> same split)."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.split import hash_split
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(docs, "doc_id", fracs, salt="v1")
+    assert a.groupBy("split").count().count() <= 3
+    assert a.where(~F.col("split").isin(*fracs)).count() == 0
+    assert a.count() == docs.count()
+
+    # determinism under a different physical layout
+    b = hash_split(docs.repartition(13), "doc_id", fracs, salt="v1")
+    mism = (
+        a.select("doc_id", F.col("split").alias("s1"))
+        .join(b.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .where(F.col("s1") != F.col("s2"))
+        .count()
+    )
+    assert mism == 0
+
+    # rough proportions at sf0.001 (500 docs): train should dominate
+    counts = {r["split"]: r["cnt"] for r in
+              a.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["train"] > counts.get("val", 0) + counts.get("test", 0)
+
+
+def test_deterministic_sample_stable_and_subset(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.split import deterministic_sample
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    s1 = deterministic_sample(li, "l_orderkey", 0.1, salt="s1")
+    s2 = deterministic_sample(li.repartition(7), "l_orderkey", 0.1, salt="s1")
+    assert s1.count() == s2.count()
+    n, total = s1.count(), li.count()
+    assert 0.03 * total < n < 0.25 * total
+    # whole orders in or out: every sampled order has ALL its lineitems
+    per_order = li.groupBy("l_orderkey").count().withColumnRenamed("count", "all_n")
+    samp_order = s1.groupBy("l_orderkey").count().withColumnRenamed("count", "got_n")
+    broken = (
+        per_order.join(samp_order, "l_orderkey")
+        .where("all_n <> got_n")
+        .count()
+    )
+    assert broken == 0
