@@ -10,13 +10,18 @@ from .readers import (
     read_adjacency,
     read_csv,
     read_html_text,
+    read_json,
+    read_orc,
     read_parquet,
     read_text,
     read_xml_elements,
 )
 from .writers import (
     write_bucketed_table,
+    write_csv,
     write_intermediate_text,
+    write_json,
+    write_orc,
     write_parquet,
     write_reduce_text,
 )
@@ -25,6 +30,8 @@ SOURCES = {
     "text": read_text,
     "csv": read_csv,
     "parquet": read_parquet,
+    "json": read_json,
+    "orc": read_orc,
     "xml": read_xml_elements,
     "html": read_html_text,
     "adjacency": read_adjacency,
@@ -32,6 +39,9 @@ SOURCES = {
 
 SINKS = {
     "parquet": write_parquet,
+    "json": write_json,
+    "orc": write_orc,
+    "csv": write_csv,
     "reduce_text": write_reduce_text,
     "intermediate_text": write_intermediate_text,
 }
@@ -75,11 +85,16 @@ __all__ = [
     "read_text",
     "read_csv",
     "read_parquet",
+    "read_json",
+    "read_orc",
     "read_xml_elements",
     "read_html_text",
     "read_adjacency",
     "adjacency_to_edges",
     "write_parquet",
+    "write_json",
+    "write_orc",
+    "write_csv",
     "write_bucketed_table",
     "write_reduce_text",
     "write_intermediate_text",

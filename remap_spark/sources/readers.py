@@ -139,3 +139,22 @@ def adjacency_to_edges(adj: DataFrame) -> DataFrame:
     return adj.select(
         F.col("id").alias("src"), F.explode("neighbors").alias("dst")
     )
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None, multiline: bool = False
+) -> DataFrame:
+    """Newline-delimited (or multiLine) JSON source. The reference ships
+    JSON only as its intermediate value encoding (remap.py:138,158-159);
+    here it is a first-class scan. Always pass ``schema`` in production:
+    schema inference is an extra full pass over the data — unaffordable
+    at 100 TB."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path, multiLine=multiline)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet."""
+    return spark.read.orc(path)

@@ -71,3 +71,25 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def write_json(df: DataFrame, path: str, partition_cols: list[str] | None = None):
+    """Newline-delimited JSON sink (one object per line — the splittable
+    form; multiLine JSON cannot be split across tasks on read)."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.json(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_cols: list[str] | None = None):
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True):
+    """CSV sink (quoted by default — unlike the reference's raw "k,v"
+    framing this survives commas in values, SURVEY §4.3.4)."""
+    df.write.mode("overwrite").csv(path, header=header)

@@ -1,3 +1,4 @@
+from .joins import stream_static_enrich, stream_stream_interval_join
 from .stateful import running_user_stats
 from .windows import (
     read_events_stream,
@@ -14,4 +15,6 @@ __all__ = [
     "read_events_stream",
     "run_stream_to_memory",
     "running_user_stats",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
 ]

@@ -194,3 +194,90 @@ def test_sliding_stream_equals_batch(spark, events_stream_dir):
         assert expected[key] == v
     # width/slide = 4 windows per event; nearly all must close
     assert len(got) >= len(expected) - 20
+
+
+def test_stream_static_enrich_equals_batch(spark, events_stream_dir):
+    """Stream⋈static broadcast enrichment must equal the batch join."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_static_enrich,
+    )
+
+    cust = (
+        load_table(spark, SF_DIR, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = read_events_stream(spark, events_stream_dir, schema=_schema(spark))
+    q = run_stream_to_memory(
+        stream_static_enrich(stream, cust, "user_id"), "enrich_test",
+        mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT c_mktsegment, COUNT(*) AS cnt FROM enrich_test GROUP BY 1"
+        ).collect()
+    finally:
+        q.stop()
+
+    ev = load_table(spark, SF_DIR, "events")
+    expected = {
+        (r["c_mktsegment"], r["cnt"])
+        for r in ev.join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert {(r["c_mktsegment"], r["cnt"]) for r in got} == expected
+
+
+def test_stream_stream_interval_join_subset_of_batch(spark, events_stream_dir):
+    """Stream-stream interval self-join: every emitted pair must appear
+    in the batch twin, and the join must emit a substantial share (the
+    tail can be held back by the final watermark)."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_stream_interval_join,
+    )
+
+    def sides(src):
+        l = src.select(
+            F.col("user_id").alias("uid"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        r = src.select(
+            F.col("user_id").alias("uid"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        return l, r
+
+    sl, sr = sides(read_events_stream(spark, events_stream_dir, schema=_schema(spark)))
+    joined = stream_stream_interval_join(
+        sl, sr, key="uid", left_ts="l_ts", right_ts="r_ts",
+        watermark="10 minutes", within="5 minutes",
+    ).select(sl["uid"], "l_id", "r_id")
+    q = run_stream_to_memory(joined, "ssj_test", mode="append")
+    try:
+        q.processAllAvailable()
+        got = {(r["uid"], r["l_id"], r["r_id"])
+               for r in spark.sql("SELECT * FROM ssj_test").collect()}
+    finally:
+        q.stop()
+
+    bl, br = sides(load_table(spark, SF_DIR, "events"))
+    batch = stream_stream_interval_join(
+        bl, br, key="uid", left_ts="l_ts", right_ts="r_ts", within="5 minutes"
+    ).select(bl["uid"], "l_id", "r_id")
+    expected = {(r["uid"], r["l_id"], r["r_id"]) for r in batch.collect()}
+    assert got <= expected
+    assert len(got) > 0.5 * len(expected)
