@@ -169,9 +169,18 @@ def minhash_signatures(
     portable: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of
-    (a_i*h(shingle)+b_i) mod P. One explode + one groupBy; duplicate
-    shingles are left in (min is multiset-insensitive), saving the
-    distinct's shuffle."""
+    (a_i*h(shingle)+b_i) mod P. Duplicate shingles are left in (min is
+    multiset-insensitive), saving the distinct's shuffle.
+
+    Layout: _doc_shingles repartitions by doc-id hash up front, so the
+    gram stream stays narrow and this groupBy(doc) reuses the
+    partitioning — no shuffle of the ~100x exploded rows.
+
+    A fully-narrow array_min(transform(...)) formulation was tried and
+    is ~9x SLOWER at sf0.1: higher-order functions are interpreted (no
+    whole-stage codegen), so no common-subexpression elimination —
+    after projection collapse every one of the 16 sig expressions
+    re-evaluates the whole md5 transform tree per row."""
     s = _doc_shingles(df, text_col, id_col, n, None, dedup=False)
     h = portable_hash32("gram") if portable else (
         F.pmod(fast_hash64("gram"), F.lit(1 << 32))

@@ -186,6 +186,50 @@ def pagerank(
     return p.run()
 
 
+def _flood_fixpoint(
+    vertices: DataFrame,
+    edges: DataFrame,
+    combine,
+    pick,
+    num_partitions: int | None = None,
+    max_iter: int = 1000,
+) -> DataFrame:
+    """Shared propagate-until-fixpoint loop: each round every vertex
+    ``combine``s its inbox and ``pick``s between old and incoming value;
+    stops when no vertex changed. One shuffle (inbox groupBy) per round;
+    converges in O(graph diameter) rounds."""
+    spark = vertices.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    vertices = (
+        vertices.select("id", "value").repartition(n, "id").localCheckpoint(eager=True)
+    )
+    edges = edges.repartition(n, "src").localCheckpoint(eager=True)
+    for _step in range(max_iter):
+        inbox = (
+            vertices.join(edges, vertices["id"] == edges["src"])
+            .select(edges["dst"].alias("_dst"), F.col("value").alias("_msg"))
+            .groupBy("_dst")
+            .agg(combine("_msg").alias("_inbox"))
+        )
+        new_val = pick(
+            vertices["value"], F.coalesce(F.col("_inbox"), vertices["value"])
+        )
+        new_vertices = (
+            vertices.join(inbox, vertices["id"] == inbox["_dst"], "left")
+            .select(
+                vertices["id"],
+                new_val.alias("value"),
+                (new_val != vertices["value"]).cast("int").alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_vertices.agg(F.sum("_changed").alias("c")).first()["c"]
+        vertices = new_vertices.drop("_changed")
+        if changed == 0:
+            break
+    return vertices
+
+
 def flood_max(
     vertices: DataFrame, edges: DataFrame, num_partitions: int | None = None
 ) -> DataFrame:
@@ -196,40 +240,38 @@ def flood_max(
 
     vertices: (id, value); edges: (src, dst). Returns (id, max_value).
     """
-    spark = vertices.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return _flood_fixpoint(vertices, edges, F.max, F.greatest, num_partitions)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Connected components by min-label propagation (flood-min over the
+    symmetrized edge set): every vertex converges to the smallest vertex
+    id in its component. Returns (id, component).
+
+    The dedup use: LSH/similarity passes emit candidate PAIRS; turning
+    pairs into canonical duplicate CLUSTERS (keep min-id doc, drop the
+    rest) is exactly connected components — chains like A~B, B~C must
+    collapse to one cluster even though A~C was never emitted.
+
+    Scale: label propagation costs one shuffle per round and converges
+    in O(component diameter) rounds. Dedup-cluster graphs have tiny
+    diameters (near-clique blobs), making this the right trade; for
+    adversarial long-path graphs prefer the O(log n)-round
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — not needed for the dedup
+    path."""
+    sym = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
     vertices = (
-        vertices.select("id", "value").repartition(n, "id").localCheckpoint(eager=True)
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("value", F.col("id"))
     )
-    edges = edges.repartition(n, "src").localCheckpoint(eager=True)
-    for _step in range(1000):
-        inbox = (
-            vertices.join(edges, vertices["id"] == edges["src"])
-            .select(edges["dst"].alias("_dst"), F.col("value").alias("_msg"))
-            .groupBy("_dst")
-            .agg(F.max("_msg").alias("_inbox"))
-        )
-        new_vertices = (
-            vertices.join(inbox, vertices["id"] == inbox["_dst"], "left")
-            .select(
-                vertices["id"],
-                F.greatest(
-                    vertices["value"], F.coalesce(F.col("_inbox"), vertices["value"])
-                ).alias("value"),
-                (
-                    F.greatest(
-                        vertices["value"],
-                        F.coalesce(F.col("_inbox"), vertices["value"]),
-                    )
-                    != vertices["value"]
-                )
-                .cast("int")
-                .alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_vertices.agg(F.sum("_changed").alias("c")).first()["c"]
-        vertices = new_vertices.drop("_changed")
-        if changed == 0:
-            break
-    return vertices
+    out = _flood_fixpoint(vertices, sym, F.min, F.least, num_partitions)
+    return out.select("id", F.col("value").alias("component"))

@@ -112,7 +112,10 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, seed: int = 42) -> str:
+def _minhash_pairs_ctes(num_hashes: int = 16, bands: int = 4, seed: int = 42) -> str:
+    """WITH-body (no leading WITH) ending in a ``pairs(doc_a, doc_b)``
+    CTE — shared by the pair-emitting oracle and the connected-components
+    oracle built on top of it."""
     params = minhash_params(num_hashes, seed)
     sig_exprs = ",\n           ".join(
         f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS sig{i}"
@@ -126,15 +129,21 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, seed: int = 42) -> str
         )
         for bi in range(bands)
     )
-    return f"""
-    WITH {_GRAMS},
+    return f"""{_GRAMS},
     hashed AS (SELECT doc, {_H32.format(x='gram')} AS h FROM shingles),
     sigs AS (SELECT doc, {sig_exprs} FROM hashed GROUP BY doc),
-    bands AS ({band_selects})
-    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
-    ORDER BY doc_a, doc_b
+    bands AS ({band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, seed: int = 42) -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes(num_hashes, bands, seed)}
+    SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
 """
 
 
@@ -505,6 +514,47 @@ _SALTED_AGG_SQL = """
 """
 
 
+def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from MinHash-LSH candidate pairs via
+    connected components (operators/pregel.connected_components):
+    transitive closure collapses chains A~B, B~C into one cluster keyed
+    by its min doc_id. This is the step that makes pair-emitting dedup
+    actually usable — the keep/drop decision is per cluster, not per
+    pair. The oracle recomputes the identical pairs then closes them
+    with a recursive CTE."""
+    from ..operators.pregel import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("component")
+    )
+
+
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    cedges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM cedges
+      UNION
+      SELECT reach.s, cedges.d FROM reach JOIN cedges ON reach.d = cedges.s
+    ),
+    comp AS (
+      SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
+    )
+    SELECT component, COUNT(*) AS n_docs
+    FROM comp GROUP BY component ORDER BY component
+"""
+
+
 def ext_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leak-free train/val/test split keyed on doc_id
     (operators/split.hash_split): per-split document count and total
@@ -579,6 +629,7 @@ EXT_QUERIES = {
     "ext_text_fingerprint": ext_text_fingerprint,
     "ext_split_train_test": ext_split_train_test,
     "ext_sample_det": ext_sample_det,
+    "ext_dedup_components": ext_dedup_components,
 }
 
 EXT_ORACLES = {
@@ -598,4 +649,5 @@ EXT_ORACLES = {
     "ext_text_fingerprint": _FINGERPRINT_SQL,
     "ext_split_train_test": _SPLIT_SQL,
     "ext_sample_det": _SAMPLE_SQL,
+    "ext_dedup_components": _components_oracle(),
 }

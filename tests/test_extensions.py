@@ -309,3 +309,20 @@ def test_deterministic_sample_stable_and_subset(spark):
         .count()
     )
     assert broken == 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chains collapse transitively (1~2, 2~3 -> one component) and
+    disjoint islands stay separate."""
+    from remap_spark.operators.pregel import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "src bigint, dst bigint",
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
