@@ -369,3 +369,8 @@ DQ_ORACLES["dq37_lead_lag"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, rn
 """
+
+# dq38 runs the SAME SQL text in both engines (relational.SQL_API_QUERY)
+from .relational import SQL_API_QUERY as _SQL_API_QUERY  # noqa: E402
+
+DQ_ORACLES["dq38_sql_api"] = _SQL_API_QUERY

@@ -779,6 +779,37 @@ def dq37_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q3 shape, one SQL text shared verbatim by Spark and DuckDB —
+# the engine's plain-SQL entry point (Engine.sql) is first-class, not a
+# DataFrame-only surface.
+SQL_API_QUERY = """
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+def dq38_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string surface (Engine.sql): the fixture tables register as
+    temp views and the identical ANSI text runs in Spark and DuckDB.
+    Catalyst treats it exactly like the DataFrame plans — same
+    pushdown, pruning, AQE — there is no separate SQL path to keep
+    correct."""
+    from ..engine import Engine
+
+    return Engine(spark, sf_dir).sql(SQL_API_QUERY)
+
+
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HLL) — the 100 TB path where
     exact multi-distinct's Expand blow-up is unaffordable. HLL sketches

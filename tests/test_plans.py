@@ -119,3 +119,13 @@ def test_topk_uses_take_ordered(spark):
 
     plan = explain_str(ALL_QUERIES["dq07_topk"](spark, SF_DIR), "simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dq38_sql_api_pushdown(spark):
+    """The SQL-string surface gets the same Catalyst treatment as the
+    DataFrame plans: the mktsegment/date literals reach the scans."""
+    r = _report(spark, "dq38_sql_api")
+    assert r["has_pushed_filters"], r["plan"]
+    assert not r["cartesian"]
+    # BUILDING filter must appear as a pushed filter, not a post-scan one
+    assert "BUILDING" in r["plan"]
