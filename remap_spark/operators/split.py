@@ -69,6 +69,40 @@ def hash_split(
     return df.withColumn(out_col, out)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: Column | str,
+    strata: Column | str,
+    fractions: dict[str, float],
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (a reproducible ``sampleBy``).
+
+    ``fractions`` maps a stratum value to its keep-fraction; strata not
+    listed fall back to ``default``. The per-row threshold is a WHEN
+    chain over the stratum column, so the whole filter stays one
+    codegen'd narrow predicate — no shuffle, no RNG state, membership
+    a pure function of (key, salt).
+
+    Because every stratum reads the same hash bucket, samples are
+    *nested*: raising a stratum's fraction only adds rows, never swaps
+    them — rebalancing classes between pipeline runs keeps the
+    previously-selected examples (stable training curricula). Pass a
+    different ``salt`` to draw an independent sample instead.
+    """
+    c = F.col(strata) if isinstance(strata, str) else strata
+    thresh: Column | None = None
+    for val, frac in fractions.items():
+        if not 0 <= frac <= 1:
+            raise ValueError(f"fraction for {val!r} must be in [0, 1], got {frac}")
+        t = int(round(frac * _BUCKETS))
+        thresh = F.when(c == val, t) if thresh is None else thresh.when(c == val, t)
+    d = int(round(default * _BUCKETS))
+    thresh = F.lit(d) if thresh is None else thresh.otherwise(d)
+    return df.where(split_bucket(key, salt) < thresh)
+
+
 def deterministic_sample(
     df: DataFrame, key: Column | str, fraction: float, salt: str = ""
 ) -> DataFrame:

@@ -514,6 +514,48 @@ _SALTED_AGG_SQL = """
 """
 
 
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing (operators/split.stratified_sample):
+    keep all purchases, half the signups, 10% of everything else —
+    the keep-fraction is a WHEN chain over the stratum column, so the
+    whole sample is one codegen'd narrow predicate with no shuffle and
+    no RNG. Same-bucket nesting means raising a class's fraction later
+    only ADDs rows — the previously selected examples stay selected."""
+    ev = load_table(spark, sf_dir, "events")
+    out = sp.stratified_sample(
+        ev,
+        "event_id",
+        "event_type",
+        {"purchase": 1.0, "signup": 0.5},
+        salt="r1",
+        default=0.1,
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STRAT_SQL = f"""
+    WITH sampled AS (
+      SELECT event_type, value FROM events
+      WHERE {_H32.format(x="concat(CAST(event_id AS VARCHAR), '|r1')")} % 10000
+            < CASE event_type WHEN 'purchase' THEN 10000
+                              WHEN 'signup'   THEN 5000
+                              ELSE 1000 END
+    )
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
+    FROM sampled GROUP BY event_type ORDER BY event_type
+"""
+
+
 def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from MinHash-LSH candidate pairs via
     connected components (operators/pregel.connected_components):
@@ -629,6 +671,7 @@ EXT_QUERIES = {
     "ext_text_fingerprint": ext_text_fingerprint,
     "ext_split_train_test": ext_split_train_test,
     "ext_sample_det": ext_sample_det,
+    "ext_sample_stratified": ext_sample_stratified,
     "ext_dedup_components": ext_dedup_components,
 }
 
@@ -649,5 +692,6 @@ EXT_ORACLES = {
     "ext_text_fingerprint": _FINGERPRINT_SQL,
     "ext_split_train_test": _SPLIT_SQL,
     "ext_sample_det": _SAMPLE_SQL,
+    "ext_sample_stratified": _STRAT_SQL,
     "ext_dedup_components": _components_oracle(),
 }

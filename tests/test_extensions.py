@@ -311,6 +311,41 @@ def test_deterministic_sample_stable_and_subset(spark):
     assert broken == 0
 
 
+def test_stratified_sample_nested_and_deterministic(spark):
+    """Per-stratum fractions hold, listed-at-1.0 strata survive whole,
+    raising a fraction only ADDs rows (nested samples), and membership
+    survives repartitioning."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.split import stratified_sample
+
+    ev = load_table(spark, SF_DIR, "events")
+    fr = {"purchase": 1.0, "signup": 0.5}
+    s1 = stratified_sample(ev, "event_id", "event_type", fr, salt="r1", default=0.1)
+    full = {r["event_type"]: r["cnt"] for r in
+            ev.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    got = {r["event_type"]: r["cnt"] for r in
+           s1.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()}
+    assert got.get("purchase") == full["purchase"]
+    assert 0.2 * full["signup"] < got.get("signup", 0) < 0.8 * full["signup"]
+    for other in set(full) - {"purchase", "signup"}:
+        assert got.get(other, 0) < 0.35 * full[other]
+
+    # determinism under a different physical layout
+    s2 = stratified_sample(
+        ev.repartition(7), "event_id", "event_type", fr, salt="r1", default=0.1
+    )
+    assert s1.count() == s2.count()
+
+    # nesting: bumping signup's fraction keeps every prior row
+    s3 = stratified_sample(
+        ev, "event_id", "event_type", {**fr, "signup": 0.9}, salt="r1", default=0.1
+    )
+    lost = s1.select("event_id").exceptAll(s3.select("event_id")).count()
+    assert lost == 0 and s3.count() >= s1.count()
+
+
 def test_connected_components_chain_and_islands(spark):
     """Chains collapse transitively (1~2, 2~3 -> one component) and
     disjoint islands stay separate."""
