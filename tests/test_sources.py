@@ -137,6 +137,42 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS cust_b")
 
 
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Hive-partitioned parquet layout (write_parquet partition_cols)
+    must turn an equality filter on the partition column into
+    PartitionFilters at the scan — at 100 TB, date-partitioning the
+    fact table means a one-year query never lists, opens, or reads the
+    other years' files at all (stronger than row-group pushdown)."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.plans import explain_str
+    from remap_spark.sources import write_parquet
+
+    SF = "/root/testdata/sf0.001"
+    orders = load_table(spark, SF, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_parquet(orders, out, partition_cols=["o_year"])
+
+    back = spark.read.parquet(out)
+    q = back.where(F.col("o_year") == 1995).groupBy("o_orderpriority").count()
+    plan = explain_str(q, "formatted")
+    assert "PartitionFilters" in plan and "o_year" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("\n", 1)[0], plan
+
+    # pruning is real, not cosmetic: the pruned read equals a filtered full read
+    want = (
+        orders.where(F.col("o_year") == 1995)
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, want))
+
+
 def test_json_roundtrip(spark, tmp_path):
     from remap_spark import sources
 
