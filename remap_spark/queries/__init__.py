@@ -61,6 +61,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq36_conditional_agg": relational.dq36_conditional_agg,
     "dq37_lead_lag": relational.dq37_lead_lag,
     "dq38_sql_api": relational.dq38_sql_api,
+    "dq39_running_total": relational.dq39_running_total,
     # HLL sketches differ across engines: no SQL oracle (driver runs
     # the rows-only check); accuracy asserted in tests/test_extensions
     "ext_approx_distinct": relational.ext_approx_distinct,

@@ -370,6 +370,18 @@ DQ_ORACLES["dq37_lead_lag"] = """
     ORDER BY user_id, rn
 """
 
+DQ_ORACLES["dq39_running_total"] = """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      2) AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderkey
+"""
+
 # dq38 runs the SAME SQL text in both engines (relational.SQL_API_QUERY)
 from .relational import SQL_API_QUERY as _SQL_API_QUERY  # noqa: E402
 

@@ -779,6 +779,27 @@ def dq37_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq39_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window frame (ROWS BETWEEN UNBOUNDED PRECEDING AND
+    CURRENT ROW): per-customer running spend. Frames are the last
+    window capability the suite didn't pin (dq25/dq37 cover ranking,
+    lead/lag, ntile). ROWS + a unique tiebreak (o_orderkey) makes the
+    prefix sums deterministic; decimal accumulation keeps both engines
+    bit-identical. One window spec → one shuffle on o_custkey."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(run, 2).cast("double").alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
 # TPC-H Q3 shape, one SQL text shared verbatim by Spark and DuckDB —
 # the engine's plain-SQL entry point (Engine.sql) is first-class, not a
 # DataFrame-only surface.
