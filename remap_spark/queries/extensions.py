@@ -275,7 +275,7 @@ def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _langid_oracle() -> str:
     hit_exprs = ",\n           ".join(
-        "SUM(CASE WHEN word IN ({vals}) THEN 1 ELSE 0 END) AS {lang}_hits".format(
+        "CAST(SUM(CASE WHEN word IN ({vals}) THEN 1 ELSE 0 END) AS BIGINT) AS {lang}_hits".format(
             vals=", ".join(f"'{w}'" for w in words), lang=lang
         )
         for lang, words in tx.LANG_MARKERS.items()

@@ -85,7 +85,8 @@ DQ_ORACLES: dict[str, str] = {
     """,
     "dq10_anti": """
         SELECT c_custkey FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 300000)
         ORDER BY c_custkey
     """,
     "dq10_semi": """
@@ -102,6 +103,7 @@ DQ_ORACLES: dict[str, str] = {
         SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
         EXCEPT
         SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal >= 5000
         ORDER BY n_name
     """,
     "dq12_rollup": """
@@ -141,7 +143,9 @@ DQ_ORACLES: dict[str, str] = {
     """,
     "dq15_json": """
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               -- DuckDB SUM(BIGINT) -> HUGEINT -> float64 in pandas; the outer
+               -- CAST keeps the dtype bigint like Spark's (VERDICT r1 #1)
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                COUNT(*) AS cnt
         FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -186,8 +190,8 @@ DQ_ORACLES: dict[str, str] = {
         SELECT o_orderpriority, COUNT(*) AS cnt
         FROM events e JOIN orders o
           ON e.user_id = o.o_custkey
-         AND e.ts >= o.o_orderdate
-         AND e.ts <= o.o_orderdate + INTERVAL 7 DAY
+         AND e.ts >= o.o_orderdate + INTERVAL 26 YEAR
+         AND e.ts <= o.o_orderdate + INTERVAL 26 YEAR + INTERVAL 7 DAY
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 }

@@ -178,8 +178,12 @@ def dq09_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dq10_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders — left_anti join (NOT IN shape)."""
-    orders = load_table(spark, sf_dir, "orders")
+    """Customers with no large orders — left_anti join (NOT IN shape).
+
+    The o_totalprice > 300000 filter keeps the answer non-empty at every
+    SF (every customer has SOME order in the fixtures, so an unfiltered
+    anti join verified only the empty set — VERDICT r1 #3)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     cust = load_table(spark, sf_dir, "customer")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
@@ -220,10 +224,17 @@ def dq11_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dq11_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == SQL EXCEPT (set semantics); exceptAll would keep
-    # per-multiplicity leftovers for nations present on both sides
+    # per-multiplicity leftovers for nations present on both sides.
+    # Supplier side restricted to rich suppliers so the difference is
+    # non-empty at every SF (both sides cover all 25 nations otherwise).
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 5000)
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rich_supp_nations = supp.join(
+        nation, supp.s_nationkey == nation.n_nationkey
+    ).select("n_name")
     return (
         _cust_nations(spark, sf_dir)
-        .subtract(_supp_nations(spark, sf_dir))
+        .subtract(rich_supp_nations)
         .orderBy("n_name")
     )
 
@@ -428,15 +439,20 @@ def dq22_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq20_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi + range join: Catalyst plans the user_id=custkey equality as
     the join key (shuffled hash / sort-merge) and the BETWEEN as a
-    post-join filter — NOT a cartesian product. Check .explain."""
+    post-join filter — NOT a cartesian product. Check .explain.
+
+    The +26 YEARS shift aligns the 1995-2001 order dates with the
+    Jan-2024 event timestamps so the range predicate actually selects
+    rows (the unshifted form matched 0 rows at every SF — VERDICT r1 #3)."""
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
+    shifted = F.col("o_orderdate") + F.expr("INTERVAL 26 YEARS")
     return (
         ev.join(
             orders,
             (ev.user_id == orders.o_custkey)
-            & (ev.ts >= orders.o_orderdate)
-            & (ev.ts <= F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")),
+            & (ev.ts >= shifted)
+            & (ev.ts <= shifted + F.expr("INTERVAL 7 DAYS")),
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("cnt"))

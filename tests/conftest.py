@@ -33,15 +33,6 @@ def spark():
     s.stop()
 
 
-@pytest.fixture(scope="session")
-def duck():
-    con = duckdb.connect()
-    for sf in {SF_DIR, SF_DIR_T2}:
-        pass
-    yield con
-    con.close()
-
-
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -49,6 +40,36 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
+
+
+def _dtype_class(t: str) -> str:
+    """Coarse dtype classes shared by Spark dtype strings and DuckDB type
+    names. The driver hashes typed values, so int32 vs int64 vs HUGEINT
+    vs double are DIFFERENT even when values print the same (dq15_json
+    lesson from round 1) — the local mirror must distinguish them too."""
+    t = t.strip().lower()
+    if t.startswith(("array", "struct", "map")) or t.endswith("[]"):
+        return "nested"
+    if t.startswith("decimal"):
+        return "dec"
+    first = t.split("(")[0]
+    return {
+        # all machine-int widths hash alike at the driver (dq06's int32
+        # row_number passed r1); HUGEINT does NOT — pandas renders it as
+        # float64, so it stays a distinct class the oracle must CAST away
+        "tinyint": "int", "smallint": "int",
+        "int": "int", "integer": "int",
+        "bigint": "int", "long": "int", "ubigint": "int",
+        "hugeint": "i128", "uhugeint": "i128",
+        "float": "f32", "real": "f32",
+        "double": "f64",
+        "string": "str", "varchar": "str",
+        "boolean": "bool",
+        "timestamp": "ts", "timestamp_ntz": "ts",
+        "timestamp_ns": "ts", "timestamp_ms": "ts", "timestamp_s": "ts",
+        "timestamp with time zone": "tstz", "timestamptz": "tstz",
+        "date": "date",
+    }.get(first, first)
 
 
 def _norm(v):
@@ -88,9 +109,21 @@ def assert_matches_oracle(spark, name: str, sf_dir: str = SF_DIR):
     try:
         res = con.sql(ALL_ORACLES[name])
         dcols = res.columns
+        dtypes = [str(t) for t in res.types]
         drows = res.fetchall()
     finally:
         con.close()
+
+    stypemap = {c: _dtype_class(t) for c, t in sdf.dtypes}
+    dtypemap = {c: _dtype_class(t) for c, t in zip(dcols, dtypes)}
+    type_diffs = {
+        c: (stypemap.get(c), dtypemap.get(c))
+        for c in set(stypemap) | set(dtypemap)
+        if stypemap.get(c) != dtypemap.get(c)
+    }
+    assert not type_diffs, (
+        f"{name}: column dtype classes differ (spark, duckdb): {type_diffs}"
+    )
 
     assert sorted(scols) == sorted(dcols), (
         f"{name}: column names differ: spark={scols} duckdb={dcols}"
