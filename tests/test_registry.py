@@ -1,0 +1,70 @@
+"""Registration-order invariants for the driver correctness gate.
+
+The external driver hash-compares only the first ``CHECK_WINDOW`` keys
+of ``ALL_QUERIES`` (registration order) against their oracles — round 1
+proved this the hard way: 16 late-registered extension queries got no
+driver row at all. These tests pin the ordering contract so a future
+registration edit can't silently push an unverified family out of the
+window again.
+"""
+
+from __future__ import annotations
+
+from remap_spark.queries import ALL_ORACLES, ALL_QUERIES, CHECK_WINDOW, _TAIL_QUERIES
+
+WINDOW = list(ALL_QUERIES)[:CHECK_WINDOW]
+
+# Families that had no driver correctness row in round 1 — every one of
+# them must sit inside the checked window until a green row is recorded.
+NEVER_CHECKED_R1 = [
+    "ext_ann_topk",
+    "ext_ann_lsh",
+    "ext_ann_ivf",
+    "ext_mm_image_features",
+    "ext_mm_audio_features",
+    "ext_mm_frame_sample",
+    "ext_text_tokens",
+    "ext_text_quality",
+    "ext_text_stats",
+    "ext_text_langid",
+    "ext_text_fingerprint",
+    "ext_split_train_test",
+    "ext_sample_det",
+    "ext_sample_stratified",
+    "ext_salted_agg",
+    "ext_dedup_components",
+]
+
+# Queries whose semantics changed in round 2 (de-vacuated predicates,
+# oracle dtype fix) — they need a fresh driver row.
+CHANGED_R2 = ["dq10_anti", "dq11_except", "dq15_json", "dq20_range_join"]
+
+
+def test_never_checked_families_inside_window():
+    missing = [q for q in NEVER_CHECKED_R1 if q not in WINDOW]
+    assert not missing, f"unverified queries outside driver window: {missing}"
+
+
+def test_changed_queries_inside_window():
+    missing = [q for q in CHANGED_R2 if q not in WINDOW]
+    assert not missing, f"changed queries outside driver window: {missing}"
+
+
+def test_window_queries_all_have_oracles():
+    # Inside the window every query should get the full rows+schema+hash
+    # check; a no-oracle query there wastes a slot on a rows-only row.
+    no_oracle = [q for q in WINDOW if q not in ALL_ORACLES]
+    assert not no_oracle, f"window queries without oracles: {no_oracle}"
+
+
+def test_tail_queries_exist_and_registered_last():
+    # Every demoted name must still be a real registered query (a typo
+    # here would silently shrink coverage), and the tail must actually
+    # be at the end so the head fills the window.
+    assert set(_TAIL_QUERIES) <= set(ALL_QUERIES)
+    assert list(ALL_QUERIES)[-len(_TAIL_QUERIES):] == _TAIL_QUERIES
+
+
+def test_oracles_reference_registered_queries():
+    unknown = [q for q in ALL_ORACLES if q not in ALL_QUERIES]
+    assert not unknown, f"oracles for unregistered queries: {unknown}"
