@@ -137,10 +137,40 @@ def sample_frames(
 
 
 def repartition_for_media(
-    df: DataFrame, approx_row_bytes: int, target_partition_bytes: int = 128 << 20
+    df: DataFrame,
+    approx_row_bytes: int,
+    target_partition_bytes: int = 128 << 20,
+    approx_total_rows: int | None = None,
 ) -> DataFrame:
     """Size partitions by bytes, not rows — a 5 MB-per-row video table
-    needs ~25 rows/partition, not the default splits."""
+    needs ~25 rows/partition, not the default splits.
+
+    Sizing uses metadata only (never a job over the blobs): pass the
+    catalog's row-count estimate as ``approx_total_rows``; without it
+    the input files are stat'ed for their on-disk size, which for
+    media blobs (incompressible) tracks decoded size closely. A full
+    ``df.count()`` over a blob table would read every byte once just
+    to plan — refuse rather than do that silently."""
     rows_per_part = max(1, target_partition_bytes // max(1, approx_row_bytes))
-    n = max(1, df.count() // rows_per_part)
+    if approx_total_rows is None:
+        import os
+
+        files = df.inputFiles()
+        sizes = []
+        for f in files:
+            path = f[7:] if f.startswith("file:") and f[5:7] == "//" else f
+            path = path[5:] if path.startswith("file:") else path
+            try:
+                sizes.append(os.path.getsize(path))
+            except OSError:
+                sizes = []
+                break
+        if not sizes:
+            raise ValueError(
+                "repartition_for_media needs approx_total_rows when the "
+                "input is not a statable file scan (counting a blob table "
+                "to size partitions would scan it twice)"
+            )
+        approx_total_rows = max(1, sum(sizes) // max(1, approx_row_bytes))
+    n = max(1, approx_total_rows // rows_per_part)
     return df.repartition(n)

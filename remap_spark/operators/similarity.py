@@ -89,11 +89,17 @@ def lsh_bucket_signatures(
     id_col: str = "vec_id",
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH: bucket = n_planes-bit sign
     pattern of the vector against fixed hyperplanes. Collision
-    probability = (1 - θ/π)^n_planes."""
-    dim = len(df.select(vec_col).first()[0])
+    probability = (1 - θ/π)^n_planes.
+
+    Pass ``dim`` explicitly on large inputs — leaving it None falls
+    back to sniffing the first row, which launches a Spark job per
+    call."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = None
     for i, p in enumerate(planes):
@@ -116,17 +122,18 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's LSH
     bucket. Recall < 1 by construction; raise recall with multi-probe
     (fewer planes) or multiple tables (different seeds) — at 100 TB
     this turns a full-corpus scan per query into a bucket lookup."""
     qb = F.broadcast(
-        lsh_bucket_signatures(queries, vec_col, id_col, n_planes, seed)
+        lsh_bucket_signatures(queries, vec_col, id_col, n_planes, seed, dim)
         .withColumnRenamed("vec_id", "query_id")
         .withColumnRenamed("vec", "qv")
     )
-    cb = lsh_bucket_signatures(candidates, vec_col, id_col, n_planes, seed)
+    cb = lsh_bucket_signatures(candidates, vec_col, id_col, n_planes, seed, dim)
     scored = (
         qb.join(cb, "bucket")
         .where(F.col("query_id") != F.col("vec_id"))
@@ -214,55 +221,122 @@ def ivf_topk(
     )
 
 
+_PAIR_SCHEMA = "vec_a bigint, vec_b bigint, cosine double"
+
+
+def _gemm_pairs(a_ids, a_mat, b_ids, b_mat, threshold: float, same: bool):
+    """Dense cosine GEMM between two id/matrix sides; emits each
+    qualifying unordered pair once as (min_id, max_id, cosine)."""
+    import numpy as np
+    import pandas as pd
+
+    a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+    b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+    sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+    mask = sims >= threshold
+    if same:
+        mask &= a_ids[:, None] < b_ids[None, :]
+    else:
+        mask &= a_ids[:, None] != b_ids[None, :]
+    ai, bj = np.nonzero(mask)
+    lo = np.minimum(a_ids[ai], b_ids[bj])
+    hi = np.maximum(a_ids[ai], b_ids[bj])
+    return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": sims[ai, bj]})
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold — exact, via a vectorized
-    block-nested-loop: one side is broadcast as a dense numpy matrix,
-    each partition of the other side runs a single BLAS GEMM against
-    it. ~100x faster than a pair-per-row Catalyst fold (which builds
-    12.5M expression evaluations for 5k vectors).
+    """All pairs with cosine >= threshold — EXACT, fully distributed.
 
-    Scale: work is O(n²) flops but embarrassingly parallel — each
-    partition computes rows_in_partition × N sims independently; no
-    shuffle at all until the caller aggregates. The broadcast side
-    must fit in executor memory (64-dim float64 -> ~0.5 GB per 1M
-    vectors); beyond that, pre-bucket with lsh_bucket_signatures and
-    run this within buckets."""
-    rows = df.select(id_col, vec_col).collect()
+    Block-pair decomposition: vectors hash into ``n_blocks`` blocks by
+    id; every unordered block pair (i <= j) becomes one group that runs
+    a single dense numpy GEMM over its two sides. Each vector is
+    replicated ``n_blocks`` times (one copy per partner block), so the
+    cluster sees O(n·B) rows shuffled and O(n²) flops spread over
+    B·(B+1)/2 independent tasks — nothing is ever collected to the
+    driver, and no single task holds more than ~2n/B vectors. Grow
+    ``n_blocks`` with the corpus so a block side stays executor-sized
+    (64-dim float64 → ~0.5 GB per million vectors per side).
+
+    Exactness: a pair lands in exactly one group — (block_a, block_b)
+    sorted — so no dedup pass is needed and the output matches the
+    naive all-pairs join row for row. The O(n²) flops are inherent to
+    the exact tier; for the approximate/cheap tier over billions of
+    docs use ``embedding_near_dup_pairs_lsh``."""
     import numpy as np
 
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    partners = F.explode(F.array(*[F.lit(p) for p in range(n_blocks)])).alias("p")
+    exploded = (
+        df.select(F.col(id_col), F.col(vec_col), block.alias("block"))
+        .select(id_col, vec_col, "block", partners)
+        .select(
+            F.least("block", "p").alias("bi"),
+            F.greatest("block", "p").alias("bj"),
+            "block",
+            F.col(id_col),
+            F.col(vec_col),
+        )
+        # each vector yields exactly one row per partner block: p == block
+        # lands it once in the diagonal group (i,i); p != block lands it
+        # once in the off-diagonal (min,max) group — no dedup needed
+    )
 
-    def block(batches):
+    def gemm_group(pdf):
         import pandas as pd
 
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = (a_mat @ all_mat.T) / np.outer(a_norms, all_norms)
-            ai, bj = np.nonzero((sims >= threshold) & (a_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": all_ids[bj],
-                    "cosine": sims[ai, bj],
-                }
-            )
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        same = bi == bj
+        a = pdf[pdf["block"] == bi]
+        a_ids = a[id_col].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(a[vec_col]), dtype=np.float64)
+        if same:
+            if len(a) < 2:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+            return _gemm_pairs(a_ids, a_mat, a_ids, a_mat, threshold, same=True)
+        b = pdf[pdf["block"] == bj]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        b_ids = b[id_col].to_numpy(dtype=np.int64)
+        b_mat = np.array(list(b[vec_col]), dtype=np.float64)
+        return _gemm_pairs(a_ids, a_mat, b_ids, b_mat, threshold, same=False)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        block, schema="vec_a bigint, vec_b bigint, cosine double"
-    )
+    return exploded.groupBy("bi", "bj").applyInPandas(gemm_group, schema=_PAIR_SCHEMA)
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate near-dup pairs: candidates only from the same
+    random-hyperplane bucket, dense GEMM within each bucket — the
+    100 TB tier. Recall for a pair at angle θ is (1 - θ/π)^n_planes,
+    so this fits HIGH thresholds (true near-dups, cosine ≳ 0.8);
+    a 0.4-threshold sweep belongs to the exact block-pair tier.
+    Each pair appears in at most one bucket (full-signature equality),
+    so output needs no dedup and is a deterministic subset of the
+    exact result."""
+    import numpy as np
+
+    bucketed = lsh_bucket_signatures(df, vec_col, id_col, n_planes, seed, dim)
+
+    def gemm_bucket(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["vec"]), dtype=np.float64)
+        return _gemm_pairs(ids, mat, ids, mat, threshold, same=True)
+
+    return bucketed.groupBy("bucket").applyInPandas(gemm_bucket, schema=_PAIR_SCHEMA)

@@ -29,8 +29,13 @@ def _count_in(words: Column, vocab: list[str]) -> Column:
 
 def _parallel(df: DataFrame) -> DataFrame:
     """Small parquet files arrive as ONE split; expression-heavy
-    per-row work needs a repartition to use the cluster."""
+    per-row work needs a repartition to use the cluster. Conditional:
+    an input that already has enough splits (the 100 TB case) passes
+    through untouched — the round-robin shuffle would be pure waste.
+    getNumPartitions is planning metadata, not a job."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 

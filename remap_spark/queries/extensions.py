@@ -317,7 +317,7 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall loss vs brute force is deterministic and hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    topk = sim.cosine_topk_lsh(queries, emb, k=10, n_planes=8, seed=42)
+    topk = sim.cosine_topk_lsh(queries, emb, k=10, n_planes=8, seed=42, dim=64)
     return topk.select(
         "query_id",
         F.col("rank").cast("bigint").alias("rank"),

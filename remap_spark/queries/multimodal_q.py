@@ -70,8 +70,10 @@ def ext_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mm_image_oracle() -> str:
     # h = md5-derived int in [0, 251); feat_i = ((h + i*37) % 256) / 255
+    # integer literals must be BIGINT or DuckDB emits int32 and the
+    # driver's typed hash diverges from Spark's bigint (dq15_json lesson)
     per_idx = " UNION ALL ".join(
-        f"SELECT media_id, width, height, {i} AS feat_idx, "
+        f"SELECT media_id, width, height, CAST({i} AS BIGINT) AS feat_idx, "
         f"ROUND(((h + {i * 37}) % 256) / 255.0, 5) AS feat FROM hashed"
         for i in range(8)
     )
@@ -81,7 +83,7 @@ def _mm_image_oracle() -> str:
       FROM documents
     ),
     hashed AS (
-      SELECT media_id, 4 AS width, 4 AS height,
+      SELECT media_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
              CAST('0x' || substr(md5(payload), 1, 8) AS BIGINT) % 251 AS h
       FROM p
     )
@@ -113,7 +115,7 @@ def ext_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mm_audio_oracle() -> str:
     # n = byte length; feat_i = ((h*31 + i*17) % 128) / 128
     per_idx = " UNION ALL ".join(
-        f"SELECT media_id, n_samples, {i} AS feat_idx, "
+        f"SELECT media_id, n_samples, CAST({i} AS BIGINT) AS feat_idx, "
         f"ROUND(((h * 31 + {i * 17}) % 128) / 128.0, 5) AS feat FROM hashed"
         for i in range(8)
     )

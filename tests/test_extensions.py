@@ -361,3 +361,47 @@ def test_connected_components_chain_and_islands(spark):
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_embedding_near_dup_block_pair_exact(spark):
+    """The distributed block-pair GEMM must reproduce the naive
+    all-pairs answer exactly, for any block count (pairs land in
+    exactly one block-pair group)."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = {
+        (r["vec_a"], r["vec_b"], round(r["cosine"], 9))
+        for r in embedding_near_dup_pairs(emb, 0.4, n_blocks=1).collect()
+    }
+    assert base, "fixture should contain near-dup embedding pairs"
+    for n_blocks in (3, 8):
+        got = {
+            (r["vec_a"], r["vec_b"], round(r["cosine"], 9))
+            for r in embedding_near_dup_pairs(emb, 0.4, n_blocks=n_blocks).collect()
+        }
+        assert got == base, f"n_blocks={n_blocks} diverged from all-pairs"
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    """Single-table LSH near-dup output is a deterministic subset of
+    the exact tier (same-bucket filter only ever drops pairs)."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(emb, 0.4).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs_lsh(
+            emb, 0.4, n_planes=2, seed=7, dim=64
+        ).collect()
+    }
+    assert lsh <= exact

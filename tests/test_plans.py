@@ -129,3 +129,38 @@ def test_dq38_sql_api_pushdown(spark):
     assert not r["cartesian"]
     # BUILDING filter must appear as a pushed filter, not a post-scan one
     assert "BUILDING" in r["plan"]
+
+
+def test_no_unbounded_driver_actions_in_operator_sources():
+    """Operators must stay distributed: no collect()/toPandas() on a
+    data path, and first()/count() only where the algorithm is an
+    iterative fixpoint (Pregel halt voting) or an explicit opt-in
+    fallback (dim sniff when the caller withholds dim, shingle DF
+    when max_doc_freq is enabled). Round-1 verdict items #2/#4/#5."""
+    import io
+    import pathlib
+    import tokenize
+
+    import remap_spark.operators as ops
+
+    root = pathlib.Path(ops.__file__).parent
+    allowed = {
+        "pregel.py": {".first()"},  # superstep halt vote — inherent
+        "similarity.py": {".first()"},  # dim=None fallback only
+        "dedup.py": {".count()"},  # max_doc_freq opt-in document-frequency pass
+    }
+    for src in sorted(root.glob("*.py")):
+        toks = tokenize.generate_tokens(io.StringIO(src.read_text()).readline)
+        # docstrings/comments may legitimately *mention* collect(); and a
+        # string argument must keep the call non-empty (F.count("*") is a
+        # Catalyst aggregate, not the df.count() driver action)
+        code = " ".join(
+            "'s'" if t.type == tokenize.STRING else t.string
+            for t in toks
+            if t.type != tokenize.COMMENT
+        ).replace(" ", "")
+        for action in (".collect()", ".toPandas()", ".first()", ".count()"):
+            if action in code:
+                assert action in allowed.get(src.name, set()), (
+                    f"{src.name} uses {action} on an operator data path"
+                )
