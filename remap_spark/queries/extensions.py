@@ -80,8 +80,13 @@ _DEDUP_EXACT_SQL = """
 
 
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_doc_freq drops grams in >5% of docs BEFORE the self-join —
+    the stop-gram guard that keeps the inverted index from going
+    quadratic on a hot shingle at 100 TB (a gram in k docs produces
+    k² join rows). The oracle replicates the same doc-frequency
+    filter, so the answer stays hash-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=0.05)
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 5).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
@@ -89,10 +94,17 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_NGRAM_SQL = f"""
     WITH {_GRAMS},
-    sizes AS (SELECT doc, COUNT(*) AS n_grams FROM shingles GROUP BY doc),
+    kept AS (
+      SELECT doc, gram FROM shingles
+      WHERE gram NOT IN (
+        SELECT gram FROM shingles GROUP BY gram
+        HAVING COUNT(*) > 0.05 * (SELECT COUNT(*) FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_grams FROM kept GROUP BY doc),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-      FROM shingles a JOIN shingles b ON a.gram = b.gram AND a.doc < b.doc
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc < b.doc
       GROUP BY a.doc, b.doc
     )
     SELECT doc_a, doc_b,
