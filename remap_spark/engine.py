@@ -176,9 +176,21 @@ class Engine:
         return load_tables(self.spark, self.sf_dir)
 
     def sql(self, query: str) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        missing = []
         for t in TABLES:
             try:
                 self.table(t).createOrReplaceTempView(t)
-            except Exception:  # table parquet absent in this sf_dir
-                pass
+            except AnalysisException as ex:
+                # a single absent table parquet is legal (partial sf_dir);
+                # anything else — and an sf_dir with NO tables at all —
+                # must fail here, not as "table not found" mid-query
+                if "PATH_NOT_FOUND" not in str(ex):
+                    raise
+                missing.append(t)
+        if len(missing) == len(TABLES):
+            raise FileNotFoundError(
+                f"no fixture tables under {self.sf_dir!r} (is the path right?)"
+            )
         return self.spark.sql(query)

@@ -76,7 +76,24 @@ def replicate_salt_join(
     small side ``buckets``x, join on (keys + salt). Shuffle volume for
     the small side grows ``buckets``x; the big side's hot keys spread
     over ``buckets`` tasks. Prefer F.broadcast when the small side
-    fits; prefer AQE skew-split when skew is only occasional."""
+    fits; prefer AQE skew-split when skew is only occasional.
+
+    Only join types where the SMALL side never surfaces unmatched rows
+    are supported: an unmatched small-side row exists ``buckets`` times
+    after the explode, so right/full outer would emit ``buckets``
+    null-extended copies of it instead of one."""
+    supported = {
+        "inner", "cross",
+        "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+    if how.lower() not in supported:
+        raise ValueError(
+            f"replicate_salt_join does not support how={how!r}: the "
+            "replicated small side would duplicate unmatched rows "
+            f"{buckets}x under a right/full outer join"
+        )
     on = list(on)
     if salt_from is None:
         # salt must vary WITHIN a join key (salting by the key itself

@@ -247,14 +247,21 @@ _ANN_TOPK_SQL = f"""
 def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = tx.text_stats(docs)
-    return out.select(
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        "avg_token_len",
-        "punct_ratio",
-        "stopword_ratio",
-    ).orderBy("doc_id")
+    # n_tokens > 0 mirrors the oracle's inner join to per_doc, which
+    # drops token-less docs; without it Spark would emit a null-ratio
+    # row for an empty/punctuation-only document and row-counts diverge
+    return (
+        out.where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "avg_token_len",
+            "punct_ratio",
+            "stopword_ratio",
+        )
+        .orderBy("doc_id")
+    )
 
 
 _TEXT_STATS_SQL = f"""

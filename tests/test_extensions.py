@@ -166,6 +166,35 @@ def test_replicate_salt_join_matches_plain(spark):
     assert plain == salted and len(plain) > 0
 
 
+def test_replicate_salt_join_rejects_right_outer(spark):
+    """Replicated small side would emit buckets copies of each unmatched
+    small-side row under right/full outer — must refuse, not corrupt."""
+    import pytest
+
+    from remap_spark.operators.skew import replicate_salt_join
+
+    big = spark.createDataFrame([(1, 1)], "k int, v int")
+    small = spark.createDataFrame([(1, "a"), (9, "z")], "k int, w string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="replicate_salt_join"):
+            replicate_salt_join(big, small, ["k"], how=how)
+    # left stays supported: unmatched BIG rows are not replicated
+    rows = replicate_salt_join(big, small, ["k"], how="left").collect()
+    assert len(rows) == 1
+
+
+def test_engine_sql_fails_fast_on_bad_sf_dir(spark):
+    """A typo'd sf_dir must raise at view-registration time, not
+    surface later as TABLE_OR_VIEW_NOT_FOUND mid-query."""
+    import pytest
+
+    from remap_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf-does-not-exist")
+    with pytest.raises(FileNotFoundError, match="no fixture tables"):
+        eng.sql("SELECT 1")
+
+
 def test_ivf_topk_recall(spark):
     """IVF-flat ANN: every reported neighbor must be a true cosine
     neighbor (exact top-50 subset), recall >= 0.5 with 2/8 probes."""
