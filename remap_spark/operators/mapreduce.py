@@ -165,8 +165,30 @@ class MapReduceJob:
     ) -> DataFrame:
         """The reference's standalone mapper job (type='mapper'):
         returns the partitioned intermediate relation, sorted within
-        partitions like the spill files (remap.py:132-147)."""
+        partitions like the spill files (remap.py:132-147).
+
+        ``customkey`` parity: the reference sorts each spill file's KEYS
+        by ``customkey(k2)`` instead of lexicographically
+        (``sorted(self.mem, key=self.customkey)``, remap.py:133-135;
+        exercised by examples/secondarysort/secondarysort.py:8-9 where
+        k2 is the whole record and customkey=itemgetter(3) orders by a
+        value field). Here ``sort_key`` applied to the ``k2`` string
+        drives the within-partition order. The derived sort column is an
+        Arrow-batched pandas UDF — this class is already the arbitrary-
+        Python escape hatch, and the sort column never leaves the
+        within-partition sort (dropped before return, no shuffle)."""
         mapped = self._mapped(df, key_col, value_col)
-        return mapped.repartition(F.col("partition")).sortWithinPartitions(
-            "partition", "k2"
+        part = mapped.repartition(F.col("partition"))
+        if self.sort_key is None:
+            return part.sortWithinPartitions("partition", "k2")
+        sort_key = self.sort_key
+
+        @F.pandas_udf("string")
+        def _spill_key(s):  # pragma: no cover - executed on workers
+            return s.map(lambda k: str(sort_key(k)))
+
+        return (
+            part.withColumn("_sk", _spill_key(F.col("k2")))
+            .sortWithinPartitions("partition", "_sk")
+            .drop("_sk")
         )

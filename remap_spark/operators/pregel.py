@@ -44,7 +44,17 @@ class Pregel:
     msg : Column expression over the vertex⋈edge row (vertex state
         columns + ``src``/``dst``) producing the message value sent
         along each edge — the reference's ``send_fn`` payload
-        (pagerank.py:40-42).
+        (pagerank.py:40-42). Ignored when ``messages`` is given.
+    messages : optional callable (vertices, superstep) ->
+        DataFrame[dst, msg] — the FULL reference messaging contract:
+        ``compute`` may ``forward`` to ANY vertex id, not only static
+        out-edges (module_vertex.py:94-96 ``forward``/``subscribe``;
+        the C relay routes purely by id prefix, vertexbroker/src/main.c:
+        67-87). Relationally that is "the message set is any DataFrame
+        derivable from current vertex state": a self-join for pointer
+        jumping, a constant relation for broadcast-to-root, the
+        edge-join as the special case. When given, ``edges``/``msg``
+        are unused.
     agg : callable Column -> Column combining the inbox, e.g. F.sum /
         F.max — replaces the per-vertex ``messages`` list iteration
         (pagerank.py:32-34).
@@ -60,16 +70,20 @@ class Pregel:
     def __init__(
         self,
         vertices: DataFrame,
-        edges: DataFrame,
-        msg: Column,
-        agg: Callable[[Column], Column],
-        update: Callable[[DataFrame, Column, int], list[Column]],
+        edges: DataFrame | None = None,
+        msg: Column | None = None,
+        agg: Callable[[Column], Column] = F.min,
+        update: Callable[[DataFrame, Column, int], list[Column]] | None = None,
         vote_halt: Column | None = None,
         max_supersteps: int = 30,
         checkpoint_interval: int = 5,
         num_partitions: int | None = None,
+        messages: Callable[[DataFrame, int], DataFrame] | None = None,
     ):
+        if messages is None and (edges is None or msg is None):
+            raise ValueError("Pregel needs either (edges, msg) or a messages builder")
         self.msg = msg
+        self.messages = messages
         self.agg = agg
         self.update = update
         self.vote_halt = vote_halt
@@ -80,7 +94,11 @@ class Pregel:
         self.n = n
         # co-partition once; every superstep's join then lines up
         self.vertices = vertices.repartition(n, "id")
-        self.edges = edges.repartition(n, "src").localCheckpoint(eager=True)
+        self.edges = (
+            edges.repartition(n, "src").localCheckpoint(eager=True)
+            if edges is not None
+            else None
+        )
 
     def run(self) -> DataFrame:
         vertices = self.vertices.localCheckpoint(eager=True)
@@ -96,10 +114,16 @@ class Pregel:
             # references become ambiguous; names stay unique because
             # vertex state and edge columns are disjoint by contract
             # (id/state vs src/dst).
+            if self.messages is not None:
+                outbox = self.messages(vertices, step).select(
+                    F.col("dst").alias("_dst"), F.col("msg").alias("_msg")
+                )
+            else:
+                outbox = vertices.join(
+                    self.edges, F.col("id") == F.col("src")
+                ).select(F.col("dst").alias("_dst"), self.msg.alias("_msg"))
             inbox = (
-                vertices.join(self.edges, F.col("id") == F.col("src"))
-                .select(F.col("dst").alias("_dst"), self.msg.alias("_msg"))
-                .repartition(self.n, "_dst")
+                outbox.repartition(self.n, "_dst")
                 .groupBy("_dst")
                 .agg(self.agg(F.col("_msg")).alias("_inbox"))
             )
@@ -275,3 +299,46 @@ def connected_components(
     )
     out = _flood_fixpoint(vertices, sym, F.min, F.least, num_partitions)
     return out.select("id", F.col("value").alias("component"))
+
+
+def pointer_jump(
+    vertices: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Pointer jumping (path doubling): every vertex chases its parent
+    pointer to the root of its tree in O(log depth) supersteps —
+    ``ptr' = ptr.ptr`` each round.
+
+    This is the canonical program the edge-bound messaging model CANNOT
+    express: the message destination is computed from vertex state (a
+    vertex must learn its GRANDparent, a non-neighbor). Under the
+    reference contract it is ``forward(my_id, parent_of(my_ptr))`` —
+    compute may send to any id (module_vertex.py:94-96). Relationally
+    the message set is a self-join of the vertex relation on ``ptr``:
+    one shuffle per round, and rounds shrink exponentially — the
+    O(log n) counterpart to flood-min's O(diameter) label propagation
+    (Kiveris et al.'s star operations are built from exactly this).
+
+    vertices: (id, ptr) where ptr points at another vertex id and roots
+    point at themselves. Returns (id, root).
+    """
+
+    def messages(v: DataFrame, step: int) -> DataFrame:
+        child = v.select(F.col("id").alias("dst"), F.col("ptr").alias("_p"))
+        parent = v.select(F.col("id").alias("_pid"), F.col("ptr").alias("msg"))
+        return child.join(parent, F.col("_p") == F.col("_pid")).select("dst", "msg")
+
+    def update(v: DataFrame, inbox: Column, step: int) -> list[Column]:
+        return [F.col("id"), F.coalesce(inbox, F.col("ptr")).alias("ptr")]
+
+    p = Pregel(
+        vertices=vertices.select("id", "ptr"),
+        messages=messages,
+        agg=F.min,  # exactly one message per vertex; min is a no-op pick
+        update=update,
+        # halt when the grandparent equals the current parent (a root's
+        # fixpoint); a dangling ptr gets no message and halts too
+        vote_halt=F.coalesce(F.col("_inbox") == F.col("ptr"), F.lit(True)),
+        max_supersteps=64,
+        num_partitions=num_partitions,
+    )
+    return p.run().select("id", F.col("ptr").alias("root"))

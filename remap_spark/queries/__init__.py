@@ -12,7 +12,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import relational
-from .graphs import GRAPH_ORACLES, dq16_flood_max, dq17_pagerank
+from .graphs import (
+    GRAPH_ORACLES,
+    dq16_flood_max,
+    dq17_pagerank,
+    dq40_pointer_jump,
+)
 from .oracles import DQ_ORACLES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -38,6 +43,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq15_year": relational.dq15_year,
     "dq16_flood_max": dq16_flood_max,
     "dq17_pagerank": dq17_pagerank,
+    "dq40_pointer_jump": dq40_pointer_jump,
     "dq18_grouped_udf": relational.dq18_grouped_udf,
     "dq19_buckets": relational.dq19_buckets,
     "dq20_range_join": relational.dq20_range_join,

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.pregel import flood_max, pagerank
+from ..operators.pregel import flood_max, pagerank, pointer_jump
 
 # graph1.txt + graph2.txt adjacency (pagerank input, 10 vertices)
 PAGERANK_ADJ: dict[str, list[str]] = {
@@ -68,6 +68,28 @@ def dq17_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vertex_id")
 
 
+# Pointer-jumping forest: a depth-12 chain rooted at 12, a 5-leaf star
+# rooted at 20, and an isolated self-root 30 — deep enough that the
+# O(log depth) doubling takes 4 supersteps (vs 12 for naive chasing),
+# exercising the arbitrary-destination messaging contract
+# (module_vertex.py:94-96 ``forward`` to any id).
+PTR_FOREST: list[tuple[int, int]] = (
+    [(i, i + 1) for i in range(12)]  # chain 0->1->...->12
+    + [(12, 12)]
+    + [(i, 20) for i in range(15, 20)]  # star leaves 15..19 -> 20
+    + [(20, 20), (30, 30)]
+)
+
+
+def dq40_pointer_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verts = spark.createDataFrame(PTR_FOREST, "id bigint, ptr bigint")
+    return (
+        pointer_jump(verts, num_partitions=2)
+        .select(F.col("id").alias("vertex_id"), F.col("root").alias("root_id"))
+        .orderBy("vertex_id")
+    )
+
+
 def _values_sql(rows: list[tuple]) -> str:
     return ", ".join(
         "(" + ", ".join(repr(x) for x in r) + ")" for r in rows
@@ -115,5 +137,24 @@ GRAPH_ORACLES: dict[str, str] = {
         )
         SELECT id AS vertex_id, ROUND(rank, 5) AS rank
         FROM pr WHERE iter = 30 ORDER BY vertex_id
+    """,
+    # chase every vertex's ptr chain to its self-pointing root; each
+    # path visits the root exactly once, so the WHERE yields one row
+    # per vertex
+    "dq40_pointer_jump": f"""
+        WITH RECURSIVE
+        v(id, ptr) AS (VALUES {_values_sql(PTR_FOREST)}),
+        chase(id, cur) AS (
+            SELECT id, id FROM v
+            UNION ALL
+            SELECT c.id, vv.ptr FROM chase c
+            JOIN v vv ON vv.id = c.cur
+            WHERE vv.ptr <> c.cur
+        )
+        SELECT CAST(c.id AS BIGINT) AS vertex_id,
+               CAST(c.cur AS BIGINT) AS root_id
+        FROM chase c JOIN v ON v.id = c.cur
+        WHERE v.ptr = c.cur
+        ORDER BY vertex_id
     """,
 }

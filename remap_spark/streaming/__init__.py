@@ -1,3 +1,4 @@
+from .dedup import dedup_events
 from .joins import stream_static_enrich, stream_stream_interval_join
 from .stateful import running_user_stats
 from .windows import (
@@ -17,4 +18,5 @@ __all__ = [
     "running_user_stats",
     "stream_static_enrich",
     "stream_stream_interval_join",
+    "dedup_events",
 ]

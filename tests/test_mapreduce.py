@@ -164,3 +164,40 @@ def test_spark4_udtf_surface(spark):
 
     rows = Tokenize(lit("a bb ccc")).collect()
     assert [(r["word"], r["n"]) for r in rows] == [("a", 1), ("bb", 2), ("ccc", 3)]
+
+
+def test_map_only_customkey_spill_order(spark):
+    """remap.py:133-135 parity: the standalone mapper job sorts each
+    spill partition's KEYS by customkey, not lexicographically —
+    secondarysort.py:8-9 semantics where k2 is the whole CSV record and
+    customkey=itemgetter(3) orders by a value field."""
+    from remap_spark.operators.mapreduce import MapReduceJob
+
+    rows = [
+        ("f", f"r{i:02d},x,c{i % 3},{(i * 37) % 100:02d}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "key string, value string")
+
+    def m(key, value):
+        yield value.split(",")[2], value, ""
+
+    job = MapReduceJob(map=m, sort_key=lambda k: k.split(",")[3])
+    out = (
+        job.run_map_only(df)
+        .withColumn("pid", F.spark_partition_id())
+        .collect()
+    )
+    by_pid = {}
+    for r in out:
+        by_pid.setdefault(r["pid"], []).append(r)
+    assert sum(len(v) for v in by_pid.values()) == 40
+    saw_nonlex = False
+    for prows in by_pid.values():
+        order = [(r["partition"], r["k2"].split(",")[3]) for r in prows]
+        assert order == sorted(order), "spill order must follow customkey"
+        lex = [(r["partition"], r["k2"]) for r in prows]
+        if lex != sorted(lex):
+            saw_nonlex = True
+    # the fixture makes customkey order differ from lexicographic k2
+    # order, so the assertion above is not vacuous
+    assert saw_nonlex

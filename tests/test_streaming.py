@@ -281,3 +281,43 @@ def test_stream_stream_interval_join_subset_of_batch(spark, events_stream_dir):
     expected = {(r["uid"], r["l_id"], r["r_id"]) for r in batch.collect()}
     assert got <= expected
     assert len(got) > 0.5 * len(expected)
+
+
+def test_streaming_dedup_equals_batch(spark, events_stream_dir):
+    """dropDuplicatesWithinWatermark wrapper: the streamed dedup emits
+    exactly the batch distinct key set (ext_dedup_exact semantics) when
+    the delay exceeds the fixture's time span (no state eviction)."""
+    from remap_spark.engine import load_table
+    from remap_spark.streaming import (
+        dedup_events,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    keys = ["user_id", "event_type"]
+    stream = read_events_stream(spark, events_stream_dir, schema=_schema(spark))
+    q = run_stream_to_memory(
+        dedup_events(
+            stream.select("user_id", "event_type", "ts"),
+            keys,
+            delay="3650 days",
+        ),
+        "dedup_stream_test",
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT user_id, event_type FROM dedup_stream_test"
+        ).collect()
+    finally:
+        q.stop()
+    got = {(r["user_id"], r["event_type"]) for r in emitted}
+
+    batch = dedup_events(
+        load_table(spark, SF_DIR, "events").select("user_id", "event_type", "ts"),
+        keys,
+    )
+    expected = {(r["user_id"], r["event_type"]) for r in batch.collect()}
+    assert got == expected
+    # delay >> fixture span: state never evicted, one row per key
+    assert len(emitted) == len(expected)
