@@ -285,10 +285,8 @@ def connected_components(
     Scale: label propagation costs one shuffle per round and converges
     in O(component diameter) rounds. Dedup-cluster graphs have tiny
     diameters (near-clique blobs), making this the right trade; for
-    adversarial long-path graphs prefer the O(log n)-round
-    large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") — not needed for the dedup
-    path."""
+    adversarial long-path graphs use ``connected_components_star``
+    (O(log n) rounds)."""
     sym = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
@@ -342,3 +340,93 @@ def pointer_jump(
         num_partitions=num_partitions,
     )
     return p.run().select("id", F.col("ptr").alias("root"))
+
+
+def _neighbor_min(e: DataFrame) -> DataFrame:
+    """(u, m) where m = min over {u} ∪ N(u) given directed edges (u, v)."""
+    return e.groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).alias("m")
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    operations (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SOCC'14, Algorithm 2 "Two-Phase") — O(log n) rounds
+    regardless of graph diameter, vs label propagation's O(diameter).
+
+    large-star(u): every neighbor v > u re-points at m = min({u}∪N(u));
+    small-star(u): every neighbor v ≤ u (and u itself) points at the
+    min over the small neighborhood. Each operation is one groupBy +
+    one join; the edge set monotonically flattens into stars whose
+    centers are component minima. This is the scale path for
+    adversarial long-chain candidate graphs where flood-min would need
+    diameter rounds (a 10^6-long chain: ~20 rounds here vs 10^6).
+
+    Returns (id, component), component = min vertex id, one row per
+    distinct vertex in ``edges``. Equivalent to ``connected_components``
+    on every input; preferred when component diameters are unbounded.
+    """
+    spark = edges.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .repartition(n, "id")
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(n, "u")
+        .localCheckpoint(eager=True)
+    )
+    for _round in range(max_rounds):
+        # -- large-star: symmetrize, larger neighbors adopt the min
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = _neighbor_min(sym)
+        e = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: orient u >= v, small neighborhood collapses
+        dirn = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smin = _neighbor_min(dirn)
+        e = (
+            dirn.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .repartition(n, "u")
+            .localCheckpoint(eager=True)
+        )
+        # converged when every edge already points at its neighborhood
+        # min: one more large-star pass would change nothing, i.e. the
+        # graph is a set of stars (paper's convergence criterion)
+        sym2 = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        non_star = (
+            sym2.join(_neighbor_min(sym2), "u")
+            .where((F.col("v") > F.col("u")) & (F.col("v") != F.col("m")))
+            .first()
+        )
+        if non_star is None:
+            break
+    comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    # star centers and isolated vertices map to themselves
+    return verts.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )

@@ -434,3 +434,36 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
         ).collect()
     }
     assert lsh <= exact
+
+
+def test_connected_components_star_equals_flood_min(spark):
+    """Large-star/small-star (O(log n) rounds) must agree with label
+    propagation on an adversarial long chain — the graph shape where
+    flood-min needs diameter rounds — plus islands and a clique."""
+    import random
+
+    from remap_spark.operators.pregel import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    ids = list(range(1000, 1200))
+    rng.shuffle(ids)  # permuted ids: chain order != id order
+    chain = list(zip(ids[:150], ids[1:150]))
+    clique = [(a, b) for a in ids[150:160] for b in ids[150:160] if a < b]
+    islands = [(ids[160], ids[161]), (ids[162], ids[163])]
+    edges = spark.createDataFrame(
+        chain + clique + islands, "src bigint, dst bigint"
+    )
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_star(edges, num_partitions=4).collect()
+    }
+    flood = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, num_partitions=4).collect()
+    }
+    assert star == flood
+    # every chain vertex converged to the chain's global min id
+    assert star[ids[0]] == min(ids[:150])
