@@ -107,3 +107,43 @@ def test_portable_hash_matches_duckdb(spark, s):
     ).fetchone()
     con.close()
     assert (row["h32"], row["h60"]) == (d32, d60)
+
+
+def test_format_string_and_uuid(spark):
+    """SURVEY §2.9 pass-through rows: F.format_string reproduces the
+    reference's %f/%d output formatting (pagerank.py:41, highest.py:41)
+    and F.uuid() yields distinct well-formed v4 ids per row."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 0.15), (2, 0.85)], "k int, v double")
+    rows = df.select(
+        F.format_string("%d,%f", "k", "v").alias("line"), F.uuid().alias("u")
+    ).collect()
+    assert [r["line"] for r in rows] == ["1,0.150000", "2,0.850000"]
+    uuids = {r["u"] for r in rows}
+    assert len(uuids) == 2
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    assert all(pat.match(u) for u in uuids)
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """The documented 100 TB path for dq33 (approx_percentile, t-digest
+    one-pass mergeable sketch) must land within 1% of the exact
+    sort-based percentile on the fixture distribution."""
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    row = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
