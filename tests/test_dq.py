@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import assert_matches_oracle
+from conftest import SF_DIR, assert_matches_oracle
 
 
 def _query_names():
@@ -38,3 +38,15 @@ def test_entry_smoke(spark):
     assert df.count() >= 0
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs) or set(qs) <= set(os_)
+
+
+@pytest.mark.parametrize(
+    "name", ["dq10_anti", "dq11_except", "dq20_range_join"]
+)
+def test_formerly_vacuous_queries_return_rows(spark, name):
+    """Round-1 verdict #3: these capabilities must be proven on
+    non-empty results — a 0-row match is vacuous. Guards against a
+    future fixture or predicate change re-emptying them."""
+    from remap_spark.queries import ALL_QUERIES
+
+    assert ALL_QUERIES[name](spark, SF_DIR).count() > 0
