@@ -673,6 +673,68 @@ _SAMPLE_SQL = f"""
 """
 
 
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (operators/pack.py): lay each
+    source's documents end-to-end in doc_id order, cut the BPE-ish
+    token stream every 2048 tokens, and report the packing layout per
+    source — docs packed, sequences produced, boundary-spanning docs,
+    and the widest span. One window shuffle per shard; exact integer
+    arithmetic end-to-end, so the layout hash-matches DuckDB."""
+    from ..operators.pack import concat_chunk_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(BPE_TOKEN_RE), F.lit(0))
+    ).cast("bigint")
+    toks = docs.select("doc_id", "source", n_tok.alias("n_tok")).where(
+        F.col("n_tok") > 0
+    )
+    packed = concat_chunk_pack(
+        toks, "n_tok", "doc_id", seq_len=2048, shard_col="source"
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.max("last_seq") + F.lit(1)).alias("n_seqs"),
+            F.sum(
+                (F.col("first_seq") != F.col("last_seq")).cast("bigint")
+            ).alias("boundary_docs"),
+            F.max(F.col("last_seq") - F.col("first_seq") + F.lit(1)).alias(
+                "max_span"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_PACK_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tok
+        FROM documents
+    ), pos AS (
+        SELECT source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+        FROM toks WHERE n_tok > 0
+    ), seqs AS (
+        SELECT source,
+               (end_off - n_tok) // 2048 AS first_seq,
+               (end_off - 1) // 2048 AS last_seq
+        FROM pos
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(last_seq) + 1 AS BIGINT) AS n_seqs,
+           CAST(SUM(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END)
+                AS BIGINT) AS boundary_docs,
+           CAST(MAX(last_seq - first_seq + 1) AS BIGINT) AS max_span
+    FROM seqs GROUP BY source ORDER BY source
+"""
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -692,6 +754,7 @@ EXT_QUERIES = {
     "ext_sample_det": ext_sample_det,
     "ext_sample_stratified": ext_sample_stratified,
     "ext_dedup_components": ext_dedup_components,
+    "ext_pack_sequences": ext_pack_sequences,
 }
 
 EXT_ORACLES = {
@@ -713,4 +776,5 @@ EXT_ORACLES = {
     "ext_sample_det": _SAMPLE_SQL,
     "ext_sample_stratified": _STRAT_SQL,
     "ext_dedup_components": _components_oracle(),
+    "ext_pack_sequences": _PACK_SQL,
 }

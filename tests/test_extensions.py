@@ -467,3 +467,35 @@ def test_connected_components_star_equals_flood_min(spark):
     assert star == flood
     # every chain vertex converged to the chain's global min id
     assert star[ids[0]] == min(ids[:150])
+
+
+def test_concat_chunk_pack_boundary_semantics(spark):
+    """Exact packing offsets on a hand-computed layout: seq_len=10,
+    docs of 4/8/3/10 tokens -> spans [0,4) [4,12) [12,15) [15,25);
+    doc b spans seqs 0-1, doc d spans seqs 1-2."""
+    from remap_spark.operators.pack import concat_chunk_pack
+
+    df = spark.createDataFrame(
+        [("a", 4), ("b", 8), ("c", 3), ("d", 10)], "doc string, n int"
+    )
+    out = {
+        r["doc"]: (r["start_off"], r["end_off"], r["first_seq"], r["last_seq"])
+        for r in concat_chunk_pack(df, "n", "doc", seq_len=10).collect()
+    }
+    assert out == {
+        "a": (0, 4, 0, 0),
+        "b": (4, 12, 0, 1),
+        "c": (12, 15, 1, 1),
+        "d": (15, 25, 1, 2),
+    }
+    # sharded: each shard's stream restarts at offset 0
+    df2 = spark.createDataFrame(
+        [("s1", "a", 7), ("s2", "b", 7)], "shard string, doc string, n int"
+    )
+    out2 = {
+        r["doc"]: (r["start_off"], r["first_seq"])
+        for r in concat_chunk_pack(
+            df2, "n", "doc", seq_len=5, shard_col="shard"
+        ).collect()
+    }
+    assert out2 == {"a": (0, 0), "b": (0, 0)}
