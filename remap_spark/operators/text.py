@@ -147,3 +147,30 @@ def content_fingerprint(
         F.col(id_col).alias("doc_id"),
         portable_hash60(norm).alias("fingerprint"),
     )
+
+
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style intra-document repeated-line removal: keep the FIRST
+    occurrence of every exact line, preserving original line order
+    (Raffel et al. 2020 §2.2 deduplicate-three-sentence-spans, applied
+    at line granularity). Returns (id, text, n_kept).
+
+    Shape: posexplode -> min(pos) per (doc, line) -> re-assemble sorted
+    by pos. Two shuffles, both keyed by doc id (+line), so work stays
+    proportional to corpus size; the collect_list is per-document (a
+    document's own lines), never a global aggregation."""
+    ls = F.split(F.col(text_col), "\n")
+    lines = df.select(id_col, F.posexplode(ls).alias("pos", "line"))
+    firsts = lines.groupBy(id_col, "line").agg(F.min("pos").alias("pos"))
+    return firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.count("*").alias("n_kept"),
+    )

@@ -129,9 +129,10 @@ _TAIL_QUERIES = [
     "dq34_array_funcs",  # §2.9 row shared with dq35_regexp (in-window)
     "dq39_running_total",  # frame windows: dq37 stays in-window
     "ext_approx_distinct",  # no oracle by design — driver row is rows-only
-    # new this round, locally oracle-verified; rotates into the window
+    # new this round, locally oracle-verified; rotate into the window
     # next round once the currently-first-time-checked families are green
     "ext_pack_sequences",
+    "ext_text_line_dedup",
 ]
 
 

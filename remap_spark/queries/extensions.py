@@ -673,6 +673,59 @@ _SAMPLE_SQL = f"""
 """
 
 
+def ext_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal (operators/text.dedup_lines,
+    C4-style). The fixture corpus is single-line with no repetition, so
+    the query CONSTRUCTS duplicates deterministically — every doc_id
+    divisible by 3 gets its first 80 chars appended twice as extra
+    lines — and the oracle mirrors the construction; the dedup then
+    provably removes exactly one of the two injected copies (rows with
+    n_kept=2), making the capability check non-vacuous."""
+    from ..operators.text import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    head80 = F.substring("text", 1, 80)
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat("text", F.lit("\n"), head80, F.lit("\n"), head80),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = dedup_lines(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.md5("text").alias("fp"),
+    ).orderBy("doc_id")
+
+
+_LINE_DEDUP_SQL = """
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || chr(10) || substr(text, 1, 80)
+                              || chr(10) || substr(text, 1, 80)
+                    ELSE text END AS text
+        FROM documents
+    ), split AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug
+    ), lines AS (
+        SELECT doc_id, unnest(ls) AS line,
+               unnest(generate_series(1, len(ls))) AS pos
+        FROM split
+    ), firsts AS (
+        SELECT doc_id, line, MIN(pos) AS pos
+        FROM lines GROUP BY doc_id, line
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           md5(string_agg(line, chr(10) ORDER BY pos)) AS fp
+    FROM firsts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing (operators/pack.py): lay each
     source's documents end-to-end in doc_id order, cut the BPE-ish
@@ -755,6 +808,7 @@ EXT_QUERIES = {
     "ext_sample_stratified": ext_sample_stratified,
     "ext_dedup_components": ext_dedup_components,
     "ext_pack_sequences": ext_pack_sequences,
+    "ext_text_line_dedup": ext_text_line_dedup,
 }
 
 EXT_ORACLES = {
@@ -777,4 +831,5 @@ EXT_ORACLES = {
     "ext_sample_stratified": _STRAT_SQL,
     "ext_dedup_components": _components_oracle(),
     "ext_pack_sequences": _PACK_SQL,
+    "ext_text_line_dedup": _LINE_DEDUP_SQL,
 }

@@ -499,3 +499,18 @@ def test_concat_chunk_pack_boundary_semantics(spark):
         ).collect()
     }
     assert out2 == {"a": (0, 0), "b": (0, 0)}
+
+
+def test_dedup_lines_order_and_counts(spark):
+    """Repeated lines are removed keeping the FIRST occurrence, and
+    surviving line order is the original document order."""
+    from remap_spark.operators.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "b\na\nb\nc\na"), (2, "x"), (3, "\n\n")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: (r["text"], r["n_kept"]) for r in dedup_lines(df).collect()}
+    assert out[1] == ("b\na\nc", 3)
+    assert out[2] == ("x", 1)
+    assert out[3] == ("", 1)  # blank lines collapse to one empty line
