@@ -327,3 +327,32 @@ def simhash_pairs(
     return cand.select(
         "doc_a", "doc_b", dist.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination: for every corpus document, count the
+    distinct probe n-grams it contains (probes = benchmark/eval texts;
+    any hit means the document leaks evaluation data into training).
+    Returns (doc, n_hits) for documents with >= 1 hit.
+
+    Scale shape: benchmark suites are tiny relative to a 100 TB corpus,
+    so the probe shingle set is broadcast — the contamination join is
+    map-side (no shuffle of the corpus gram stream), and the final
+    groupBy(doc) reuses the id-hash partitioning _doc_shingles already
+    established, so the whole check adds ZERO extra exchanges beyond
+    shingling itself (verify with .explain: one Exchange total)."""
+    pg = _doc_shingles(probes, text_col, id_col, n, None).select("gram").distinct()
+    cg = _doc_shingles(corpus, text_col, id_col, n, None)
+    return (
+        cg.join(F.broadcast(pg), "gram")
+        # cg is already distinct per (doc, gram), so a plain count is a
+        # distinct-gram count without the count_distinct rewrite
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_hits"))
+    )

@@ -133,6 +133,7 @@ _TAIL_QUERIES = [
     # next round once the currently-first-time-checked families are green
     "ext_pack_sequences",
     "ext_text_line_dedup",
+    "ext_text_decontaminate",
 ]
 
 

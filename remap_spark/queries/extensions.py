@@ -673,6 +673,32 @@ _SAMPLE_SQL = f"""
 """
 
 
+def ext_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.contamination_hits):
+    docs with doc_id % 97 == 0 stand in for an eval suite; every other
+    document is scored by how many distinct eval 3-grams it contains.
+    The probe shingle set is broadcast, so the corpus-side check is
+    map-side — no shuffle beyond the shingling exchange itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    hits = dd.contamination_hits(corpus, bench, n=3)
+    return hits.select(
+        F.col("doc").alias("doc_id"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+    ).orderBy("doc_id")
+
+
+_DECONTAM_SQL = f"""
+    WITH {_GRAMS},
+    bench AS (SELECT DISTINCT gram FROM shingles WHERE doc % 97 = 0),
+    corp AS (SELECT doc, gram FROM shingles WHERE doc % 97 <> 0)
+    SELECT corp.doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM corp JOIN bench ON corp.gram = bench.gram
+    GROUP BY corp.doc ORDER BY doc_id
+"""
+
+
 def ext_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repeated-line removal (operators/text.dedup_lines,
     C4-style). The fixture corpus is single-line with no repetition, so
@@ -809,6 +835,7 @@ EXT_QUERIES = {
     "ext_dedup_components": ext_dedup_components,
     "ext_pack_sequences": ext_pack_sequences,
     "ext_text_line_dedup": ext_text_line_dedup,
+    "ext_text_decontaminate": ext_text_decontaminate,
 }
 
 EXT_ORACLES = {
@@ -832,4 +859,5 @@ EXT_ORACLES = {
     "ext_dedup_components": _components_oracle(),
     "ext_pack_sequences": _PACK_SQL,
     "ext_text_line_dedup": _LINE_DEDUP_SQL,
+    "ext_text_decontaminate": _DECONTAM_SQL,
 }

@@ -164,3 +164,12 @@ def test_no_unbounded_driver_actions_in_operator_sources():
                 assert action in allowed.get(src.name, set()), (
                     f"{src.name} uses {action} on an operator data path"
                 )
+
+
+def test_decontaminate_broadcasts_probe_grams(spark):
+    """The probe shingle set must broadcast into the contamination
+    join (map-side check; the corpus gram stream is never shuffled for
+    the join itself)."""
+    r = _report(spark, "ext_text_decontaminate")
+    assert r["broadcast_joins"] >= 1, r["plan"]
+    assert not r["cartesian"]
