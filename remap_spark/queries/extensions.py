@@ -587,7 +587,17 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
-    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    # The candidate-pair graph is a small fraction of the corpus; size
+    # the per-round shuffle to the corpus scan width (planning metadata,
+    # no job) instead of the global shuffle default — at sf0.1 that is a
+    # handful of tasks per round, at 100 TB it grows with the input.
+    n_parts = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        max(4, docs.rdd.getNumPartitions()),
+    )
+    cc = connected_components(
+        pairs, src="doc_a", dst="doc_b", num_partitions=n_parts
+    )
     return (
         cc.groupBy("component")
         .agg(F.count("*").alias("n_docs"))
