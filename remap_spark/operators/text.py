@@ -149,6 +149,108 @@ def content_fingerprint(
     )
 
 
+# PII patterns shared with the DuckDB oracle — both engines' regex
+# dialects (Java / RE2) interpret these identically: no backrefs, no
+# lookaround, ASCII word boundaries only.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for training corpora: count and mask emails, IPv4
+    addresses, and short phone numbers. Counts are taken on the ORIGINAL
+    text; masking is sequential email -> ip -> phone (the patterns are
+    disjoint on well-formed text, so order only matters for pathological
+    overlaps and is part of the contract). Returns
+    (id, text, n_email, n_ip, n_phone) — all codegen, zero shuffle."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        red.alias(text_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ip"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint").alias("n_phone"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 Table A1): the
+    distinct-token ratio and the mass of the single most frequent bigram
+    / the duplicate-bigram fraction. Docs with fewer than 2 tokens have
+    no bigrams and are dropped (documented contract; real corpora gate
+    on length first).
+
+    Shape: per-doc bigram counts need ONE shuffle keyed by
+    (doc, bigram), then a per-doc rollup keyed by doc — both partial-
+    aggregated map-side, so skew is bounded by a single document's
+    bigram vocabulary, never the corpus."""
+    words = tokenize(F.col(text_col))
+    n_tok = F.size(words)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(words)).cast("double") / n_tok, 5
+        ).alias("uniq_token_ratio"),
+        bigrams.alias("_bigrams"),
+    ).where(F.col("n_tokens") >= 2)
+    counts = base.select(
+        "doc_id", F.explode("_bigrams").alias("bigram")
+    ).groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("cnt").alias("_max_cnt"),
+        F.sum("cnt").alias("_n_bigrams"),
+        F.count("*").alias("_n_distinct"),
+    )
+    return base.drop("_bigrams").join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "uniq_token_ratio",
+        F.round(
+            F.col("_max_cnt").cast("double") / F.col("_n_bigrams"), 5
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.col("_n_distinct").cast("double") / F.col("_n_bigrams"),
+            5,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def vocab_topn(df: DataFrame, text_col: str = "text", n: int = 100) -> DataFrame:
+    """Corpus vocabulary / heavy hitters: top-n tokens by frequency with
+    a deterministic (cnt DESC, word ASC) tie-break. The exact tier of a
+    tokenizer-vocab build: explode -> partial-aggregated groupBy (one
+    shuffle on the token) -> TakeOrderedAndProject, so the driver only
+    ever sees n rows regardless of corpus size."""
+    words = df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    )
+    return (
+        counts.orderBy(F.col("cnt").desc(), "word")
+        .limit(n)
+        .select(rank.alias("rank"), "word", "cnt")
+    )
+
+
 def dedup_lines(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -134,6 +134,9 @@ _TAIL_QUERIES = [
     "ext_pack_sequences",
     "ext_text_line_dedup",
     "ext_text_decontaminate",
+    "ext_text_pii",
+    "ext_text_repetition",
+    "ext_text_vocab",
 ]
 
 

@@ -824,6 +824,134 @@ _PACK_SQL = r"""
 """
 
 
+def ext_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.redact_pii). The fixture corpus has no
+    PII, so the query CONSTRUCTS it deterministically — every doc_id
+    divisible by 5 gets an email, an IPv4, and a phone number derived
+    from its own id appended — and the oracle mirrors the construction;
+    the scrub then provably finds and masks exactly the injected
+    tokens (n_email=n_ip=n_phone=1 on those rows, 0 elsewhere), making
+    the capability check non-vacuous."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact a"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, injected)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = tx.redact_pii(aug)
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone", F.md5("text").alias("fp")
+    ).orderBy("doc_id")
+
+
+_PII_SQL = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact a' || CAST(doc_id AS VARCHAR)
+                       || '@example.com via 10.0.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.'
+                       || CAST(doc_id % 100 AS VARCHAR) || ' or 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{tx.PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{tx.PII_IPV4}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '{tx.PII_PHONE}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{tx.PII_EMAIL}', '<EMAIL>', 'g'),
+               '{tx.PII_IPV4}', '<IP>', 'g'),
+               '{tx.PII_PHONE}', '<PHONE>', 'g')) AS fp
+    FROM aug ORDER BY doc_id
+"""
+
+
+def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics
+    (operators/text.repetition_stats): distinct-token ratio, top-bigram
+    mass, duplicate-bigram fraction — the rule-filter family used to
+    drop boilerplate/spam before training. Non-vacuous on the fixture:
+    the word-salad corpus has heavy natural token repetition."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "uniq_token_ratio",
+        "top_bigram_frac",
+        "dup_bigram_frac",
+    ).orderBy("doc_id")
+
+
+_REPETITION_SQL = f"""
+    WITH {_TOKS},
+    base AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             ROUND(CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*), 5)
+               AS uniq_token_ratio
+      FROM toks GROUP BY doc_id HAVING COUNT(*) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             word || ' ' || LEAD(word, 1)
+               OVER (PARTITION BY doc_id ORDER BY i) AS bigram
+      FROM toks
+    ),
+    bgc AS (
+      SELECT doc_id, bigram, COUNT(*) AS cnt
+      FROM bg WHERE bigram IS NOT NULL GROUP BY doc_id, bigram
+    ),
+    pd AS (
+      SELECT doc_id, MAX(cnt) AS max_cnt, SUM(cnt) AS n_bg,
+             COUNT(*) AS n_dist
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT base.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           uniq_token_ratio,
+           ROUND(CAST(max_cnt AS DOUBLE) / n_bg, 5) AS top_bigram_frac,
+           ROUND(1.0 - CAST(n_dist AS DOUBLE) / n_bg, 5) AS dup_bigram_frac
+    FROM base JOIN pd ON base.doc_id = pd.doc_id
+    ORDER BY base.doc_id
+"""
+
+
+def ext_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (operators/text.vocab_topn): top-50
+    tokens by frequency, (cnt DESC, word ASC) tie-break — the exact
+    heavy-hitters tier under a tokenizer-vocab pipeline. The plan is
+    partial-agg -> one token-keyed shuffle -> TakeOrderedAndProject, so
+    result size is O(n) independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.vocab_topn(docs, n=50)
+    return out.select(
+        F.col("rank").cast("bigint").alias("rnk"), "word", "cnt"
+    ).orderBy("rnk")
+
+
+_VOCAB_SQL = f"""
+    WITH {_TOKS},
+    c AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+             AS rnk,
+           word, cnt
+    FROM c ORDER BY cnt DESC, word LIMIT 50
+"""
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -846,6 +974,9 @@ EXT_QUERIES = {
     "ext_pack_sequences": ext_pack_sequences,
     "ext_text_line_dedup": ext_text_line_dedup,
     "ext_text_decontaminate": ext_text_decontaminate,
+    "ext_text_pii": ext_text_pii,
+    "ext_text_repetition": ext_text_repetition,
+    "ext_text_vocab": ext_text_vocab,
 }
 
 EXT_ORACLES = {
@@ -870,4 +1001,7 @@ EXT_ORACLES = {
     "ext_pack_sequences": _PACK_SQL,
     "ext_text_line_dedup": _LINE_DEDUP_SQL,
     "ext_text_decontaminate": _DECONTAM_SQL,
+    "ext_text_pii": _PII_SQL,
+    "ext_text_repetition": _REPETITION_SQL,
+    "ext_text_vocab": _VOCAB_SQL,
 }
