@@ -340,3 +340,88 @@ def embedding_near_dup_pairs_lsh(
         return _gemm_pairs(ids, mat, ids, mat, threshold, same=True)
 
     return bucketed.groupBy("bucket").applyInPandas(gemm_bucket, schema=_PAIR_SCHEMA)
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 3,
+    scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd k-means over an embedding column — the
+    clustering tier of semantic dedup / corpus curation (cluster, then
+    sample or drop per cluster). Returns ``(assignment, centroids)``:
+    ``assignment`` is (id, cluster) under the FINAL centroids;
+    ``centroids`` is (cluster, centroid) as a quantized int array.
+
+    Engine-portable by construction: vectors are quantized to int64 at
+    ``scale`` (ROUND(x * scale) — identical IEEE double multiply +
+    half-away-from-zero round in Spark and DuckDB), so every distance
+    is an exact integer sum, every argmin tie breaks on cluster id, and
+    centroid updates use FLOOR(sum/count) in exact arithmetic. No
+    float-summation-order nondeterminism anywhere — the same property
+    the decimal aggregates give the relational queries.
+
+    Seeding is the k smallest ids' vectors (a real system would use
+    k-means|| — the seeding is config, the operator shape is the
+    contract). Scale: per iteration, one broadcast of k centroids into
+    a map-side distance scan (no shuffle on the points), one
+    row_number per point (hash-partitioned by id), and one
+    (cluster, pos)-keyed centroid aggregation of k*dim rows — the
+    point table is never reshuffled across iterations. Lineage is cut
+    per round with localCheckpoint, the same pattern as
+    operators/pregel (pagerank)."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+    )
+    pts = (
+        df.select(F.col(id_col).alias("_pid"), q.alias("_q"))
+        .localCheckpoint(eager=False)
+    )
+    cents = pts.where(F.col("_pid") < k).select(
+        F.col("_pid").alias("cluster"), F.col("_q").alias("_cq")
+    )
+    dist = F.aggregate(
+        F.zip_with("_q", "_cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("_pid").orderBy("_d", "cluster")
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        return (
+            pts.crossJoin(F.broadcast(cents))
+            .select("_pid", "_q", "cluster", dist.alias("_d"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("_pid", "_q", "cluster")
+        )
+
+    for _ in range(iters):
+        assign = _assign(cents)
+        cents = (
+            assign.select("cluster", F.posexplode("_q").alias("_pos", "_v"))
+            .groupBy("cluster", "_pos")
+            .agg(
+                F.floor(
+                    F.sum("_v").cast("double") / F.count("*")
+                ).alias("_m")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_m"))
+                ).alias("_s")
+            )
+            .select(
+                "cluster",
+                F.transform("_s", lambda s: s["_m"]).alias("_cq"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    final = _assign(cents).select(F.col("_pid").alias(id_col), "cluster")
+    centroids = cents.select("cluster", F.col("_cq").alias("centroid"))
+    return final, centroids

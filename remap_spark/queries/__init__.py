@@ -137,6 +137,7 @@ _TAIL_QUERIES = [
     "ext_text_pii",
     "ext_text_repetition",
     "ext_text_vocab",
+    "ext_kmeans_embed",
 ]
 
 

@@ -952,6 +952,90 @@ _VOCAB_SQL = f"""
 """
 
 
+def ext_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering via deterministic quantized Lloyd k-means
+    (operators/similarity.kmeans_lloyd, k=4, 3 iterations) — the
+    semantic-dedup / corpus-curation tier above pairwise near-dup:
+    cluster the space, then curate per cluster. The oracle replays the
+    identical integer-quantized iterations as unrolled CTEs, proving an
+    ITERATIVE numeric algorithm hash-matches across engines — the same
+    portability property the relational queries get from decimals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cents = sim.kmeans_lloyd(
+        emb, vec_col="embedding", id_col="vec_id", k=4, iters=3
+    )
+    counts = assign.groupBy("cluster").agg(F.count("*").alias("n_points"))
+    l1 = cents.select(
+        "cluster",
+        F.aggregate(
+            F.transform("centroid", lambda x: F.abs(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("c_l1"),
+    )
+    return (
+        l1.join(counts, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n_points", F.lit(0).cast("bigint")).alias("n_points"),
+            "c_l1",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 3, scale: int = 1_000_000) -> str:
+    sql = f"""
+    WITH qv AS (
+      SELECT vec_id, ord, CAST(ROUND(CAST(val AS DOUBLE) * {scale}) AS BIGINT) AS q
+      FROM (
+        SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord
+        FROM embeddings
+      )
+    ), cent0 AS (
+      SELECT vec_id AS cl, ord, q FROM qv WHERE vec_id < {k}
+    )"""
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    d{i} AS (
+      SELECT p.vec_id, c.cl, SUM((p.q - c.q) * (p.q - c.q)) AS d
+      FROM qv p JOIN {prev} c ON p.ord = c.ord
+      GROUP BY p.vec_id, c.cl
+    ), a{i} AS (
+      SELECT vec_id, cl FROM d{i}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1
+    ), cent{i} AS (
+      SELECT a.cl, p.ord,
+             CAST(FLOOR(CAST(SUM(p.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS q
+      FROM a{i} a JOIN qv p ON a.vec_id = p.vec_id
+      GROUP BY a.cl, p.ord
+    )"""
+        prev = f"cent{i}"
+    return (
+        sql
+        + f""",
+    dfin AS (
+      SELECT p.vec_id, c.cl, SUM((p.q - c.q) * (p.q - c.q)) AS d
+      FROM qv p JOIN {prev} c ON p.ord = c.ord
+      GROUP BY p.vec_id, c.cl
+    ), afin AS (
+      SELECT vec_id, cl FROM dfin
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1
+    ), cnt AS (
+      SELECT cl, COUNT(*) AS n_points FROM afin GROUP BY cl
+    ), l1 AS (
+      SELECT cl, SUM(ABS(q)) AS c_l1 FROM {prev} GROUP BY cl
+    )
+    SELECT l1.cl AS cluster,
+           CAST(COALESCE(cnt.n_points, 0) AS BIGINT) AS n_points,
+           CAST(l1.c_l1 AS BIGINT) AS c_l1
+    FROM l1 LEFT JOIN cnt ON l1.cl = cnt.cl ORDER BY cluster
+"""
+    )
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -977,6 +1061,7 @@ EXT_QUERIES = {
     "ext_text_pii": ext_text_pii,
     "ext_text_repetition": ext_text_repetition,
     "ext_text_vocab": ext_text_vocab,
+    "ext_kmeans_embed": ext_kmeans_embed,
 }
 
 EXT_ORACLES = {
@@ -1004,4 +1089,5 @@ EXT_ORACLES = {
     "ext_text_pii": _PII_SQL,
     "ext_text_repetition": _REPETITION_SQL,
     "ext_text_vocab": _VOCAB_SQL,
+    "ext_kmeans_embed": _kmeans_oracle(),
 }
