@@ -194,12 +194,17 @@ def repetition_stats(
     bigram vocabulary, never the corpus."""
     words = tokenize(F.col(text_col))
     n_tok = F.size(words)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n_tok - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1)
+    # guarded: sequence(1, 0) DESCENDS under Spark semantics, so a
+    # 1-token doc would index past the array under ANSI mode
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     base = df.select(
         F.col(id_col).alias("doc_id"),
         n_tok.alias("n_tokens"),

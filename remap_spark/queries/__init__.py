@@ -138,6 +138,7 @@ _TAIL_QUERIES = [
     "ext_text_repetition",
     "ext_text_vocab",
     "ext_kmeans_embed",
+    "ext_sample_quality_mix",
 ]
 
 

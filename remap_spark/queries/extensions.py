@@ -952,6 +952,75 @@ _VOCAB_SQL = f"""
 """
 
 
+def ext_sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted mixture resampling — the operator COMPOSITION a
+    curated training mix needs: score every doc
+    (operators/text.quality_score), then keep a per-verdict fraction
+    deterministically (operators/split.stratified_sample, rates
+    keep=1.0 / review=0.5 / drop=0.1). Membership is a pure function of
+    (doc_id, salt), so the curated mix is reproducible across reruns
+    and engines; the oracle replays the score, the verdict, and the
+    md5-CDF filter in SQL. Zero-shuffle until the final reporting agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.quality_score(docs).select("doc_id", "verdict")
+    joined = docs.select("doc_id", "n_chars").join(scored, "doc_id")
+    sampled = sp.stratified_sample(
+        joined,
+        key="doc_id",
+        strata="verdict",
+        fractions={"keep": 1.0, "review": 0.5, "drop": 0.1},
+        salt="mix1",
+    )
+    return (
+        sampled.groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("verdict")
+    )
+
+
+def _quality_mix_oracle() -> str:
+    bucket = _H32.format(x="concat(CAST(doc_id AS VARCHAR), '|mix1')") + " % 10000"
+    # verdict CTEs reused verbatim from the quality oracle (same score)
+    return f"""
+    WITH m AS (
+      SELECT doc_id, n_chars AS doc_chars,
+             CAST(len(list_filter(
+               string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\\s+'),
+               w -> w <> '')) AS DOUBLE) AS n_tokens,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(translate(text, '.,?:;!"', '')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(
+               string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\\s+'),
+               w -> w IN ('the','and','of','to','is'))) AS DOUBLE) AS n_stop
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, doc_chars,
+             LEAST(n_tokens / 200.0, 1.0) * 0.5
+             + LEAST(n_stop / n_tokens * 4.0, 1.0) * 0.3
+             + (1.0 - LEAST(n_punct / n_chars * 10.0, 1.0)) * 0.2 AS score
+      FROM m
+    ),
+    v AS (
+      SELECT doc_id, doc_chars,
+             CASE WHEN score >= 0.6 THEN 'keep'
+                  WHEN score >= 0.3 THEN 'review'
+                  ELSE 'drop' END AS verdict
+      FROM s
+    )
+    SELECT verdict, COUNT(*) AS n_docs,
+           CAST(SUM(doc_chars) AS BIGINT) AS total_chars
+    FROM v
+    WHERE {bucket} < CASE verdict WHEN 'keep' THEN 10000
+                                  WHEN 'review' THEN 5000
+                                  ELSE 1000 END
+    GROUP BY verdict ORDER BY verdict
+"""
+
+
 def ext_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding clustering via deterministic quantized Lloyd k-means
     (operators/similarity.kmeans_lloyd, k=4, 3 iterations) — the
@@ -1062,6 +1131,7 @@ EXT_QUERIES = {
     "ext_text_repetition": ext_text_repetition,
     "ext_text_vocab": ext_text_vocab,
     "ext_kmeans_embed": ext_kmeans_embed,
+    "ext_sample_quality_mix": ext_sample_quality_mix,
 }
 
 EXT_ORACLES = {
@@ -1090,4 +1160,5 @@ EXT_ORACLES = {
     "ext_text_repetition": _REPETITION_SQL,
     "ext_text_vocab": _VOCAB_SQL,
     "ext_kmeans_embed": _kmeans_oracle(),
+    "ext_sample_quality_mix": _quality_mix_oracle(),
 }

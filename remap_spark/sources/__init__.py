@@ -8,6 +8,7 @@ select by name."""
 from .readers import (
     adjacency_to_edges,
     read_adjacency,
+    read_binary_files,
     read_csv,
     read_html_text,
     read_json,
@@ -35,6 +36,7 @@ SOURCES = {
     "xml": read_xml_elements,
     "html": read_html_text,
     "adjacency": read_adjacency,
+    "binary": read_binary_files,
 }
 
 SINKS = {
@@ -83,6 +85,7 @@ __all__ = [
     "read",
     "write",
     "read_text",
+    "read_binary_files",
     "read_csv",
     "read_parquet",
     "read_json",

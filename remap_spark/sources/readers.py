@@ -158,3 +158,22 @@ def read_json(
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same columnar pushdown/pruning properties as parquet."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Opaque-blob source for multimodal corpora (images/audio/video as
+    bytes + typed metadata): Spark's built-in ``binaryFile`` format,
+    yielding (path, modificationTime, length, content). Feed the
+    ``content`` column to operators/multimodal (decode / feature
+    extraction run over Arrow batches there).
+
+    Scale: the scan lists files distributedly and never splits a blob
+    across tasks (a media file must be decoded whole); set
+    ``glob`` (pathGlobFilter) to prune at LISTING time, before any
+    bytes are read."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

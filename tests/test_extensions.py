@@ -514,3 +514,68 @@ def test_dedup_lines_order_and_counts(spark):
     assert out[1] == ("b\na\nc", 3)
     assert out[2] == ("x", 1)
     assert out[3] == ("", 1)  # blank lines collapse to one empty line
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from remap_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org now"),
+            (2, "server 192.168.0.1 and backup 10.0.0.2"),
+            (3, "call 555-0134 or 555-9999"),
+            (4, "clean text, nothing to see"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["text"]
+    assert "jo.doe" not in out[1]["text"]
+    assert out[2]["n_ip"] == 2 and out[2]["text"].count("<IP>") == 2
+    assert out[3]["n_phone"] == 2 and out[3]["text"].count("<PHONE>") == 2
+    assert out[4]["text"] == "clean text, nothing to see"
+    assert (out[4]["n_email"], out[4]["n_ip"], out[4]["n_phone"]) == (0, 0, 0)
+
+
+def test_repetition_stats_hand_computed(spark):
+    from remap_spark.operators.text import repetition_stats
+
+    # "a b a b a" -> 5 tokens, 2 distinct; bigrams: ab, ba, ab, ba
+    # -> max bigram cnt 2 of 4, 2 distinct of 4
+    df = spark.createDataFrame([(1, "a b a b a"), (2, "x")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert 2 not in rows  # <2 tokens: no bigrams, dropped by contract
+    r = rows[1]
+    assert r["n_tokens"] == 5
+    assert r["uniq_token_ratio"] == 0.4
+    assert r["top_bigram_frac"] == 0.5
+    assert r["dup_bigram_frac"] == 0.5
+
+
+def test_vocab_topn_tiebreak(spark):
+    from remap_spark.operators.text import vocab_topn
+
+    df = spark.createDataFrame(
+        [(1, "pear apple pear banana apple cherry")], ["doc_id", "text"]
+    )
+    rows = vocab_topn(df, n=3).collect()
+    assert [(r["rank"], r["word"], r["cnt"]) for r in rows] == [
+        (1, "apple", 2),  # cnt ties broken word-ascending
+        (2, "pear", 2),
+        (3, "banana", 1),
+    ]
+
+
+def test_kmeans_assigns_every_point(spark):
+    from remap_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5) / 5.0]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    assign, cents = kmeans_lloyd(emb, k=3, iters=2)
+    arows = assign.collect()
+    assert len(arows) == 30  # every point assigned exactly once
+    assert {r["cluster"] for r in arows} <= {0, 1, 2}
+    crows = cents.collect()
+    assert len(crows) <= 3 and all(len(r["centroid"]) == 2 for r in crows)

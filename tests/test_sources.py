@@ -210,3 +210,17 @@ def test_csv_sink_survives_commas(spark, tmp_path):
     sources.write(df, "csv", out)
     back = sources.read(spark, "csv", out).orderBy("v")
     assert [r["k"] for r in back.collect()] == ["a,b", "c"]
+
+
+def test_read_binary_files(spark, tmpfiles):
+    from remap_spark.sources import read_binary_files
+
+    (tmpfiles / "img0.bin").write_bytes(b"\x89PNG-fake-0")
+    (tmpfiles / "img1.bin").write_bytes(b"\x89PNG-fake-1-longer")
+    df = read_binary_files(spark, str(tmpfiles), glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"img0.bin", "img1.bin"}
+    assert bytes(rows["img0.bin"]["content"]) == b"\x89PNG-fake-0"
+    assert rows["img1.bin"]["length"] == len(b"\x89PNG-fake-1-longer")
+    # glob prunes at listing time: .txt files in the same dir invisible
+    assert "a.txt" not in rows
