@@ -32,7 +32,14 @@ def _parallel(df: DataFrame) -> DataFrame:
     per-row work needs a repartition to use the cluster. Conditional:
     an input that already has enough splits (the 100 TB case) passes
     through untouched — the round-robin shuffle would be pure waste.
-    getNumPartitions is planning metadata, not a job."""
+    getNumPartitions is planning metadata, not a job.
+
+    Streaming inputs pass through untouched: micro-batch parallelism is
+    the source's (maxFilesPerTrigger × splits), and .rdd does not exist
+    on an unstarted streaming DataFrame — the same text operators run
+    verbatim on streams (see test_streaming_text_pipeline)."""
+    if df.isStreaming:
+        return df
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() >= n:
         return df

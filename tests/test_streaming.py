@@ -321,3 +321,45 @@ def test_streaming_dedup_equals_batch(spark, events_stream_dir):
     assert got == expected
     # delay >> fixture span: state never evicted, one row per key
     assert len(emitted) == len(expected)
+
+
+def test_streaming_text_pipeline_equals_batch(spark, tmp_path_factory):
+    """The LLM-pipeline text operators (quality gate -> PII scrub ->
+    deterministic sample) are stateless narrow transforms, so the SAME
+    operator code runs on a file stream and must emit exactly the batch
+    result — corpus curation as a continuous ingestion pipeline."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.split import deterministic_sample
+    from remap_spark.operators.text import quality_score, redact_pii
+    from remap_spark.streaming import run_stream_to_memory
+
+    docs = load_table(spark, SF_DIR, "documents")
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+
+    def pipeline(df):
+        sampled = deterministic_sample(df, "doc_id", 0.5, salt="qs")
+        scored = quality_score(sampled)
+        red = redact_pii(sampled).select("doc_id", "n_email")
+        return scored.join(red, "doc_id")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(d)
+    )
+    q = run_stream_to_memory(pipeline(stream), "text_pipe_test", mode="append")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["doc_id"], r["score"], r["verdict"], r["n_email"])
+            for r in spark.sql("SELECT * FROM text_pipe_test").collect()
+        }
+    finally:
+        q.stop()
+
+    expected = {
+        (r["doc_id"], r["score"], r["verdict"], r["n_email"])
+        for r in pipeline(docs).collect()
+    }
+    assert got == expected and len(got) > 0
