@@ -139,6 +139,7 @@ _TAIL_QUERIES = [
     "ext_text_vocab",
     "ext_kmeans_embed",
     "ext_sample_quality_mix",
+    "ext_dedup_canonical",
 ]
 
 

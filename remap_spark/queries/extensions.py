@@ -952,6 +952,94 @@ _VOCAB_SQL = f"""
 """
 
 
+def ext_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup keep-decision — the full pipeline a training
+    corpus actually runs: MinHash-LSH candidate pairs -> connected
+    components -> keep the HIGHEST-QUALITY document per duplicate
+    cluster (quality_score rank, doc_id tie-break), drop the rest.
+    Composes three operator families (dedup, graph, text quality) into
+    one lineage; the oracle replays pairs + recursive-CTE closure +
+    the score formula and picks the same winner."""
+    from ..operators.pregel import connected_components
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    n_parts = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        max(4, docs.rdd.getNumPartitions()),
+    )
+    cc = connected_components(
+        pairs, src="doc_a", dst="doc_b", num_partitions=n_parts
+    )
+    scored = tx.quality_score(docs).select("doc_id", "score")
+    j = cc.join(scored, cc.id == scored.doc_id)
+    w = Window.partitionBy("component").orderBy(
+        F.desc("score"), F.col("doc_id")
+    )
+    ranked = j.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias(
+                "kept_doc"
+            ),
+            F.count("*").alias("n_docs"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
+def _canonical_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    cedges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM cedges
+      UNION
+      SELECT reach.s, cedges.d FROM reach JOIN cedges ON reach.d = cedges.s
+    ),
+    comp AS (
+      SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
+    ),
+    qm AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\\s+'),
+               w -> w <> '')) AS DOUBLE) AS n_tokens,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(translate(text, '.,?:;!"', '')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(
+               string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\\s+'),
+               w -> w IN ('the','and','of','to','is'))) AS DOUBLE) AS n_stop
+      FROM documents
+    ),
+    qs AS (
+      SELECT doc_id,
+             ROUND(LEAST(n_tokens / 200.0, 1.0) * 0.5
+             + LEAST(n_stop / n_tokens * 4.0, 1.0) * 0.3
+             + (1.0 - LEAST(n_punct / n_chars * 10.0, 1.0)) * 0.2, 5) AS score
+      FROM qm
+    ),
+    ranked AS (
+      SELECT comp.component, comp.node AS doc_id, qs.score,
+             ROW_NUMBER() OVER (PARTITION BY comp.component
+                                ORDER BY qs.score DESC, comp.node) AS rn
+      FROM comp JOIN qs ON comp.node = qs.doc_id
+    )
+    SELECT component,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY component ORDER BY component
+"""
+
+
 def ext_sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted mixture resampling — the operator COMPOSITION a
     curated training mix needs: score every doc
@@ -1132,6 +1220,7 @@ EXT_QUERIES = {
     "ext_text_vocab": ext_text_vocab,
     "ext_kmeans_embed": ext_kmeans_embed,
     "ext_sample_quality_mix": ext_sample_quality_mix,
+    "ext_dedup_canonical": ext_dedup_canonical,
 }
 
 EXT_ORACLES = {
@@ -1161,4 +1250,5 @@ EXT_ORACLES = {
     "ext_text_vocab": _VOCAB_SQL,
     "ext_kmeans_embed": _kmeans_oracle(),
     "ext_sample_quality_mix": _quality_mix_oracle(),
+    "ext_dedup_canonical": _canonical_oracle(),
 }

@@ -173,3 +173,44 @@ def test_decontaminate_broadcasts_probe_grams(spark):
     r = _report(spark, "ext_text_decontaminate")
     assert r["broadcast_joins"] >= 1, r["plan"]
     assert not r["cartesian"]
+
+
+def test_pii_redaction_zero_shuffle(spark):
+    """PII scrub is a narrow projection: no exchange may appear before
+    the final ORDER BY (one range exchange for presentation only)."""
+    r = _report(spark, "ext_text_pii")
+    assert r["exchanges"] <= 1, r["plan"]
+    assert not r["cartesian"]
+
+
+def test_repetition_partial_aggs_and_key_local_shuffles(spark):
+    """Bigram counting must partial-aggregate map-side; every exchange
+    is keyed by doc (doc,bigram / doc) — corpus-size-proportional, skew
+    bounded by one document's vocabulary."""
+    r = _report(spark, "ext_text_repetition")
+    assert r["partial_aggs"], r["plan"]
+    assert not r["cartesian"]
+
+
+def test_vocab_topn_take_ordered(spark):
+    """Heavy hitters must end in TakeOrderedAndProject (driver sees n
+    rows) with partial aggregation below the token shuffle."""
+    r = _report(spark, "ext_text_vocab")
+    assert "TakeOrderedAndProject" in r["plan"], r["plan"]
+    assert r["partial_aggs"], r["plan"]
+
+
+def test_kmeans_broadcasts_centroids_only(spark):
+    """Lloyd assignment must broadcast the k-row centroid relation into
+    a per-point scan — the POINT table is never broadcast, never
+    cartesian-joined against itself."""
+    from remap_spark.queries import ALL_QUERIES
+
+    from remap_spark.plans import explain_str
+
+    df = ALL_QUERIES["ext_kmeans_embed"](spark, SF_DIR)
+    plan = explain_str(df, "formatted")
+    # the centroid side arrives via BroadcastExchange (nested-loop is
+    # expected: a k-row cross join IS the broadcast pattern here)
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
