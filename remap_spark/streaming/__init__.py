@@ -1,5 +1,6 @@
 from .dedup import dedup_events
 from .joins import stream_static_enrich, stream_stream_interval_join
+from .sinks import foreach_batch_overwrite, write_stream_parquet
 from .stateful import running_user_stats
 from .windows import (
     read_events_stream,
@@ -19,4 +20,6 @@ __all__ = [
     "stream_static_enrich",
     "stream_stream_interval_join",
     "dedup_events",
+    "write_stream_parquet",
+    "foreach_batch_overwrite",
 ]

@@ -363,3 +363,69 @@ def test_streaming_text_pipeline_equals_batch(spark, tmp_path_factory):
         for r in pipeline(docs).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_parquet_sink_exactly_once(spark, events_stream_dir, tmp_path):
+    """Native file sink: all rows land exactly once, and the sink's
+    _spark_metadata commit log exists (the exactly-once mechanism)."""
+    import os
+
+    from remap_spark.engine import load_table
+    from remap_spark.streaming import read_events_stream, write_stream_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(
+        spark, events_stream_dir, schema=_schema(spark), max_files_per_trigger=1
+    ).select("event_id", "user_id", "event_type")
+    q = write_stream_parquet(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+    got = spark.read.parquet(out)
+    n_batch = load_table(spark, SF_DIR, "events").count()
+    assert got.count() == n_batch
+    assert got.select("event_id").distinct().count() == n_batch
+
+
+def test_foreach_batch_overwrite_idempotent(spark, events_stream_dir, tmp_path):
+    """foreachBatch sink: every row exactly once across batch
+    partitions, and re-writing a batch id replaces (not duplicates) its
+    partition — the idempotence that makes checkpoint replay safe."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.streaming import foreach_batch_overwrite, read_events_stream
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(
+        spark, events_stream_dir, schema=_schema(spark), max_files_per_trigger=1
+    ).select("event_id", "user_id")
+    q = foreach_batch_overwrite(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    n_batch = load_table(spark, SF_DIR, "events").count()
+    assert got.count() == n_batch
+    batches = [r["_batch_id"] for r in got.select("_batch_id").distinct().collect()]
+    assert len(batches) > 1  # maxFilesPerTrigger=1 over 4 files
+
+    # simulate a replay of batch 0 with the same rows: dynamic overwrite
+    # must leave the total unchanged
+    replay = got.where(F.col("_batch_id") == batches[0]).drop("_batch_id")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            replay.withColumn("_batch_id", F.lit(int(batches[0])))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    assert spark.read.parquet(out).count() == n_batch
