@@ -356,3 +356,32 @@ def contamination_hits(
         .groupBy("doc")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Ingestion-time dedup: drop arriving documents whose normalized
+    content fingerprint (text.content_fingerprint — lowercase, strip
+    punct, collapse whitespace, 60-bit portable hash) already exists in
+    the historical store. Returns surviving rows of ``new_docs`` plus
+    their fingerprint column.
+
+    This is the snapshot-incremental pattern a continuously-ingesting
+    corpus needs: the seen-store is an append-only fingerprint table
+    (tiny relative to the corpus — 8 bytes + key per EVER-seen doc);
+    each batch is one left_anti join against it. At 100 TB of history
+    the join shuffles only fingerprints, never text; bucket the store
+    on ``fp_col`` at write time and the anti join co-locates with zero
+    store-side exchange (sources.write_bucketed_table)."""
+    from .text import content_fingerprint
+
+    fps = content_fingerprint(new_docs, text_col=text_col, id_col=id_col)
+    withfp = new_docs.join(fps, id_col)
+    return withfp.join(
+        seen_fps.select(F.col(fp_col)), on=fp_col, how="left_anti"
+    )

@@ -263,6 +263,30 @@ def vocab_topn(df: DataFrame, text_col: str = "text", n: int = 100) -> DataFrame
     )
 
 
+def vocab_topn_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 100,
+    max_tracked: int = 100_000,
+) -> DataFrame:
+    """Sketch tier of ``vocab_topn``: Spark 4's ``approx_top_k``
+    aggregate — a single-pass, MERGEABLE frequent-items sketch (partial
+    sketches combine associatively, so the 100 TB plan is partial
+    sketches map-side + one tiny merge, no token-keyed shuffle of raw
+    counts at all). Exact whenever distinct tokens <= ``max_tracked``
+    (asserted against the exact tier in tests); results re-sorted
+    (cnt DESC, word ASC) for a deterministic report."""
+    words = df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+    sk = words.agg(
+        F.expr(f"approx_top_k(word, {n}, {max_tracked})").alias("tk")
+    )
+    return (
+        sk.select(F.explode("tk").alias("s"))
+        .select(F.col("s.item").alias("word"), F.col("s.count").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+    )
+
+
 def dedup_lines(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

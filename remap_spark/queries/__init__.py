@@ -140,6 +140,7 @@ _TAIL_QUERIES = [
     "ext_kmeans_embed",
     "ext_sample_quality_mix",
     "ext_dedup_canonical",
+    "ext_dedup_incremental",
 ]
 
 

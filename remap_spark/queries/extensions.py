@@ -1040,6 +1040,58 @@ def _canonical_oracle() -> str:
 """
 
 
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental ingestion dedup
+    (operators/dedup.incremental_dedup): even doc_ids play the
+    already-ingested corpus (fingerprint store), odd doc_ids arrive as
+    the new batch. The fixture has no cross-doc exact duplicates, so
+    the query CONSTRUCTS them — every odd doc_id ≡ 1 (mod 5) takes its
+    even predecessor's text — and the oracle mirrors the construction;
+    the anti join then provably drops exactly the planted rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    base_new = docs.where(F.col("doc_id") % 2 == 1)
+    donor = docs.select(
+        (F.col("doc_id") + 1).alias("_nid"), F.col("text").alias("_dtext")
+    )
+    new = base_new.join(
+        donor, base_new.doc_id == donor._nid, "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 1, F.coalesce("_dtext", "text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    seen_fps = tx.content_fingerprint(seen).select("fingerprint")
+    kept = dd.incremental_dedup(new, seen_fps)
+    return kept.select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+_FP_EXPR = """CAST('0x' || substr(md5(
+             trim(regexp_replace(lower(translate({t}, '.,?:;!"', '       ')),
+                                 '\\s+', ' ', 'g'))
+           ), 1, 15) AS BIGINT)"""
+
+_INCR_DEDUP_SQL = f"""
+    WITH new AS (
+      SELECT n.doc_id,
+             CASE WHEN n.doc_id % 5 = 1
+                  THEN COALESCE(d.text, n.text) ELSE n.text END AS text
+      FROM documents n
+      LEFT JOIN documents d ON d.doc_id + 1 = n.doc_id
+      WHERE n.doc_id % 2 = 1
+    ),
+    seen_fps AS (
+      SELECT {_FP_EXPR.format(t='text')} AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT doc_id, {_FP_EXPR.format(t='text')} AS fingerprint
+    FROM new
+    WHERE {_FP_EXPR.format(t='text')} NOT IN (SELECT fp FROM seen_fps)
+    ORDER BY doc_id
+"""
+
+
 def ext_sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted mixture resampling — the operator COMPOSITION a
     curated training mix needs: score every doc
@@ -1221,6 +1273,7 @@ EXT_QUERIES = {
     "ext_kmeans_embed": ext_kmeans_embed,
     "ext_sample_quality_mix": ext_sample_quality_mix,
     "ext_dedup_canonical": ext_dedup_canonical,
+    "ext_dedup_incremental": ext_dedup_incremental,
 }
 
 EXT_ORACLES = {
@@ -1251,4 +1304,5 @@ EXT_ORACLES = {
     "ext_kmeans_embed": _kmeans_oracle(),
     "ext_sample_quality_mix": _quality_mix_oracle(),
     "ext_dedup_canonical": _canonical_oracle(),
+    "ext_dedup_incremental": _INCR_DEDUP_SQL,
 }

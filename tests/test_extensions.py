@@ -579,3 +579,40 @@ def test_kmeans_assigns_every_point(spark):
     assert {r["cluster"] for r in arows} <= {0, 1, 2}
     crows = cents.collect()
     assert len(crows) <= 3 and all(len(r["centroid"]) == 2 for r in crows)
+
+
+def test_vocab_sketch_equals_exact_when_tracked(spark):
+    """approx_top_k is exact whenever distinct tokens <= maxItemsTracked
+    — at fixture scale the sketch tier must equal the exact tier on
+    every (word, cnt)."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.text import vocab_topn, vocab_topn_sketch
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {(r["word"], r["cnt"]) for r in vocab_topn(docs, n=100).collect()}
+    sketch = {
+        (r["word"], r["cnt"])
+        for r in vocab_topn_sketch(docs, n=100, max_tracked=100_000).collect()
+    }
+    assert sketch == exact and len(exact) > 0
+
+
+def test_incremental_dedup_drops_only_seen(spark):
+    from remap_spark.operators.dedup import incremental_dedup
+    from remap_spark.operators.text import content_fingerprint
+
+    seen = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "delta epsilon")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "Alpha, beta   GAMMA"),  # normalizes to a seen doc -> drop
+            (2, "totally fresh content"),
+            (3, "delta epsilon"),  # exact seen -> drop
+            (4, "delta epsilon zeta"),  # superstring, different fp -> keep
+        ],
+        ["doc_id", "text"],
+    )
+    kept = incremental_dedup(new, content_fingerprint(seen).select("fingerprint"))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4]
