@@ -147,3 +147,58 @@ def test_approx_percentile_close_to_exact(spark):
         ).alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=docs)
+def test_redact_pii_idempotent_property(spark, data):
+    """Scrubbing is a fixpoint: redact(redact(x)) == redact(x), and the
+    second pass reports zero findings (mask tokens contain no PII)."""
+    from remap_spark.operators.text import redact_pii
+
+    rows = [(i, t if t else "x") for i, (_, t) in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = redact_pii(df)
+    twice = redact_pii(once.select("doc_id", "text"))
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    rows2 = twice.collect()
+    b = {r["doc_id"]: r["text"] for r in rows2}
+    assert a == b
+    assert all(r["n_email"] == 0 and r["n_ip"] == 0 and r["n_phone"] == 0 for r in rows2)
+
+
+def test_repetition_ratios_bounded(spark):
+    """On the real corpus: every ratio lies in [0, 1] and the bigram
+    identities hold (n_bigrams == n_tokens - 1 via fractions)."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.text import repetition_stats
+
+    from conftest import SF_DIR
+
+    rows = repetition_stats(load_table(spark, SF_DIR, "documents")).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["uniq_token_ratio"] <= 1
+        assert 0 < r["top_bigram_frac"] <= 1
+        assert 0 <= r["dup_bigram_frac"] < 1
+
+
+def test_kmeans_partition_layout_invariance(spark):
+    """Cluster assignment is a pure function of the data — repartitioning
+    the input must not change a single assignment (the determinism the
+    int64 quantization buys)."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.similarity import kmeans_lloyd
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a1, _ = kmeans_lloyd(emb, k=4, iters=2)
+    a2, _ = kmeans_lloyd(emb.repartition(13), k=4, iters=2)
+    r1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    r2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    assert r1 == r2
