@@ -141,6 +141,7 @@ _TAIL_QUERIES = [
     "ext_sample_quality_mix",
     "ext_dedup_canonical",
     "ext_dedup_incremental",
+    "ext_corpus_report",
 ]
 
 

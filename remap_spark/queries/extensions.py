@@ -1092,6 +1092,50 @@ _INCR_DEDUP_SQL = f"""
 """
 
 
+def ext_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report: ROLLUP over (source, lang) with document
+    counts and BPE-ish token totals — the table a data-mixture plan is
+    drawn from (how many tokens does each source×language cell hold,
+    with source and grand totals). One shuffle with partial aggs; the
+    rollup adds no extra pass (Catalyst expands grouping sets in the
+    same aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(BPE_TOKEN_RE), F.lit(0))
+    ).cast("bigint")
+    return (
+        docs.select("source", "lang", n_tok.alias("n_tok"))
+        .rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_tokens",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_CORPUS_REPORT_SQL = r"""
+    WITH toks AS (
+      SELECT source, lang,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tok
+      FROM documents
+    )
+    SELECT COALESCE(source, 'ALL') AS source,
+           COALESCE(lang, 'ALL') AS lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY ROLLUP (source, lang)
+    ORDER BY source, lang
+"""
+
+
 def ext_sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted mixture resampling — the operator COMPOSITION a
     curated training mix needs: score every doc
@@ -1274,6 +1318,7 @@ EXT_QUERIES = {
     "ext_sample_quality_mix": ext_sample_quality_mix,
     "ext_dedup_canonical": ext_dedup_canonical,
     "ext_dedup_incremental": ext_dedup_incremental,
+    "ext_corpus_report": ext_corpus_report,
 }
 
 EXT_ORACLES = {
@@ -1305,4 +1350,5 @@ EXT_ORACLES = {
     "ext_sample_quality_mix": _quality_mix_oracle(),
     "ext_dedup_canonical": _canonical_oracle(),
     "ext_dedup_incremental": _INCR_DEDUP_SQL,
+    "ext_corpus_report": _CORPUS_REPORT_SQL,
 }
