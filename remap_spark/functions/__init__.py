@@ -60,6 +60,27 @@ def first_char_bucket(col: Column | str) -> Column:
 # ---------------------------------------------------------------------
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Integer microseconds since 1970-01-01 00:00:00, timezone-free.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ — the type Spark 4 infers
+    for the testdata's parquet timestamps (isAdjustedToUTC=false) —
+    and casting NTZ -> TIMESTAMP would re-interpret the wall-clock
+    value in the session timezone, shifting any gap that crosses a DST
+    transition on a non-UTC driver. ``timestamp_diff`` on NTZ values
+    is pure calendar arithmetic: it matches DuckDB's ``epoch_us(ts)``
+    (always-naive TIMESTAMP) bit-for-bit regardless of session tz.
+    A TIMESTAMP (ltz) input is first cast to NTZ (session-tz wall
+    clock), so both storage conventions produce the naive epoch.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
+
+
 def portable_hash60(col: Column | str) -> Column:
     """First 15 hex digits of md5 as a non-negative bigint (< 2^60).
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..engine import load_table
-from ..functions import first_char_bucket, tokenize
+from ..functions import epoch_us, first_char_bucket, tokenize
 
 DEC = "decimal(28,10)"
 
@@ -275,9 +275,9 @@ def dq14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min inactivity gap)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-exact gap (unix_micros ~ DuckDB epoch_us): no float /
-    # truncation ambiguity at the 30-min boundary
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    # microsecond-exact gap (epoch_us ~ DuckDB epoch_us, NTZ-safe): no
+    # float / truncation ambiguity at the 30-min boundary
+    gap = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
     flagged = ev.select(
         "user_id",
         "ts",
@@ -497,7 +497,10 @@ def dq24_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(
         orders,
         (ev.user_id == orders.o_custkey)
-        & (orders.o_orderdate.cast("timestamp") <= ev.ts),
+        # timestamp_ntz: tz-free midnight, same as the oracle's naive
+        # CAST(date AS TIMESTAMP); an ltz cast would move the boundary
+        # by the session-tz offset relative to the NTZ event column
+        & (orders.o_orderdate.cast("timestamp_ntz") <= ev.ts),
     )
     w = Window.partitionBy("event_id").orderBy(
         F.desc("o_orderdate"), "o_orderkey"
@@ -777,18 +780,18 @@ def dq36_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dq37_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag + ntile window functions — inter-event gaps in exact integer
-    microseconds (unix_micros on both sides, no float time math) and
-    activity quartiles per user. One window spec → one shuffle on
-    user_id serves both."""
+    microseconds (epoch_us on both sides, NTZ-safe, no float time
+    math) and activity quartiles per user. One window spec → one
+    shuffle on user_id serves both."""
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag(F.unix_micros("ts")).over(w)
+    prev = F.lag(epoch_us("ts")).over(w)
     return (
         ev.select(
             "user_id",
             "event_id",
             F.row_number().over(w).cast("bigint").alias("rn"),
-            (F.unix_micros("ts") - prev).alias("gap_us"),
+            (epoch_us("ts") - prev).alias("gap_us"),
             F.ntile(4).over(w).cast("bigint").alias("quartile"),
         )
         .orderBy("user_id", "rn")
