@@ -195,43 +195,48 @@ def repetition_stats(
     no bigrams and are dropped (documented contract; real corpora gate
     on length first).
 
-    Shape: per-doc bigram counts need ONE shuffle keyed by
-    (doc, bigram), then a per-doc rollup keyed by doc — both partial-
-    aggregated map-side, so skew is bounded by a single document's
-    bigram vocabulary, never the corpus."""
-    words = tokenize(F.col(text_col))
-    n_tok = F.size(words)
-    # guarded: sequence(1, 0) DESCENDS under Spark semantics, so a
-    # 1-token doc would index past the array under ANSI mode
-    bigrams = F.when(
-        n_tok >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = df.select(
+    Shape: ONE exchange total. Tokens are materialized with a single
+    posexplode over an id-hash repartition and bigrams assembled with a
+    lead() window — the same pattern as dedup._doc_shingles, which
+    documents why the transform(sequence, i -> concat(words[i],
+    words[i+1])) alternative is ~10x slower (HOF lambdas stay
+    interpreted and re-evaluate the tokenize subtree per element).
+    Every downstream groupBy / join is keyed by doc (or doc+bigram,
+    which hash(doc) co-locates), so the window sort, both rollups, and
+    the final join all reuse the one id-hash partitioning. Skew is
+    bounded by a single document's bigram vocabulary, never the
+    corpus."""
+    from pyspark.sql.window import Window
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
-        n_tok.alias("n_tokens"),
-        F.round(
-            F.size(F.array_distinct(words)).cast("double") / n_tok, 5
-        ).alias("uniq_token_ratio"),
-        bigrams.alias("_bigrams"),
+        F.posexplode(tokenize(F.col(text_col))).alias("i", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    toks = toks.select("doc_id", "w", F.lead("w", 1).over(w).alias("w2"))
+    # 0-token docs vanish in the posexplode; 1-token docs are filtered —
+    # same "no bigrams -> dropped" contract as before
+    tok_stats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("w").alias("_n_uniq"),
     ).where(F.col("n_tokens") >= 2)
-    counts = base.select(
-        "doc_id", F.explode("_bigrams").alias("bigram")
-    ).groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
+    counts = (
+        toks.where(F.col("w2").isNotNull())
+        .groupBy("doc_id", F.concat_ws(" ", "w", "w2").alias("bigram"))
+        .agg(F.count("*").alias("cnt"))
+    )
     per_doc = counts.groupBy("doc_id").agg(
         F.max("cnt").alias("_max_cnt"),
         F.sum("cnt").alias("_n_bigrams"),
         F.count("*").alias("_n_distinct"),
     )
-    return base.drop("_bigrams").join(per_doc, "doc_id").select(
+    return tok_stats.join(per_doc, "doc_id").select(
         "doc_id",
         "n_tokens",
-        "uniq_token_ratio",
+        F.round(
+            F.col("_n_uniq").cast("double") / F.col("n_tokens"), 5
+        ).alias("uniq_token_ratio"),
         F.round(
             F.col("_max_cnt").cast("double") / F.col("_n_bigrams"), 5
         ).alias("top_bigram_frac"),

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from .windows import restore_ntz, watermarked
+
 
 def dedup_events(
     df: DataFrame,
@@ -31,5 +33,8 @@ def dedup_events(
     or streaming DataFrame; semantics match ext_dedup_exact (one
     survivor per key)."""
     if df.isStreaming:
-        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+        src, was_ntz = watermarked(df, ts_col, delay)
+        return restore_ntz(
+            src.dropDuplicatesWithinWatermark(keys), [ts_col], was_ntz
+        )
     return df.dropDuplicates(keys)

@@ -52,11 +52,15 @@ def stream_stream_interval_join(
 
     Batch twin: the identical join condition on two batch DataFrames
     (tests compare the two row sets)."""
-    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
-    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    from .windows import restore_ntz, watermarked
+
+    l, l_ntz = watermarked(left, left_ts, watermark)
+    r, r_ntz = watermarked(right, right_ts, watermark)
     cond = (
         (l[key] == r[key])
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, how)
+    out = l.join(r, cond, how)
+    out = restore_ntz(out, [left_ts], l_ntz)
+    return restore_ntz(out, [right_ts], r_ntz)

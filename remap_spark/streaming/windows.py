@@ -24,6 +24,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def watermarked(df: DataFrame, ts_col: str, delay: str) -> tuple[DataFrame, bool]:
+    """Watermark a streaming DataFrame on ``ts_col``.
+
+    ``withWatermark`` requires a TIMESTAMP event-time column and rejects
+    TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the fixtures
+    surface ``ts`` as NTZ. The session time zone is pinned UTC in
+    build_session (engine.py), so casting NTZ -> TIMESTAMP is
+    value-preserving here; callers cast derived time columns back with
+    :func:`restore_ntz` so batch and streaming outputs share one schema.
+
+    Returns ``(df, was_ntz)``; batch DataFrames pass through untouched.
+    """
+    if not df.isStreaming:
+        return df, False
+    was_ntz = dict(df.dtypes).get(ts_col) == "timestamp_ntz"
+    if was_ntz:
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, delay), was_ntz
+
+
+def restore_ntz(df: DataFrame, cols: list[str], was_ntz: bool) -> DataFrame:
+    """Undo the watermark cast on output time columns (see watermarked)."""
+    if not was_ntz:
+        return df
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
 def tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",
@@ -31,10 +60,8 @@ def tumbling_counts(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Tumbling-window counts+sums per event_type (streaming DQ13)."""
-    src = events
-    if src.isStreaming:
-        src = src.withWatermark(ts_col, watermark)
-    return src.groupBy(
+    src, was_ntz = watermarked(events, ts_col, watermark)
+    out = src.groupBy(
         F.window(ts_col, window).alias("win"), "event_type"
     ).agg(
         F.count("*").alias("cnt"),
@@ -42,6 +69,7 @@ def tumbling_counts(
     ).select(
         F.col("win.start").alias("hour"), "event_type", "cnt", "sum_value"
     )
+    return restore_ntz(out, ["hour"], was_ntz)
 
 
 def sliding_counts(
@@ -51,10 +79,8 @@ def sliding_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
 ) -> DataFrame:
-    src = events
-    if src.isStreaming:
-        src = src.withWatermark(ts_col, watermark)
-    return src.groupBy(
+    src, was_ntz = watermarked(events, ts_col, watermark)
+    out = src.groupBy(
         F.window(ts_col, window, slide).alias("win"), "event_type"
     ).agg(F.count("*").alias("cnt")).select(
         F.col("win.start").alias("win_start"),
@@ -62,6 +88,7 @@ def sliding_counts(
         "event_type",
         "cnt",
     )
+    return restore_ntz(out, ["win_start", "win_end"], was_ntz)
 
 
 def session_counts(
@@ -72,10 +99,8 @@ def session_counts(
 ) -> DataFrame:
     """Session windows per user (streaming DQ14 twin): session =
     events separated by < gap. Returns one row per closed session."""
-    src = events
-    if src.isStreaming:
-        src = src.withWatermark(ts_col, watermark)
-    return src.groupBy(
+    src, was_ntz = watermarked(events, ts_col, watermark)
+    out = src.groupBy(
         F.session_window(ts_col, gap).alias("sess"), "user_id"
     ).agg(F.count("*").alias("n_events")).select(
         "user_id",
@@ -83,6 +108,7 @@ def session_counts(
         F.col("sess.end").alias("sess_end"),
         "n_events",
     )
+    return restore_ntz(out, ["sess_start", "sess_end"], was_ntz)
 
 
 def run_stream_to_memory(
