@@ -47,20 +47,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(timings),
-                "spark_version": spark.version,
-                "cores": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "declared_query_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(timings),
+            "spark_version": spark.version,
+            "cores": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
+        }
     )
+    print(line)
+    # also persist next to the repo: stdout tail-capture truncated the
+    # round-2 record mid-JSON (BENCH_r02.json parsed: null) — a file
+    # copy survives log clipping
+    out = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+    try:
+        out.write_text(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -68,8 +68,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq37_lead_lag": relational.dq37_lead_lag,
     "dq38_sql_api": relational.dq38_sql_api,
     "dq39_running_total": relational.dq39_running_total,
-    # HLL sketches differ across engines: no SQL oracle (driver runs
-    # the rows-only check); accuracy asserted in tests/test_extensions
+    # HLL sketch values differ across engines: the oracle checks an
+    # error-band predicate (see relational.ext_approx_distinct)
     "ext_approx_distinct": relational.ext_approx_distinct,
 }
 
@@ -110,7 +110,11 @@ register_extensions()
 # sibling (plus their own recorded round-1 pass) fill the tail.
 CHECK_WINDOW = 50
 
-# Round-1 green, unchanged since, and redundant with an in-window sibling:
+# Green in a prior round's driver gate, unchanged since, and redundant
+# with an in-window sibling. Round-3 rotation: the 11 round-2 additions
+# plus the newly-oracled ext_approx_distinct moved INTO the window;
+# r2-green family members whose capability is proven by an in-window
+# canary moved out.
 _TAIL_QUERIES = [
     "dq01_project",  # projection exercised by every other query
     "dq02_filter",  # filter+pushdown exercised everywhere; plan-tested
@@ -123,25 +127,24 @@ _TAIL_QUERIES = [
     "dq21_right_outer",  # mirror of dq21_left_outer
     "dq21_full_outer",  # outer family keyed by dq21_left_outer
     "dq22_union",  # set-op family: dq11_except stays in-window
-    "dq23_cube",  # rollup (dq12) + grouping sets (dq30) stay in-window
+    "dq23_cube",  # rollup/grouping family: dq30_grouping_sets stays
     "dq25_window_funcs",  # window family: dq06/dq37 stay in-window
     "dq27_sliding",  # windowed-time family: dq13_tumbling stays
     "dq34_array_funcs",  # §2.9 row shared with dq35_regexp (in-window)
     "dq39_running_total",  # frame windows: dq37 stays in-window
-    "ext_approx_distinct",  # no oracle by design — driver row is rows-only
-    # new this round, locally oracle-verified; rotate into the window
-    # next round once the currently-first-time-checked families are green
-    "ext_pack_sequences",
-    "ext_text_line_dedup",
-    "ext_text_decontaminate",
-    "ext_text_pii",
-    "ext_text_repetition",
-    "ext_text_vocab",
-    "ext_kmeans_embed",
-    "ext_sample_quality_mix",
-    "ext_dedup_canonical",
-    "ext_dedup_incremental",
-    "ext_corpus_report",
+    # rotated out round 3 (r2 green; in-window canary in parens):
+    "dq10_semi",  # semi/anti family (dq10_anti)
+    "dq12_rollup",  # grouping family (dq30_grouping_sets)
+    "dq29_scalar_subquery",  # subquery family (dq28_exists)
+    "dq31_pivot",  # grouping family (dq30_grouping_sets)
+    "dq36_conditional_agg",  # §2.4 agg row (dq33_percentiles)
+    "ext_text_stats",  # text-projection family (ext_text_quality)
+    "ext_text_langid",  # text-projection family (ext_text_quality)
+    "ext_text_fingerprint",  # text-projection family (ext_text_quality)
+    "ext_text_tokens",  # text-projection family (ext_text_quality)
+    "ext_ann_topk",  # ANN family (ext_ann_ivf)
+    "ext_ann_lsh",  # ANN family (ext_ann_ivf)
+    "ext_mm_audio_features",  # multimodal family (image + frame_sample)
 ]
 
 

@@ -390,3 +390,15 @@ DQ_ORACLES["dq39_running_total"] = """
 from .relational import SQL_API_QUERY as _SQL_API_QUERY  # noqa: E402
 
 DQ_ORACLES["dq38_sql_api"] = _SQL_API_QUERY
+
+# HLL sketch values differ across engines; the driver-checkable
+# contract is the error-band predicate (relational.ext_approx_distinct
+# emits apx_ok = approx within ±10% of exact; the oracle asserts the
+# band as a literal TRUE over the same exact counts)
+DQ_ORACLES["ext_approx_distinct"] = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_part,
+           COUNT(*) AS cnt,
+           TRUE AS apx_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

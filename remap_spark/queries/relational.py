@@ -852,16 +852,25 @@ def dq38_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HLL) — the 100 TB path where
-    exact multi-distinct's Expand blow-up is unaffordable. HLL sketches
-    differ across engines, so this query has NO SQL oracle (driver
-    records the weaker rows-only check); tests/test_extensions.py
-    asserts <5%% relative error against the exact count instead."""
+    exact multi-distinct's Expand blow-up is unaffordable. HLL sketch
+    VALUES differ across engines, so the driver-checkable contract is an
+    error-band predicate instead: emit the exact count plus a boolean
+    ``apx_ok`` = (approx within ±10%% of exact); the DuckDB oracle
+    computes the same exact counts and asserts the band as a literal
+    TRUE. tests/test_extensions.py additionally asserts <5%% relative
+    error on the raw sketch."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("apx_part"),
-            F.count("*").alias("cnt"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_apx"),
+        F.count_distinct("l_partkey").alias("exact_part"),
+        F.count("*").alias("cnt"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_part",
+        "cnt",
+        (
+            (F.col("_apx") >= F.col("exact_part") * 0.9)
+            & (F.col("_apx") <= F.col("exact_part") * 1.1)
+        ).alias("apx_ok"),
+    ).orderBy("l_returnflag")

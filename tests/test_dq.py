@@ -25,10 +25,7 @@ def test_all_queries_have_oracles_or_are_declared():
     from remap_spark.queries import ALL_ORACLES, ALL_QUERIES
 
     missing = set(ALL_QUERIES) - set(ALL_ORACLES)
-    # HLL sketch values are engine-specific — accuracy is asserted in
-    # test_extensions.test_approx_distinct_accuracy instead
-    allowed_weak = {"ext_approx_distinct"}
-    assert missing <= allowed_weak, f"queries lacking oracles: {missing}"
+    assert not missing, f"queries lacking oracles: {missing}"
 
 
 def test_entry_smoke(spark):

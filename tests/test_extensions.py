@@ -216,22 +216,23 @@ def test_ivf_topk_recall(spark):
 
 
 def test_approx_distinct_accuracy(spark):
-    """ext_approx_distinct has no SQL oracle (HLL sketches are
-    engine-specific); assert <5% relative error vs exact instead."""
+    """HLL sketch values are engine-specific, so the query's oracle
+    checks an error-band boolean; here assert the tighter <5% relative
+    error on the raw sketch, plus that the query's own band holds."""
     from pyspark.sql import functions as F
 
     from remap_spark.engine import load_table
     from remap_spark.queries import ALL_QUERIES
 
-    apx = {
-        r["l_returnflag"]: r["apx_part"]
-        for r in ALL_QUERIES["ext_approx_distinct"](spark, SF_DIR).collect()
-    }
+    rows = ALL_QUERIES["ext_approx_distinct"](spark, SF_DIR).collect()
+    assert rows and all(r["apx_ok"] for r in rows)
+    exact = {r["l_returnflag"]: r["exact_part"] for r in rows}
+
     li = load_table(spark, SF_DIR, "lineitem")
-    exact = {
-        r["l_returnflag"]: r["nd"]
+    apx = {
+        r["l_returnflag"]: r["apx"]
         for r in li.groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("nd"))
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("apx"))
         .collect()
     }
     for flag, nd in exact.items():

@@ -14,39 +14,42 @@ from remap_spark.queries import ALL_ORACLES, ALL_QUERIES, CHECK_WINDOW, _TAIL_QU
 
 WINDOW = list(ALL_QUERIES)[:CHECK_WINDOW]
 
-# Families that had no driver correctness row in round 1 — every one of
-# them must sit inside the checked window until a green row is recorded.
-NEVER_CHECKED_R1 = [
-    "ext_ann_topk",
-    "ext_ann_lsh",
-    "ext_ann_ivf",
-    "ext_mm_image_features",
-    "ext_mm_audio_features",
-    "ext_mm_frame_sample",
-    "ext_text_tokens",
-    "ext_text_quality",
-    "ext_text_stats",
-    "ext_text_langid",
-    "ext_text_fingerprint",
-    "ext_split_train_test",
-    "ext_sample_det",
-    "ext_sample_stratified",
-    "ext_salted_agg",
-    "ext_dedup_components",
+# Queries that have never had a full green driver row (the 11 round-2
+# additions, checked locally only, plus ext_approx_distinct whose
+# oracle is new this round) — every one must sit inside the checked
+# window until a green row is recorded.
+NEVER_CHECKED = [
+    "ext_dedup_canonical",
+    "ext_dedup_incremental",
+    "ext_text_decontaminate",
+    "ext_text_pii",
+    "ext_text_repetition",
+    "ext_text_line_dedup",
+    "ext_text_vocab",
+    "ext_kmeans_embed",
+    "ext_pack_sequences",
+    "ext_sample_quality_mix",
+    "ext_corpus_report",
+    "ext_approx_distinct",
 ]
 
-# Queries whose semantics changed in round 2 (de-vacuated predicates,
-# oracle dtype fix) — they need a fresh driver row.
-CHANGED_R2 = ["dq10_anti", "dq11_except", "dq15_json", "dq20_range_join"]
+# Queries whose implementation changed in round 3 (repetition bigram
+# rewrite, fixpoint block amortization) — they need a fresh driver row.
+CHANGED_R3 = [
+    "ext_text_repetition",
+    "ext_dedup_canonical",
+    "ext_dedup_components",
+    "dq16_flood_max",
+]
 
 
 def test_never_checked_families_inside_window():
-    missing = [q for q in NEVER_CHECKED_R1 if q not in WINDOW]
+    missing = [q for q in NEVER_CHECKED if q not in WINDOW]
     assert not missing, f"unverified queries outside driver window: {missing}"
 
 
 def test_changed_queries_inside_window():
-    missing = [q for q in CHANGED_R2 if q not in WINDOW]
+    missing = [q for q in CHANGED_R3 if q not in WINDOW]
     assert not missing, f"changed queries outside driver window: {missing}"
 
 

@@ -429,3 +429,92 @@ def test_foreach_batch_overwrite_idempotent(spark, events_stream_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     assert spark.read.parquet(out).count() == n_batch
+
+
+def test_session_stream_equals_dq32(spark, events_stream_dir):
+    """Streamed session windows, rolled up per user, must agree with the
+    dq32_session_window declared query (whose DuckDB oracle is the
+    gaps-and-islands formulation) — ties the streaming tier to a
+    driver-gated result, not just its own batch twin."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.queries.relational import dq32_session_window
+    from remap_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_counts,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir, schema=_schema(spark))
+    # complete mode: append would hold back each user's final session(s)
+    # behind the last watermark; complete re-emits ALL sessions (open
+    # ones included) every trigger, so the final table equals batch
+    q = run_stream_to_memory(
+        session_counts(stream), "session_dq32", mode="complete"
+    )
+    try:
+        q.processAllAvailable()
+        rolled = (
+            spark.sql("SELECT * FROM session_dq32")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("session_count"),
+                F.max("n_events").alias("max_session_len"),
+            )
+        )
+        got = {
+            r["user_id"]: (r["session_count"], r["max_session_len"])
+            for r in rolled.collect()
+        }
+    finally:
+        q.stop()
+
+    expected = {
+        r["user_id"]: (r["session_count"], r["max_session_len"])
+        for r in dq32_session_window(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_dedup_equals_ext_dedup_exact_keyset(spark, tmp_path_factory):
+    """Streamed dedup over the documents fingerprint must keep exactly
+    the keep-set of the driver-gated ext_dedup_exact query: one survivor
+    per md5(text), the minimum doc_id."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.queries.extensions import ext_dedup_exact
+    from remap_spark.streaming import dedup_events, run_stream_to_memory
+
+    # NOT epoch 0: Spark's watermark starts at epoch 0 and never goes
+    # below it, so epoch-0 event times are immediately "late" and every
+    # row is dropped — a modern constant keeps all rows on time
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+    )
+    d = str(tmp_path_factory.mktemp("docs_dedup_stream"))
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = run_stream_to_memory(
+        dedup_events(stream, ["h"], delay="3650 days"), "dedup_exact_stream"
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT h FROM dedup_exact_stream").collect()
+    finally:
+        q.stop()
+    got = {r["h"] for r in emitted}
+
+    expected = {r["h"] for r in ext_dedup_exact(spark, SF_DIR).collect()}
+    # exactly one survivor per distinct fingerprint (which survivor is
+    # batch-order-dependent; the driver-gated keep_id contract is
+    # batch-side — here the invariant is the KEY SET)
+    assert got == expected
+    assert len(emitted) == len(expected)
