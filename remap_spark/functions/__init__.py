@@ -49,6 +49,38 @@ def first_char_bucket(col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------
+# Portable time.
+# ---------------------------------------------------------------------
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Integer microseconds since 1970-01-01 00:00:00, naive wall clock.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ — the type Spark 4 infers
+    for the testdata's parquet timestamps (isAdjustedToUTC=false) —
+    so the naive epoch is computed with ``timestamp_diff`` on NTZ
+    operands instead.
+
+    Caveat: Spark's timestamp_diff implicitly coerces NTZ operands back
+    to TIMESTAMP via the session time zone, so NTZ wall-clock values
+    inside a session-tz DST spring-forward gap shift by the gap width
+    (e.g. session tz America/New_York turns NTZ 2024-03-10 02:30 into
+    the 03:30 epoch). Exact DuckDB ``epoch_us`` parity therefore relies
+    on the UTC session-tz pin in build_session (engine.py); keep
+    ``spark.sql.session.timeZone=UTC`` wherever this function feeds an
+    oracle comparison. A TIMESTAMP (ltz) input is first cast to NTZ
+    (session-tz wall clock), so both storage conventions produce the
+    naive epoch.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        c.cast("timestamp_ntz"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Portable hashing.
 #
 # Spark's native xxhash64/hash are the FAST path for production dedup
@@ -58,27 +90,6 @@ def first_char_bucket(col: Column | str) -> Column:
 # oracle. md5 is also JVM-side codegen — slower than xxhash64 but still
 # no Python boundary.
 # ---------------------------------------------------------------------
-
-
-def epoch_us(col: Column | str) -> Column:
-    """Integer microseconds since 1970-01-01 00:00:00, timezone-free.
-
-    ``F.unix_micros`` rejects TIMESTAMP_NTZ — the type Spark 4 infers
-    for the testdata's parquet timestamps (isAdjustedToUTC=false) —
-    and casting NTZ -> TIMESTAMP would re-interpret the wall-clock
-    value in the session timezone, shifting any gap that crosses a DST
-    transition on a non-UTC driver. ``timestamp_diff`` on NTZ values
-    is pure calendar arithmetic: it matches DuckDB's ``epoch_us(ts)``
-    (always-naive TIMESTAMP) bit-for-bit regardless of session tz.
-    A TIMESTAMP (ltz) input is first cast to NTZ (session-tz wall
-    clock), so both storage conventions produce the naive epoch.
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_diff(
-        "MICROSECOND",
-        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-        c.cast("timestamp_ntz"),
-    )
 
 
 def portable_hash60(col: Column | str) -> Column:

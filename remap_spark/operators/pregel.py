@@ -145,23 +145,23 @@ class Pregel:
             if self.vote_halt is not None:
                 cols = cols + [self.vote_halt.alias("_halt")]
             new_vertices = joined.select(*cols)
-            # Lineage policy: cut with localCheckpoint every
-            # checkpoint_interval supersteps — otherwise the plan
-            # doubles per iteration and driver-side analysis cost
-            # explodes long before data size matters (SURVEY §7.2 hard
-            # part (a)). Between cuts, supersteps are UNROLLED into one
-            # lazy plan (Catalyst's DeduplicateRelations re-ids the
-            # repeated edges relation), so a K-interval runs
-            # supersteps/K Spark jobs instead of one per superstep.
-            # Halt voting forces an action every superstep anyway, so
-            # voting loops checkpoint every step (the action would
-            # recompute the whole unrolled prefix otherwise).
-            if (
-                self.vote_halt is not None
-                or step % self.checkpoint_interval == self.checkpoint_interval - 1
+            # Lineage policy: every superstep ends in a LAZY
+            # localCheckpoint — that truncates the SQL plan to a
+            # LogicalRDD leaf immediately (Catalyst only ever analyzes
+            # one-superstep plans; an unrolled K-superstep self-join
+            # plan costs seconds of driver-side DeduplicateRelations)
+            # while deferring materialization. Jobs are then driven by:
+            # voting loops — the per-step halt aggregate (which
+            # materializes the step's checkpoint as a side effect, one
+            # job per superstep instead of checkpoint+agg); non-voting
+            # loops — an EAGER cut every checkpoint_interval supersteps
+            # (one job per interval; the intermediate lazy checkpoints
+            # materialize inside it).
+            eager = self.vote_halt is None and (
+                step % self.checkpoint_interval == self.checkpoint_interval - 1
                 or step == self.max_supersteps
-            ):
-                new_vertices = new_vertices.localCheckpoint(eager=True)
+            )
+            new_vertices = new_vertices.localCheckpoint(eager=eager)
 
             if self.vote_halt is not None:
                 all_halt = new_vertices.agg(

@@ -113,3 +113,59 @@ def deterministic_sample(
     if not 0 < fraction <= 1:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     return df.where(split_bucket(key, salt) < int(round(fraction * _BUCKETS)))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-row weighted sampling: keep each row with
+    probability ``weight`` (a column in [0, 1], clipped). Generalizes
+    deterministic_sample from a constant fraction to a per-row weight —
+    the standard trick for quality-proportional corpus downsampling
+    (keep high-quality docs with p≈1, low-quality with p≈0.1).
+
+    Membership is floor(weight * buckets) compared against the key's
+    hash bucket: a pure codegen predicate, no RNG, no shuffle; nested
+    like the other samplers (raising a row's weight never evicts it).
+    """
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return df.where(split_bucket(key, salt) < F.floor(w * _BUCKETS))
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: Column | str = "source",
+    size_col: Column | str = "n_chars",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled mixture weights over corpus groups — the
+    multilingual/multi-source rebalancing rule (sampling share ∝
+    mass^alpha, alpha<1 upweights small groups). Returns per group:
+    raw mass, natural share, and the temperature-scaled sampling
+    weight (all shares sum to 1).
+
+    Shape: one tiny aggregate keyed by the group, then two single-row
+    broadcast crossJoins for the normalizing constants — never a
+    driver action, and the group relation is #groups-sized regardless
+    of corpus size."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    s = F.col(size_col) if isinstance(size_col, str) else size_col
+    sizes = df.groupBy(g.alias("grp")).agg(F.sum(s).alias("mass"))
+    tot = sizes.agg(F.sum("mass").alias("_tot"))
+    scaled = sizes.crossJoin(F.broadcast(tot)).withColumn(
+        "_w", F.pow(F.col("mass").cast("double") / F.col("_tot"), F.lit(alpha))
+    )
+    wsum = scaled.agg(F.sum("_w").alias("_wsum"))
+    return (
+        scaled.crossJoin(F.broadcast(wsum))
+        .select(
+            "grp",
+            "mass",
+            F.round(F.col("mass").cast("double") / F.col("_tot"), 5).alias("share"),
+            F.round(F.col("_w") / F.col("_wsum"), 5).alias("weight"),
+        )
+        .orderBy("grp")
+    )

@@ -317,3 +317,176 @@ def dedup_lines(
         ).alias(text_col),
         F.count("*").alias("n_kept"),
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the classic keyword /
+    topic-proxy extraction for corpus exploration and quality routing.
+    score = tf * ln(N / df); rank per doc by (score DESC, word ASC).
+
+    Shape: one id-hash repartition feeds the (doc, word) tf aggregate
+    (partial map-side); document frequency is a second aggregate keyed
+    by word; the tf ⋈ df join shuffles on the word — all aggregates are
+    combiner-style, so skew is bounded by a single term's document
+    frequency. The corpus size N arrives via a broadcast single-row
+    crossJoin, never a driver action. At 100 TB the df relation is
+    vocabulary-sized — orders smaller than the corpus."""
+    from pyspark.sql.window import Window
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("word"),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("dfc"))
+    ndocs = df.select(F.count("*").alias("_nd"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("_nd").cast("double") / F.col("dfc")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "word", F.round("score", 5).alias("score"))
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate detection (C4-style): lines that occur
+    in at least ``min_docs`` DISTINCT documents — license headers,
+    navigation chrome, cookie banners. Returns (line, n_docs).
+
+    Shape: posexplode lines -> distinct (doc, line) -> one aggregate
+    keyed by the line. The distinct and the count share the line-hash
+    shuffle; the result is tiny (only lines crossing the threshold), so
+    the typical consumer broadcasts it back for an anti-join strip
+    (see strip_boilerplate)."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).distinct()
+    return (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy("line")
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    hot_lines: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove the detected boilerplate lines from every document,
+    preserving the order of surviving lines. ``hot_lines`` is the
+    (small) output of boilerplate_lines — broadcast, so the strip is
+    one narrow pass + per-doc reassembly keyed by doc id."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    kept = lines.join(
+        F.broadcast(hot_lines.select("line")), "line", "left_anti"
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.count("*").alias("n_kept"),
+    )
+
+
+# cleaning patterns shared with the DuckDB oracle (no backrefs /
+# lookaround — identical under Java regex and RE2)
+CLEAN_TAG = "<[^>]*>"
+CLEAN_CTRL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Ingest-time text normalization: strip HTML/XML tags, drop control
+    characters (keeping \\t \\n \\r), collapse runs of spaces/tabs, trim.
+    Returns (doc_id, text, n_tags, n_ctrl) — counts taken on the
+    ORIGINAL text so the cleaning is auditable. Pure codegen
+    projections, zero shuffle, order-preserving."""
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, CLEAN_TAG, " ")
+    cleaned = F.regexp_replace(cleaned, CLEAN_CTRL, "")
+    cleaned = F.trim(F.regexp_replace(cleaned, "[ \\t]+", " "))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias(text_col),
+        F.regexp_count(t, F.lit(CLEAN_TAG)).cast("bigint").alias("n_tags"),
+        F.regexp_count(t, F.lit(CLEAN_CTRL)).cast("bigint").alias("n_ctrl"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 512,
+    overlap: int = 128,
+) -> DataFrame:
+    """Split each document's token stream into overlapping chunks —
+    context-window preparation for training / retrieval indexing.
+    Chunk k covers token ordinals [k*step, k*step + chunk_size) with
+    step = chunk_size - overlap; the last chunk may be short but never
+    consists of overlap alone (n_chunks = ceil(max(n - overlap, 1) /
+    step)). Returns (doc_id, chunk_id, n_tokens, text).
+
+    Shape: one narrow projection materializes the token array, one
+    generator explodes chunk ids, and `slice` + `array_join` assemble
+    each chunk — slice is a codegen collection function, not an
+    interpreted lambda, and the token array is evaluated once per doc
+    row (not per chunk-element as a transform() formulation would).
+    Zero shuffle: chunking is embarrassingly parallel per document;
+    at 100 TB the only cost above the scan is the overlap-factor
+    output inflation, which is the contract."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    step = chunk_size - overlap
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_w")
+    ).withColumn("_n", F.size("_w")).where(F.col("_n") > 0)
+    n_chunks = F.floor(
+        (F.greatest(F.col("_n") - overlap, F.lit(1)) + F.lit(step - 1))
+        / F.lit(float(step))
+    ).cast("int")
+    chunks = base.select(
+        "doc_id",
+        "_w",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_p", "chunk_id"),
+    )
+    piece = F.slice(F.col("_w"), F.col("chunk_id") * step + 1, chunk_size)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias(text_col),
+    )

@@ -138,6 +138,10 @@ _TAIL_QUERIES = [
     "dq29_scalar_subquery",  # subquery family (dq28_exists)
     "dq31_pivot",  # grouping family (dq30_grouping_sets)
     "dq36_conditional_agg",  # §2.4 agg row (dq33_percentiles)
+    "dq13_tumbling",  # time-window family (dq32_session_window, dq37)
+    "dq19_buckets",  # partition-routing family (dq18_grouped_udf, dq03)
+    "dq26_distinct_agg",  # distinct family (ext_approx_distinct)
+    "dq35_regexp",  # regex family (ext_text_pii, ext_text_clean)
     "ext_text_stats",  # text-projection family (ext_text_quality)
     "ext_text_langid",  # text-projection family (ext_text_quality)
     "ext_text_fingerprint",  # text-projection family (ext_text_quality)
@@ -145,6 +149,9 @@ _TAIL_QUERIES = [
     "ext_ann_topk",  # ANN family (ext_ann_ivf)
     "ext_ann_lsh",  # ANN family (ext_ann_ivf)
     "ext_mm_audio_features",  # multimodal family (image + frame_sample)
+    "ext_sample_det",  # sampler family (ext_sample_weighted + quality_mix)
+    "ext_sample_stratified",  # sampler family (ext_sample_weighted)
+    "dq21_left_outer",  # outer family: all 3 variants have green rows
 ]
 
 

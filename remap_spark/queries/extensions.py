@@ -1289,6 +1289,291 @@ def _kmeans_oracle(k: int = 4, iters: int = 3, scale: int = 1_000_000) -> str:
     )
 
 
+def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (operators/text.tfidf_topk):
+    keyword extraction for corpus exploration / topic routing. score =
+    tf * ln(N/df), rank by (score DESC, word ASC). The corpus size
+    enters as a broadcast single-row relation — no driver action."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.tfidf_topk(docs, k=3).orderBy("doc_id", "rank")
+
+
+_TFIDF_SQL = f"""
+    WITH {_TOKS},
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, COUNT(*) AS dfc FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             tf.tf * ln(nd * 1.0 / dfc) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(nd * 1.0 / dfc) DESC, tf.word
+             ) AS rank
+      FROM tf JOIN dfreq ON dfreq.word = tf.word CROSS JOIN n
+    )
+    SELECT doc_id, rank, word, ROUND(score, 5) AS score
+    FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def ext_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (operators/text.
+    boilerplate_lines): lines occurring in >= 3 distinct docs — license
+    headers / site chrome. The single-line fixture corpus shares no
+    lines naturally, so the query CONSTRUCTS a per-source header line
+    on every even doc_id (mirrored by the oracle), which the detector
+    must recover exactly — one (header, count) row per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    header = F.concat(F.lit("NOTICE "), F.col("source"), F.lit(" TERMS"))
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(header, F.lit("\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return tx.boilerplate_lines(aug, min_docs=3)
+
+
+_BOILERPLATE_SQL = """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'NOTICE ' || source || ' TERMS' || chr(10) || text
+                  ELSE text END AS text
+      FROM documents
+    ), lines AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line
+      FROM aug
+    )
+    SELECT line, COUNT(*) AS n_docs
+    FROM lines GROUP BY line HAVING COUNT(*) >= 3 ORDER BY line
+"""
+
+
+def ext_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest normalization (operators/text.clean_text): strip HTML
+    tags + control chars, collapse space runs. The fixture is already
+    clean, so noise is CONSTRUCTED on every doc_id % 4 == 0 (a <p> tag
+    pair, a control byte, doubled spaces — oracle mirrors it); the
+    cleaner must produce the original text back (fp equality proves
+    byte-exact restoration) and count what it removed."""
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("<p  class='x'> "),
+        F.col("text"),
+        F.lit(" </p>"),
+        F.lit("\x01"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, noisy)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = tx.clean_text(aug)
+    return out.select(
+        "doc_id", F.md5("text").alias("fp"), "n_tags", "n_ctrl"
+    ).orderBy("doc_id")
+
+
+_CLEAN_SQL = r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN '<p  class=''x''> ' || text || ' </p>' || chr(1)
+                  ELSE text END AS text
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+               '[ \t]+', ' ', 'g')) AS t,
+             CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT)
+               AS n_tags,
+             CAST(len(regexp_extract_all(text,
+               '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_ctrl
+      FROM aug
+    )
+    SELECT doc_id, md5(t) AS fp, n_tags, n_ctrl
+    FROM cleaned ORDER BY doc_id
+"""
+
+
+def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional downsampling (operators/split.
+    weighted_sample): keep probability = (doc_id % 10 + 1)/10 — a
+    deterministic stand-in for a per-row quality weight, spread across
+    the full range so every decile is exercised. Reports kept counts
+    and chars per language; membership is a pure hash predicate the
+    oracle replays exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = ((F.col("doc_id") % 10 + 1) / F.lit(10.0)).cast("double")
+    kept = sp.weighted_sample(docs, "doc_id", weight, salt="w1")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+_WEIGHTED_BUCKET = _H32.format(x="concat(CAST(doc_id AS VARCHAR), '|w1')") + " % 10000"
+
+_WEIGHTED_SQL = f"""
+    WITH kept AS (
+      SELECT lang, n_chars FROM documents
+      WHERE {_WEIGHTED_BUCKET}
+            < FLOOR(((doc_id % 10 + 1) / 10.0) * 10000)
+    )
+    SELECT lang, COUNT(*) AS cnt,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+def ext_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source (operators/split.
+    temperature_weights, alpha=0.5): the multilingual-rebalancing rule
+    (share ∝ mass^alpha) that decides how many tokens each corpus
+    contributes to a training mix. Two broadcast single-row joins carry
+    the normalizing constants — no driver action, #sources-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.temperature_weights(docs, "source", "n_chars", alpha=0.5)
+
+
+_MIX_SQL = """
+    WITH sizes AS (
+      SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS mass
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(mass) AS t FROM sizes),
+    scaled AS (
+      SELECT grp, mass, mass * 1.0 / t AS share_raw,
+             POWER(mass * 1.0 / t, 0.5) AS w
+      FROM sizes CROSS JOIN tot
+    ), ws AS (SELECT SUM(w) AS sw FROM scaled)
+    SELECT grp, mass, ROUND(share_raw, 5) AS share,
+           ROUND(w / sw, 5) AS weight
+    FROM scaled CROSS JOIN ws ORDER BY grp
+"""
+
+
+def ext_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/test split: near-duplicate documents (MinHash
+    LSH pairs -> connected components) must land in the SAME split, or
+    test contamination leaks through paraphrases exact-dedup misses.
+    Split key = the doc's duplicate-cluster id (own id when unique);
+    the oracle closes the identical pair graph with a recursive CTE and
+    replays the hash-CDF walk. Output: per-split docs and clusters."""
+    from ..operators.pregel import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    n_parts = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        max(4, docs.rdd.getNumPartitions()),
+    )
+    cc = connected_components(
+        pairs, src="doc_a", dst="doc_b", num_partitions=n_parts
+    )
+    keyed = docs.join(
+        cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn("ckey", F.coalesce("component", "doc_id"))
+    assigned = sp.hash_split(
+        keyed, "ckey", {"train": 0.9, "test": 0.1}, salt="cl"
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("ckey").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+def _leakage_split_oracle() -> str:
+    ckey_bucket = _H32.format(x="concat(CAST(ckey AS VARCHAR), '|cl')") + " % 10000"
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    cedges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM cedges
+      UNION
+      SELECT reach.s, cedges.d FROM reach JOIN cedges ON reach.d = cedges.s
+    ),
+    comp AS (
+      SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
+    ),
+    ck AS (
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS ckey
+      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    ),
+    assign AS (
+      SELECT doc_id, ckey,
+             CASE WHEN {ckey_bucket} < 9000 THEN 'train' ELSE 'test' END
+               AS split
+      FROM ck
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT ckey) AS n_clusters
+    FROM assign GROUP BY split ORDER BY split
+"""
+
+
+def ext_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (operators/text.
+    chunk_documents, chunk=8 tokens / overlap=2 at fixture scale so
+    multi-chunk docs are exercised): every doc becomes ceil(max(n-2,1)/6)
+    chunks; fp pins the exact token content of each chunk. Zero-shuffle
+    narrow generator — the oracle reproduces ordinal slicing in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.chunk_documents(docs, chunk_size=8, overlap=2)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_CHUNK_SQL = f"""
+    WITH {_TOKS},
+    ord AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS o
+      FROM toks
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM ord GROUP BY doc_id),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(FLOOR((GREATEST(n - 2, 1) + 5) / 6.0) AS INT) - 1)) AS ci
+      FROM n
+    ),
+    assigned AS (
+      SELECT c.doc_id, c.ci, o.word, o.o
+      FROM chunks c JOIN ord o
+        ON o.doc_id = c.doc_id
+       AND o.o > c.ci * 6 AND o.o <= c.ci * 6 + 8
+    )
+    SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_tokens,
+           md5(string_agg(word, ' ' ORDER BY o)) AS fp
+    FROM assigned GROUP BY doc_id, ci ORDER BY doc_id, chunk_id
+"""
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -1319,6 +1604,13 @@ EXT_QUERIES = {
     "ext_dedup_canonical": ext_dedup_canonical,
     "ext_dedup_incremental": ext_dedup_incremental,
     "ext_corpus_report": ext_corpus_report,
+    "ext_text_tfidf": ext_text_tfidf,
+    "ext_text_boilerplate": ext_text_boilerplate,
+    "ext_text_clean": ext_text_clean,
+    "ext_sample_weighted": ext_sample_weighted,
+    "ext_mix_temperature": ext_mix_temperature,
+    "ext_split_leakage_safe": ext_split_leakage_safe,
+    "ext_text_chunk": ext_text_chunk,
 }
 
 EXT_ORACLES = {
@@ -1351,4 +1643,11 @@ EXT_ORACLES = {
     "ext_dedup_canonical": _canonical_oracle(),
     "ext_dedup_incremental": _INCR_DEDUP_SQL,
     "ext_corpus_report": _CORPUS_REPORT_SQL,
+    "ext_text_tfidf": _TFIDF_SQL,
+    "ext_text_boilerplate": _BOILERPLATE_SQL,
+    "ext_text_clean": _CLEAN_SQL,
+    "ext_sample_weighted": _WEIGHTED_SQL,
+    "ext_mix_temperature": _MIX_SQL,
+    "ext_split_leakage_safe": _leakage_split_oracle(),
+    "ext_text_chunk": _CHUNK_SQL,
 }

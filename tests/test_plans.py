@@ -214,3 +214,43 @@ def test_kmeans_broadcasts_centroids_only(spark):
     # expected: a k-row cross join IS the broadcast pattern here)
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tfidf_broadcasts_corpus_size(spark):
+    """The corpus-size N must enter TF-IDF as a broadcast single-row
+    relation (never a driver count()); tf/df aggregates must be partial
+    map-side; no cartesian beyond that one-row broadcast."""
+    r = _report(spark, "ext_text_tfidf")
+    assert r["partial_aggs"], r["plan"]
+    # the single-row crossJoin appears as BroadcastNestedLoopJoin — that
+    # is the intended plan for a 1-row side, not an accident
+    assert "BroadcastNestedLoopJoin" in r["plan"] or r["broadcast_joins"] >= 1, r["plan"]
+
+
+def test_weighted_sample_zero_shuffle(spark):
+    """Weighted sampling is a pure predicate: the only exchanges allowed
+    in the report query are the per-lang aggregate's (partial+final)."""
+    r = _report(spark, "ext_sample_weighted")
+    assert r["exchanges"] <= 2, r["plan"]
+    assert r["partial_aggs"], r["plan"]
+    assert not r["cartesian"]
+
+
+def test_boilerplate_strip_broadcasts_hot_lines(spark):
+    """strip_boilerplate must broadcast the (tiny) hot-line relation
+    into a left-anti join — never shuffle the corpus by line."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.text import boilerplate_lines, strip_boilerplate
+    from remap_spark.plans import plan_report
+
+    docs = load_table(spark, SF_DIR, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.lit("HDR"), F.lit("\n"), F.col("text")).alias("text"),
+    )
+    hot = boilerplate_lines(aug, min_docs=3)
+    r = plan_report(strip_boilerplate(aug, hot))
+    assert r["broadcast_joins"] >= 1, r["plan"]
+    assert not r["cartesian"]

@@ -202,3 +202,142 @@ def test_kmeans_partition_layout_invariance(spark):
     r1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
     r2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
     assert r1 == r2
+
+
+def test_strip_boilerplate_restores_original(spark):
+    """Detect-then-strip must give back the pre-injection corpus: after
+    removing the constructed per-source header lines, every document's
+    text equals the original fixture text."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from remap_spark.engine import load_table
+    from remap_spark.operators.text import boilerplate_lines, strip_boilerplate
+
+    docs = load_table(spark, SF_DIR, "documents")
+    header = F.concat(F.lit("NOTICE "), F.col("source"), F.lit(" TERMS"))
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(header, F.lit("\n"), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    hot = boilerplate_lines(aug, min_docs=3)
+    restored = strip_boilerplate(aug, hot)
+    joined = restored.join(
+        docs.select("doc_id", F.col("text").alias("orig")), "doc_id"
+    )
+    n_bad = joined.where(F.col("text") != F.col("orig")).count()
+    assert n_bad == 0
+    assert joined.count() == docs.count()
+
+
+def test_weighted_sample_nested(spark):
+    """Raising every weight only ADDS rows (same salt -> same bucket):
+    the nested-sample property that keeps training curricula stable
+    across quality-threshold changes."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from remap_spark.engine import load_table
+    from remap_spark.operators.split import weighted_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w_lo = ((F.col("doc_id") % 10 + 1) / F.lit(20.0)).cast("double")
+    w_hi = ((F.col("doc_id") % 10 + 1) / F.lit(10.0)).cast("double")
+    lo = {r["doc_id"] for r in weighted_sample(docs, "doc_id", w_lo, "s").select("doc_id").collect()}
+    hi = {r["doc_id"] for r in weighted_sample(docs, "doc_id", w_hi, "s").select("doc_id").collect()}
+    assert lo <= hi
+    assert len(hi) > len(lo)
+
+
+def test_temperature_weights_properties(spark):
+    """Weights sum to 1; alpha=1 degenerates to the natural share;
+    alpha<1 strictly upweights the smallest group."""
+    from conftest import SF_DIR
+    from remap_spark.engine import load_table
+    from remap_spark.operators.split import temperature_weights
+
+    docs = load_table(spark, SF_DIR, "documents")
+    flat = temperature_weights(docs, "source", "n_chars", alpha=1.0).collect()
+    assert abs(sum(r["weight"] for r in flat) - 1.0) < 1e-3
+    for r in flat:
+        assert abs(r["weight"] - r["share"]) < 1e-4
+
+    cooled = {r["grp"]: r for r in temperature_weights(docs, "source", "n_chars", alpha=0.5).collect()}
+    assert abs(sum(r["weight"] for r in cooled.values()) - 1.0) < 1e-3
+    smallest = min(cooled.values(), key=lambda r: r["mass"])
+    assert smallest["weight"] > smallest["share"]
+
+
+def test_clean_text_idempotent(spark):
+    """clean(clean(x)) == clean(x): the normalizer is a projection onto
+    its own fixed-point set."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from remap_spark.engine import load_table
+    from remap_spark.operators.text import clean_text
+
+    docs = load_table(spark, SF_DIR, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(F.lit("<b>x</b>  "), F.col("text"), F.lit("\x02\x03  end")).alias("text"),
+    )
+    once = clean_text(noisy)
+    twice = clean_text(once.select("doc_id", "text"))
+    j = once.select("doc_id", F.col("text").alias("t1")).join(
+        twice.select("doc_id", F.col("text").alias("t2")), "doc_id"
+    )
+    assert j.where(F.col("t1") != F.col("t2")).count() == 0
+    # second pass finds nothing left to remove
+    assert twice.where((F.col("n_tags") > 0) | (F.col("n_ctrl") > 0)).count() == 0
+
+
+def test_tfidf_rank_contract(spark):
+    """Ranks are 1..k per doc with non-increasing scores."""
+    from conftest import SF_DIR
+    from remap_spark.engine import load_table
+    from remap_spark.operators.text import tfidf_topk
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = tfidf_topk(docs, k=3).collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append((r["rank"], r["score"]))
+    for doc, rs in per_doc.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1)), doc
+        scores = [x[1] for x in rs]
+        assert scores == sorted(scores, reverse=True), doc
+
+
+def test_leakage_safe_split_no_cluster_straddles(spark):
+    """Every near-duplicate cluster lands wholly in one split — the
+    contamination guarantee the split exists for."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from remap_spark.engine import load_table
+    from remap_spark.operators import dedup as dd
+    from remap_spark.operators.pregel import connected_components
+    from remap_spark.operators.split import hash_split
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b", num_partitions=4)
+    keyed = docs.join(
+        cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn("ckey", F.coalesce("component", "doc_id"))
+    assigned = hash_split(keyed, "ckey", {"train": 0.9, "test": 0.1}, salt="cl")
+    straddlers = (
+        assigned.groupBy("ckey")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # non-vacuous: at least one multi-doc cluster exists
+    multi = assigned.groupBy("ckey").count().where(F.col("count") > 1).count()
+    assert multi > 0

@@ -31,6 +31,14 @@ NEVER_CHECKED = [
     "ext_sample_quality_mix",
     "ext_corpus_report",
     "ext_approx_distinct",
+    # new in round 3
+    "ext_text_tfidf",
+    "ext_text_boilerplate",
+    "ext_text_clean",
+    "ext_sample_weighted",
+    "ext_mix_temperature",
+    "ext_split_leakage_safe",
+    "ext_text_chunk",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
