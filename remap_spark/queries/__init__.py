@@ -67,6 +67,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq36_conditional_agg": relational.dq36_conditional_agg,
     "dq37_lead_lag": relational.dq37_lead_lag,
     "dq38_sql_api": relational.dq38_sql_api,
+    "dq41_recursive_sql": relational.dq41_recursive_sql,
     "dq39_running_total": relational.dq39_running_total,
     # HLL sketch values differ across engines: the oracle checks an
     # error-band predicate (see relational.ext_approx_distinct)
@@ -152,6 +153,8 @@ _TAIL_QUERIES = [
     "ext_sample_det",  # sampler family (ext_sample_weighted + quality_mix)
     "ext_sample_stratified",  # sampler family (ext_sample_weighted)
     "dq21_left_outer",  # outer family: all 3 variants have green rows
+    "dq20_range_join",  # r2 green post-de-vacuation; not-cartesian plan-tested
+    "dq06_secondary_sort",  # window family (dq37_lead_lag stays in-window)
 ]
 
 

@@ -1574,6 +1574,57 @@ _CHUNK_SQL = f"""
 """
 
 
+def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: embedding near-dup PAIRS (block-pair
+    GEMM, operators/similarity.embedding_near_dup_pairs) closed into
+    duplicate CLUSTERS by connected components — the embedding-space
+    counterpart of ext_dedup_canonical's text-LSH pipeline, catching
+    paraphrases that share no shingles. Keep-id = min vec_id per
+    cluster (the component label)."""
+    from ..operators.pregel import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.embedding_near_dup_pairs(emb, threshold=0.4)
+    n_parts = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        max(4, emb.rdd.getNumPartitions()),
+    )
+    cc = connected_components(
+        pairs, src="vec_a", dst="vec_b", num_partitions=n_parts
+    )
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("component")
+    )
+
+
+_SEMANTIC_SQL = f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    spairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4
+    ),
+    cedges AS (
+      SELECT pa AS s, pb AS d FROM spairs
+      UNION
+      SELECT pb AS s, pa AS d FROM spairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM cedges
+      UNION
+      SELECT reach.s, cedges.d FROM reach JOIN cedges ON reach.d = cedges.s
+    ),
+    comp AS (
+      SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
+    )
+    SELECT component, COUNT(*) AS n_vecs
+    FROM comp GROUP BY component ORDER BY component
+"""
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -1611,6 +1662,7 @@ EXT_QUERIES = {
     "ext_mix_temperature": ext_mix_temperature,
     "ext_split_leakage_safe": ext_split_leakage_safe,
     "ext_text_chunk": ext_text_chunk,
+    "ext_dedup_semantic": ext_dedup_semantic,
 }
 
 EXT_ORACLES = {
@@ -1650,4 +1702,5 @@ EXT_ORACLES = {
     "ext_mix_temperature": _MIX_SQL,
     "ext_split_leakage_safe": _leakage_split_oracle(),
     "ext_text_chunk": _CHUNK_SQL,
+    "ext_dedup_semantic": _SEMANTIC_SQL,
 }

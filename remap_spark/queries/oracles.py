@@ -402,3 +402,8 @@ DQ_ORACLES["ext_approx_distinct"] = """
            TRUE AS apx_ok
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+# dq41 runs the SAME recursive-CTE text in both engines
+from .relational import RECURSIVE_SQL_QUERY as _RECURSIVE_SQL_QUERY  # noqa: E402
+
+DQ_ORACLES["dq41_recursive_sql"] = _RECURSIVE_SQL_QUERY

@@ -850,6 +850,35 @@ def dq38_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Engine(spark, sf_dir).sql(SQL_API_QUERY)
 
 
+# Recursive CTE (Spark 4.1 WITH RECURSIVE): every customer key chases
+# ancestor = floor(id/2) to the root of the implicit binary tree; the
+# result is the depth histogram. Same ANSI text runs in DuckDB — the
+# SQL-API twin of the DataFrame fixpoint loops (Pregel/flood), proving
+# the declarative iteration surface too. Iterations = O(log max_id):
+# each UNION ALL step is one shuffle over a shrinking frontier.
+RECURSIVE_SQL_QUERY = """
+    WITH RECURSIVE chase(id, anc, depth) AS (
+      SELECT c_custkey, c_custkey, 1
+      FROM customer
+      UNION ALL
+      SELECT id, CAST(FLOOR(anc / 2.0) AS BIGINT), depth + 1
+      FROM chase WHERE anc > 1
+    )
+    SELECT depth, COUNT(*) AS cnt
+    FROM chase
+    GROUP BY depth ORDER BY depth
+"""
+
+
+def dq41_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL surface (see RECURSIVE_SQL_QUERY):
+    Spark 4's recursive CTE executes as an iterative union — the
+    declarative counterpart to the Pregel pointer-chase (dq40)."""
+    from ..engine import Engine
+
+    return Engine(spark, sf_dir).sql(RECURSIVE_SQL_QUERY)
+
+
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HLL) — the 100 TB path where
     exact multi-distinct's Expand blow-up is unaffordable. HLL sketch

@@ -254,3 +254,31 @@ def test_boilerplate_strip_broadcasts_hot_lines(spark):
     r = plan_report(strip_boilerplate(aug, hot))
     assert r["broadcast_joins"] >= 1, r["plan"]
     assert not r["cartesian"]
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Sweeping scale audit: NO registered query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only for
+    the documented constant-size broadcast sides (query sets, k
+    centroids, single-row normalizing constants). A new query that
+    accidentally drops its equi-key fails here before it ships."""
+    from remap_spark.plans import explain_str
+    from remap_spark.queries import ALL_QUERIES
+
+    # intentional small-side broadcasts (1-row totals / k-row centroid
+    # or query relations) — BNLJ over a bounded side IS the right plan
+    bnlj_ok = {
+        "ext_ann_topk",
+        "ext_ann_ivf",
+        "ext_kmeans_embed",
+        "ext_text_tfidf",
+        "ext_mix_temperature",
+    }
+    bad = []
+    for name, fn in ALL_QUERIES.items():
+        plan = explain_str(fn(spark, SF_DIR), "simple")
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            bad.append((name, "BroadcastNestedLoopJoin"))
+    assert not bad, f"queries with unbounded join plans: {bad}"

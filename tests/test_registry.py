@@ -39,6 +39,8 @@ NEVER_CHECKED = [
     "ext_mix_temperature",
     "ext_split_leakage_safe",
     "ext_text_chunk",
+    "ext_dedup_semantic",
+    "dq41_recursive_sql",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
