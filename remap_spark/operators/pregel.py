@@ -443,6 +443,7 @@ def connected_components_star(
         .repartition(n, "u")
         .localCheckpoint(eager=True)
     )
+    prev_e = e
     for _round in range(max_rounds):
         # -- large-star: symmetrize, larger neighbors adopt the min
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -453,6 +454,10 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
+            # lazy: truncates the plan so small-star doesn't re-analyze
+            # (or recompute) the large-star subtree; materialized by the
+            # round's single convergence action below
+            .localCheckpoint(eager=False)
         )
         # -- small-star: orient u >= v, small neighborhood collapses
         dirn = e.select(
@@ -466,19 +471,26 @@ def connected_components_star(
             .where(F.col("u") != F.col("v"))
             .distinct()
             .repartition(n, "u")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # converged when every edge already points at its neighborhood
-        # min: one more large-star pass would change nothing, i.e. the
-        # graph is a set of stars (paper's convergence criterion)
-        sym2 = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        non_star = (
-            sym2.join(_neighbor_min(sym2), "u")
-            .where((F.col("v") > F.col("u")) & (F.col("v") != F.col("m")))
-            .first()
+        # converged when the round left the edge set unchanged (the
+        # paper's fixpoint: star operations are idempotent on a set of
+        # stars). Checked as symmetric-difference count == 0 — NOT as
+        # "every symmetrized neighbor already points at the min": that
+        # predicate counts each reversed star edge (center's view of a
+        # leaf) as a violation, so it never reaches zero and the loop
+        # silently ran max_rounds every time. count() (not first()) is
+        # the round's ONE action: it computes every partition, which
+        # both answers convergence and fully materializes the lazy
+        # checkpoints above — a take/first would compute only some
+        # partitions and leave the truncated lineage unable to serve
+        # the rest.
+        changed = (
+            e.exceptAll(prev_e).union(prev_e.exceptAll(e)).count()
         )
-        if non_star is None:
+        if changed == 0:
             break
+        prev_e = e
     comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     # star centers and isolated vertices map to themselves
     return verts.join(comp, "id", "left").select(

@@ -17,6 +17,7 @@ from .graphs import (
     dq16_flood_max,
     dq17_pagerank,
     dq40_pointer_jump,
+    dq42_star_components,
 )
 from .oracles import DQ_ORACLES
 
@@ -44,6 +45,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq16_flood_max": dq16_flood_max,
     "dq17_pagerank": dq17_pagerank,
     "dq40_pointer_jump": dq40_pointer_jump,
+    "dq42_star_components": dq42_star_components,
     "dq18_grouped_udf": relational.dq18_grouped_udf,
     "dq19_buckets": relational.dq19_buckets,
     "dq20_range_join": relational.dq20_range_join,
@@ -155,6 +157,7 @@ _TAIL_QUERIES = [
     "dq21_left_outer",  # outer family: all 3 variants have green rows
     "dq20_range_join",  # r2 green post-de-vacuation; not-cartesian plan-tested
     "dq06_secondary_sort",  # window family (dq37_lead_lag stays in-window)
+    "ext_dedup_ngram_jaccard",  # r2 green post-fix; minhash/canonical in-window
 ]
 
 

@@ -158,3 +158,53 @@ GRAPH_ORACLES: dict[str, str] = {
         ORDER BY vertex_id
     """,
 }
+
+
+def dq42_star_components(spark, sf_dir):
+    """O(log n) connected components (operators/pregel.
+    connected_components_star, Kiveris et al. SOCC'14) on an ADVERSARIAL
+    long-chain graph: customer keys linked i -> i+1 with a break every
+    50 keys — 50-node path components whose diameter would cost
+    flood-min 50 rounds; the star operations converge in ~6. The oracle
+    is the closed-form component label floor(i/50)*50 (no recursion
+    needed — the chain structure is arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from ..engine import load_table
+    from ..operators.pregel import connected_components_star
+
+    k = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("i")
+    )
+    a, b = k.alias("a"), k.alias("b")
+    edges = (
+        a.join(b, F.col("b.i") == F.col("a.i") + 1)
+        .where((F.col("a.i") + 1) % 50 != 0)
+        .select(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
+    )
+    # size the per-round shuffles to the customer SCAN width, not the
+    # session shuffle default the self-join above inherits — same
+    # data-proportional convention as the other component queries
+    n_parts = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        max(4, k.rdd.getNumPartitions()),
+    )
+    cc = connected_components_star(edges, num_partitions=n_parts)
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("component")
+    )
+
+
+GRAPH_ORACLES["dq42_star_components"] = """
+    WITH k AS (SELECT c_custkey AS i FROM customer),
+    e AS (
+      SELECT a.i AS s, b.i AS d FROM k a JOIN k b ON b.i = a.i + 1
+      WHERE (a.i + 1) % 50 <> 0
+    ),
+    nodes AS (SELECT s AS n FROM e UNION SELECT d AS n FROM e)
+    SELECT CAST(FLOOR(n / 50.0) * 50 AS BIGINT) AS component,
+           COUNT(*) AS n_nodes
+    FROM nodes GROUP BY 1 ORDER BY 1
+"""

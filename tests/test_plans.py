@@ -145,7 +145,11 @@ def test_no_unbounded_driver_actions_in_operator_sources():
 
     root = pathlib.Path(ops.__file__).parent
     allowed = {
-        "pregel.py": {".first()"},  # superstep halt vote — inherent
+        # superstep halt vote (.first) and star-loop edge-set-stability
+        # convergence (.count — a FULL-partition action by design: it
+        # doubles as the materializer for the round's lazy checkpoints,
+        # which a partial take/first would corrupt)
+        "pregel.py": {".first()", ".count()"},
         "similarity.py": {".first()"},  # dim=None fallback only
         "dedup.py": {".count()"},  # max_doc_freq opt-in document-frequency pass
     }

@@ -341,3 +341,38 @@ def test_leakage_safe_split_no_cluster_straddles(spark):
     # non-vacuous: at least one multi-doc cluster exists
     multi = assigned.groupBy("ckey").count().where(F.col("count") > 1).count()
     assert multi > 0
+
+
+def test_chunk_documents_reconstructs_token_stream(spark):
+    """Dropping each non-first chunk's overlap prefix and concatenating
+    must restore every document's exact token stream — no token lost,
+    duplicated (beyond the declared overlap), or reordered."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from remap_spark.engine import load_table
+    from remap_spark.functions import tokenize
+    from remap_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, SF_DIR, "documents")
+    chunks = chunk_documents(docs, chunk_size=8, overlap=2).collect()
+    per_doc: dict = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["text"]))
+
+    expected = {
+        r["doc_id"]: r["toks"]
+        for r in docs.select(
+            "doc_id", tokenize(F.col("text")).alias("toks")
+        ).collect()
+        if r["toks"]
+    }
+    assert set(per_doc) == set(expected)
+    for doc, cs in per_doc.items():
+        cs.sort()
+        assert [c for c, _ in cs] == list(range(len(cs)))
+        toks: list = []
+        for ci, text in cs:
+            words = text.split(" ")
+            toks.extend(words if ci == 0 else words[2:])
+        assert toks == expected[doc], doc

@@ -41,6 +41,7 @@ NEVER_CHECKED = [
     "ext_text_chunk",
     "ext_dedup_semantic",
     "dq41_recursive_sql",
+    "dq42_star_components",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
