@@ -21,9 +21,11 @@ from remap_spark.queries import ALL_ORACLES, ALL_QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: DQ9 — lineitem⋈orders⋈customer⋈nation⋈region revenue
-    rollup with broadcast dims (SURVEY.md §2.6)."""
-    return ALL_QUERIES["dq09_multiway_join"](spark, "/root/testdata/sf0.001")
+    """Flagship: the end-to-end curation pipeline — quality gate + PII
+    census + embedding LSH bucket + deterministic split in one plan
+    (queries/extensions.ext_pipeline_curate); the shape of a real
+    pre-training intake job."""
+    return ALL_QUERIES["ext_pipeline_curate"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -158,6 +158,7 @@ _TAIL_QUERIES = [
     "dq20_range_join",  # r2 green post-de-vacuation; not-cartesian plan-tested
     "dq06_secondary_sort",  # window family (dq37_lead_lag stays in-window)
     "ext_dedup_ngram_jaccard",  # r2 green post-fix; minhash/canonical in-window
+    "dq15_json",  # r2 green post-oracle-fix; JSON fns unchanged since
 ]
 
 

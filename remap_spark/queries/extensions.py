@@ -1625,6 +1625,105 @@ _SEMANTIC_SQL = f"""
 """
 
 
+def ext_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation FLAGSHIP: one pipeline chaining the quality
+    gate (quality_score), PII census (redact_pii counts), embedding
+    LSH bucket grouping (lsh_bucket_signatures % 4), and the
+    deterministic hash split — the shape of a real pre-training intake
+    job. Reports per (split, verdict, bucket-group): doc count, exact
+    integer-scaled score mass (avg would be FP-order-dependent), PII
+    hits. Joins are all keyed on doc id; the only non-doc-keyed work is
+    the 4-plane signature projection (narrow)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = tx.quality_score(docs)
+    pii = tx.redact_pii(docs).select(
+        "doc_id",
+        (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias("n_pii"),
+    )
+    sig = sim.lsh_bucket_signatures(emb, n_planes=4).select(
+        F.col("vec_id").alias("doc_id"), (F.col("bucket") % 4).alias("bgroup")
+    )
+    joined = q.join(pii, "doc_id").join(sig, "doc_id")
+    assigned = sp.hash_split(
+        joined, "doc_id", {"train": 0.9, "test": 0.1}, salt="cur"
+    )
+    return (
+        assigned.groupBy("split", "verdict", "bgroup")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.round(F.col("score") * 100000).cast("bigint")).alias(
+                "score_sum_e5"
+            ),
+            F.sum("n_pii").alias("n_pii"),
+        )
+        .orderBy("split", "verdict", "bgroup")
+    )
+
+
+def _pipeline_curate_oracle(dim: int = 64, n_planes: int = 4, seed: int = 42) -> str:
+    planes = sim._hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{vals}]) >= 0 THEN {w} ELSE 0 END)".format(
+            vals=", ".join(repr(x) for x in p), w=1 << i
+        )
+        for i, p in enumerate(planes)
+    )
+    split_bucket = _H32.format(x="concat(CAST(doc_id AS VARCHAR), '|cur')")
+    return rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\s+'),
+               w -> w <> '')) AS DOUBLE) AS n_tokens,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(translate(text, '.,?:;!"', '')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(
+               string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\s+'),
+               w -> w IN ('the','and','of','to','is'))) AS DOUBLE) AS n_stop
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             LEAST(n_tokens / 200.0, 1.0) * 0.5
+             + LEAST(n_stop / n_tokens * 4.0, 1.0) * 0.3
+             + (1.0 - LEAST(n_punct / n_chars * 10.0, 1.0)) * 0.2 AS score
+      FROM m
+    ),
+    q AS (
+      SELECT doc_id, ROUND(score, 5) AS score,
+             CASE WHEN score >= 0.6 THEN 'keep'
+                  WHEN score >= 0.3 THEN 'review'
+                  ELSE 'drop' END AS verdict
+      FROM s
+    ),
+    pii AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{tx.PII_EMAIL}'))
+             + len(regexp_extract_all(text, '{tx.PII_IPV4}'))
+             + len(regexp_extract_all(text, '{tx.PII_PHONE}')) AS n_pii
+      FROM documents
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id AS doc_id, ({bucket}) % 4 AS bgroup FROM e),
+    j AS (
+      SELECT q.doc_id, q.score, q.verdict, pii.n_pii, b.bgroup
+      FROM q JOIN pii USING (doc_id) JOIN b USING (doc_id)
+    ),
+    a AS (
+      SELECT *, CASE WHEN {split_bucket} % 10000 < 9000
+                     THEN 'train' ELSE 'test' END AS split
+      FROM j
+    )
+    SELECT split, verdict, bgroup,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(ROUND(score * 100000) AS BIGINT)) AS BIGINT)
+             AS score_sum_e5,
+           CAST(SUM(n_pii) AS BIGINT) AS n_pii
+    FROM a GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -1663,6 +1762,7 @@ EXT_QUERIES = {
     "ext_split_leakage_safe": ext_split_leakage_safe,
     "ext_text_chunk": ext_text_chunk,
     "ext_dedup_semantic": ext_dedup_semantic,
+    "ext_pipeline_curate": ext_pipeline_curate,
 }
 
 EXT_ORACLES = {
@@ -1703,4 +1803,5 @@ EXT_ORACLES = {
     "ext_split_leakage_safe": _leakage_split_oracle(),
     "ext_text_chunk": _CHUNK_SQL,
     "ext_dedup_semantic": _SEMANTIC_SQL,
+    "ext_pipeline_curate": _pipeline_curate_oracle(),
 }

@@ -42,6 +42,7 @@ NEVER_CHECKED = [
     "ext_dedup_semantic",
     "dq41_recursive_sql",
     "dq42_star_components",
+    "ext_pipeline_curate",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
