@@ -71,6 +71,9 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq38_sql_api": relational.dq38_sql_api,
     "dq41_recursive_sql": relational.dq41_recursive_sql,
     "dq39_running_total": relational.dq39_running_total,
+    "dq43_rolling_range": relational.dq43_rolling_range,
+    "dq44_merge_upsert": relational.dq44_merge_upsert,
+    "ext_profile_columns": relational.ext_profile_columns,
     # HLL sketch values differ across engines: the oracle checks an
     # error-band predicate (see relational.ext_approx_distinct)
     "ext_approx_distinct": relational.ext_approx_distinct,

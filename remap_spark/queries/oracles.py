@@ -407,3 +407,59 @@ DQ_ORACLES["ext_approx_distinct"] = """
 from .relational import RECURSIVE_SQL_QUERY as _RECURSIVE_SQL_QUERY  # noqa: E402
 
 DQ_ORACLES["dq41_recursive_sql"] = _RECURSIVE_SQL_QUERY
+
+DQ_ORACLES["dq43_rolling_range"] = """
+    SELECT event_id, event_type,
+           COUNT(*) OVER w AS n_1h,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))) OVER w, 5)
+                AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, event_id
+"""
+
+DQ_ORACLES["dq44_merge_upsert"] = """
+    WITH changes AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) AS c_price,
+             'U' AS c_status
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, ROUND(o_totalprice, 2), 'I'
+      FROM orders WHERE o_orderkey % 11 = 3
+    ),
+    base AS (
+      SELECT o_orderkey, ROUND(o_totalprice, 2) AS b_price,
+             o_orderstatus AS b_status
+      FROM orders
+    )
+    SELECT COALESCE(base.o_orderkey, changes.o_orderkey) AS o_orderkey,
+           COALESCE(c_price, b_price) AS o_totalprice,
+           COALESCE(c_status, b_status) AS o_orderstatus,
+           CASE WHEN b_price IS NULL THEN 'inserted'
+                WHEN c_price IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS merge_action
+    FROM base FULL JOIN changes ON base.o_orderkey = changes.o_orderkey
+    ORDER BY o_orderkey
+"""
+
+
+def _profile_oracle() -> str:
+    from .relational import PROFILE_COLS
+
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               ROUND(MIN({c}), 5) AS min_val,
+               ROUND(MAX({c}), 5) AS max_val
+        FROM lineitem
+        """
+        for c in PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+DQ_ORACLES["ext_profile_columns"] = _profile_oracle()

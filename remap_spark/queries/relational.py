@@ -879,6 +879,125 @@ def dq41_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Engine(spark, sf_dir).sql(RECURSIVE_SQL_QUERY)
 
 
+def dq43_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (RANGE BETWEEN interval PRECEDING): per
+    event_type, count+sum of events in the trailing 1 hour — the
+    monitoring/feature-engineering shape rows-frames (dq39) cannot
+    express (peers at equal ts must share one frame; row counts per
+    frame vary with density).
+
+    Ordering is the exact integer epoch (epoch_us, NTZ-safe) so the
+    frame bound is integer arithmetic in both engines — no float time
+    math, no calendar-interval dialect drift. One window spec → one
+    shuffle on event_type; the running frame is computed by Spark's
+    sliding window accumulator, not a self-join (an interval self-join
+    would shuffle events × avg-density rows at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    run = F.sum(F.col("value").cast("decimal(28,10)")).over(w)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(run, 5).cast("double").alias("sum_1h"),
+    ).orderBy("event_type", "event_id")
+
+
+def dq44_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (MERGE INTO semantics as a pure DataFrame plan): apply
+    a deterministic change-set to ``orders`` — matched keys update
+    price/status, unmatched change rows insert — without a table
+    format's transaction layer. The change-set is derived from the
+    fixture itself (keys ≡ 0 mod 7 update; keys ≡ 3 mod 11 re-insert
+    shifted by 10M, disjoint from real keys).
+
+    Shape: ONE full-outer shuffle join on the key + coalesce per
+    column — the standard scale-out upsert when the base is re-written
+    (copy-on-write). At 100 TB the practical refinement is partition
+    pruning: join only the base partitions the change-set touches
+    (changes are usually recent) — the plan here is that inner step.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    updates = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("c_price"),
+            F.lit("U").alias("c_status"),
+        )
+    )
+    inserts = (
+        o.where(F.col("o_orderkey") % 11 == 3)
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.round(F.col("o_totalprice"), 2).alias("c_price"),
+            F.lit("I").alias("c_status"),
+        )
+    )
+    changes = updates.unionByName(inserts)
+    base = o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("b_price"),
+        F.col("o_orderstatus").alias("b_status"),
+    )
+    merged = base.join(changes, "o_orderkey", "full_outer")
+    return merged.select(
+        "o_orderkey",
+        F.coalesce("c_price", "b_price").alias("o_totalprice"),
+        F.coalesce("c_status", "b_status").alias("o_orderstatus"),
+        F.when(F.col("b_price").isNull(), F.lit("inserted"))
+        .when(F.col("c_price").isNull(), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_action"),
+    ).orderBy("o_orderkey")
+
+
+# Columns profiled by ext_profile_columns — config, not code; any
+# numeric column list works. Kept module-level so the oracle generator
+# mirrors it exactly.
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def ext_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiler: per numeric column — row count,
+    null count, distinct count, min, max. The standard pre-training
+    corpus / warehouse health check.
+
+    Shape: ONE scan computes every metric as a single wide aggregate
+    row (4 cols × 5 metrics), then `stack` unpivots it to one row per
+    column — driver never loops over columns issuing N scans (the
+    anti-pattern that re-reads 100 TB once per column). count_distinct
+    over multiple columns in one agg expands rows (Spark's Expand
+    operator, one duplicate per distinct-column) — the documented
+    trade; for wide profiles swap approx_count_distinct, which
+    aggregates all columns in one pass with no Expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("_n")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}_nul"),
+            F.count_distinct(F.col(c)).alias(f"{c}_dst"),
+            F.round(F.min(c), 5).alias(f"{c}_min"),
+            F.round(F.max(c), 5).alias(f"{c}_max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nul, {c}_dst, {c}_min, {c}_max" for c in PROFILE_COLS
+    )
+    return one.selectExpr(
+        "_n AS n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n_null, n_distinct, min_val, max_val)",
+    ).select(
+        "col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
+    ).orderBy("col_name")
+
+
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HLL) — the 100 TB path where
     exact multi-distinct's Expand blow-up is unaffordable. HLL sketch
