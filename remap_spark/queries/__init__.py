@@ -139,6 +139,7 @@ _TAIL_QUERIES = [
     "dq34_array_funcs",  # §2.9 row shared with dq35_regexp (in-window)
     "dq39_running_total",  # frame windows: dq37 stays in-window
     # rotated out round 3 (r2 green; in-window canary in parens):
+    "dq09_multiway_join",  # join family (dq08_join_agg, dq24_asof_join)
     "dq10_semi",  # semi/anti family (dq10_anti)
     "dq12_rollup",  # grouping family (dq30_grouping_sets)
     "dq29_scalar_subquery",  # subquery family (dq28_exists)

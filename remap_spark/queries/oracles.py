@@ -421,7 +421,11 @@ DQ_ORACLES["dq43_rolling_range"] = """
 
 DQ_ORACLES["dq44_merge_upsert"] = """
     WITH changes AS (
-      SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) AS c_price,
+      -- +10% in integer cents with explicit half-up: ROUND(double*1.1)
+      -- is engine-divergent on .005 ties (see dq44 docstring)
+      SELECT o_orderkey,
+             CAST((CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 11 + 5)
+                  // 10 AS DOUBLE) / 100 AS c_price,
              'U' AS c_status
       FROM orders WHERE o_orderkey % 7 = 0
       UNION ALL

@@ -923,11 +923,16 @@ def dq44_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (changes are usually recent) — the plan here is that inner step.
     """
     o = load_table(spark, sf_dir, "orders")
+    # The +10% update is computed in integer cents with explicit
+    # half-up (cents*11+5)//10: ROUND(double*1.1, 2) is engine-divergent
+    # on .005 ties (Spark rounds the shortest decimal repr half-up,
+    # DuckDB rounds the binary value) — e.g. 283256.85*1.1.
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     updates = (
         o.where(F.col("o_orderkey") % 7 == 0)
         .select(
             "o_orderkey",
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("c_price"),
+            (F.floor((cents * 11 + 5) / 10) / 100.0).alias("c_price"),
             F.lit("U").alias("c_status"),
         )
     )
