@@ -35,6 +35,7 @@ from ..functions import (
     fast_hash64,
     minhash_params,
     portable_hash32,
+    portable_hash60,
     tokenize,
 )
 
@@ -327,6 +328,60 @@ def simhash_pairs(
     return cand.select(
         "doc_a", "doc_b", dist.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def span_duplication(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplication profile — the decision metric of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") at k-token granularity: for
+    every document, the fraction of its distinct k-token windows that
+    also occur in at least ``min_docs - 1`` OTHER documents.
+    Cross-document repeated spans are how boilerplate and templated
+    spam survive document-level dedup. Returns
+    (doc, n_windows, n_dup_windows, dup_frac).
+
+    Shape: the k-gram stream comes from _doc_shingles (one posexplode
+    + lead window over an id-hash repartition, distinct per (doc,
+    gram)); cardinality stats are keyed by a 60-bit gram hash so the
+    shuffle ships 8-byte keys instead of k-token strings (~5x fewer
+    bytes at k=5); the dup-gram set joins back on that hash (both
+    sides already hash-partitioned by it from the groupBy); the final
+    per-doc rollup is bounded by a single doc's window count. The
+    suffix-array formulation of the paper finds arbitrary-length
+    spans; fixed-k windowing is the standard distributed relaxation
+    (any duplicated span >= k tokens is caught by its windows)."""
+    s = _doc_shingles(df, text_col, id_col, k, None, dedup=True)
+    dg = s.select("doc", portable_hash60("gram").alias("g"))
+    # distinct per (doc, gram) above, so count(*) == distinct-doc count
+    dup = (
+        dg.groupBy("g")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("g")
+    )
+    totals = dg.groupBy("doc").agg(F.count("*").alias("n_windows"))
+    dups = dg.join(dup, "g").groupBy("doc").agg(
+        F.count("*").alias("n_dup_windows")
+    )
+    return (
+        totals.join(dups, "doc", "left")
+        .select(
+            "doc",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                / F.col("n_windows"),
+                5,
+            ).alias("dup_frac"),
+        )
+    )
 
 
 def contamination_hits(

@@ -135,6 +135,41 @@ def weighted_sample(
     return df.where(split_bucket(key, salt) < F.floor(w * _BUCKETS))
 
 
+def cap_per_group(
+    df: DataFrame,
+    group: Column | str,
+    key: Column | str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group row cap — the domain/source rate limiter (the C4 /
+    RefinedWeb guard against any one domain dominating the corpus):
+    keep at most ``n`` rows per group, chosen deterministically as the
+    n smallest key-hash buckets (key value breaks bucket ties), so the
+    kept set is a pure function of (key, salt) — stable across reruns
+    and layout changes, and nested with the samplers above.
+
+    Shape: one shuffle keyed by the group + a row_number window. A
+    pathologically hot group serializes its window sort into one task;
+    because the selection is "n smallest hash values in the group",
+    the two-phase refinement at 100 TB is a per-input-partition local
+    top-n (bounds shuffle input to n rows per partition per group)
+    before this exact window — same result, skew-proof.
+    """
+    from pyspark.sql.window import Window
+
+    if n < 1:
+        raise ValueError(f"cap must be >= 1, got {n}")
+    g = F.col(group) if isinstance(group, str) else group
+    k = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(g).orderBy(split_bucket(key, salt), k)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def temperature_weights(
     df: DataFrame,
     group_col: Column | str = "source",

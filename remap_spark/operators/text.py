@@ -292,6 +292,46 @@ def vocab_topn_sketch(
     )
 
 
+def unigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-filter tier of
+    CCNet/RedPajama-style curation with the n-gram KenLM swapped for a
+    corpus unigram model (the operator shape is identical: token stream
+    ⋈ broadcast model → per-doc mean NLL). For each document:
+    xent = -mean ln p(w) with p(w) = corpus_count(w)/total_tokens, and
+    ppl = exp(xent). Low-probability token mixes (OCR noise, code
+    dumps, wrong-language fragments) surface as high perplexity.
+
+    Shape: the token stream is ONE posexplode over an id-hash
+    repartition; the model is a combiner-style groupBy(word) — shuffle
+    bytes ~ vocabulary per partition, not corpus; the model (and the
+    single-row total) join back via broadcast, so scoring is map-side
+    and the per-doc aggregate reuses the id-hash layout (no driver
+    action anywhere). At 100 TB cap the broadcast model at top-V words
+    + an OOV floor probability — heavy-hitter vocab is MBs while the
+    full tail is not; the fixture vocabulary is small enough to use
+    whole."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("word"),
+    )
+    model = toks.groupBy("word").agg(F.count("*").alias("_cnt"))
+    total = model.agg(F.sum("_cnt").alias("_tot"))
+    nll = -F.log(F.col("_cnt").cast("double") / F.col("_tot"))
+    return (
+        toks.join(F.broadcast(model), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(nll), 5).alias("xent"),
+            F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
+        )
+    )
+
+
 def dedup_lines(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

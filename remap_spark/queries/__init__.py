@@ -163,6 +163,10 @@ _TAIL_QUERIES = [
     "dq06_secondary_sort",  # window family (dq37_lead_lag stays in-window)
     "ext_dedup_ngram_jaccard",  # r2 green post-fix; minhash/canonical in-window
     "dq15_json",  # r2 green post-oracle-fix; JSON fns unchanged since
+    # demoted to admit the round-3 additions (lm_score / span / cap):
+    "dq17_pagerank",  # graph family (dq16_flood_max, dq40, dq42 in-window)
+    "ext_dedup_simhash",  # dedup family (exact/minhash/span/canonical)
+    "ext_dedup_embedding",  # embedding family (ext_dedup_semantic, ext_kmeans)
 ]
 
 

@@ -1724,6 +1724,102 @@ def _pipeline_curate_oracle(dim: int = 64, n_planes: int = 4, seed: int = 42) ->
 """
 
 
+def ext_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM perplexity scoring (operators/text.unigram_lm_scores):
+    per-doc cross-entropy and perplexity under the corpus unigram model
+    — the CCNet/RedPajama perplexity-filter tier. The model is built
+    and broadcast inside the operator; no driver action."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.unigram_lm_scores(docs).orderBy("doc_id")
+
+
+_LM_SCORE_SQL = f"""
+    WITH {_TOKS},
+    model AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+    tot AS (SELECT SUM(cnt) AS t FROM model)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(-LN(CAST(cnt AS DOUBLE) / t)), 5) AS xent,
+           ROUND(EXP(AVG(-LN(CAST(cnt AS DOUBLE) / t))), 4) AS ppl
+    FROM toks JOIN model USING (word) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def ext_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile
+    (operators/dedup.span_duplication): per-doc fraction of 5-token
+    windows shared with another document — the exact-substring-dedup
+    decision metric (Lee et al. 2022) at fixed-k granularity."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.span_duplication(docs, k=5, min_docs=2)
+    return out.select(
+        F.col("doc").alias("doc_id"), "n_windows", "n_dup_windows", "dup_frac"
+    ).orderBy("doc_id")
+
+
+_SPAN_GRAM = " || ' ' || ".join(
+    ["word"] + [f"LEAD(word, {j}) OVER w" for j in range(1, 5)]
+)
+
+_SPAN_SQL = f"""
+    WITH {_TOKS},
+    g5 AS (
+      SELECT doc_id, {_SPAN_GRAM} AS gram
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS doc,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS g
+      FROM g5 WHERE gram IS NOT NULL
+    ),
+    dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
+    tot AS (SELECT doc, COUNT(*) AS n_windows FROM sh GROUP BY doc),
+    d AS (
+      SELECT doc, COUNT(*) AS n_dup_windows
+      FROM sh JOIN dup USING (g) GROUP BY doc
+    )
+    SELECT tot.doc AS doc_id, n_windows,
+           COALESCE(n_dup_windows, 0) AS n_dup_windows,
+           ROUND(CAST(COALESCE(n_dup_windows, 0) AS DOUBLE) / n_windows, 5)
+             AS dup_frac
+    FROM tot LEFT JOIN d USING (doc) ORDER BY doc_id
+"""
+
+
+def ext_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (operators/split.cap_per_group): keep at
+    most 15 docs per source by deterministic hash order — the domain
+    rate limiter — and audit kept counts + kept chars per source (the
+    chars sum pins WHICH rows survived, not just how many)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sp.cap_per_group(docs, "source", "doc_id", n=15, salt="v1")
+    tot = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    per = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    return tot.join(per, "source").orderBy("source")
+
+
+_CAP_BUCKET = _H32.format(x="concat(CAST(doc_id AS VARCHAR), '|v1')") + " % 10000"
+
+_SOURCE_CAP_SQL = f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY {_CAP_BUCKET}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -1763,6 +1859,9 @@ EXT_QUERIES = {
     "ext_text_chunk": ext_text_chunk,
     "ext_dedup_semantic": ext_dedup_semantic,
     "ext_pipeline_curate": ext_pipeline_curate,
+    "ext_text_lm_score": ext_text_lm_score,
+    "ext_dedup_span": ext_dedup_span,
+    "ext_source_cap": ext_source_cap,
 }
 
 EXT_ORACLES = {
@@ -1804,4 +1903,7 @@ EXT_ORACLES = {
     "ext_text_chunk": _CHUNK_SQL,
     "ext_dedup_semantic": _SEMANTIC_SQL,
     "ext_pipeline_curate": _pipeline_curate_oracle(),
+    "ext_text_lm_score": _LM_SCORE_SQL,
+    "ext_dedup_span": _SPAN_SQL,
+    "ext_source_cap": _SOURCE_CAP_SQL,
 }

@@ -43,6 +43,9 @@ NEVER_CHECKED = [
     "dq41_recursive_sql",
     "dq42_star_components",
     "ext_pipeline_curate",
+    "ext_text_lm_score",
+    "ext_dedup_span",
+    "ext_source_cap",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
