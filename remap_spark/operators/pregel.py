@@ -444,6 +444,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev_e = e
+    prev_sig: tuple | None = None
     for _round in range(max_rounds):
         # -- large-star: symmetrize, larger neighbors adopt the min
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -453,13 +454,16 @@ def connected_components_star(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
+            # NO distinct here: small-star's oriented distinct below
+            # normalizes the very next thing, so a large-star distinct
+            # would only pay an extra full-edge exchange per round
             # lazy: truncates the plan so small-star doesn't re-analyze
             # (or recompute) the large-star subtree; materialized by the
             # round's single convergence action below
             .localCheckpoint(eager=False)
         )
         # -- small-star: orient u >= v, small neighborhood collapses
+        # (the distinct also dedups large-star's output)
         dirn = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
@@ -475,21 +479,32 @@ def connected_components_star(
         )
         # converged when the round left the edge set unchanged (the
         # paper's fixpoint: star operations are idempotent on a set of
-        # stars). Checked as symmetric-difference count == 0 — NOT as
-        # "every symmetrized neighbor already points at the min": that
-        # predicate counts each reversed star edge (center's view of a
-        # leaf) as a violation, so it never reaches zero and the loop
-        # silently ran max_rounds every time. count() (not first()) is
-        # the round's ONE action: it computes every partition, which
-        # both answers convergence and fully materializes the lazy
-        # checkpoints above — a take/first would compute only some
-        # partitions and leave the truncated lineage unable to serve
-        # the rest.
-        changed = (
-            e.exceptAll(prev_e).union(prev_e.exceptAll(e)).count()
-        )
-        if changed == 0:
-            break
+        # stars) — NOT checked as "every symmetrized neighbor already
+        # points at the min": that predicate counts each reversed star
+        # edge (center's view of a leaf) as a violation, so it never
+        # reaches zero. The per-round check is an order-independent
+        # (count, bit_xor(xxhash64)) signature: ONE partial-aggregate
+        # action with ZERO extra shuffles — the earlier
+        # symmetric-difference count() paid four hash exchanges of the
+        # full edge set every round. The aggregate computes every
+        # partition, so it also fully materializes the round's lazy
+        # checkpoints. A signature match is confirmed with ONE exact
+        # exceptAll pass (edge sets, being distinct, XOR-collide with
+        # p ~ 2^-64; on the off chance they do, the confirm fails and
+        # the loop simply continues — exactness never depends on the
+        # hash).
+        sig_row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            changed = (
+                e.exceptAll(prev_e).union(prev_e.exceptAll(e)).count()
+            )
+            if changed == 0:
+                break
+        prev_sig = sig
         prev_e = e
     comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     # star centers and isolated vertices map to themselves
