@@ -407,6 +407,103 @@ def contamination_hits(
     )
 
 
+def _bloom_positions(col: Column, m_bits: int, k: int, seed: int, portable: bool) -> Column:
+    """array<bigint> of the k Bloom bit positions for a key: pos_i =
+    ((a_i*h(x)+b_i) mod P) mod m — same portable (a,b) family as
+    MinHash, bit-identical in the SQL oracle."""
+    h = portable_hash32(col) if portable else F.pmod(fast_hash64(col), F.lit(1 << 32))
+    return F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)) % F.lit(m_bits)
+            for a, b in minhash_params(k, seed)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: int = 7,
+    portable: bool = True,
+) -> DataFrame:
+    """Distributed Bloom-filter BUILD as a relation: the m-bit array is
+    stored sparse as (word, bits) rows — 32-bit words, only words with
+    at least one set bit — built with one explode (k positions per key)
+    and one bit_or aggregate. Everything stays an ordinary DataFrame:
+    persist it like any table, union partial filters from incremental
+    batches (bit_or is associative/mergeable), and broadcast it for
+    probes — at the default m = 2^16 the dense filter is 8 KiB; even
+    m = 2^32 (good for ~3e9 keys at 1% FPR with k=5) is half a GiB
+    sharded, of which a probe only joins the words it needs.
+
+    Spark's own runtime bloom pushdown covers joins it can see through;
+    this operator makes the filter a first-class, persistable artifact
+    for INCREMENTAL pipelines (probe today's batch against last month's
+    corpus without re-scanning it)."""
+    pos = df.select(
+        F.explode(_bloom_positions(F.col(col), m_bits, k, seed, portable)).alias(
+            "pos"
+        )
+    )
+    return (
+        pos.select(
+            F.floor(F.col("pos") / 32).cast("bigint").alias("word"),
+            (F.col("pos") % 32).cast("int").alias("_bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), _bit))").alias("bits")
+        )
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: int = 7,
+    portable: bool = True,
+) -> DataFrame:
+    """Probe keys against a bloom_build relation: a row HITS iff all k
+    of its bit positions are set. Returns (id, hit) with hit ∈ {0,1} —
+    no false negatives ever; false-positive rate ~ fill_ratio^k.
+
+    Shape: explode k probe positions, broadcast-join the (tiny) filter
+    relation on the word index, verify the bit with a mask AND, then
+    count matches per key — map-side only, zero shuffle of the probe
+    stream beyond the final id-keyed aggregate (which reuses upstream
+    partitioning when the caller already keyed by id). The standard
+    deployment: bloom_probe prunes the 99% of a new batch that can't
+    possibly be duplicate, the surviving 1% goes through the exact
+    anti-join (incremental_dedup)."""
+    pos = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            _bloom_positions(F.col(col), m_bits, k, seed, portable)
+        ).alias("_i", "pos"),
+    ).select(
+        "_id",
+        F.floor(F.col("pos") / 32).cast("bigint").alias("word"),
+        (F.col("pos") % 32).cast("int").alias("_bit"),
+    )
+    joined = pos.join(F.broadcast(bloom), "word", "left")
+    matched = (
+        F.coalesce(F.col("bits"), F.lit(0))
+        .bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), _bit)"))
+        != 0
+    ).cast("int")
+    return (
+        joined.select("_id", matched.alias("_m"))
+        .groupBy(F.col("_id").alias(id_col))
+        .agg((F.sum("_m") == k).cast("int").alias("hit"))
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     seen_fps: DataFrame,

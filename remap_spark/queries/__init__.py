@@ -167,6 +167,7 @@ _TAIL_QUERIES = [
     "dq17_pagerank",  # graph family (dq16_flood_max, dq40, dq42 in-window)
     "ext_dedup_simhash",  # dedup family (exact/minhash/span/canonical)
     "ext_dedup_embedding",  # embedding family (ext_dedup_semantic, ext_kmeans)
+    "dq38_sql_api",  # SQL-API surface (dq41_recursive_sql in-window)
 ]
 
 

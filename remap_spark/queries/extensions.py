@@ -1820,6 +1820,108 @@ _SOURCE_CAP_SQL = f"""
 """
 
 
+def ext_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (operators/dedup.bloom_build
+    + bloom_probe): even doc_ids play the historical corpus, odd
+    doc_ids arrive as the batch with planted duplicates (the same
+    construction as ext_dedup_incremental); the corpus fingerprints
+    build a 2^16-bit / k=5 Bloom relation that the batch probes
+    map-side (broadcast ~8 KiB, zero shuffle of the batch). The exact
+    verdict is computed alongside, so the row-level hash compare pins
+    the no-false-negative contract (is_dup=1 ⇒ bloom_hit=1 on every
+    row) in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    base_new = docs.where(F.col("doc_id") % 2 == 1)
+    donor = docs.select(
+        (F.col("doc_id") + 1).alias("_nid"), F.col("text").alias("_dtext")
+    )
+    new = base_new.join(
+        donor, base_new.doc_id == donor._nid, "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 1, F.coalesce("_dtext", "text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    seen_fp = tx.content_fingerprint(seen).select(
+        F.col("fingerprint").cast("string").alias("fp")
+    )
+    new_fp = tx.content_fingerprint(new).select(
+        "doc_id", F.col("fingerprint").cast("string").alias("fp")
+    )
+    bloom = dd.bloom_build(seen_fp, "fp")
+    probed = dd.bloom_probe(new_fp, "fp", bloom)
+    dup_ids = new_fp.join(seen_fp.distinct(), "fp", "left_semi").select(
+        "doc_id", F.lit(1).alias("_dup")
+    )
+    return (
+        probed.join(dup_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("hit").alias("bloom_hit"),
+            F.coalesce("_dup", F.lit(0)).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_oracle(m_bits: int = 1 << 16, k: int = 5, seed: int = 7) -> str:
+    h32 = _H32.format(x="CAST(fp AS VARCHAR)")
+    seen_pos = " UNION ALL ".join(
+        f"SELECT (((CAST({a} AS BIGINT) * h + {b}) % {MINHASH_PRIME})"
+        f" % {m_bits}) AS pos FROM seen_h"
+        for a, b in minhash_params(k, seed)
+    )
+    new_pos = " UNION ALL ".join(
+        f"SELECT doc_id, fp, (((CAST({a} AS BIGINT) * h + {b})"
+        f" % {MINHASH_PRIME}) % {m_bits}) AS pos FROM new_h"
+        for a, b in minhash_params(k, seed)
+    )
+    return f"""
+    WITH new AS (
+      SELECT n.doc_id,
+             CASE WHEN n.doc_id % 5 = 1
+                  THEN COALESCE(d.text, n.text) ELSE n.text END AS text
+      FROM documents n
+      LEFT JOIN documents d ON d.doc_id + 1 = n.doc_id
+      WHERE n.doc_id % 2 = 1
+    ),
+    seen AS (
+      SELECT CAST({_FP_EXPR.format(t='text')} AS VARCHAR) AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    seen_h AS (SELECT fp, {h32} AS h FROM seen),
+    seen_pos AS ({seen_pos}),
+    bloom AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM seen_pos GROUP BY pos // 32
+    ),
+    new_h AS (
+      SELECT doc_id, fp, {h32} AS h FROM (
+        SELECT doc_id, CAST({_FP_EXPR.format(t='text')} AS VARCHAR) AS fp
+        FROM new
+      )
+    ),
+    new_pos AS ({new_pos}),
+    probed AS (
+      SELECT doc_id,
+             CASE WHEN COALESCE(bits, 0)
+                       & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) != 0
+                  THEN 1 ELSE 0 END AS m,
+             fp
+      FROM new_pos LEFT JOIN bloom ON new_pos.pos // 32 = bloom.word
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN SUM(m) = {k} THEN 1 ELSE 0 END AS INT)
+             AS bloom_hit,
+           CAST(CASE WHEN MIN(fp) IN (SELECT fp FROM seen)
+                THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM probed GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -1862,6 +1964,7 @@ EXT_QUERIES = {
     "ext_text_lm_score": ext_text_lm_score,
     "ext_dedup_span": ext_dedup_span,
     "ext_source_cap": ext_source_cap,
+    "ext_dedup_bloom": ext_dedup_bloom,
 }
 
 EXT_ORACLES = {
@@ -1906,4 +2009,5 @@ EXT_ORACLES = {
     "ext_text_lm_score": _LM_SCORE_SQL,
     "ext_dedup_span": _SPAN_SQL,
     "ext_source_cap": _SOURCE_CAP_SQL,
+    "ext_dedup_bloom": _bloom_oracle(),
 }

@@ -682,3 +682,27 @@ def test_long_document_stress(spark):
     assert agg["mx"] <= 2048
     # total tokens = n_tokens + overlap re-emitted per non-first chunk
     assert agg["tok"] == 100_000 + 52 * 128
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    """Bloom contract: every built key probes as a hit (NO false
+    negatives — the property that makes it a safe dedup prefilter);
+    disjoint keys hit at ~fill^k (bounded false-positive rate)."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.operators.dedup import bloom_build, bloom_probe
+    from remap_spark.operators.text import content_fingerprint
+
+    docs = _docs(spark)
+    fps = content_fingerprint(docs).select(
+        "doc_id", F.col("fingerprint").cast("string").alias("fp")
+    )
+    bloom = bloom_build(fps, "fp")
+    self_hits = bloom_probe(fps, "fp", bloom)
+    assert self_hits.where(F.col("hit") == 0).count() == 0
+    other = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unseen-"), F.col("id")).alias("fp"),
+    )
+    fpr = bloom_probe(other, "fp", bloom).agg(F.avg("hit")).first()[0]
+    assert fpr < 0.05, f"false-positive rate too high: {fpr}"

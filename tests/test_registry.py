@@ -46,6 +46,7 @@ NEVER_CHECKED = [
     "ext_text_lm_score",
     "ext_dedup_span",
     "ext_source_cap",
+    "ext_dedup_bloom",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
