@@ -68,6 +68,58 @@ def cosine_topk_bruteforce(
     )
 
 
+def hard_negative_topk(
+    anchors: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training
+    (the ANCE recipe, Xiong et al. 2021): for each anchor vector, the
+    top-k most-similar vectors with a DIFFERENT label — the negatives
+    near the decision boundary that actually train it; random
+    negatives are trivially separable and teach nothing.
+
+    Shape mirrors cosine_topk_bruteforce: the anchor set is the small,
+    broadcast side (per-batch anchor mining is how this runs at scale —
+    nobody mines all 10^9 anchors in one pass); candidates stream
+    map-side; one per-anchor window ranks. At 100 TB swap the
+    crossJoin for the IVF cell-probe join (ivf_topk) — the label
+    filter composes unchanged."""
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("qlabel"),
+        )
+    )
+    c = candidates.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("clabel"),
+    )
+    scored = (
+        a.crossJoin(c)
+        .where(
+            (F.col("query_id") != F.col("vec_id"))
+            & (F.col("qlabel") != F.col("clabel"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (LCG — no numpy
     dependency on executors, reproducible everywhere)."""

@@ -170,6 +170,39 @@ def cap_per_group(
     )
 
 
+def cap_per_group_skewsafe(
+    df: DataFrame,
+    group: Column | str,
+    key: Column | str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Two-phase ``cap_per_group`` for hot groups: a web corpus's top
+    domain can hold billions of rows, and the single-task window sort
+    in the one-phase version serializes on it.
+
+    Phase 1 pre-filters a local top-n per (input-partition, group):
+    the shuffle key (pid, group) is skew-free by construction — a hot
+    group splits across all its source partitions — and any row in the
+    group's GLOBAL top-n is necessarily in the top-n of its own cell
+    (rank restricted to a subset never grows). Phase 2 runs the exact
+    one-phase window over the survivors, now at most n rows per cell.
+    Same kept set as cap_per_group on every input (asserted in tests);
+    strictly bounded task sizes."""
+    g = F.col(group) if isinstance(group, str) else group
+    k = F.col(key) if isinstance(key, str) else key
+    from pyspark.sql.window import Window
+
+    staged = df.withColumn("_pid", F.spark_partition_id())
+    pre = Window.partitionBy(F.col("_pid"), g).orderBy(split_bucket(key, salt), k)
+    local = (
+        staged.withColumn("_lrn", F.row_number().over(pre))
+        .where(F.col("_lrn") <= n)
+        .drop("_pid", "_lrn")
+    )
+    return cap_per_group(local, group, key, n, salt)
+
+
 def temperature_weights(
     df: DataFrame,
     group_col: Column | str = "source",

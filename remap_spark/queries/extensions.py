@@ -1820,6 +1820,45 @@ _SOURCE_CAP_SQL = f"""
 """
 
 
+def ext_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negative_topk):
+    for each anchor (vec_id % 100 == 0), the 5 nearest-by-cosine
+    vectors whose LABEL differs — contrastive-training negatives from
+    the decision boundary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") % 100 == 0)
+    out = sim.hard_negative_topk(anchors, emb, k=5)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "vec_id",
+        F.round("cosine", 5).alias("cosine"),
+    ).orderBy("query_id", "rank")
+
+
+_HARD_NEG_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             {_COS.format(a='q.v', b='c.v')} AS cosine
+      FROM q JOIN e c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, rn AS "rank", vec_id, ROUND(cosine, 5) AS cosine
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rn
+"""
+
+
 def ext_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered incremental dedup (operators/dedup.bloom_build
     + bloom_probe): even doc_ids play the historical corpus, odd
@@ -1965,6 +2004,7 @@ EXT_QUERIES = {
     "ext_dedup_span": ext_dedup_span,
     "ext_source_cap": ext_source_cap,
     "ext_dedup_bloom": ext_dedup_bloom,
+    "ext_ann_hard_negatives": ext_ann_hard_negatives,
 }
 
 EXT_ORACLES = {
@@ -2010,4 +2050,5 @@ EXT_ORACLES = {
     "ext_dedup_span": _SPAN_SQL,
     "ext_source_cap": _SOURCE_CAP_SQL,
     "ext_dedup_bloom": _bloom_oracle(),
+    "ext_ann_hard_negatives": _HARD_NEG_SQL,
 }

@@ -706,3 +706,34 @@ def test_bloom_no_false_negatives_and_bounded_fpr(spark):
     )
     fpr = bloom_probe(other, "fp", bloom).agg(F.avg("hit")).first()[0]
     assert fpr < 0.05, f"false-positive rate too high: {fpr}"
+
+
+def test_cap_skewsafe_equals_one_phase(spark):
+    """The two-phase skew-safe cap must keep the IDENTICAL row set as
+    the single-window formulation (local top-n never evicts a global
+    top-n row), including after a repartition that changes pids."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.operators.split import cap_per_group, cap_per_group_skewsafe
+
+    docs = _docs(spark)
+    want = {
+        r["doc_id"]
+        for r in cap_per_group(docs, "source", "doc_id", 3).select("doc_id").collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in cap_per_group_skewsafe(docs, "source", "doc_id", 3)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
+    got_repart = {
+        r["doc_id"]
+        for r in cap_per_group_skewsafe(
+            docs.repartition(7, F.col("lang")), "source", "doc_id", 3
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got_repart == want

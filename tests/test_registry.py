@@ -47,6 +47,7 @@ NEVER_CHECKED = [
     "ext_dedup_span",
     "ext_source_cap",
     "ext_dedup_bloom",
+    "ext_ann_hard_negatives",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
