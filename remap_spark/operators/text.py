@@ -312,17 +312,26 @@ def unigram_lm_scores(
     + an OOV floor probability — heavy-hitter vocab is MBs while the
     full tail is not; the fixture vocabulary is small enough to use
     whole."""
+    from pyspark.sql.window import Window
+
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     toks = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.col(text_col))).alias("word"),
     )
-    model = toks.groupBy("word").agg(F.count("*").alias("_cnt"))
-    total = model.agg(F.sum("_cnt").alias("_tot"))
+    # the normalizing total rides ON the model relation via a global
+    # window over the (vocabulary-sized) counts — one extra exchange of
+    # the SMALL relation, instead of recomputing the corpus token
+    # subtree for a single-row crossJoin (which also planned a
+    # BroadcastNestedLoopJoin)
+    model = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_tot", F.sum("_cnt").over(Window.partitionBy()))
+    )
     nll = -F.log(F.col("_cnt").cast("double") / F.col("_tot"))
     return (
         toks.join(F.broadcast(model), "word")
-        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),

@@ -277,9 +277,6 @@ def test_no_query_plans_a_cartesian_product(spark):
         "ext_kmeans_embed",
         "ext_text_tfidf",
         "ext_mix_temperature",
-        # single-row broadcast crossJoin carrying the corpus token
-        # total (same shape as tfidf's N-docs broadcast)
-        "ext_text_lm_score",
     }
     bad = []
     for name, fn in ALL_QUERIES.items():
