@@ -19,6 +19,7 @@ key SET emitted still equals the batch distinct key set.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .windows import restore_ntz, watermarked
 
@@ -38,3 +39,82 @@ def dedup_events(
             src.dropDuplicatesWithinWatermark(keys), [ts_col], was_ntz
         )
     return df.dropDuplicates(keys)
+
+
+def stream_ingest_dedup(
+    stream_df: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> object:
+    """Continuous ingestion dedup — the streaming twin of
+    operators/dedup.incremental_dedup with a PERSISTENT fingerprint
+    store: every micro-batch (1) fingerprints its documents
+    (content_fingerprint — normalization-invariant, engine-portable),
+    (2) keeps the min-id survivor per fingerprint within the batch,
+    (3) anti-joins the store to drop docs seen in ANY earlier batch,
+    (4) writes survivors to ``out_path`` and their fingerprints to
+    ``store_path``.
+
+    Exactly-once under replay: both writes land in the batch's own
+    ``_batch_id`` partition via dynamic partition overwrite, and the
+    store read EXCLUDES the current batch id — a replayed batch
+    therefore never sees its own half-written fingerprints (which
+    would wrongly drop every row) and overwrites, not duplicates, its
+    prior output.
+
+    Scale: the store holds one (fingerprint, _batch_id) row per ever-
+    kept document — 8 bytes + key, orders smaller than the corpus; the
+    anti join shuffles fingerprints, never text. Compact the store's
+    per-batch partitions periodically; at very large history put a
+    bloom_build relation in front (operators/dedup.bloom_probe) so the
+    anti join only sees probable duplicates."""
+    from pyspark.sql.window import Window
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from ..operators.text import content_fingerprint
+
+        fps = content_fingerprint(batch_df, text_col, id_col)
+        withfp = batch_df.join(fps, id_col)
+        first = F.row_number().over(
+            Window.partitionBy("fingerprint").orderBy(id_col)
+        )
+        batch_unique = (
+            withfp.withColumn("_rn", first).where(F.col("_rn") == 1).drop("_rn")
+        )
+        try:
+            seen = (
+                spark.read.parquet(store_path)
+                .where(F.col("_batch_id") != batch_id)
+                .select("fingerprint")
+            )
+            survivors = batch_unique.join(seen, "fingerprint", "left_anti")
+        except Exception:  # first batch: no store yet
+            survivors = batch_unique
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(out_path)
+            )
+            (
+                survivors.select("fingerprint")
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(store_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

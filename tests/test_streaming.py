@@ -538,3 +538,71 @@ def test_streaming_dedup_equals_ext_dedup_exact_keyset(spark, tmp_path_factory):
     # batch-side — here the invariant is the KEY SET)
     assert got == expected
     assert len(emitted) == len(expected)
+
+
+def test_stream_ingest_dedup_persistent_store(spark, tmp_path_factory):
+    """Continuous ingestion dedup: duplicates planted ACROSS micro-
+    batches must be dropped by the persistent fingerprint store (batch-
+    internal dups by the per-batch window), leaving exactly one
+    survivor per distinct normalized content — the batch
+    incremental_dedup semantics replayed over a stream."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.text import content_fingerprint
+    from remap_spark.streaming.dedup import stream_ingest_dedup
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # three chunks; chunk 2 and 3 re-send some of chunk 1's texts under
+    # new ids (cross-batch dups) and chunk 3 contains an internal dup
+    base = docs.where(F.col("doc_id") < 60)
+    c1 = base.where(F.col("doc_id") < 20)
+    c2 = base.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)).unionByName(
+        c1.where(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+    )
+    c3 = base.where(F.col("doc_id") >= 40).unionByName(
+        c1.where(F.col("doc_id") < 3).select(
+            (F.col("doc_id") + 2000).alias("doc_id"), "text"
+        )
+    )
+    src = str(tmp_path_factory.mktemp("ingest_src"))
+    for i, c in enumerate([c1, c2, c3]):
+        c.coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}.parquet")
+    out = str(tmp_path_factory.mktemp("ingest_out"))
+    store = str(tmp_path_factory.mktemp("ingest_store"))
+    ckpt = str(tmp_path_factory.mktemp("ingest_ckpt"))
+
+    stream = (
+        spark.readStream.schema(c1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_ingest_dedup(stream, out, store, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = spark.read.parquet(out)
+    union_all = c1.unionByName(c2).unionByName(c3)
+    expected_fps = {
+        r["fingerprint"]
+        for r in content_fingerprint(union_all).select("fingerprint").collect()
+    }
+    got = [
+        (r["doc_id"], r["fingerprint"])
+        for r in kept.select("doc_id", "fingerprint").collect()
+    ]
+    got_fps = [fp for _, fp in got]
+    # one survivor per distinct content, none missed, none duplicated
+    assert sorted(set(got_fps)) == sorted(expected_fps)
+    assert len(got_fps) == len(set(got_fps))
+    # planted re-sends never survive (their originals arrived first)
+    assert all(i < 1000 for i, _ in got)
+    # store mirrors the survivor fingerprints
+    store_fps = [
+        r["fingerprint"] for r in spark.read.parquet(store).collect()
+    ]
+    assert sorted(store_fps) == sorted(set(got_fps))
