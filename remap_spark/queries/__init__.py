@@ -169,6 +169,7 @@ _TAIL_QUERIES = [
     "ext_dedup_embedding",  # embedding family (ext_dedup_semantic, ext_kmeans)
     "dq38_sql_api",  # SQL-API surface (dq41_recursive_sql in-window)
     "ext_split_train_test",  # split family (leakage_safe/source_cap in-window)
+    "ext_text_quality",  # text-projection family (lm_score/clean in-window)
 ]
 
 

@@ -1820,6 +1820,67 @@ _SOURCE_CAP_SQL = f"""
 """
 
 
+def ext_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning audit run between
+    two corpus releases: which documents were added, removed, changed
+    (same id, different normalized content fingerprint), or unchanged.
+    v1 = doc_id % 4 != 3; v2 drops ids ≡ 1 (mod 4), adds ids ≡ 3, and
+    edits the text of ids ≡ 2 (mod 7). ONE full-outer shuffle join on
+    the id comparing engine-portable fingerprints (text itself never
+    crosses the join), then a verdict rollup — the exact shape that
+    scales to a 100 TB snapshot pair, since fingerprints are 8 bytes
+    per doc and the join prunes text columns (check ReadSchema)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 4 != 3)
+    v2 = docs.where(F.col("doc_id") % 4 != 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" EDITED"))
+        ).otherwise(F.col("text")),
+    )
+    f1 = tx.content_fingerprint(v1).select(
+        "doc_id", F.col("fingerprint").alias("fp1")
+    )
+    f2 = tx.content_fingerprint(v2).select(
+        "doc_id", F.col("fingerprint").alias("fp2")
+    )
+    verdict = (
+        F.when(F.col("fp1").isNull(), F.lit("added"))
+        .when(F.col("fp2").isNull(), F.lit("removed"))
+        .when(F.col("fp1") != F.col("fp2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        f1.join(f2, "doc_id", "full_outer")
+        .select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("verdict")
+    )
+
+
+_CORPUS_DIFF_SQL = f"""
+    WITH v1 AS (
+      SELECT doc_id, {_FP_EXPR.format(t='text')} AS fp1
+      FROM documents WHERE doc_id % 4 != 3
+    ),
+    v2 AS (
+      SELECT doc_id,
+             {_FP_EXPR.format(
+                 t="CASE WHEN doc_id % 7 = 2 THEN text || ' EDITED' "
+                   "ELSE text END")} AS fp2
+      FROM documents WHERE doc_id % 4 != 1
+    )
+    SELECT CASE WHEN fp1 IS NULL THEN 'added'
+                WHEN fp2 IS NULL THEN 'removed'
+                WHEN fp1 != fp2 THEN 'changed'
+                ELSE 'unchanged' END AS verdict,
+           COUNT(*) AS n_docs
+    FROM v1 FULL JOIN v2 USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 def ext_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.hard_negative_topk):
     for each anchor (vec_id % 100 == 0), the 5 nearest-by-cosine
@@ -2005,6 +2066,7 @@ EXT_QUERIES = {
     "ext_source_cap": ext_source_cap,
     "ext_dedup_bloom": ext_dedup_bloom,
     "ext_ann_hard_negatives": ext_ann_hard_negatives,
+    "ext_corpus_diff": ext_corpus_diff,
 }
 
 EXT_ORACLES = {
@@ -2051,4 +2113,5 @@ EXT_ORACLES = {
     "ext_source_cap": _SOURCE_CAP_SQL,
     "ext_dedup_bloom": _bloom_oracle(),
     "ext_ann_hard_negatives": _HARD_NEG_SQL,
+    "ext_corpus_diff": _CORPUS_DIFF_SQL,
 }

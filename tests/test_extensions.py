@@ -737,3 +737,28 @@ def test_cap_skewsafe_equals_one_phase(spark):
         .collect()
     }
     assert got_repart == want
+
+
+def test_lm_score_bounds_and_uniform_floor(spark):
+    """Unigram cross-entropy sanity: xent >= 0 (probabilities <= 1),
+    ppl = exp(xent) >= 1, and every doc's xent is bounded above by
+    ln(total_tokens) (worst case: all its tokens are hapaxes)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from remap_spark.operators.text import unigram_lm_scores
+
+    docs = _docs(spark)
+    out = unigram_lm_scores(docs)
+    total = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")))
+        .count()
+    )
+    bad = out.where(
+        (F.col("xent") < 0)
+        | (F.col("ppl") < 1)
+        | (F.col("xent") > math.log(total) + 1e-6)
+    ).count()
+    assert bad == 0
+    assert out.count() > 0

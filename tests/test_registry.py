@@ -48,6 +48,7 @@ NEVER_CHECKED = [
     "ext_source_cap",
     "ext_dedup_bloom",
     "ext_ann_hard_negatives",
+    "ext_corpus_diff",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
