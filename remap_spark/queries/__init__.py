@@ -170,6 +170,7 @@ _TAIL_QUERIES = [
     "dq38_sql_api",  # SQL-API surface (dq41_recursive_sql in-window)
     "ext_split_train_test",  # split family (leakage_safe/source_cap in-window)
     "ext_text_quality",  # text-projection family (lm_score/clean in-window)
+    "dq32_session_window",  # time-window family (dq43_rolling_range in-window)
 ]
 
 

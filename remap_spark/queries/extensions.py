@@ -1820,6 +1820,51 @@ _SOURCE_CAP_SQL = f"""
 """
 
 
+def ext_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equality key) via bin bucketing
+    (operators/joins.interval_join_binned): events falling inside any
+    of 200 order-derived 7-day windows, counted per priority. The
+    naive BETWEEN-only join plans BroadcastNestedLoopJoin —
+    O(|events| x |intervals|) and broadcast-bound; the binned form
+    plans an ordinary equi-join on the bin (asserted in
+    tests/test_plans.py). Oracle = the naive BETWEEN join in SQL."""
+    from ..functions import epoch_us
+    from ..operators.joins import interval_join_binned
+
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    shifted = F.col("o_orderdate") + F.expr("INTERVAL 26 YEARS")
+    iv = orders.where(F.col("o_orderkey") < 200).select(
+        "o_orderpriority",
+        epoch_us(shifted).alias("s_us"),
+        epoch_us(shifted + F.expr("INTERVAL 7 DAYS")).alias("e_us"),
+    )
+    pts = ev.select("event_id", epoch_us("ts").alias("p_us"))
+    j = interval_join_binned(
+        pts, iv, "p_us", "s_us", "e_us", 7 * 86400 * 10**6
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_RANGE_BINNED_SQL = """
+    WITH iv AS (
+      SELECT o_orderpriority,
+             epoch_us(o_orderdate + INTERVAL 26 YEAR) AS s_us,
+             epoch_us(o_orderdate + INTERVAL 26 YEAR + INTERVAL 7 DAY)
+               AS e_us
+      FROM orders WHERE o_orderkey < 200
+    )
+    SELECT o_orderpriority, COUNT(*) AS cnt
+    FROM events e JOIN iv
+      ON epoch_us(e.ts) BETWEEN iv.s_us AND iv.e_us
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def ext_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff — the dataset-versioning audit run between
     two corpus releases: which documents were added, removed, changed
@@ -2067,6 +2112,7 @@ EXT_QUERIES = {
     "ext_dedup_bloom": ext_dedup_bloom,
     "ext_ann_hard_negatives": ext_ann_hard_negatives,
     "ext_corpus_diff": ext_corpus_diff,
+    "ext_range_join_binned": ext_range_join_binned,
 }
 
 EXT_ORACLES = {
@@ -2114,4 +2160,5 @@ EXT_ORACLES = {
     "ext_dedup_bloom": _bloom_oracle(),
     "ext_ann_hard_negatives": _HARD_NEG_SQL,
     "ext_corpus_diff": _CORPUS_DIFF_SQL,
+    "ext_range_join_binned": _RANGE_BINNED_SQL,
 }

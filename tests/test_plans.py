@@ -286,3 +286,20 @@ def test_no_query_plans_a_cartesian_product(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             bad.append((name, "BroadcastNestedLoopJoin"))
     assert not bad, f"queries with unbounded join plans: {bad}"
+
+
+def test_binned_range_join_avoids_nested_loop(spark):
+    """The whole point of interval_join_binned: a BETWEEN-only join
+    plans BroadcastNestedLoopJoin; the binned formulation must plan an
+    equi join (covered generically by the cartesian test, asserted
+    here explicitly against the operator so a regression in the bin
+    key can't hide behind the allowlist)."""
+    from remap_spark.plans import explain_str
+    from remap_spark.queries import ALL_QUERIES
+
+    plan = explain_str(
+        ALL_QUERIES["ext_range_join_binned"](spark, SF_DIR), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

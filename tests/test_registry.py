@@ -49,6 +49,7 @@ NEVER_CHECKED = [
     "ext_dedup_bloom",
     "ext_ann_hard_negatives",
     "ext_corpus_diff",
+    "ext_range_join_binned",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
