@@ -426,3 +426,51 @@ def test_chunk_documents_property(spark, data, chunk_size, overlap):
             ws = text.split(" ") if text else []
             toks.extend(ws if ci == 0 else ws[overlap:])
         assert toks == expected[doc], (doc, chunk_size, overlap)
+
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(-50, 50), st.integers(0, 30)),
+    min_size=1,
+    max_size=15,
+)
+points_strategy = st.lists(st.integers(-60, 60), min_size=1, max_size=25)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ivs=intervals_strategy,
+    pts=points_strategy,
+    bw=st.sampled_from([1, 3, 7, 100]),
+)
+def test_binned_interval_join_equals_naive(spark, ivs, pts, bw):
+    """interval_join_binned must return exactly the naive BETWEEN
+    join's (point, interval) pairs for any geometry and any bin width
+    (including widths far larger / smaller than the intervals)."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.operators.joins import interval_join_binned
+
+    points = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)], "pid int, p bigint"
+    )
+    intervals = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(ivs)],
+        "iid int, s bigint, e bigint",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join_binned(points, intervals, "p", "s", "e", bw)
+        .select("pid", "iid")
+        .collect()
+    }
+    want = {
+        (pi, ii)
+        for pi, p in enumerate(pts)
+        for ii, (s, ln) in enumerate(ivs)
+        if s <= p <= s + ln
+    }
+    assert got == want
