@@ -34,14 +34,100 @@ AUDIO_FEATURES_SCHEMA = "media_id bigint, n_samples int, features array<float>"
 FRAME_SAMPLE_SCHEMA = "media_id bigint, frame_idx int, frame binary"
 
 
+def _decode_bmp(blob: bytes):
+    """REAL image decode for uncompressed 24-bit BMP — pure stdlib
+    struct + numpy, no imaging library. Returns (width, height,
+    8-float features): mean R/G/B plus luminance mean/std/min/max and
+    the fraction of above-mean-luminance pixels."""
+    import struct
+
+    import numpy as np
+
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP (got bpp={bpp}, comp={comp})")
+    row = ((w * 3 + 3) // 4) * 4  # rows pad to 4 bytes
+    bottom_up = h > 0
+    h = abs(h)
+    px = (
+        np.frombuffer(blob, dtype=np.uint8, count=row * h, offset=offset)
+        .reshape(h, row)[:, : w * 3]
+        .reshape(h, w, 3)
+        .astype(np.float64)
+    )
+    if bottom_up:
+        px = px[::-1]
+    b, g, r = px[..., 0], px[..., 1], px[..., 2]  # BMP stores BGR
+    lum = 0.299 * r + 0.587 * g + 0.114 * b
+    feats = [
+        float(r.mean()) / 255.0,
+        float(g.mean()) / 255.0,
+        float(b.mean()) / 255.0,
+        float(lum.mean()) / 255.0,
+        float(lum.std()) / 255.0,
+        float(lum.min()) / 255.0,
+        float(lum.max()) / 255.0,
+        float((lum > lum.mean()).mean()),
+    ]
+    return w, h, feats
+
+
+def _decode_wav(blob: bytes):
+    """REAL audio decode for PCM WAV — stdlib ``wave`` + numpy, no
+    audio library. Returns (n_frames, 8-float features): RMS,
+    zero-crossing rate, peak, mean, std, and duration/rate/channel
+    descriptors."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(blob)) as wf:
+        sr = wf.getframerate()
+        n = wf.getnframes()
+        ch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        raw = wf.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        x = x - 128.0
+    x = x.reshape(-1, ch).mean(axis=1)
+    x = x / float(1 << (8 * sw - 1))
+    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    feats = [
+        float(np.sqrt(np.mean(x * x))),
+        zc,
+        float(np.max(np.abs(x))) if len(x) else 0.0,
+        float(np.mean(x)),
+        float(np.std(x)),
+        min(n / sr, 1.0) if sr else 0.0,
+        sr / 96000.0,
+        float(ch),
+    ]
+    return n, feats
+
+
 def _decode_image_impl(blob: bytes, fake: bool):
-    """STUB: real impl = PIL.Image.open(io.BytesIO(blob)); deterministic
-    fake derives pseudo-pixels from md5(blob) — md5 because any engine
-    (the DuckDB oracle included) can replay it bit-for-bit."""
+    """Image decode with container sniffing: a real BMP blob ('BM'
+    magic) decodes NATIVELY (_decode_bmp — stdlib only); other
+    containers (JPEG/PNG) need an imaging library this environment
+    lacks, so they fall to the deterministic md5 fake (fake=True) or
+    raise. The swap-in seam for Pillow is this dispatch alone."""
+    if blob[:2] == b"BM" and len(blob) >= 54:
+        try:
+            return _decode_bmp(blob)
+        except Exception:
+            # magic collision (e.g. a text payload starting 'BM'):
+            # ASCII bytes can never satisfy the bpp==24/comp==0 header
+            # check, so genuine fixtures deterministically fall through
+            pass
     if not fake:
         raise NotImplementedError(
-            "image decode requires an imaging library not present in "
-            "this environment; pass fake=True for the deterministic stub"
+            "compressed image decode requires an imaging library not "
+            "present in this environment; pass fake=True for the "
+            "deterministic stub (uncompressed BMP decodes natively)"
         )
     import hashlib
 
@@ -52,11 +138,20 @@ def _decode_image_impl(blob: bytes, fake: bool):
 
 
 def _decode_audio_impl(blob: bytes, fake: bool):
-    """STUB: real impl = soundfile/torchaudio load + resample."""
+    """Audio decode with container sniffing: a real PCM WAV blob
+    (RIFF/WAVE magic) decodes NATIVELY (_decode_wav — stdlib wave);
+    compressed audio (MP3/FLAC) needs a library this environment
+    lacks → deterministic fake or raise."""
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        try:
+            return _decode_wav(blob)
+        except Exception:
+            pass  # magic collision — see _decode_image_impl
     if not fake:
         raise NotImplementedError(
-            "audio decode requires an audio library not present in "
-            "this environment; pass fake=True for the deterministic stub"
+            "compressed audio decode requires an audio library not "
+            "present in this environment; pass fake=True for the "
+            "deterministic stub (PCM WAV decodes natively)"
         )
     import hashlib
 

@@ -762,3 +762,79 @@ def test_lm_score_bounds_and_uniform_floor(spark):
     ).count()
     assert bad == 0
     assert out.count() > 0
+
+
+def _make_bmp(w, h, rgb_rows):
+    """Minimal uncompressed 24-bit BMP writer (bottom-up)."""
+    import struct
+
+    row_pad = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb_rows[y][x]
+            row += bytes([b, g, r])
+        row += b"\x00" * (row_pad - len(row))
+        body += row
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def _make_wav(samples, sr=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_multimodal_real_bmp_and_wav_decode(spark):
+    """The multimodal tier is no longer codec-stubbed for uncompressed
+    formats: a REAL 24-bit BMP and a REAL PCM WAV, built bytewise in
+    the test, must decode through the production mapInPandas path with
+    exact pixel/sample statistics."""
+    import pytest
+
+    from remap_spark.operators.multimodal import audio_features, image_features
+
+    # 2x2 image: red, green / blue, white
+    bmp = _make_bmp(
+        2, 2, [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    )
+    df = spark.createDataFrame([(1, bmp)], "media_id bigint, media binary")
+    row = image_features(df, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    feats = row["features"]
+    assert feats[0] == pytest.approx((255 + 0 + 0 + 255) / 4 / 255, abs=1e-6)  # mean R
+    assert feats[1] == pytest.approx((0 + 255 + 0 + 255) / 4 / 255, abs=1e-6)  # mean G
+    assert feats[2] == pytest.approx((0 + 0 + 255 + 255) / 4 / 255, abs=1e-6)  # mean B
+
+    # 4-sample square wave at half full-scale
+    wav = _make_wav([16384, -16384, 16384, -16384])
+    da = spark.createDataFrame([(2, wav)], "media_id bigint, media binary")
+    arow = audio_features(da, fake=False).collect()[0]
+    assert arow["n_samples"] == 4
+    afeats = arow["features"]
+    assert afeats[0] == pytest.approx(0.5, abs=1e-4)  # RMS
+    assert afeats[1] == pytest.approx(1.0, abs=1e-6)  # zero-crossing rate
+    assert afeats[7] == pytest.approx(1.0)  # channels
+
+
+def test_multimodal_magic_collision_falls_back_to_fake(spark):
+    """A text payload that happens to start with 'BM' must NOT crash or
+    change behavior: ASCII bytes can't pass the BMP header check, so the
+    deterministic fake handles it exactly as before."""
+    from remap_spark.operators.multimodal import _decode_image_impl
+
+    blob = ("BM" + "x" * 100).encode()
+    w, h, feats = _decode_image_impl(blob, fake=True)
+    assert (w, h) == (4, 4) and len(feats) == 8
