@@ -341,6 +341,127 @@ def unigram_lm_scores(
     )
 
 
+def bpe_pair_stats(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """Round-1 BPE pair statistics (Sennrich et al. 2016): adjacent
+    symbol-pair frequencies over the corpus WORD-FREQUENCY table, each
+    word's characters plus a terminal '</w>' marker, weighted by word
+    frequency. The top pair is the first merge rule a BPE tokenizer
+    learns; bpe_train iterates this.
+
+    Scale shape: BPE never touches the corpus after the word-frequency
+    aggregate — the symbol table is VOCABULARY-sized. One corpus-keyed
+    token shuffle builds word frequencies; chars explode off the (small)
+    word table; the pair aggregate is combiner-style on the pair key.
+    Returns (rnk, pair, cnt), rank by (cnt DESC, pair ASC)."""
+    from pyspark.sql.window import Window
+
+    wf = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ),
+        F.array(F.lit("</w>")),
+    )
+    chars = wf.select("word", "freq", F.posexplode(syms).alias("i", "sym"))
+    w = Window.partitionBy("word").orderBy("i")
+    pairs = chars.select(
+        "freq",
+        F.concat_ws(" ", "sym", F.lead("sym", 1).over(w)).alias("pair"),
+        F.lead("sym", 1).over(w).alias("_nxt"),
+    ).where(F.col("_nxt").isNotNull())
+    pc = pairs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+    rank = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "pair"))
+    return (
+        pc.orderBy(F.col("cnt").desc(), "pair")
+        .limit(top_n)
+        .select(rank.cast("bigint").alias("rnk"), "pair", "cnt")
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 10
+) -> list[tuple[str, str]]:
+    """Greedy BPE merge learning, distributed: after ONE corpus pass
+    (the word-frequency aggregate) every round works on the
+    vocabulary-sized symbol table — pair-count aggregate, argmax (ONE
+    row to the driver: the merge rule; greedy BPE is inherently
+    sequential in the rule sequence, not in the data), then the merge
+    applied across the word table in an Arrow-batched mapInPandas
+    (per-word left-to-right walk — the correct Python boundary, since
+    the table is vocab-sized, never corpus-sized). Returns the learned
+    merge rules in order.
+
+    Validated against the canonical low/lower/newest/widest example
+    (Sennrich et al. 2016 §3.2) in tests."""
+    spark = df.sparkSession
+    wf = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms_col = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ),
+        F.array(F.lit("</w>")),
+    )
+    table = wf.select("freq", syms_col.alias("syms")).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_arr = F.transform(
+            F.sequence(F.lit(0), F.size("syms") - 2),
+            lambda i: F.struct(
+                F.element_at("syms", i + 1).alias("a"),
+                F.element_at("syms", i + 2).alias("b"),
+            ),
+        )
+        counts = (
+            table.where(F.size("syms") >= 2)
+            .select("freq", F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = counts.orderBy(F.col("cnt").desc(), "a", "b").first()
+        if top is None or top["cnt"] < 2:
+            break
+        a, b = top["a"], top["b"]
+        merges.append((a, b))
+
+        def apply_merge(batches, _a=a, _b=b):
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    res, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == _a
+                            and syms[i + 1] == _b
+                        ):
+                            res.append(_a + _b)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"freq": pdf["freq"], "syms": out})
+
+        table = table.mapInPandas(
+            apply_merge, schema="freq bigint, syms array<string>"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 def dedup_lines(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -171,6 +171,7 @@ _TAIL_QUERIES = [
     "ext_split_train_test",  # split family (leakage_safe/source_cap in-window)
     "ext_text_quality",  # text-projection family (lm_score/clean in-window)
     "dq32_session_window",  # time-window family (dq43_rolling_range in-window)
+    "dq37_lead_lag",  # window family (dq43_rolling_range frames in-window)
 ]
 
 

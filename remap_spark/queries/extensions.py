@@ -1820,6 +1820,47 @@ _SOURCE_CAP_SQL = f"""
 """
 
 
+def ext_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round (operators/text.bpe_pair_stats): top-20
+    adjacent symbol pairs over the corpus word-frequency table with
+    terminal '</w>' markers, frequency-weighted — the distributed core
+    of tokenizer training (the full greedy loop is
+    operators/text.bpe_train, validated in tests against the canonical
+    Sennrich et al. example)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bpe_pair_stats(docs, top_n=20).orderBy("rnk")
+
+
+_BPE_SQL = f"""
+    WITH {_TOKS},
+    wf AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+    idx AS (
+      SELECT word, freq,
+             unnest(generate_series(1, length(word))) AS i
+      FROM wf
+    ),
+    chars AS (
+      SELECT word, freq, i, substring(word, i, 1) AS sym FROM idx
+      UNION ALL
+      SELECT word, freq, length(word) + 1, '</w>' FROM wf
+    ),
+    pairs AS (
+      SELECT freq,
+             sym || ' ' || LEAD(sym) OVER (PARTITION BY word ORDER BY i)
+               AS pair
+      FROM chars
+    ),
+    pc AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM pairs WHERE pair IS NOT NULL GROUP BY pair
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+             AS rnk,
+           pair, cnt
+    FROM pc ORDER BY rnk LIMIT 20
+"""
+
+
 def ext_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PURE range join (no equality key) via bin bucketing
     (operators/joins.interval_join_binned): events falling inside any
@@ -2113,6 +2154,7 @@ EXT_QUERIES = {
     "ext_ann_hard_negatives": ext_ann_hard_negatives,
     "ext_corpus_diff": ext_corpus_diff,
     "ext_range_join_binned": ext_range_join_binned,
+    "ext_text_bpe_pairs": ext_text_bpe_pairs,
 }
 
 EXT_ORACLES = {
@@ -2161,4 +2203,5 @@ EXT_ORACLES = {
     "ext_ann_hard_negatives": _HARD_NEG_SQL,
     "ext_corpus_diff": _CORPUS_DIFF_SQL,
     "ext_range_join_binned": _RANGE_BINNED_SQL,
+    "ext_text_bpe_pairs": _BPE_SQL,
 }

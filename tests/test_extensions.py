@@ -838,3 +838,20 @@ def test_multimodal_magic_collision_falls_back_to_fake(spark):
     blob = ("BM" + "x" * 100).encode()
     w, h, feats = _decode_image_impl(blob, fake=True)
     assert (w, h) == (4, 4) and len(feats) == 8
+
+
+def test_bpe_train_sennrich_example(spark):
+    """The greedy merge loop must reproduce the canonical BPE walk on
+    the low/lower/newest/widest corpus (Sennrich et al. 2016 §3.2):
+    'es' then 'est' then 'est</w>' come first (freq 9 from newest x6 +
+    widest x3)."""
+    from remap_spark.operators.text import bpe_train
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    merges = bpe_train(df, n_merges=4)
+    assert merges[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    # 4th merge: 'l o' (low x5 + lower x2 = 7)
+    assert merges[3] == ("l", "o")

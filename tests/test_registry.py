@@ -50,6 +50,7 @@ NEVER_CHECKED = [
     "ext_ann_hard_negatives",
     "ext_corpus_diff",
     "ext_range_join_binned",
+    "ext_text_bpe_pairs",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
