@@ -152,6 +152,9 @@ def test_no_unbounded_driver_actions_in_operator_sources():
         "pregel.py": {".first()", ".count()"},
         "similarity.py": {".first()"},  # dim=None fallback only
         "dedup.py": {".count()"},  # max_doc_freq opt-in document-frequency pass
+        # bpe_train's per-round argmax: ONE row (the merge rule) — the
+        # greedy rule sequence is the algorithm's sequential part
+        "text.py": {".first()"},
     }
     for src in sorted(root.glob("*.py")):
         toks = tokenize.generate_tokens(io.StringIO(src.read_text()).readline)
@@ -277,6 +280,10 @@ def test_no_query_plans_a_cartesian_product(spark):
         "ext_kmeans_embed",
         "ext_text_tfidf",
         "ext_mix_temperature",
+        # brute-force tier: broadcast anchors x candidates with non-equi
+        # predicates only (same contract as ext_ann_topk; the scale path
+        # composes the label filter with the IVF cell-probe join)
+        "ext_ann_hard_negatives",
     }
     bad = []
     for name, fn in ALL_QUERIES.items():
