@@ -338,6 +338,11 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+    # ONE eager cut of the (often expensive — LSH banding, embedding
+    # GEMM) candidate-pair subtree: _flood_fixpoint checkpoints
+    # vertices and edges in SEPARATE jobs, each of which would
+    # otherwise recompute the whole upstream pair pipeline
+    sym = sym.localCheckpoint(eager=True)
     vertices = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -429,16 +434,21 @@ def connected_components_star(
             int(spark.conf.get("spark.sql.shuffle.partitions")),
             max(4, edges.rdd.getNumPartitions()),
         )
+    # one eager cut of the upstream edge subtree before the two derived
+    # checkpoints below — verts and e would otherwise each recompute it
+    # (same reasoning as connected_components)
+    base = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     verts = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
+        base.select(F.col("u").alias("id"))
+        .union(base.select(F.col("v").alias("id")))
         .distinct()
         .repartition(n, "id")
         .localCheckpoint(eager=True)
     )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
+        base.where(F.col("u") != F.col("v"))
         .distinct()
         .repartition(n, "u")
         .localCheckpoint(eager=True)
