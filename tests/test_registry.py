@@ -54,12 +54,19 @@ NEVER_CHECKED = [
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
-# rewrite, fixpoint block amortization) — they need a fresh driver row.
+# rewrite, fixpoint block amortization, merge-upsert cents arithmetic,
+# star-convergence signature, components entry checkpoint, LM-total
+# window) — they need a fresh driver row.
 CHANGED_R3 = [
     "ext_text_repetition",
     "ext_dedup_canonical",
     "ext_dedup_components",
     "dq16_flood_max",
+    "dq44_merge_upsert",
+    "dq42_star_components",
+    "ext_dedup_semantic",
+    "ext_split_leakage_safe",
+    "ext_text_lm_score",
 ]
 
 
