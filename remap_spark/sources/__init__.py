@@ -15,6 +15,7 @@ from .readers import (
     read_orc,
     read_parquet,
     read_text,
+    read_warc,
     read_xml_elements,
 )
 from .writers import (
@@ -37,6 +38,7 @@ SOURCES = {
     "html": read_html_text,
     "adjacency": read_adjacency,
     "binary": read_binary_files,
+    "warc": read_warc,
 }
 
 SINKS = {
@@ -86,6 +88,7 @@ __all__ = [
     "write",
     "read_text",
     "read_binary_files",
+    "read_warc",
     "read_csv",
     "read_parquet",
     "read_json",

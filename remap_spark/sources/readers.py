@@ -177,3 +177,91 @@ def read_binary_files(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+WARC_SCHEMA = (
+    "filename string, record_idx int, warc_type string, target_uri string, "
+    "content_type string, content_length bigint, payload binary"
+)
+
+
+def read_warc(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """WARC source — the canonical web-crawl archive format (ISO 28500;
+    what Common Crawl ships), i.e. THE ingestion format for web-scale
+    training corpora. One row per WARC record: (filename, record_idx,
+    warc_type, target_uri, content_type, content_length, payload).
+
+    Unit of parallelism is the FILE (binaryFile scan + mapInPandas
+    parse): .warc.gz members are not splittable, so one-task-per-file
+    is exactly how production crawl pipelines shard — give the job as
+    many files as you want tasks (Common Crawl segments ship ~1 GiB
+    each, 64k files per crawl). Gzip is detected by magic and inflated
+    with stdlib zlib; parsing is pure stdlib byte walking — records are
+    located by their declared Content-Length (never by scanning payload
+    bytes for separators, which would corrupt binary payloads that
+    contain blank lines)."""
+
+    def parse(batches: Iterator) -> Iterator:
+        import gzip
+        import io
+
+        import pandas as pd
+
+        def records(blob: bytes):
+            if blob[:2] == b"\x1f\x8b":
+                blob = gzip.decompress(blob)
+            pos, idx = 0, 0
+            n = len(blob)
+            while pos < n:
+                # skip inter-record CRLFs
+                while pos < n and blob[pos : pos + 2] == b"\r\n":
+                    pos += 2
+                if pos >= n:
+                    break
+                hdr_end = blob.find(b"\r\n\r\n", pos)
+                if hdr_end < 0:
+                    break
+                head = blob[pos:hdr_end].decode("utf-8", "replace")
+                lines = head.split("\r\n")
+                if not lines or not lines[0].startswith("WARC/"):
+                    break
+                fields = {}
+                for ln in lines[1:]:
+                    k, _, v = ln.partition(":")
+                    fields[k.strip().lower()] = v.strip()
+                clen = int(fields.get("content-length", "0"))
+                body = blob[hdr_end + 4 : hdr_end + 4 + clen]
+                yield (
+                    idx,
+                    fields.get("warc-type", ""),
+                    fields.get("warc-target-uri", ""),
+                    fields.get("content-type", ""),
+                    clen,
+                    body,
+                )
+                idx += 1
+                pos = hdr_end + 4 + clen
+
+        for pdf in batches:
+            rows = {
+                "filename": [],
+                "record_idx": [],
+                "warc_type": [],
+                "target_uri": [],
+                "content_type": [],
+                "content_length": [],
+                "payload": [],
+            }
+            for fname, blob in zip(pdf["path"], pdf["content"]):
+                for idx, wt, uri, ct, clen, body in records(bytes(blob)):
+                    rows["filename"].append(fname)
+                    rows["record_idx"].append(idx)
+                    rows["warc_type"].append(wt)
+                    rows["target_uri"].append(uri)
+                    rows["content_type"].append(ct)
+                    rows["content_length"].append(clen)
+                    rows["payload"].append(body)
+            yield pd.DataFrame(rows)
+
+    raw = read_binary_files(spark, path, glob)
+    return raw.select("path", "content").mapInPandas(parse, schema=WARC_SCHEMA)

@@ -224,3 +224,48 @@ def test_read_binary_files(spark, tmpfiles):
     assert rows["img1.bin"]["length"] == len(b"\x89PNG-fake-1-longer")
     # glob prunes at listing time: .txt files in the same dir invisible
     assert "a.txt" not in rows
+
+
+def _make_warc_record(warc_type, uri, payload, extra=""):
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + extra
+        + f"Content-Length: {len(payload)}\r\n\r\n"
+    )
+    return head.encode() + payload + b"\r\n\r\n"
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_path):
+    """WARC source: records located by declared Content-Length (binary
+    payloads containing blank lines must NOT split records), gzip
+    members inflated by magic, one row per record with headers parsed."""
+    import gzip
+
+    from remap_spark.sources import read_warc
+
+    body1 = b"HTTP/1.1 200 OK\r\n\r\n<html>hello\r\n\r\nworld</html>"
+    body2 = b"\x00\x01\r\n\r\n\x02binary with blank line"
+    warc = (
+        _make_warc_record("warcinfo", "", b"software: test\r\n")
+        + _make_warc_record("response", "http://example.com/a", body1)
+        + _make_warc_record("response", "http://example.com/b", body2)
+    )
+    (tmp_path / "a.warc").write_bytes(warc)
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(warc))
+
+    df = read_warc(spark, str(tmp_path))
+    rows = sorted(
+        (
+            (r["filename"].rsplit("/", 1)[-1], r["record_idx"], r["warc_type"],
+             r["target_uri"], bytes(r["payload"]))
+            for r in df.collect()
+        )
+    )
+    assert len(rows) == 6  # 3 records x 2 files
+    plain = [r for r in rows if r[0] == "a.warc"]
+    assert [r[2] for r in plain] == ["warcinfo", "response", "response"]
+    assert plain[1][3] == "http://example.com/a" and plain[1][4] == body1
+    assert plain[2][4] == body2  # blank lines inside payload survived
+    gz = [r for r in rows if r[0] == "b.warc.gz"]
+    assert [r[4] for r in gz] == [r[4] for r in plain]
