@@ -17,6 +17,7 @@ from .readers import (
     read_text,
     read_warc,
     read_xml_elements,
+    warc_http_text,
 )
 from .writers import (
     write_bucketed_table,
@@ -89,6 +90,7 @@ __all__ = [
     "read_text",
     "read_binary_files",
     "read_warc",
+    "warc_http_text",
     "read_csv",
     "read_parquet",
     "read_json",

@@ -265,3 +265,27 @@ def read_warc(spark: SparkSession, path: str, glob: str | None = None) -> DataFr
 
     raw = read_binary_files(spark, path, glob)
     return raw.select("path", "content").mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def warc_http_text(warc_df: DataFrame) -> DataFrame:
+    """WARC response records -> (target_uri, text): the WET-extraction
+    step of a crawl-ingestion pipeline. Strips the HTTP header block
+    (everything before the first CRLFCRLF in the payload) and decodes
+    the body as UTF-8 (errors replaced). Pure Catalyst expressions —
+    no Python: the split/decode run inside codegen, so this is a
+    narrow, shuffle-free pass over however many tasks read_warc
+    produced. Compose with operators/text.clean_text for tag
+    stripping, then the curation pipeline proper."""
+    body = F.expr(
+        "CASE WHEN locate(X'0D0A0D0A', payload) > 0 "
+        "THEN substring(payload, locate(X'0D0A0D0A', payload) + 4, "
+        "     octet_length(payload)) "
+        "ELSE payload END"
+    )
+    return (
+        warc_df.where(F.col("warc_type") == "response")
+        .select(
+            "target_uri",
+            F.decode(body, "UTF-8").alias("text"),
+        )
+    )

@@ -269,3 +269,20 @@ def test_read_warc_plain_and_gzip(spark, tmp_path):
     assert plain[2][4] == body2  # blank lines inside payload survived
     gz = [r for r in rows if r[0] == "b.warc.gz"]
     assert [r[4] for r in gz] == [r[4] for r in plain]
+
+
+def test_warc_http_text_extraction(spark, tmp_path):
+    """WARC -> WET: response payloads lose their HTTP header block and
+    decode to text; non-response records are dropped."""
+    from remap_spark.sources import read_warc, warc_http_text
+
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>hi there</p>"
+    warc = (
+        _make_warc_record("warcinfo", "", b"software: test\r\n")
+        + _make_warc_record("response", "http://x.test/p", body)
+    )
+    (tmp_path / "c.warc").write_bytes(warc)
+    out = warc_http_text(read_warc(spark, str(tmp_path))).collect()
+    assert len(out) == 1
+    assert out[0]["target_uri"] == "http://x.test/p"
+    assert out[0]["text"] == "<p>hi there</p>"
