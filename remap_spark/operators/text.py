@@ -660,3 +660,43 @@ def chunk_documents(
         F.size(piece).alias("n_tokens"),
         F.array_join(piece, " ").alias(text_col),
     )
+
+
+def normalize_url(col: Column | str) -> Column:
+    """URL canonicalization — the FIRST dedup pass of a crawl pipeline
+    (URL-level, before any content hashing; dedups the ~30-50% of
+    crawl frontier entries that are the same page under a different
+    spelling). Lowercases scheme+authority, strips the fragment,
+    default ports (:80/:443), utm_* tracking params, and a trailing
+    slash. A chain of codegen regexp_replaces: zero shuffle, linear.
+    Patterns avoid lookaround so they behave identically under Java
+    regex and RE2."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(c, "#.*$", "")  # fragment
+    # lowercase scheme://authority only (path/query stay case-sensitive)
+    head = F.lower(F.regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", 0))
+    tail = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    u = F.when(head == "", u).otherwise(F.concat(head, tail))
+    u = F.regexp_replace(u, ":80(/|\\?|$)", "$1")  # default http port
+    u = F.regexp_replace(u, ":443(/|\\?|$)", "$1")  # default https port
+    # tracking params: a leading run of utm_* params hands '?' to the
+    # first survivor; interior/trailing utm_* drop with their '&'
+    u = F.regexp_replace(u, "\\?utm_[^&]*(&utm_[^&]*)*&", "?")
+    u = F.regexp_replace(u, "\\?utm_[^&]*(&utm_[^&]*)*$", "")
+    u = F.regexp_replace(u, "&utm_[^&]*", "")
+    u = F.regexp_replace(u, "(.)/(\\?|$)", "$1$2")  # trailing slash (not root)
+    return u
+
+
+def url_duplicates(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup: group by the canonical URL, keep the min-id
+    survivor — same contract as exact_duplicates but on the address,
+    which is orders cheaper than content hashing (no text read). One
+    shuffle on the (short) canonical URL."""
+    return (
+        df.groupBy(normalize_url(url_col).alias("canonical_url"))
+        .agg(F.count("*").alias("cnt"), F.min(id_col).alias("keep_id"))
+        .where(F.col("cnt") > 1)
+    )

@@ -891,3 +891,29 @@ def test_ivf_with_trained_centroids(spark):
         ]
         cos = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_normalize_url_canonical_equivalences(spark):
+    """The URL spellings that alias the same page must collapse to one
+    canonical form; genuinely different URLs must not."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.operators.text import normalize_url
+
+    same = [
+        "HTTP://Example.com:80/Page?a=1#frag",
+        "http://example.com/Page?a=1",
+        "http://EXAMPLE.com:80/Page/?a=1",
+        "http://example.com/Page?utm_source=x&a=1",
+    ]
+    diff = [
+        "http://example.com/page?a=1",  # path case differs
+        "http://example.com/Page?a=2",
+        "https://example.com/Page?a=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in same + diff], "url string")
+    out = [r[0] for r in df.select(normalize_url("url")).collect()]
+    assert len(set(out[: len(same)])) == 1, out[: len(same)]
+    assert len(set(out)) == 1 + len(diff), out
+    root = spark.createDataFrame([("http://a.com/",)], "url string")
+    assert root.select(normalize_url("url")).first()[0] == "http://a.com"
