@@ -286,3 +286,39 @@ def test_warc_http_text_extraction(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["target_uri"] == "http://x.test/p"
     assert out[0]["text"] == "<p>hi there</p>"
+
+
+def test_crawl_to_curation_pipeline(spark, tmp_path):
+    """Full ingestion story: WARC bytes -> WET text extraction -> tag
+    cleaning -> quality gate, end to end — the Common Crawl entry path
+    into the curation operators."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.operators.text import clean_text, quality_score
+    from remap_spark.sources import read_warc, warc_http_text
+
+    pages = {
+        f"http://site.test/{i}": (
+            "<html><body>"
+            + " ".join(["the quick brown fox and the lazy dog"] * 30)
+            + f" page {i}</body></html>"
+        )
+        for i in range(3)
+    }
+    warc = b""
+    for uri, html in pages.items():
+        body = b"HTTP/1.1 200 OK\r\n\r\n" + html.encode()
+        warc += _make_warc_record("response", uri, body)
+    (tmp_path / "crawl.warc").write_bytes(warc)
+
+    wet = warc_http_text(read_warc(spark, str(tmp_path)))
+    docs = clean_text(
+        wet.select(F.col("target_uri").alias("doc_id"), "text"),
+        id_col="doc_id",
+    )
+    scored = quality_score(docs, id_col="doc_id").collect()
+    assert len(scored) == 3
+    # long, stopword-rich, tag-free text must clear the keep gate
+    assert all(r["verdict"] == "keep" for r in scored), scored
+    cleaned = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert all("<" not in t for t in cleaned.values())
