@@ -172,6 +172,7 @@ _TAIL_QUERIES = [
     "ext_text_quality",  # text-projection family (lm_score/clean in-window)
     "dq32_session_window",  # time-window family (dq43_rolling_range in-window)
     "dq37_lead_lag",  # window family (dq43_rolling_range frames in-window)
+    "ext_dedup_minhash_lsh",  # LSH also inside canonical/leakage (in-window)
 ]
 
 

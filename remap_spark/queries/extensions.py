@@ -1820,6 +1820,141 @@ _SOURCE_CAP_SQL = f"""
 """
 
 
+_CLF_FEATURES = ["x1", "x2", "x3"]
+
+
+def _clf_features(docs: DataFrame) -> DataFrame:
+    """Distillation setup: the expensive rule gate (quality_score's
+    drop boundary, verdict != 'drop') becomes the LABEL; the model learns to
+    approximate it from three cheaper surface features — capped char
+    length, space density, punctuation density. This is the standard
+    filter-distillation pattern (train a cheap classifier to mimic a
+    costly rule/model, then run only the classifier at full scale).
+    All features are exact rational arithmetic from integer counts —
+    identical doubles in both engines."""
+    q = tx.quality_score(docs)
+    t = F.col("text")
+    ln = F.length(t).cast("double")
+    n_spaces = ln - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    stop_hits = F.regexp_count(
+        F.lower(t), F.lit(r"\b(the|and|of|to|is)\b")
+    ).cast("double")
+    feats = docs.select(
+        "doc_id",
+        F.least(F.col("n_chars") / 2000.0, F.lit(1.0)).alias("x1"),
+        (stop_hits / (n_spaces + 1.0)).alias("x2"),
+        (n_spaces / ln).alias("x3"),
+    )
+    y = q.select("doc_id", (F.col("verdict") != "drop").cast("int").alias("y"))
+    return feats.join(y, "doc_id")
+
+
+def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality/language filter (operators/ml): 5 rounds of
+    batch-GD logistic regression on engine-portable features, then
+    score every document — the classifier-filter tier (fastText-style
+    quality models, CCNet language routing) as ONE aggregate per
+    training round plus a codegen scoring pass. The oracle replays the
+    identical unrolled GD walk as chained CTEs (kmeans-style)."""
+    from ..operators.ml import logistic_score, logistic_train
+
+    from ..operators.ml import standardize
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = standardize(_clf_features(docs), _CLF_FEATURES)
+    w, b = logistic_train(feats, _CLF_FEATURES, "y", lr=4.0, iters=12)
+    scored = logistic_score(
+        feats.select("doc_id", "y", *_CLF_FEATURES), _CLF_FEATURES, w, b
+    )
+    return (
+        scored.join(feats.select("doc_id", "y"), "doc_id")
+        .select(
+            "doc_id",
+            F.round("p", 5).alias("p_en"),
+            (F.col("p") >= 0.5).cast("int").alias("pred"),
+            F.col("y").alias("label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _classifier_oracle(iters: int = 5, lr: float = 1.0) -> str:
+    z = "(b + w1*x1 + w2*x2 + w3*x3)"
+    p = f"(1.0 / (1.0 + EXP(-{z})))"
+    ctes = [
+        r"""m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\s+'),
+               w -> w <> '')) AS DOUBLE) AS n_tokens,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(translate(text, '.,?:;!"', '')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(
+               string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\s+'),
+               w -> w IN ('the','and','of','to','is'))) AS DOUBLE) AS n_stop
+      FROM documents
+    )""",
+        """lab AS (
+      SELECT doc_id,
+             CAST(LEAST(n_tokens / 200.0, 1.0) * 0.5
+                  + LEAST(n_stop / n_tokens * 4.0, 1.0) * 0.3
+                  + (1.0 - LEAST(n_punct / n_chars * 10.0, 1.0)) * 0.2
+                  >= 0.3 AS INT) AS y
+      FROM m
+    )""",
+        r"""fr AS (
+      SELECT d.doc_id, lab.y,
+             LEAST(d.n_chars / 2000.0, 1.0) AS x1,
+             LEN(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))
+               / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1.0) AS x2,
+             (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+               / CAST(LENGTH(text) AS DOUBLE) AS x3
+      FROM documents d JOIN lab ON lab.doc_id = d.doc_id
+    )""",
+        """st AS (
+      SELECT AVG(x1) AS m1, STDDEV_POP(x1) AS s1,
+             AVG(x2) AS m2, STDDEV_POP(x2) AS s2,
+             AVG(x3) AS m3, STDDEV_POP(x3) AS s3
+      FROM fr
+    )""",
+        """f AS MATERIALIZED (
+      SELECT doc_id, y, (x1 - m1) / s1 AS x1, (x2 - m2) / s2 AS x2,
+             (x3 - m3) / s3 AS x3
+      FROM fr CROSS JOIN st
+    )""",
+        "w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b)",
+    ]
+    for k in range(iters):
+        # MATERIALIZED: each round references the previous one twice
+        # (gradient + update); inlined CTEs would double the expression
+        # tree per round — 2^iters planning blowup
+        ctes.append(
+            f"""g{k} AS MATERIALIZED (
+      SELECT AVG(({p} - y) * x1) AS g1,
+             AVG(({p} - y) * x2) AS g2,
+             AVG(({p} - y) * x3) AS g3,
+             AVG({p} - y) AS gb
+      FROM f CROSS JOIN w{k}
+    )"""
+        )
+        ctes.append(
+            f"""w{k + 1} AS MATERIALIZED (
+      SELECT w1 - {lr} * g1 AS w1, w2 - {lr} * g2 AS w2,
+             w3 - {lr} * g3 AS w3, b - {lr} * gb AS b
+      FROM w{k} CROSS JOIN g{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT doc_id, ROUND({p}, 5) AS p_en,
+           CAST({p} >= 0.5 AS INT) AS pred, y AS label
+    FROM f CROSS JOIN w{iters} ORDER BY doc_id
+    """
+    )
+
+
 def ext_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge round (operators/text.bpe_pair_stats): top-20
     adjacent symbol pairs over the corpus word-frequency table with
@@ -2155,6 +2290,7 @@ EXT_QUERIES = {
     "ext_corpus_diff": ext_corpus_diff,
     "ext_range_join_binned": ext_range_join_binned,
     "ext_text_bpe_pairs": ext_text_bpe_pairs,
+    "ext_quality_classifier": ext_quality_classifier,
 }
 
 EXT_ORACLES = {
@@ -2204,4 +2340,5 @@ EXT_ORACLES = {
     "ext_corpus_diff": _CORPUS_DIFF_SQL,
     "ext_range_join_binned": _RANGE_BINNED_SQL,
     "ext_text_bpe_pairs": _BPE_SQL,
+    "ext_quality_classifier": _classifier_oracle(iters=12, lr=4.0),
 }

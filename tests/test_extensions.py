@@ -917,3 +917,26 @@ def test_normalize_url_canonical_equivalences(spark):
     assert len(set(out)) == 1 + len(diff), out
     root = spark.createDataFrame([("http://a.com/",)], "url string")
     assert root.select(normalize_url("url")).first()[0] == "http://a.com"
+
+
+def test_logistic_learns_separable_data(spark):
+    """GD logistic on linearly separable data must reach perfect
+    training accuracy after standardization."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.operators.ml import logistic_score, logistic_train, standardize
+
+    rows = [(i, float(i % 40), float((i * 7) % 11), 1 if i % 40 >= 20 else 0)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, x1 double, x2 double, y int")
+    std = standardize(df, ["x1", "x2"])
+    w, b = logistic_train(std, ["x1", "x2"], "y", lr=4.0, iters=15)
+    assert abs(w[0]) > abs(w[1]) * 3  # x1 carries the signal
+    scored = logistic_score(std.select("doc_id", "y", "x1", "x2"), ["x1", "x2"], w, b)
+    acc = (
+        scored.join(df.select("doc_id", "y"), "doc_id")
+        .select(((F.col("p") >= 0.5).cast("int") == F.col("y")).cast("int").alias("ok"))
+        .agg(F.avg("ok"))
+        .first()[0]
+    )
+    assert acc >= 0.99, acc

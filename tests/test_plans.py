@@ -155,6 +155,9 @@ def test_no_unbounded_driver_actions_in_operator_sources():
         # bpe_train's per-round argmax: ONE row (the merge rule) — the
         # greedy rule sequence is the algorithm's sequential part
         "text.py": {".first()"},
+        # logistic_train: d+1 gradient floats per round — the model is
+        # driver-sized by definition; the data never moves
+        "ml.py": {".first()"},
     }
     for src in sorted(root.glob("*.py")):
         toks = tokenize.generate_tokens(io.StringIO(src.read_text()).readline)

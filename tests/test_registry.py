@@ -51,6 +51,7 @@ NEVER_CHECKED = [
     "ext_corpus_diff",
     "ext_range_join_binned",
     "ext_text_bpe_pairs",
+    "ext_quality_classifier",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
