@@ -221,6 +221,77 @@ def pagerank(
     return p.run()
 
 
+def pagerank_dangling(
+    vertices: DataFrame,
+    edges: DataFrame,
+    num_vertices: int,
+    supersteps: int = 10,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """PageRank with dangling-mass redistribution — the correction the
+    reference's naive loop (pagerank.py:28-45, DQ17) skips: a sink
+    vertex's rank re-enters uniformly each step, so total rank stays 1
+    instead of draining. The dangling sum is Pregel's AGGREGATOR
+    concept — ONE global value computed per superstep and visible to
+    every vertex's update. Its cost is the same one-action-per-step
+    the halt-voting loop already pays: the tiny sum aggregate doubles
+    as the job that materializes the step's lazy checkpoint.
+
+    Per superstep: one rank-keyed shuffle for the inbox (identical to
+    pagerank) plus a driver-sized scalar — at 100 TB the aggregate is
+    a combiner-style sum over the vertex partition, not extra data
+    movement. rank update: (1-d)/N + d*(inbox + dangling/N).
+    """
+    spark = vertices.sparkSession
+    n = num_partitions
+    if n is None:
+        n = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            max(4, vertices.rdd.getNumPartitions(), edges.rdd.getNumPartitions()),
+        )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    srcs = edges.select("src").distinct()
+    edges_deg = (
+        edges.join(F.broadcast(outdeg), "src")
+        .repartition(n, "src")
+        .localCheckpoint(eager=True)
+    )
+    # literal-identical arithmetic to the SQL oracle: (1 - d)/N, d*(...)
+    base = (F.lit(1.0) - F.lit(damping)) / F.lit(float(num_vertices))
+    ranks = (
+        vertices.select(
+            "id", (F.lit(1.0) / F.lit(float(num_vertices))).alias("rank")
+        )
+        .repartition(n, "id")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(supersteps):
+        dang = (
+            ranks.join(F.broadcast(srcs), ranks["id"] == srcs["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .first()["d"]
+        )
+        inbox = (
+            ranks.join(edges_deg, ranks["id"] == edges_deg["src"])
+            .select(F.col("dst").alias("_dst"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .repartition(n, "_dst")
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_inbox"))
+        )
+        new_rank = base + F.lit(damping) * (
+            F.coalesce(F.col("_inbox"), F.lit(0.0))
+            + F.lit(float(dang)) / F.lit(float(num_vertices))
+        )
+        ranks = (
+            ranks.join(inbox, ranks["id"] == inbox["_dst"], "left")
+            .select("id", new_rank.alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+    # final materialization rides on whatever action the caller runs
+    return ranks
+
+
 def _flood_fixpoint(
     vertices: DataFrame,
     edges: DataFrame,

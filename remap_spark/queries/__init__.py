@@ -18,6 +18,7 @@ from .graphs import (
     dq17_pagerank,
     dq40_pointer_jump,
     dq42_star_components,
+    ext_pagerank_dangling,
 )
 from .oracles import DQ_ORACLES
 
@@ -46,6 +47,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq17_pagerank": dq17_pagerank,
     "dq40_pointer_jump": dq40_pointer_jump,
     "dq42_star_components": dq42_star_components,
+    "ext_pagerank_dangling": ext_pagerank_dangling,
     "dq18_grouped_udf": relational.dq18_grouped_udf,
     "dq19_buckets": relational.dq19_buckets,
     "dq20_range_join": relational.dq20_range_join,
@@ -173,6 +175,7 @@ _TAIL_QUERIES = [
     "dq32_session_window",  # time-window family (dq43_rolling_range in-window)
     "dq37_lead_lag",  # window family (dq43_rolling_range frames in-window)
     "ext_dedup_minhash_lsh",  # LSH also inside canonical/leakage (in-window)
+    "dq33_percentiles",  # §2.4 agg family (ext_profile_columns, approx_distinct)
 ]
 
 

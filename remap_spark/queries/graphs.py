@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.pregel import flood_max, pagerank, pointer_jump
+from ..operators.pregel import flood_max, pagerank, pagerank_dangling, pointer_jump
 
 # graph1.txt + graph2.txt adjacency (pagerank input, 10 vertices)
 PAGERANK_ADJ: dict[str, list[str]] = {
@@ -62,6 +62,29 @@ def dq17_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(
         verts, edges, num_vertices=10, supersteps=30, num_partitions=2
+    )
+    return ranks.select(
+        F.col("id").alias("vertex_id"), F.round("rank", 5).alias("rank")
+    ).orderBy("vertex_id")
+
+
+# dq17's graph with vertices 5 and 9 turned into SINKS (out-edges
+# removed): the dangling-mass case the naive reference semantics drain
+DANGLING_ADJ: dict[str, list[str]] = {
+    k: v for k, v in PAGERANK_ADJ.items() if k not in ("5", "9")
+}
+
+
+def ext_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True PageRank (operators/pregel.pagerank_dangling): dangling
+    sinks redistribute their rank uniformly each superstep via the
+    per-step global aggregate — Pregel's aggregator concept. Total
+    rank stays 1 (asserted in tests); the naive dq17 semantics would
+    drain it through the sinks."""
+    edges = _edges_df(spark, DANGLING_ADJ)
+    verts = spark.createDataFrame([(v,) for v in PAGERANK_ADJ], "id string")
+    ranks = pagerank_dangling(
+        verts, edges, num_vertices=10, supersteps=10, num_partitions=2
     )
     return ranks.select(
         F.col("id").alias("vertex_id"), F.round("rank", 5).alias("rank")
@@ -208,3 +231,47 @@ GRAPH_ORACLES["dq42_star_components"] = """
            COUNT(*) AS n_nodes
     FROM nodes GROUP BY 1 ORDER BY 1
 """
+
+
+def _pagerank_dangling_oracle(steps: int = 10, d: float = 0.85, n: int = 10) -> str:
+    """Unrolled per-step CTEs (MATERIALIZED — each step is referenced
+    twice, inlining would double the tree per step). All literals cast
+    to DOUBLE: DuckDB parses 0.85 as DECIMAL and exact decimal
+    arithmetic would diverge from Spark's IEEE doubles."""
+    ctes = [
+        f"verts(id) AS (VALUES {_values_sql([(v,) for v in PAGERANK_ADJ])})",
+        f"edges(src, dst) AS (VALUES {_edge_values(DANGLING_ADJ)})",
+        "deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / {n} AS rank FROM verts)",
+    ]
+    dd = f"CAST({d} AS DOUBLE)"
+    for k in range(steps):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+          SELECT COALESCE(SUM(rank), CAST(0.0 AS DOUBLE)) AS dang FROM r{k}
+          WHERE id NOT IN (SELECT src FROM edges))"""
+        )
+        ctes.append(
+            f"""r{k + 1} AS MATERIALIZED (
+          SELECT v.id,
+                 (1 - {dd}) / {n}
+                   + {dd} * (COALESCE(inc.s, CAST(0.0 AS DOUBLE))
+                             + d{k}.dang / {n}) AS rank
+          FROM verts v
+          LEFT JOIN (
+            SELECT e.dst AS id, SUM(r.rank / deg.dg) AS s
+            FROM r{k} r JOIN edges e ON e.src = r.id
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) inc ON inc.id = v.id
+          CROSS JOIN d{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id AS vertex_id, ROUND(rank, 5) AS rank
+        FROM r{steps} ORDER BY vertex_id"""
+    )
+
+
+GRAPH_ORACLES["ext_pagerank_dangling"] = _pagerank_dangling_oracle()

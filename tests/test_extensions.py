@@ -940,3 +940,20 @@ def test_logistic_learns_separable_data(spark):
         .first()[0]
     )
     assert acc >= 0.99, acc
+
+
+def test_pagerank_dangling_conserves_mass(spark):
+    """With dangling redistribution, total rank must stay 1 (the naive
+    reference semantics drain mass through sinks) and sink vertices
+    must still hold positive rank."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.queries import ALL_QUERIES
+
+    out = ALL_QUERIES["ext_pagerank_dangling"](spark, SF_DIR)
+    rows = {r["vertex_id"]: r["rank"] for r in out.collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-3, sum(rows.values())
+    assert rows["5"] > 0 and rows["9"] > 0
+    # naive dq17 on the full graph sums below 1 only via float noise;
+    # the dangling variant must not collapse to uniform either
+    assert max(rows.values()) > 2 * min(rows.values())

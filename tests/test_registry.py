@@ -52,6 +52,7 @@ NEVER_CHECKED = [
     "ext_range_join_binned",
     "ext_text_bpe_pairs",
     "ext_quality_classifier",
+    "ext_pagerank_dangling",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
