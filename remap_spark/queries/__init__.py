@@ -79,6 +79,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # HLL sketch values differ across engines: the oracle checks an
     # error-band predicate (see relational.ext_approx_distinct)
     "ext_approx_distinct": relational.ext_approx_distinct,
+    "ext_approx_percentiles": relational.ext_approx_percentiles,
 }
 
 ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}
@@ -176,6 +177,7 @@ _TAIL_QUERIES = [
     "dq37_lead_lag",  # window family (dq43_rolling_range frames in-window)
     "ext_dedup_minhash_lsh",  # LSH also inside canonical/leakage (in-window)
     "dq33_percentiles",  # §2.4 agg family (ext_profile_columns, approx_distinct)
+    "dq08_join_agg",  # join family (dq24 asof, dq44 full-outer, range_binned)
 ]
 
 

@@ -403,6 +403,16 @@ DQ_ORACLES["ext_approx_distinct"] = """
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
+# sketch values differ across engines: band-predicate contract, like
+# ext_approx_distinct (exact anchors + literal-TRUE bands)
+DQ_ORACLES["ext_approx_percentiles"] = """
+    SELECT event_type, COUNT(*) AS cnt,
+           ROUND(quantile_cont(value, 0.5), 5) AS exact_p50,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 # dq41 runs the SAME recursive-CTE text in both engines
 from .relational import RECURSIVE_SQL_QUERY as _RECURSIVE_SQL_QUERY  # noqa: E402
 

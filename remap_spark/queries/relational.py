@@ -879,6 +879,34 @@ def dq41_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Engine(spark, sf_dir).sql(RECURSIVE_SQL_QUERY)
 
 
+def ext_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile) — the 100 TB path
+    dq33's exact per-group sort cannot take (the sketch combines
+    map-side partials; the exact form ships every value). Sketch
+    values differ across engines, so the driver contract follows
+    ext_approx_distinct: emit exact anchors plus booleans asserting
+    the sketch landed inside an exact quantile band (p50 within
+    [p45, p55], p95 within [p90, p99]); the oracle computes the same
+    anchors and asserts the bands as literal TRUE."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 1000).alias("_apx"),
+        F.expr(
+            "percentile(value, array(0.45D, 0.5D, 0.55D, 0.9D, 0.99D))"
+        ).alias("_ex"),
+        F.count("*").alias("cnt"),
+    )
+    e = lambda i: F.element_at("_ex", i)  # noqa: E731
+    a = lambda i: F.element_at("_apx", i)  # noqa: E731
+    return agg.select(
+        "event_type",
+        "cnt",
+        F.round(e(2), 5).alias("exact_p50"),
+        ((a(1) >= e(1)) & (a(1) <= e(3))).alias("p50_ok"),
+        ((a(2) >= e(4)) & (a(2) <= e(5))).alias("p95_ok"),
+    ).orderBy("event_type")
+
+
 def dq43_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (RANGE BETWEEN interval PRECEDING): per
     event_type, count+sum of events in the trailing 1 hour — the

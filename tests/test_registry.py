@@ -53,6 +53,7 @@ NEVER_CHECKED = [
     "ext_text_bpe_pairs",
     "ext_quality_classifier",
     "ext_pagerank_dangling",
+    "ext_approx_percentiles",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
