@@ -266,11 +266,15 @@ def pagerank_dangling(
         .repartition(n, "id")
         .localCheckpoint(eager=True)
     )
-    for _ in range(supersteps):
+    for step in range(supersteps):
+        # the aggregator value stays IN-PLAN as a single-row broadcast:
+        # fetching it with .first() would force one driver action per
+        # superstep (measured 8.5 s for 10 steps — the per-job floor);
+        # as a broadcast subtree the steps unroll lazily and one eager
+        # cut per 5 steps drives the whole block as a single job
         dang = (
             ranks.join(F.broadcast(srcs), ranks["id"] == srcs["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-            .first()["d"]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         inbox = (
             ranks.join(edges_deg, ranks["id"] == edges_deg["src"])
@@ -281,14 +285,15 @@ def pagerank_dangling(
         )
         new_rank = base + F.lit(damping) * (
             F.coalesce(F.col("_inbox"), F.lit(0.0))
-            + F.lit(float(dang)) / F.lit(float(num_vertices))
+            + F.col("_dang") / F.lit(float(num_vertices))
         )
+        eager = step % 5 == 4 or step == supersteps - 1
         ranks = (
             ranks.join(inbox, ranks["id"] == inbox["_dst"], "left")
+            .crossJoin(F.broadcast(dang))
             .select("id", new_rank.alias("rank"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=eager)
         )
-    # final materialization rides on whatever action the caller runs
     return ranks
 
 

@@ -287,6 +287,9 @@ def test_no_query_plans_a_cartesian_product(spark):
         # predicates only (same contract as ext_ann_topk; the scale path
         # composes the label filter with the IVF cell-probe join)
         "ext_ann_hard_negatives",
+        # per-superstep single-row aggregator broadcast (in-plan dangling
+        # mass — the alternative is one driver action per superstep)
+        "ext_pagerank_dangling",
     }
     bad = []
     for name, fn in ALL_QUERIES.items():
