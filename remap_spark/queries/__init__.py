@@ -80,6 +80,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # error-band predicate (see relational.ext_approx_distinct)
     "ext_approx_distinct": relational.ext_approx_distinct,
     "ext_approx_percentiles": relational.ext_approx_percentiles,
+    "ext_funnel": relational.ext_funnel,
 }
 
 ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}
@@ -178,6 +179,7 @@ _TAIL_QUERIES = [
     "ext_dedup_minhash_lsh",  # LSH also inside canonical/leakage (in-window)
     "dq33_percentiles",  # §2.4 agg family (ext_profile_columns, approx_distinct)
     "dq08_join_agg",  # join family (dq24 asof, dq44 full-outer, range_binned)
+    "dq10_anti",  # semi/anti family (bloom/incremental anti-joins in-window)
 ]
 
 

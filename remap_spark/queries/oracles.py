@@ -413,6 +413,42 @@ DQ_ORACLES["ext_approx_percentiles"] = """
     FROM events GROUP BY event_type ORDER BY event_type
 """
 
+# funnel: greedy first-match == min-(ts,event_id)-after join chain
+DQ_ORACLES["ext_funnel"] = """
+    WITH v AS (
+      SELECT user_id, ts AS t, event_id AS eid FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    c AS (
+      SELECT user_id, t, eid, vt FROM (
+        SELECT e.user_id, e.ts AS t, e.event_id AS eid, v.t AS vt,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (v.t, v.eid)
+          AND epoch_us(e.ts) - epoch_us(v.t) <= 172800000000
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (c.t, c.eid)
+        AND epoch_us(e.ts) - epoch_us(c.vt) <= 172800000000
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+    ORDER BY stage_idx
+"""
+
 # dq41 runs the SAME recursive-CTE text in both engines
 from .relational import RECURSIVE_SQL_QUERY as _RECURSIVE_SQL_QUERY  # noqa: E402
 

@@ -54,6 +54,7 @@ NEVER_CHECKED = [
     "ext_quality_classifier",
     "ext_pagerank_dangling",
     "ext_approx_percentiles",
+    "ext_funnel",
 ]
 
 # Queries whose implementation changed in round 3 (repetition bigram
