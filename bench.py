@@ -34,16 +34,24 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches (BASELINE.md protocol)
     _force(ALL_QUERIES["dq05_agg"](spark, SF_DIR))
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name, fn in sorted(ALL_QUERIES.items()):
-        samples = []
-        for _ in range(runs):
+    # Sampling protocol (round-3 verdict: back-to-back median-of-3 let a
+    # neighbor's GC/compilation window pollute all of one query's samples
+    # — a phantom 33x regression was recorded for dq19). Two fixes:
+    # (1) INTERLEAVE: the repeat loop round-robins over ALL queries, so
+    #     one query's samples are spread across the whole suite's wall
+    #     time and never share a single slow window;
+    # (2) MIN-of-N: on a noise-floored local bench the minimum is the
+    #     unbiased estimator of the query's intrinsic cost — every
+    #     perturbation (GC, JIT, co-scheduling) only ever ADDS time.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    names = sorted(ALL_QUERIES)
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(runs):
+        for name in names:
             t0 = time.perf_counter()
-            _force(fn(spark, SF_DIR))
-            samples.append(time.perf_counter() - t0)
-        # median: drops the compile-heavy first run and GC outliers
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+            _force(ALL_QUERIES[name](spark, SF_DIR))
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

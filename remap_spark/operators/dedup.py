@@ -348,26 +348,39 @@ def span_duplication(
 
     Shape: the k-gram stream comes from _doc_shingles (one posexplode
     + lead window over an id-hash repartition, distinct per (doc,
-    gram)) and is consumed in ONE linear pass: a count() window over
-    the 60-bit gram-hash partition annotates every (doc, gram) row
-    with its cross-corpus document count (the shuffle ships 8-byte
-    hash keys, not k-token strings — ~5x fewer bytes at k=5), and a
-    single per-doc rollup folds totals and duplicated counts together.
-    A join-back formulation (dup-gram set ⋈ gram stream ⋈ totals) was
-    ~6x slower locally: it references the shingle pipeline from three
-    subtrees, recomputing the explode+window build three times. The
-    suffix-array formulation of the paper finds arbitrary-length
-    spans; fixed-k windowing is the standard distributed relaxation
-    (any duplicated span >= k tokens is caught by its windows)."""
-    from pyspark.sql.window import Window
-
+    gram)); gram keys ship as 60-bit hashes, not k-token strings (~5x
+    fewer shuffle bytes at k=5). The cross-corpus document count per
+    gram is a ``groupBy(g).count()`` filtered to duplicated grams and
+    LEFT-joined back onto the gram stream — NOT a count() window over
+    ``partitionBy(g)``: a window puts every row of one gram into a
+    single window partition, so a boilerplate stop-gram present in
+    ~all documents serializes ~n_docs rows onto one task, and AQE can
+    split skewed JOIN partitions but never window partitions. The
+    groupBy path is partial-aggregated map-side (the hot gram
+    collapses to one row per input partition before the exchange) and
+    the join back is an ENSURE_REQUIREMENTS shuffle that AQE's skew
+    rule can split; the right side carries only grams with doc-count
+    >= min_docs, typically a small fraction of the gram universe. The
+    gram stream is localCheckpointed once (eagerly) so the two
+    consumers (count build, join probe) don't each recompute the
+    explode+window shingle build. The suffix-array formulation of the
+    paper finds arbitrary-length spans; fixed-k windowing is the
+    standard distributed relaxation (any duplicated span >= k tokens
+    is caught by its windows)."""
     s = _doc_shingles(df, text_col, id_col, k, None, dedup=True)
-    dg = s.select("doc", portable_hash60("gram").alias("g"))
-    # distinct per (doc, gram) above, so count over the hash partition
+    # distinct per (doc, gram) above, so a plain count per gram hash
     # == distinct-doc count for the gram
-    n_docs = F.count("*").over(Window.partitionBy("g"))
-    annotated = dg.select(
-        "doc", (n_docs >= min_docs).cast("int").alias("_dup")
+    dg = s.select("doc", portable_hash60("gram").alias("g")).localCheckpoint(
+        eager=True
+    )
+    dup_grams = (
+        dg.groupBy("g")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= min_docs)
+        .select("g", F.lit(1).alias("_dup1"))
+    )
+    annotated = dg.join(dup_grams, "g", "left").select(
+        "doc", F.coalesce(F.col("_dup1"), F.lit(0)).alias("_dup")
     )
     return annotated.groupBy("doc").agg(
         F.count("*").alias("n_windows"),

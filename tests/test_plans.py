@@ -202,6 +202,21 @@ def test_repetition_partial_aggs_and_key_local_shuffles(spark):
     assert not r["cartesian"]
 
 
+def test_span_dedup_no_gram_window(spark):
+    """span_duplication's cross-corpus gram count must be a partial-
+    aggregated groupBy + join back, never a count() Window partitioned
+    by the gram key: a stop-gram in ~all docs would serialize n_docs
+    rows onto one window task, and AQE can split skewed joins but not
+    window partitions."""
+    r = _report(spark, "ext_dedup_span")
+    # the shingle build (which legitimately uses doc-keyed lead windows)
+    # is behind a localCheckpoint, so the visible plan is purely the
+    # count/join/rollup: no Window node may appear at all
+    assert "Window" not in r["plan"], r["plan"]
+    assert r["partial_aggs"], r["plan"]
+    assert not r["cartesian"]
+
+
 def test_vocab_topn_take_ordered(spark):
     """Heavy hitters must end in TakeOrderedAndProject (driver sees n
     rows) with partial aggregation below the token shuffle."""
