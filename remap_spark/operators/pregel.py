@@ -64,7 +64,22 @@ class Pregel:
     vote_halt : optional Column over (old, new) state meaning "this
         vertex votes halt" (highest.py:30-38); when every vertex votes
         halt the loop stops (module_vertex.py:169-179). None -> run
-        exactly ``max_supersteps``.
+        exactly ``max_supersteps``. May reference aggregator columns.
+    aggregator : optional list of aliased AGGREGATE Columns — Pregel's
+        global-aggregator concept, the reference's initiator observing
+        every worker at the superstep barrier (initiator/
+        module_vertex.py:115-141). Each superstep the expressions are
+        evaluated over the PRE-update vertex state and the single-row
+        result is cross-joined into the update row as a BROADCAST
+        relation, so ``update`` and ``vote_halt`` can reference the
+        aliases by name (dangling PageRank mass, convergence deltas,
+        global counters, adaptive damping). Staying in-plan is the
+        point: fetching the value with .first() would cost one extra
+        driver action per superstep (~1 s job floor each); as a
+        broadcast subtree the supersteps keep unrolling lazily and the
+        existing checkpoint/halt actions drive everything. At scale the
+        aggregate is a combiner-style partial over the vertex
+        partitions — no extra data movement.
     """
 
     def __init__(
@@ -79,6 +94,7 @@ class Pregel:
         checkpoint_interval: int = 5,
         num_partitions: int | None = None,
         messages: Callable[[DataFrame, int], DataFrame] | None = None,
+        aggregator: list[Column] | None = None,
     ):
         if messages is None and (edges is None or msg is None):
             raise ValueError("Pregel needs either (edges, msg) or a messages builder")
@@ -87,6 +103,7 @@ class Pregel:
         self.agg = agg
         self.update = update
         self.vote_halt = vote_halt
+        self.aggregator = aggregator
         self.max_supersteps = max_supersteps
         self.checkpoint_interval = checkpoint_interval
         spark = vertices.sparkSession
@@ -141,10 +158,18 @@ class Pregel:
             joined = vertices.join(
                 inbox, F.col("id") == F.col("_dst"), "left"
             )
+            if self.aggregator is not None:
+                joined = joined.crossJoin(
+                    F.broadcast(vertices.agg(*self.aggregator))
+                )
             cols = self.update(vertices, F.col("_inbox"), step)
             if self.vote_halt is not None:
                 cols = cols + [self.vote_halt.alias("_halt")]
             new_vertices = joined.select(*cols)
+            # pre-checkpoint plan of the latest superstep, kept for plan
+            # tests (the checkpointed output is a LogicalRDD leaf, so
+            # the superstep's join/aggregator shape is invisible there)
+            self.last_plan = new_vertices
             # Lineage policy: every superstep ends in a LAZY
             # localCheckpoint — that truncates the SQL plan to a
             # LogicalRDD leaf immediately (Catalyst only ever analyzes
@@ -232,69 +257,70 @@ def pagerank_dangling(
     """PageRank with dangling-mass redistribution — the correction the
     reference's naive loop (pagerank.py:28-45, DQ17) skips: a sink
     vertex's rank re-enters uniformly each step, so total rank stays 1
-    instead of draining. The dangling sum is Pregel's AGGREGATOR
-    concept — ONE global value computed per superstep and visible to
-    every vertex's update. Its cost is the same one-action-per-step
-    the halt-voting loop already pays: the tiny sum aggregate doubles
-    as the job that materializes the step's lazy checkpoint.
+    instead of draining. Implemented on the GENERIC ``Pregel``
+    aggregator hook: the dangling sum is an aggregate over the
+    pre-update vertex state, visible to every vertex's update as a
+    broadcast single-row relation (see ``Pregel.aggregator`` — the
+    in-plan formulation; a .first() per superstep measured 8.5 s of
+    pure driver floor for 10 steps).
 
     Per superstep: one rank-keyed shuffle for the inbox (identical to
-    pagerank) plus a driver-sized scalar — at 100 TB the aggregate is
-    a combiner-style sum over the vertex partition, not extra data
-    movement. rank update: (1-d)/N + d*(inbox + dangling/N).
+    pagerank) plus the combiner-style dangling sum — no extra data
+    movement at any scale. Danglingness is a STATIC vertex property,
+    so it is computed ONCE up front as a state flag instead of an
+    anti-join per superstep. rank update: (1-d)/N + d*(inbox + dang/N).
     """
-    spark = vertices.sparkSession
-    n = num_partitions
-    if n is None:
-        n = min(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            max(4, vertices.rdd.getNumPartitions(), edges.rdd.getNumPartitions()),
-        )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
-    srcs = edges.select("src").distinct()
-    edges_deg = (
-        edges.join(F.broadcast(outdeg), "src")
-        .repartition(n, "src")
-        .localCheckpoint(eager=True)
+    p = pagerank_dangling_pregel(
+        vertices, edges, num_vertices, supersteps, damping, num_partitions
     )
+    return p.run().select("id", "rank")
+
+
+def pagerank_dangling_pregel(
+    vertices: DataFrame,
+    edges: DataFrame,
+    num_vertices: int,
+    supersteps: int = 10,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+) -> Pregel:
+    """The Pregel program behind ``pagerank_dangling``, returned
+    un-run so tests can inspect ``last_plan`` after ``run()``."""
+    srcs = edges.select("src").distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    edges_deg = edges.join(F.broadcast(outdeg), "src")
     # literal-identical arithmetic to the SQL oracle: (1 - d)/N, d*(...)
     base = (F.lit(1.0) - F.lit(damping)) / F.lit(float(num_vertices))
-    ranks = (
-        vertices.select(
-            "id", (F.lit(1.0) / F.lit(float(num_vertices))).alias("rank")
-        )
-        .repartition(n, "id")
-        .localCheckpoint(eager=True)
+    init = vertices.join(
+        F.broadcast(srcs), vertices["id"] == srcs["src"], "left"
+    ).select(
+        "id",
+        (F.lit(1.0) / F.lit(float(num_vertices))).alias("rank"),
+        F.col("src").isNull().alias("_dangling"),
     )
-    for step in range(supersteps):
-        # the aggregator value stays IN-PLAN as a single-row broadcast:
-        # fetching it with .first() would force one driver action per
-        # superstep (measured 8.5 s for 10 steps — the per-job floor);
-        # as a broadcast subtree the steps unroll lazily and one eager
-        # cut per 5 steps drives the whole block as a single job
-        dang = (
-            ranks.join(F.broadcast(srcs), ranks["id"] == srcs["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
-        )
-        inbox = (
-            ranks.join(edges_deg, ranks["id"] == edges_deg["src"])
-            .select(F.col("dst").alias("_dst"), (F.col("rank") / F.col("_deg")).alias("_c"))
-            .repartition(n, "_dst")
-            .groupBy("_dst")
-            .agg(F.sum("_c").alias("_inbox"))
-        )
+
+    def update(v, inbox, step):
         new_rank = base + F.lit(damping) * (
-            F.coalesce(F.col("_inbox"), F.lit(0.0))
+            F.coalesce(inbox, F.lit(0.0))
             + F.col("_dang") / F.lit(float(num_vertices))
         )
-        eager = step % 5 == 4 or step == supersteps - 1
-        ranks = (
-            ranks.join(inbox, ranks["id"] == inbox["_dst"], "left")
-            .crossJoin(F.broadcast(dang))
-            .select("id", new_rank.alias("rank"))
-            .localCheckpoint(eager=eager)
-        )
-    return ranks
+        return [v["id"], new_rank.alias("rank"), v["_dangling"]]
+
+    return Pregel(
+        vertices=init,
+        edges=edges_deg,
+        msg=F.col("rank") / F.col("_deg"),
+        agg=F.sum,
+        update=update,
+        aggregator=[
+            F.sum(
+                F.when(F.col("_dangling"), F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("_dang")
+        ],
+        # steps 0..supersteps-1 == exactly `supersteps` rank updates
+        max_supersteps=supersteps - 1,
+        num_partitions=num_partitions,
+    )
 
 
 def _flood_fixpoint(

@@ -942,6 +942,56 @@ def test_logistic_learns_separable_data(spark):
     assert acc >= 0.99, acc
 
 
+def test_pregel_aggregator_adaptive_convergence(spark):
+    """Pregel(aggregator=...) — the generic global-aggregator hook:
+    vote_halt reads a per-superstep aggregate (the global rank delta of
+    the previous update) and stops the loop adaptively, long before the
+    superstep cap. On a 5-path DAG PageRank reaches its exact fixpoint
+    in ~diameter steps, so the delta collapses to float noise and the
+    loop must halt there, not at max_supersteps."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.operators.pregel import Pregel
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    edges_deg = edges.join(F.broadcast(outdeg), "src")
+    n = 5.0
+    init = spark.createDataFrame(
+        [(i,) for i in range(5)], "id long"
+    ).select("id", F.lit(1.0 / n).alias("rank"), F.lit(1.0).alias("prev"))
+    steps_run: list[int] = []
+
+    def update(v, inbox, step):
+        steps_run.append(step)
+        new_rank = F.lit(0.15 / n) + F.lit(0.85) * F.coalesce(inbox, F.lit(0.0))
+        return [v["id"], new_rank.alias("rank"), v["rank"].alias("prev")]
+
+    out = Pregel(
+        vertices=init,
+        edges=edges_deg,
+        msg=F.col("rank") / F.col("_deg"),
+        agg=F.sum,
+        update=update,
+        aggregator=[
+            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("_delta")
+        ],
+        vote_halt=F.col("_delta") < 1e-12,
+        max_supersteps=50,
+    ).run()
+    assert len(steps_run) < 15, f"did not halt adaptively: {len(steps_run)} steps"
+    ranks = {r["id"]: r["rank"] for r in out.collect()}
+    # closed-form fixpoint along the path: r0 = 0.03, r_{i+1} = 0.03 + 0.85*r_i
+    exp, expected = 0.03, {}
+    for i in range(5):
+        expected[i] = exp
+        exp = 0.03 + 0.85 * exp
+    for i in range(5):
+        assert abs(ranks[i] - expected[i]) < 1e-9, (i, ranks[i], expected[i])
+
+
 def test_pagerank_dangling_conserves_mass(spark):
     """With dangling redistribution, total rank must stay 1 (the naive
     reference semantics drain mass through sinks) and sink vertices

@@ -202,6 +202,65 @@ def test_repetition_partial_aggs_and_key_local_shuffles(spark):
     assert not r["cartesian"]
 
 
+def test_pagerank_dangling_aggregate_is_broadcast(spark):
+    """The per-superstep dangling-mass aggregate must ride into the
+    rank update as a BROADCAST single-row relation (in-plan), never a
+    per-step driver fetch: the superstep plan shows the aggregate under
+    a BroadcastExchange feeding a nested-loop join with the vertex
+    relation."""
+    from remap_spark.operators.pregel import pagerank_dangling_pregel
+    from remap_spark.plans import explain_str
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], "src string, dst string"
+    )
+    verts = spark.createDataFrame([(v,) for v in "abcd"], "id string")
+    p = pagerank_dangling_pregel(verts, edges, num_vertices=4, supersteps=2)
+    p.run()
+    plan = explain_str(p.last_plan, "formatted")
+    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the aggregate itself is in-plan (a HashAggregate above the vertex
+    # leaf), not a literal folded in from a driver action
+    assert "HashAggregate" in plan, plan
+
+
+def test_incremental_dedup_bucketed_store_no_store_exchange(spark):
+    """incremental_dedup against a store bucketed on the fingerprint
+    must co-locate the anti join with ZERO store-side exchange: the
+    bucketed plan carries exactly one fewer Exchange than the same
+    join against an unbucketed store."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.dedup import incremental_dedup
+    from remap_spark.operators.text import content_fingerprint
+    from remap_spark.plans import explain_str
+    from remap_spark.sources import write_bucketed_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    store = content_fingerprint(old).select("fingerprint")
+    write_bucketed_table(store, "fp_store_b", ["fingerprint"], 8)
+    store.write.mode("overwrite").saveAsTable("fp_store_flat")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force non-broadcast joins so the bucket layout is what's tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        n_bucketed = explain_str(
+            incremental_dedup(new, spark.table("fp_store_b")), "simple"
+        ).count("Exchange")
+        n_flat = explain_str(
+            incremental_dedup(new, spark.table("fp_store_flat")), "simple"
+        ).count("Exchange")
+        assert n_bucketed == n_flat - 1, (n_bucketed, n_flat)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS fp_store_b")
+        spark.sql("DROP TABLE IF EXISTS fp_store_flat")
+
+
 def test_span_dedup_no_gram_window(spark):
     """span_duplication's cross-corpus gram count must be a partial-
     aggregated groupBy + join back, never a count() Window partitioned
