@@ -330,7 +330,7 @@ def _flood_fixpoint(
     pick,
     num_partitions: int | None = None,
     max_iter: int = 1000,
-    max_block: int = 4,
+    max_block: int = 8,
 ) -> DataFrame:
     """Shared propagate-until-fixpoint loop: each round every vertex
     ``combine``s its inbox and ``pick``s between old and incoming value;
@@ -338,16 +338,20 @@ def _flood_fixpoint(
     converges in O(graph diameter) rounds.
 
     Driver-action amortization: supersteps are unrolled LAZILY into
-    blocks (sizes 1, 2, 4, ... capped at ``max_block``), a ``_changed``
-    flag is OR-folded across each block, and the block ends with a lazy
-    localCheckpoint whose materialization is piggybacked on the single
-    convergence-count action — so each block costs ONE Spark job, not
-    2 per superstep. The geometric ramp means a diameter-2 dedup blob
-    pays 2-3 small jobs (no overshoot), while a long-diameter graph
-    amortizes the ~1 s/job scheduling floor 4 supersteps at a time; at
-    100 TB a block is the same K shuffles it always was, just submitted
-    as one job. Overshoot past the fixpoint inside a block is
-    idempotent: a converged inbox re-picks the same value."""
+    blocks (sizes 2, 4, 8, ... capped at ``max_block``) ending in a
+    lazy localCheckpoint whose materialization is piggybacked on the
+    block's single convergence action — so each block costs ONE Spark
+    job, not 2 per superstep. Convergence is read from the LAST round's
+    change flag only (not an OR across the block): min/max propagation
+    is monotone, so a final round that changed nothing IS the fixpoint
+    — the loop never pays an extra confirm block after converging
+    mid-block. A diameter-2 dedup blob therefore finishes in ONE
+    action (block of 2: round 1 propagates, round 2 is the no-op
+    witness); a long-diameter graph amortizes the ~1 s/job scheduling
+    floor 8 supersteps at a time; at 100 TB a block is the same K
+    shuffles it always was, just submitted as one job. Overshoot past
+    the fixpoint inside a block is idempotent: a converged inbox
+    re-picks the same value."""
     spark = vertices.sparkSession
     n = num_partitions
     if n is None:
@@ -360,12 +364,21 @@ def _flood_fixpoint(
                 edges.rdd.getNumPartitions(),
             ),
         )
+    # LAZY cuts: the first block's convergence action materializes both
+    # (two fewer setup jobs than eager); across later blocks the
+    # repartition shuffle outputs are reused, so neither recomputes.
+    # Callers whose vertex/edge subtrees are EXPENSIVE and shared (LSH
+    # pair pipelines) put one eager cut above this call
+    # (connected_components) so the two consumers here don't duplicate
+    # that build inside the first job.
     vertices = (
-        vertices.select("id", "value").repartition(n, "id").localCheckpoint(eager=True)
+        vertices.select("id", "value")
+        .repartition(n, "id")
+        .localCheckpoint(eager=False)
     )
-    edges = edges.repartition(n, "src").localCheckpoint(eager=True)
+    edges = edges.repartition(n, "src").localCheckpoint(eager=False)
     steps_done = 0
-    block_size = 1
+    block_size = 2
     while steps_done < max_iter:
         block = min(block_size, max_iter - steps_done)
         block_size = min(block_size * 2, max_block)
@@ -389,12 +402,12 @@ def _flood_fixpoint(
             # plans — a K-round nested self-join plan costs seconds of
             # driver-side analysis), while materialization is deferred
             # to the block's single convergence action
+            # _changed carries only THIS round's delta (see docstring:
+            # last-round flag is the convergence witness)
             cur = cur.join(inbox, "id", "left").select(
                 "id",
                 new_val.alias("value"),
-                F.greatest(
-                    F.col("_changed"), (new_val != F.col("value")).cast("int")
-                ).alias("_changed"),
+                (new_val != F.col("value")).cast("int").alias("_changed"),
             ).localCheckpoint(eager=False)
         steps_done += block
         changed = cur.agg(F.sum("_changed").alias("c")).first()["c"]
