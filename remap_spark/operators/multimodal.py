@@ -73,6 +73,102 @@ def _decode_bmp(blob: bytes):
     return w, h, feats
 
 
+def _rgb_features(px):
+    """Shared 8-float feature vector over an (h, w, 3) float array in
+    RGB order: mean R/G/B, luminance mean/std/min/max, bright-pixel
+    fraction (identical to the BMP path's output contract)."""
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    lum = 0.299 * r + 0.587 * g + 0.114 * b
+    return [
+        float(r.mean()) / 255.0,
+        float(g.mean()) / 255.0,
+        float(b.mean()) / 255.0,
+        float(lum.mean()) / 255.0,
+        float(lum.std()) / 255.0,
+        float(lum.min()) / 255.0,
+        float(lum.max()) / 255.0,
+        float((lum > lum.mean()).mean()),
+    ]
+
+
+def _decode_png(blob: bytes):
+    """REAL image decode for 8-bit truecolor PNG (color types 2 RGB /
+    6 RGBA, no interlace) — PNG is zlib-deflated filtered scanlines,
+    so stdlib ``zlib`` + ``struct`` suffice; no imaging library.
+    Implements all five scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). Returns (width, height, 8-float features) with the
+    same feature contract as _decode_bmp; alpha is ignored for
+    features."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            meta = (w, h, depth, color, comp, filt, interlace)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = meta
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit RGB/RGBA non-interlaced PNG (depth={depth}, "
+            f"color={color}, interlace={interlace})"
+        )
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.uint16)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry an in-row prefix dependency
+            rec = np.zeros(stride, dtype=np.uint16)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0  # left
+                b = prev[i]  # up
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (int(a) + int(b)) // 2
+                elif ftype == 4:  # Paeth
+                    c = prev[i - ch] if i >= ch else 0  # upper-left
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                rec[i] = (line[i] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    px = out.reshape(h, w, ch)[:, :, :3].astype(np.float64)
+    return w, h, _rgb_features(px)
+
+
 def _decode_wav(blob: bytes):
     """REAL audio decode for PCM WAV — stdlib ``wave`` + numpy, no
     audio library. Returns (n_frames, 8-float features): RMS,
@@ -111,10 +207,11 @@ def _decode_wav(blob: bytes):
 
 def _decode_image_impl(blob: bytes, fake: bool):
     """Image decode with container sniffing: a real BMP blob ('BM'
-    magic) decodes NATIVELY (_decode_bmp — stdlib only); other
-    containers (JPEG/PNG) need an imaging library this environment
-    lacks, so they fall to the deterministic md5 fake (fake=True) or
-    raise. The swap-in seam for Pillow is this dispatch alone."""
+    magic) decodes NATIVELY (_decode_bmp — stdlib only), and a real
+    8-bit RGB/RGBA PNG decodes NATIVELY too (_decode_png — stdlib
+    zlib/struct); JPEG needs an imaging library this environment
+    lacks, so it falls to the deterministic md5 fake (fake=True) or
+    raises. The swap-in seam for Pillow is this dispatch alone."""
     if blob[:2] == b"BM" and len(blob) >= 54:
         try:
             return _decode_bmp(blob)
@@ -123,11 +220,19 @@ def _decode_image_impl(blob: bytes, fake: bool):
             # ASCII bytes can never satisfy the bpp==24/comp==0 header
             # check, so genuine fixtures deterministically fall through
             pass
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            return _decode_png(blob)
+        except Exception:
+            # unsupported subtype (16-bit, palette, interlaced) falls
+            # through to the fake/raise path below
+            pass
     if not fake:
         raise NotImplementedError(
-            "compressed image decode requires an imaging library not "
-            "present in this environment; pass fake=True for the "
-            "deterministic stub (uncompressed BMP decodes natively)"
+            "compressed image decode (JPEG; exotic PNG subtypes) "
+            "requires an imaging library not present in this "
+            "environment; pass fake=True for the deterministic stub "
+            "(uncompressed BMP and 8-bit RGB/RGBA PNG decode natively)"
         )
     import hashlib
 

@@ -829,6 +829,110 @@ def test_multimodal_real_bmp_and_wav_decode(spark):
     assert afeats[7] == pytest.approx(1.0)  # channels
 
 
+def _png_chunk(ctype, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(width, height, rows, filters, color=2):
+    """Bytewise PNG encoder for tests: 8-bit RGB (color=2) or RGBA
+    (color=6), one explicit filter type per scanline — the encoder
+    applies the filter transform so the decoder must invert it."""
+    import struct
+    import zlib
+
+    ch = 3 if color == 2 else 4
+    raw = b""
+    prev = [0] * (width * ch)
+    for y, f in enumerate(filters):
+        flat = [c for pxl in rows[y] for c in pxl]
+        enc = []
+        for i, v in enumerate(flat):
+            a = flat[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc.append((v - pred) & 0xFF)
+        raw += bytes([f]) + bytes(enc)
+        prev = flat
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_real_png_decode(spark):
+    """8-bit truecolor PNG decodes NATIVELY (stdlib zlib + struct) —
+    the fake fallback is now narrowed to JPEG and exotic PNG subtypes.
+    Covers Sub/Paeth filtered RGB and Up/Average filtered RGBA (alpha
+    ignored for features) through the production mapInPandas path."""
+    import pytest
+
+    from remap_spark.operators.multimodal import image_features
+
+    # 2x2 RGB: red, green / blue, white — rows filtered Sub then Paeth
+    png = _make_png(
+        2, 2,
+        [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]],
+        filters=[1, 4],
+    )
+    df = spark.createDataFrame([(1, png)], "media_id bigint, media binary")
+    row = image_features(df, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    feats = row["features"]
+    assert feats[0] == pytest.approx(510 / 4 / 255, abs=1e-6)  # mean R
+    assert feats[1] == pytest.approx(510 / 4 / 255, abs=1e-6)  # mean G
+    assert feats[2] == pytest.approx(510 / 4 / 255, abs=1e-6)  # mean B
+
+    # 2x2 RGBA with varying alpha — rows filtered Up then Average
+    png4 = _make_png(
+        2, 2,
+        [
+            [(10, 20, 30, 255), (40, 50, 60, 128)],
+            [(70, 80, 90, 0), (100, 110, 120, 7)],
+        ],
+        filters=[2, 3],
+        color=6,
+    )
+    d4 = spark.createDataFrame([(2, png4)], "media_id bigint, media binary")
+    r4 = image_features(d4, fake=False).collect()[0]
+    assert (r4["width"], r4["height"]) == (2, 2)
+    assert r4["features"][0] == pytest.approx((10 + 40 + 70 + 100) / 4 / 255, abs=1e-6)
+    assert r4["features"][2] == pytest.approx((30 + 60 + 90 + 120) / 4 / 255, abs=1e-6)
+
+    # unsupported subtype (palette PNG header) still reaches the fake
+    from remap_spark.operators.multimodal import _decode_image_impl
+
+    import struct as _s
+    pal_ihdr = _s.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    pal = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", pal_ihdr) + _png_chunk(b"IEND", b"")
+    w, h, f8 = _decode_image_impl(pal, fake=True)
+    assert (w, h) == (4, 4) and len(f8) == 8
+    with pytest.raises(NotImplementedError):
+        _decode_image_impl(pal, fake=False)
+
+
 def test_multimodal_magic_collision_falls_back_to_fake(spark):
     """A text payload that happens to start with 'BM' must NOT crash or
     change behavior: ASCII bytes can't pass the BMP header check, so the
