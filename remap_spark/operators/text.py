@@ -386,21 +386,40 @@ def bpe_pair_stats(
 
 
 def bpe_train(
-    df: DataFrame, text_col: str = "text", n_merges: int = 10
+    df: DataFrame, text_col: str = "text", n_merges: int = 10,
+    batch_limit: int = 64, _stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Greedy BPE merge learning, distributed: after ONE corpus pass
     (the word-frequency aggregate) every round works on the
-    vocabulary-sized symbol table — pair-count aggregate, argmax (ONE
-    row to the driver: the merge rule; greedy BPE is inherently
-    sequential in the rule sequence, not in the data), then the merge
-    applied across the word table in an Arrow-batched mapInPandas
-    (per-word left-to-right walk — the correct Python boundary, since
-    the table is vocab-sized, never corpus-sized). Returns the learned
-    merge rules in order.
+    vocabulary-sized symbol table — pair-count aggregate, a BATCH of
+    merge rules picked driver-side, then all of them applied across
+    the word table in ONE Arrow-batched mapInPandas pass (per-word
+    left-to-right walk — the correct Python boundary, since the table
+    is vocab-sized, never corpus-sized). Returns the learned merge
+    rules in order.
+
+    Batched-yet-EXACT greedy: a pass accepts a CONTIGUOUS prefix of
+    the top-count run in (cnt DESC, a, b) order, stopping at the first
+    symbol conflict, count drop, or left-extension hazard. Exactness
+    argument, per candidate pj given accepted p1..pk: applying an
+    accepted merge (a,b)->ab only (1) decreases counts of pairs
+    sharing its symbols — those stop the walk if they sort before pj;
+    (2) creates RIGHT-extension pairs (x, ab), whose same-count
+    witness (x, a) conflicts via ``a`` and satisfies
+    (x, a) < (x, ab), so pj accepted before the witness implies
+    pj < new pair; and (3) creates LEFT-extension pairs (ab, y),
+    whose merged first component ab may sort BEFORE pj.a — the hazard
+    check: for every accepted (a,b), if ab <= pj.a, the walk stops
+    unless the full top-count run is visible and contains no witness
+    pair (b, y) with (ab, y) <= pj (no witness at top count means no
+    left-extension can reach the top count). A production 32k-merge
+    vocab over a tie-rich corpus therefore needs k-fold fewer driver
+    round-trips while emitting the exact sequential rule order; a
+    tie-free corpus degrades gracefully to one merge per pass.
 
     Validated against the canonical low/lower/newest/widest example
-    (Sennrich et al. 2016 §3.2) in tests."""
-    spark = df.sparkSession
+    (Sennrich et al. 2016 §3.2) and a batching-specific fixture in
+    tests."""
     wf = (
         df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .groupBy("word")
@@ -415,7 +434,11 @@ def bpe_train(
     )
     table = wf.select("freq", syms_col.alias("syms")).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    if _stats is not None:
+        _stats["passes"] = 0
+    while len(merges) < n_merges:
+        if _stats is not None:
+            _stats["passes"] += 1
         pair_arr = F.transform(
             F.sequence(F.lit(0), F.size("syms") - 2),
             lambda i: F.struct(
@@ -429,13 +452,46 @@ def bpe_train(
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        top = counts.orderBy(F.col("cnt").desc(), "a", "b").first()
-        if top is None or top["cnt"] < 2:
+        top_rows = (
+            counts.orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(batch_limit)
+            .collect()
+        )
+        if not top_rows or top_rows[0]["cnt"] < 2:
             break
-        a, b = top["a"], top["b"]
-        merges.append((a, b))
+        top_cnt = top_rows[0]["cnt"]
+        # the run is fully visible iff the fetch extends past it (or
+        # the whole pair universe fit inside the fetch)
+        run_complete = (
+            top_rows[-1]["cnt"] < top_cnt or len(top_rows) < batch_limit
+        )
+        top_run = [
+            (r["a"], r["b"]) for r in top_rows if r["cnt"] == top_cnt
+        ]
+        batch: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for a, b in top_run:
+            if len(merges) + len(batch) >= n_merges:
+                break
+            if a in used or b in used:
+                break  # stop, don't skip: contiguity is the exactness proof
+            hazard = False
+            for ma, mb in batch:
+                m = ma + mb
+                if m > a:
+                    continue  # any (m, y) sorts after (a, b)
+                if not run_complete or any(
+                    qa == mb and (m, qb) <= (a, b) for qa, qb in top_run
+                ):
+                    hazard = True
+                    break
+            if hazard:
+                break
+            batch.append((a, b))
+            used.update((a, b))
+        merges.extend(batch)
 
-        def apply_merge(batches, _a=a, _b=b):
+        def apply_merges(batches, _rules=dict(((a, b), a + b) for a, b in batch)):
             import pandas as pd
 
             for pdf in batches:
@@ -445,10 +501,9 @@ def bpe_train(
                     while i < len(syms):
                         if (
                             i + 1 < len(syms)
-                            and syms[i] == _a
-                            and syms[i + 1] == _b
+                            and (syms[i], syms[i + 1]) in _rules
                         ):
-                            res.append(_a + _b)
+                            res.append(_rules[(syms[i], syms[i + 1])])
                             i += 2
                         else:
                             res.append(syms[i])
@@ -457,7 +512,7 @@ def bpe_train(
                 yield pd.DataFrame({"freq": pdf["freq"], "syms": out})
 
         table = table.mapInPandas(
-            apply_merge, schema="freq bigint, syms array<string>"
+            apply_merges, schema="freq bigint, syms array<string>"
         ).localCheckpoint(eager=True)
     return merges
 

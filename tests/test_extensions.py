@@ -961,6 +961,52 @@ def test_bpe_train_sennrich_example(spark):
     assert merges[3] == ("l", "o")
 
 
+def test_bpe_batched_merges_fewer_passes(spark):
+    """A tie-rich corpus must apply multiple symbol-disjoint merges in
+    one pass: four equal-frequency two-letter words yield >= 4 merges
+    in <= 2 pair-count passes (vs 4+ for one-merge-at-a-time), with the
+    rule order still the exact sequential-greedy order."""
+    from remap_spark.operators.text import bpe_train
+
+    words = (
+        ["uvc"] * 3 + ["uvd"] * 2 + ["xya"] * 3 + ["xyb"] * 2
+        + ["pqe"] * 3 + ["pqf"] * 2 + ["rsg"] * 3 + ["rsh"] * 2
+    )
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id bigint, text string"
+    )
+    stats: dict = {}
+    merges = bpe_train(df, n_merges=4, _stats=stats)
+    assert len(merges) >= 4
+    assert stats["passes"] <= 2, stats
+    # sequential-greedy order at count 5, lex on (a, b):
+    assert merges == [("p", "q"), ("r", "s"), ("u", "v"), ("x", "y")]
+    # and the batched walk must equal one-merge-per-pass greedy here
+    assert merges == bpe_train(df, n_merges=4, batch_limit=1)
+
+
+def test_bpe_batched_equals_sequential(spark):
+    """batch_limit=1 degrades to classic one-merge-per-pass greedy;
+    the batched walk must emit the IDENTICAL rule sequence on corpora
+    with ties, conflicts, and interacting merges."""
+    import random
+
+    from remap_spark.operators.text import bpe_train
+
+    rng = random.Random(7)
+    alphabet = "abcdef"
+    for trial in range(4):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 4)))
+            for _ in range(8)
+        ]
+        text = " ".join(w for w in words for _ in range(rng.randint(1, 5)))
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        batched = bpe_train(df, n_merges=6)
+        sequential = bpe_train(df, n_merges=6, batch_limit=1)
+        assert batched == sequential, (trial, text, batched, sequential)
+
+
 def test_ivf_with_trained_centroids(spark):
     """IVF composes with a TRAINED codebook: kmeans_lloyd centroids
     (dequantized) plug into ivf_topk's centroids seam; every query
