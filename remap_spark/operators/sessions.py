@@ -1,0 +1,154 @@
+"""Ordered-event-pattern operators over user event streams: the
+generalized conversion funnel (MATCH_RECOGNIZE-lite).
+
+No reference analog (the reference has no ordered-pattern operator);
+this generalizes the hand-rolled ext_funnel query (queries/
+relational.py) into a reusable operator: arbitrary stage list,
+arbitrary conversion window, per-stage conversion-time percentiles.
+
+Semantics — GREEDY first-match, the standard funnel definition:
+events sort per user by (ts, event_id); a stage is satisfied by the
+FIRST event of its type occurring strictly after the event that
+satisfied the previous stage, and (for stages > 1) within ``window``
+microseconds of the stage-1 anchor event. One event satisfies at most
+its own stage (the previous stage must have been reached by an
+EARLIER event — old-accumulator fold semantics).
+
+Scale shape: ONE shuffle keyed by the user column, then a codegen
+F.aggregate fold over each user's sorted events — state is K nullable
+epoch slots. The equivalent SQL is a K-deep min-after join chain
+(2K shuffles of the event table); the fold is why this operator
+exists at 100 TB. The per-stage rollup afterwards works on ONE ROW
+PER USER PER REACHED STAGE (orders of magnitude smaller than the
+event table) and exact percentiles over it are a single aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stage_times(
+    df: DataFrame,
+    steps: Sequence[str],
+    window_us: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user greedy funnel walk: returns (user, stage_ts) where
+    ``stage_ts`` is an array of K nullable epoch-microsecond slots,
+    slot i holding the timestamp of the first event satisfying stage
+    i (NULL = stage not reached)."""
+    from ..functions import epoch_us
+
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        df.where(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(id_col).alias("eid"),
+                        F.col(type_col).alias("et"),
+                    )
+                )
+            ).alias("_evs")
+        )
+    )
+    init = F.array_repeat(F.lit(None).cast("bigint"), k)
+    # old-acc semantics: one event can satisfy only its own stage (the
+    # previous stage must have been reached by an EARLIER event)
+    fold = F.aggregate(
+        "_evs",
+        init,
+        lambda acc, e: F.transform(
+            acc,
+            lambda x, i: F.coalesce(
+                x,
+                F.when(
+                    (e["et"] == F.element_at(steps_arr, i + 1))
+                    & (
+                        (i == 0)
+                        | (
+                            F.element_at(acc, i).isNotNull()
+                            & (
+                                epoch_us(e["ts"]) - F.element_at(acc, 1)
+                                <= window_us
+                            )
+                        )
+                    ),
+                    epoch_us(e["ts"]),
+                ),
+            ),
+        ),
+    )
+    return per_user.select(F.col(user_col), fold.alias("stage_ts"))
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    window_us: int,
+    percentiles: Sequence[float] = (),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Conversion-funnel report: one row per stage with the user count
+    reaching it and, optionally, exact percentiles of the conversion
+    time (seconds elapsed from the stage-1 anchor to the stage's
+    first-match event, over users who reached the stage; stage 1 is 0
+    by construction). Stages no user reached keep their row with
+    n_users = 0 and NULL percentiles.
+
+    Columns: (stage_idx, stage, n_users[, p50_s, p90_s, ...] one per
+    requested percentile, named p{100p}_s)."""
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    st = funnel_stage_times(
+        df, steps, window_us, ts_col, user_col, type_col, id_col
+    )
+    ex = (
+        st.select(
+            F.element_at("stage_ts", 1).alias("_t0"),
+            F.posexplode("stage_ts").alias("_i", "_t"),
+        )
+        .where(F.col("_t").isNotNull())
+        .select(
+            "_i", ((F.col("_t") - F.col("_t0")).cast("double")).alias("_el")
+        )
+    )
+    aggs = [F.count("*").alias("n_users")]
+    for p in percentiles:
+        # 5-decimal seconds with EXPLICIT half-up in the 10-µs integer
+        # domain: ROUND(double, 5) is engine-divergent on .000005 ties
+        # (Spark rounds the shortest decimal repr, DuckDB the binary
+        # double), and exact-percentile values over integer-µs inputs
+        # land on such ties routinely
+        aggs.append(
+            (
+                F.floor(F.expr(f"percentile(_el, {p!r})") / 10.0 + 0.5)
+                / 100000.0
+            ).alias(f"p{round(p * 100)}_s")
+        )
+    reached = ex.groupBy("_i").agg(*aggs)
+    # literal stage relation keeps zero-user stages present
+    stages = df.sparkSession.range(1).select(
+        F.posexplode(steps_arr).alias("_i", "stage")
+    )
+    out_cols = [
+        (F.col("_i") + 1).alias("stage_idx"),
+        F.col("stage"),
+        F.coalesce("n_users", F.lit(0)).alias("n_users"),
+    ] + [F.col(f"p{round(p * 100)}_s") for p in percentiles]
+    return (
+        stages.join(reached, "_i", "left").select(*out_cols).orderBy("stage_idx")
+    )

@@ -81,6 +81,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ext_approx_distinct": relational.ext_approx_distinct,
     "ext_approx_percentiles": relational.ext_approx_percentiles,
     "ext_funnel": relational.ext_funnel,
+    "ext_funnel_conversion": relational.ext_funnel_conversion,
 }
 
 ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}
@@ -121,65 +122,76 @@ register_extensions()
 CHECK_WINDOW = 50
 
 # Green in a prior round's driver gate, unchanged since, and redundant
-# with an in-window sibling. Round-3 rotation: the 11 round-2 additions
-# plus the newly-oracled ext_approx_distinct moved INTO the window;
-# r2-green family members whose capability is proven by an in-window
-# canary moved out.
+# with an in-window sibling. Round-4 rotation policy (VERDICT r3 #7):
+# the window admits, in priority order, (1) never-checked queries,
+# (2) every query whose latest green row is TWO rounds old (the 16
+# r1-only rows — max staleness is pinned by test_registry), (3) every
+# query whose code path changed this round (the Pregel/fixpoint family
+# after the aggregator + block-convergence rework, span dedup after
+# the de-skew, the funnel rewire), then (4) the oldest r2-green rows.
+# Rotated OUT: all 39 r3-green rows whose code is unchanged, plus 16
+# r2-green family members whose capability has an in-window canary —
+# every tail entry is one round fresher than the r4 window's oldest
+# admitted rows, so next round's mandatory set (the 16 r2 leftovers)
+# fits the r5 window.
 _TAIL_QUERIES = [
-    "dq01_project",  # projection exercised by every other query
-    "dq02_filter",  # filter+pushdown exercised everywhere; plan-tested
-    "dq04_collation",  # same map-reduce shape as dq03_wordcount
-    "dq05_agg",  # groupBy-agg covered by dq03/dq08/dq12
-    "dq07_topk",  # top-k also in dq38_sql_api; TakeOrdered plan-tested
-    "dq11_intersect",  # set-op family: dq11_except stays in-window
-    "dq14_sessionize",  # same result set as dq32_session_window
-    "dq15_year",  # date functions also in dq13_tumbling
-    "dq21_right_outer",  # mirror of dq21_left_outer
-    "dq21_full_outer",  # outer family keyed by dq21_left_outer
-    "dq22_union",  # set-op family: dq11_except stays in-window
-    "dq23_cube",  # rollup/grouping family: dq30_grouping_sets stays
-    "dq25_window_funcs",  # window family: dq06/dq37 stay in-window
-    "dq27_sliding",  # windowed-time family: dq13_tumbling stays
-    "dq34_array_funcs",  # §2.9 row shared with dq35_regexp (in-window)
-    "dq39_running_total",  # frame windows: dq37 stays in-window
-    # rotated out round 3 (r2 green; in-window canary in parens):
-    "dq09_multiway_join",  # join family (dq08_join_agg, dq24_asof_join)
-    "dq10_semi",  # semi/anti family (dq10_anti)
-    "dq12_rollup",  # grouping family (dq30_grouping_sets)
-    "dq29_scalar_subquery",  # subquery family (dq28_exists)
-    "dq31_pivot",  # grouping family (dq30_grouping_sets)
-    "dq36_conditional_agg",  # §2.4 agg row (dq33_percentiles)
-    "dq13_tumbling",  # time-window family (dq32_session_window, dq37)
-    "dq19_buckets",  # partition-routing family (dq18_grouped_udf, dq03)
-    "dq26_distinct_agg",  # distinct family (ext_approx_distinct)
-    "dq35_regexp",  # regex family (ext_text_pii, ext_text_clean)
-    "ext_text_stats",  # text-projection family (ext_text_quality)
-    "ext_text_langid",  # text-projection family (ext_text_quality)
-    "ext_text_fingerprint",  # text-projection family (ext_text_quality)
-    "ext_text_tokens",  # text-projection family (ext_text_quality)
-    "ext_ann_topk",  # ANN family (ext_ann_ivf)
-    "ext_ann_lsh",  # ANN family (ext_ann_ivf)
-    "ext_mm_audio_features",  # multimodal family (image + frame_sample)
-    "ext_sample_det",  # sampler family (ext_sample_weighted + quality_mix)
-    "ext_sample_stratified",  # sampler family (ext_sample_weighted)
-    "dq21_left_outer",  # outer family: all 3 variants have green rows
-    "dq20_range_join",  # r2 green post-de-vacuation; not-cartesian plan-tested
-    "dq06_secondary_sort",  # window family (dq37_lead_lag stays in-window)
-    "ext_dedup_ngram_jaccard",  # r2 green post-fix; minhash/canonical in-window
-    "dq15_json",  # r2 green post-oracle-fix; JSON fns unchanged since
-    # demoted to admit the round-3 additions (lm_score / span / cap):
-    "dq17_pagerank",  # graph family (dq16_flood_max, dq40, dq42 in-window)
-    "ext_dedup_simhash",  # dedup family (exact/minhash/span/canonical)
-    "ext_dedup_embedding",  # embedding family (ext_dedup_semantic, ext_kmeans)
-    "dq38_sql_api",  # SQL-API surface (dq41_recursive_sql in-window)
-    "ext_split_train_test",  # split family (leakage_safe/source_cap in-window)
-    "ext_text_quality",  # text-projection family (lm_score/clean in-window)
-    "dq32_session_window",  # time-window family (dq43_rolling_range in-window)
-    "dq37_lead_lag",  # window family (dq43_rolling_range frames in-window)
-    "ext_dedup_minhash_lsh",  # LSH also inside canonical/leakage (in-window)
-    "dq33_percentiles",  # §2.4 agg family (ext_profile_columns, approx_distinct)
-    "dq08_join_agg",  # join family (dq24 asof, dq44 full-outer, range_binned)
-    "dq10_anti",  # semi/anti family (bloom/incremental anti-joins in-window)
+    # r2-green leftovers (due again by r5; in-window canary in parens):
+    "ext_mm_image_features",  # multimodal decode (PNG/BMP pytest real-bytes)
+    "ext_mm_frame_sample",  # multimodal 1->N expansion
+    "ext_mm_audio_features",  # multimodal family (WAV pytest real-bytes)
+    "ext_text_stats",  # text-projection family (ext_text_quality canary r3)
+    "ext_text_langid",  # text-projection family
+    "ext_text_fingerprint",  # text-projection family
+    "ext_text_tokens",  # text-projection family
+    "ext_text_quality",  # text-projection family (lm_score/clean r3-green)
+    "ext_ann_topk",  # ANN family (ext_ann_ivf r3-green)
+    "ext_sample_det",  # sampler family (ext_sample_weighted r3-green)
+    "ext_sample_stratified",  # sampler family
+    "ext_split_train_test",  # split family (leakage_safe in-window r4)
+    "ext_dedup_ngram_jaccard",  # dedup family (span/canonical in-window r4)
+    "ext_dedup_simhash",  # dedup family
+    "ext_dedup_embedding",  # embedding family (ext_dedup_semantic in-window)
+    "ext_dedup_minhash_lsh",  # LSH inside canonical/leakage (in-window r4)
+    # r3-green, code unchanged since:
+    "dq03_wordcount",
+    "dq11_except",
+    "dq18_grouped_udf",
+    "dq24_asof_join",
+    "dq28_exists",
+    "dq30_grouping_sets",
+    "dq41_recursive_sql",
+    "dq43_rolling_range",
+    "dq44_merge_upsert",
+    "ext_profile_columns",
+    "ext_approx_distinct",
+    "ext_approx_percentiles",
+    "ext_dedup_exact",
+    "ext_ann_ivf",
+    "ext_salted_agg",
+    "ext_pack_sequences",
+    "ext_text_line_dedup",
+    "ext_text_decontaminate",
+    "ext_text_pii",
+    "ext_text_repetition",
+    "ext_text_vocab",
+    "ext_kmeans_embed",
+    "ext_sample_quality_mix",
+    "ext_dedup_incremental",
+    "ext_corpus_report",
+    "ext_text_tfidf",
+    "ext_text_boilerplate",
+    "ext_text_clean",
+    "ext_sample_weighted",
+    "ext_mix_temperature",
+    "ext_text_chunk",
+    "ext_pipeline_curate",
+    "ext_text_lm_score",
+    "ext_source_cap",
+    "ext_dedup_bloom",
+    "ext_ann_hard_negatives",
+    "ext_corpus_diff",
+    "ext_range_join_binned",
+    "ext_quality_classifier",
 ]
 
 

@@ -449,6 +449,58 @@ DQ_ORACLES["ext_funnel"] = """
     ORDER BY stage_idx
 """
 
+# funnel with conversion-time percentiles: the same min-after chain,
+# carrying each stage's first-match time; quantile_cont == Spark's
+# exact `percentile` (both linear interpolation at p*(n-1))
+DQ_ORACLES["ext_funnel_conversion"] = """
+    WITH v AS (
+      SELECT user_id, t, eid FROM (
+        SELECT user_id, ts AS t, event_id AS eid,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    c AS (
+      SELECT user_id, t, eid, vt FROM (
+        SELECT e.user_id, e.ts AS t, e.event_id AS eid, v.t AS vt,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (v.t, v.eid)
+          AND epoch_us(e.ts) - epoch_us(v.t) <= 172800000000
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT user_id, t, vt FROM (
+        SELECT e.user_id, e.ts AS t, c.vt AS vt,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (c.t, c.eid)
+          AND epoch_us(e.ts) - epoch_us(c.vt) <= 172800000000
+      ) WHERE rn = 1
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS n_users,
+           CAST(0.0 AS DOUBLE) AS p50_s, CAST(0.0 AS DOUBLE) AS p90_s
+    FROM v
+    UNION ALL
+    SELECT 2, 'click', COUNT(*),
+           FLOOR(quantile_cont(CAST(epoch_us(t) - epoch_us(vt) AS DOUBLE),
+                               0.5) / 10.0 + 0.5) / 100000.0,
+           FLOOR(quantile_cont(CAST(epoch_us(t) - epoch_us(vt) AS DOUBLE),
+                               0.9) / 10.0 + 0.5) / 100000.0
+    FROM c
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*),
+           FLOOR(quantile_cont(CAST(epoch_us(t) - epoch_us(vt) AS DOUBLE),
+                               0.5) / 10.0 + 0.5) / 100000.0,
+           FLOOR(quantile_cont(CAST(epoch_us(t) - epoch_us(vt) AS DOUBLE),
+                               0.9) / 10.0 + 0.5) / 100000.0
+    FROM p
+    ORDER BY stage_idx
+"""
+
 # dq41 runs the SAME recursive-CTE text in both engines
 from .relational import RECURSIVE_SQL_QUERY as _RECURSIVE_SQL_QUERY  # noqa: E402
 

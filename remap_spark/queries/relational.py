@@ -912,84 +912,38 @@ FUNNEL_WINDOW_US = 48 * 3600 * 1_000_000  # conversion window: 48h
 
 
 def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversion funnel (MATCH_RECOGNIZE-lite): per user, GREEDY
-    first-match of view -> click -> purchase in (ts, event_id) order,
-    later stages only counting within 48h of the first view (the
-    conversion window that makes funnels discriminate — without it
-    every long-lived user trivially completes). Output: users reaching
-    each stage. SINGLE-PASS: one shuffle on user_id, then a codegen
-    F.aggregate fold over each user's sorted events — state is K
-    nullable epoch slots, each set by the first qualifying event after
-    the previous stage. The oracle replays the identical greedy walk
-    as a min-after join chain (2K shuffles — exactly why the fold
-    formulation exists at scale).
+    """Conversion funnel (MATCH_RECOGNIZE-lite) on the generalized
+    operator (operators/sessions.funnel): per user, GREEDY first-match
+    of view -> click -> purchase in (ts, event_id) order, later stages
+    only counting within 48h of the first view (the conversion window
+    that makes funnels discriminate — without it every long-lived user
+    trivially completes). Output: users reaching each stage.
+    SINGLE-PASS: one shuffle on user_id, then a codegen F.aggregate
+    fold over each user's sorted events. The oracle replays the
+    identical greedy walk as a min-after join chain (2K shuffles —
+    exactly why the fold formulation exists at scale).
 
     Semantics note: greedy (anchor = FIRST view) is the standard
     funnel definition and what both sides implement; an exhaustive
     best-anchor search is a different (more expensive) metric."""
-    from ..functions import epoch_us
+    from ..operators.sessions import funnel
 
     ev = load_table(spark, sf_dir, "events")
-    k = len(FUNNEL_STEPS)
-    steps_arr = F.array(*[F.lit(s) for s in FUNNEL_STEPS])
-    per_user = (
-        ev.where(F.col("event_type").isin(FUNNEL_STEPS))
-        .groupBy("user_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ).alias("_evs")
-        )
-    )
-    init = F.array_repeat(F.lit(None).cast("bigint"), k)
-    # old-acc semantics: one event can satisfy only its own stage (the
-    # previous stage must have been reached by an EARLIER event)
-    fold = F.aggregate(
-        "_evs",
-        init,
-        lambda acc, e: F.transform(
-            acc,
-            lambda x, i: F.coalesce(
-                x,
-                F.when(
-                    (e["event_type"] == F.element_at(steps_arr, i + 1))
-                    & (
-                        (i == 0)
-                        | (
-                            F.element_at(acc, i).isNotNull()
-                            & (
-                                epoch_us(e["ts"]) - F.element_at(acc, 1)
-                                <= FUNNEL_WINDOW_US
-                            )
-                        )
-                    ),
-                    epoch_us(e["ts"]),
-                ),
-            ),
-        ),
-    )
-    reached = per_user.select(fold.alias("_st"))
-    counts = reached.agg(
-        *[
-            F.sum(
-                F.element_at("_st", i + 1).isNotNull().cast("bigint")
-            ).alias(f"_c{i}")
-            for i in range(k)
-        ]
-    )
-    rows = [
-        F.struct(
-            F.lit(i + 1).alias("stage_idx"),
-            F.lit(s).alias("stage"),
-            F.col(f"_c{i}").alias("n_users"),
-        )
-        for i, s in enumerate(FUNNEL_STEPS)
-    ]
-    return (
-        counts.select(F.explode(F.array(*rows)).alias("r"))
-        .select("r.stage_idx", "r.stage", "r.n_users")
-        .orderBy("stage_idx")
-    )
+    return funnel(ev, FUNNEL_STEPS, FUNNEL_WINDOW_US)
+
+
+def ext_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with per-stage conversion-TIME percentiles: for every
+    stage, how many users reached it and the exact p50/p90 seconds
+    from the stage-1 anchor to the stage's first-match event
+    (operators/sessions.funnel percentiles tier). The rollup runs over
+    one row per user per reached stage — corpus-size-independent —
+    and the percentile is Spark's exact ``percentile`` (linear
+    interpolation, the same definition as DuckDB quantile_cont)."""
+    from ..operators.sessions import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, FUNNEL_STEPS, FUNNEL_WINDOW_US, percentiles=(0.5, 0.9))
 
 
 def dq43_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,73 +5,57 @@ of ``ALL_QUERIES`` (registration order) against their oracles — round 1
 proved this the hard way: 16 late-registered extension queries got no
 driver row at all. These tests pin the ordering contract so a future
 registration edit can't silently push an unverified family out of the
-window again.
+window again, and bound how stale any query's latest green row may be.
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
 
 from remap_spark.queries import ALL_ORACLES, ALL_QUERIES, CHECK_WINDOW, _TAIL_QUERIES
 
 WINDOW = list(ALL_QUERIES)[:CHECK_WINDOW]
 
-# Queries that have never had a full green driver row (the 11 round-2
-# additions, checked locally only, plus ext_approx_distinct whose
-# oracle is new this round) — every one must sit inside the checked
-# window until a green row is recorded.
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Queries that have never had a full green driver row — every one must
+# sit inside the checked window until a green row is recorded.
 NEVER_CHECKED = [
-    "ext_dedup_canonical",
-    "ext_dedup_incremental",
-    "ext_text_decontaminate",
-    "ext_text_pii",
-    "ext_text_repetition",
-    "ext_text_line_dedup",
-    "ext_text_vocab",
-    "ext_kmeans_embed",
-    "ext_pack_sequences",
-    "ext_sample_quality_mix",
-    "ext_corpus_report",
-    "ext_approx_distinct",
-    # new in round 3
-    "ext_text_tfidf",
-    "ext_text_boilerplate",
-    "ext_text_clean",
-    "ext_sample_weighted",
-    "ext_mix_temperature",
-    "ext_split_leakage_safe",
-    "ext_text_chunk",
-    "ext_dedup_semantic",
-    "dq41_recursive_sql",
-    "dq42_star_components",
-    "ext_pipeline_curate",
-    "ext_text_lm_score",
-    "ext_dedup_span",
-    "ext_source_cap",
-    "ext_dedup_bloom",
-    "ext_ann_hard_negatives",
-    "ext_corpus_diff",
-    "ext_range_join_binned",
-    "ext_text_bpe_pairs",
-    "ext_quality_classifier",
-    "ext_pagerank_dangling",
-    "ext_approx_percentiles",
-    "ext_funnel",
+    "ext_funnel_conversion",  # new in round 4
 ]
 
-# Queries whose implementation changed in round 3 (repetition bigram
-# rewrite, fixpoint block amortization, merge-upsert cents arithmetic,
-# star-convergence signature, components entry checkpoint, LM-total
-# window) — they need a fresh driver row.
-CHANGED_R3 = [
-    "ext_text_repetition",
-    "ext_dedup_canonical",
-    "ext_dedup_components",
+# Queries whose implementation changed in round 4 (Pregel generic
+# aggregator + dangling-pagerank rewrite, fixpoint block-convergence
+# rework touching every flood/CC consumer, span-dedup de-skew, funnel
+# operator rewire) — they need a fresh driver row.
+CHANGED_R4 = [
+    "ext_funnel",
+    "ext_funnel_conversion",
+    "ext_dedup_span",
+    "ext_pagerank_dangling",
     "dq16_flood_max",
-    "dq44_merge_upsert",
+    "dq17_pagerank",
+    "dq40_pointer_jump",
     "dq42_star_components",
+    "ext_dedup_components",
+    "ext_dedup_canonical",
     "ext_dedup_semantic",
     "ext_split_leakage_safe",
-    "ext_text_lm_score",
 ]
+
+
+def _recent_checked() -> set[str]:
+    """Union of query names green-checked in the LAST TWO recorded
+    correctness rounds (the driver writes CORRECTNESS_r{N}.json each
+    round)."""
+    records = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))[-2:]
+    seen: set[str] = set()
+    for path in records:
+        with open(path) as f:
+            seen |= set(json.load(f))
+    return seen
 
 
 def test_never_checked_families_inside_window():
@@ -80,8 +64,19 @@ def test_never_checked_families_inside_window():
 
 
 def test_changed_queries_inside_window():
-    missing = [q for q in CHANGED_R3 if q not in WINDOW]
+    missing = [q for q in CHANGED_R4 if q not in WINDOW]
     assert not missing, f"changed queries outside driver window: {missing}"
+
+
+def test_max_staleness_two_rounds():
+    """Every registered query is either in the upcoming driver window
+    or has a green row within the last TWO recorded correctness rounds
+    — no query's latest driver evidence may fall more than two rounds
+    behind. (Window capacity 50 over a ~105-query registry supports a
+    3-round full cycle, so this bound is the tightest sustainable.)"""
+    recent = _recent_checked()
+    stale = [q for q in ALL_QUERIES if q not in WINDOW and q not in recent]
+    assert not stale, f"queries >2 rounds stale and outside window: {stale}"
 
 
 def test_window_queries_all_have_oracles():
