@@ -188,7 +188,16 @@ def cap_per_group_skewsafe(
     (rank restricted to a subset never grows). Phase 2 runs the exact
     one-phase window over the survivors, now at most n rows per cell.
     Same kept set as cap_per_group on every input (asserted in tests);
-    strictly bounded task sizes."""
+    strictly bounded task sizes.
+
+    PRECONDITION — ``key`` unique within each group: the kept SET is
+    identical to cap_per_group in terms of key VALUES regardless, but
+    when duplicate key values exist in a group, row_number over fully
+    tied rows is nondeterministic and the two phases may keep a
+    different physical ROW (differing non-key columns) than the
+    one-phase window would. Callers relying on row-level identity must
+    pass a unique key (e.g. a document id), which every corpus-cap use
+    here does."""
     g = F.col(group) if isinstance(group, str) else group
     k = F.col(key) if isinstance(key, str) else key
     from pyspark.sql.window import Window

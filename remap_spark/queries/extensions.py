@@ -1917,9 +1917,15 @@ def _classifier_oracle(iters: int = 5, lr: float = 1.0) -> str:
              AVG(x3) AS m3, STDDEV_POP(x3) AS s3
       FROM fr
     )""",
+        # zero-stddev guard mirrors ml.standardize's `sd or 1.0`: a
+        # constant feature at some scale factor must degrade both
+        # engines identically (centered, not divided) instead of the
+        # oracle emitting inf/NaN while Spark stays finite
         """f AS MATERIALIZED (
-      SELECT doc_id, y, (x1 - m1) / s1 AS x1, (x2 - m2) / s2 AS x2,
-             (x3 - m3) / s3 AS x3
+      SELECT doc_id, y,
+             (x1 - m1) / CASE WHEN s1 = 0 OR s1 IS NULL THEN 1.0 ELSE s1 END AS x1,
+             (x2 - m2) / CASE WHEN s2 = 0 OR s2 IS NULL THEN 1.0 ELSE s2 END AS x2,
+             (x3 - m3) / CASE WHEN s3 = 0 OR s3 IS NULL THEN 1.0 ELSE s3 END AS x3
       FROM fr CROSS JOIN st
     )""",
         "w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b)",

@@ -219,11 +219,25 @@ def read_warc(spark: SparkSession, path: str, glob: str | None = None) -> DataFr
                 if pos >= n:
                     break
                 hdr_end = blob.find(b"\r\n\r\n", pos)
-                if hdr_end < 0:
-                    break
-                head = blob[pos:hdr_end].decode("utf-8", "replace")
+                head = (
+                    blob[pos:hdr_end].decode("utf-8", "replace")
+                    if hdr_end >= 0
+                    else ""
+                )
                 lines = head.split("\r\n")
-                if not lines or not lines[0].startswith("WARC/"):
+                if hdr_end < 0 or not lines or not lines[0].startswith("WARC/"):
+                    # malformed/truncated record: a silent break would
+                    # quietly drop the file's remaining records — emit a
+                    # sentinel row instead so ingestion pipelines can
+                    # detect and quarantine incomplete parses
+                    yield (
+                        idx,
+                        "__parse_error__",
+                        "",
+                        "",
+                        n - pos,
+                        blob[pos : pos + 256],
+                    )
                     break
                 fields = {}
                 for ln in lines[1:]:
@@ -276,16 +290,21 @@ def warc_http_text(warc_df: DataFrame) -> DataFrame:
     narrow, shuffle-free pass over however many tasks read_warc
     produced. Compose with operators/text.clean_text for tag
     stripping, then the curation pipeline proper."""
+    # decode FIRST, then locate+substring both in the string domain:
+    # locate() on a binary value implicitly casts to string and returns
+    # a CHARACTER position while substring() on binary slices BYTES, so
+    # any multibyte sequence before the first CRLFCRLF would
+    # desynchronize the two and cut the body at the wrong offset
     body = F.expr(
-        "CASE WHEN locate(X'0D0A0D0A', payload) > 0 "
-        "THEN substring(payload, locate(X'0D0A0D0A', payload) + 4, "
-        "     octet_length(payload)) "
-        "ELSE payload END"
+        "CASE WHEN locate('\\r\\n\\r\\n', decode(payload, 'UTF-8')) > 0 "
+        "THEN substring(decode(payload, 'UTF-8'), "
+        "     locate('\\r\\n\\r\\n', decode(payload, 'UTF-8')) + 4) "
+        "ELSE decode(payload, 'UTF-8') END"
     )
     return (
         warc_df.where(F.col("warc_type") == "response")
         .select(
             "target_uri",
-            F.decode(body, "UTF-8").alias("text"),
+            body.alias("text"),
         )
     )

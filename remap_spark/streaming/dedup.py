@@ -71,50 +71,85 @@ def stream_ingest_dedup(
     per-batch partitions periodically; at very large history put a
     bloom_build relation in front (operators/dedup.bloom_probe) so the
     anti join only sees probable duplicates."""
-    from pyspark.sql.window import Window
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        from ..operators.text import content_fingerprint
-
-        fps = content_fingerprint(batch_df, text_col, id_col)
-        withfp = batch_df.join(fps, id_col)
-        first = F.row_number().over(
-            Window.partitionBy("fingerprint").orderBy(id_col)
+        ingest_dedup_batch(
+            batch_df, batch_id, out_path, store_path, text_col, id_col
         )
-        batch_unique = (
-            withfp.withColumn("_rn", first).where(F.col("_rn") == 1).drop("_rn")
-        )
-        try:
-            seen = (
-                spark.read.parquet(store_path)
-                .where(F.col("_batch_id") != batch_id)
-                .select("fingerprint")
-            )
-            survivors = batch_unique.join(seen, "fingerprint", "left_anti")
-        except Exception:  # first batch: no store yet
-            survivors = batch_unique
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                survivors.withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(out_path)
-            )
-            (
-                survivors.select("fingerprint")
-                .withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(store_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return (
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def ingest_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the ingestion-dedup protocol (the foreachBatch
+    body of ``stream_ingest_dedup``, exposed so replay-idempotence can
+    be property-tested directly): fingerprint, keep min-id survivor per
+    fingerprint within the batch, anti-join the persistent store
+    (excluding this batch's own id), write survivors + fingerprints to
+    the batch's dynamic-overwrite partitions. Replay-idempotent under
+    Structured Streaming's re-execution semantics — including a batch
+    re-running AFTER later batches committed: a doc this batch
+    originally kept was DROPPED by every later batch (its fingerprint
+    is in this batch's store partition only, which the read excludes),
+    so the replay keeps it again and overwrites identical output."""
+    from pyspark.sql.window import Window
+
+    spark = batch_df.sparkSession
+    from ..operators.text import content_fingerprint
+
+    fps = content_fingerprint(batch_df, text_col, id_col)
+    withfp = batch_df.join(fps, id_col)
+    first = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy(id_col)
+    )
+    batch_unique = (
+        withfp.withColumn("_rn", first).where(F.col("_rn") == 1).drop("_rn")
+    )
+    # Existence is checked EXPLICITLY via the Hadoop FS API: a bare
+    # try/except around the read would treat ANY failure (transient
+    # IO error, corrupt footer, permissions) as "first batch, no
+    # store yet" and silently disable cross-batch dedup — a real
+    # read error must fail the micro-batch so Structured Streaming
+    # retries it.
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    if fs.exists(jpath):
+        seen = (
+            spark.read.parquet(store_path)
+            .where(F.col("_batch_id") != batch_id)
+            .select("fingerprint")
+        )
+        survivors = batch_unique.join(seen, "fingerprint", "left_anti")
+    else:  # first batch: no store yet
+        survivors = batch_unique
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            survivors.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+        (
+            survivors.select("fingerprint")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(store_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

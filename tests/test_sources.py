@@ -288,6 +288,39 @@ def test_warc_http_text_extraction(spark, tmp_path):
     assert out[0]["text"] == "<p>hi there</p>"
 
 
+def test_warc_http_text_multibyte_header(spark, tmp_path):
+    """Multibyte bytes BEFORE the header/body boundary must not shift
+    the cut: locate() and substring() both operate on the decoded
+    string (mixing a character-position locate with a byte-position
+    substring desynchronizes on any non-ASCII header byte)."""
+    from remap_spark.sources import read_warc, warc_http_text
+
+    body = (
+        "HTTP/1.1 200 OK\r\nX-Café: naïve ünïcode\r\n\r\ndöner body"
+    ).encode("utf-8")
+    warc = _make_warc_record("response", "http://x.test/mb", body)
+    (tmp_path / "mb.warc").write_bytes(warc)
+    out = warc_http_text(read_warc(spark, str(tmp_path))).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == "döner body"
+
+
+def test_read_warc_truncated_emits_sentinel(spark, tmp_path):
+    """A malformed/truncated record must surface as a
+    warc_type='__parse_error__' row, not silently drop the file's
+    remaining bytes."""
+    from remap_spark.sources import read_warc
+
+    good = _make_warc_record("response", "http://x.test/ok", b"fine")
+    (tmp_path / "t.warc").write_bytes(good + b"GARBAGE-NOT-A-WARC-HEADER")
+    rows = sorted(
+        (r["record_idx"], r["warc_type"]) for r in read_warc(
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert rows == [(0, "response"), (1, "__parse_error__")]
+
+
 def test_crawl_to_curation_pipeline(spark, tmp_path):
     """Full ingestion story: WARC bytes -> WET text extraction -> tag
     cleaning -> quality gate, end to end — the Common Crawl entry path

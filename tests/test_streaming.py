@@ -606,3 +606,71 @@ def test_stream_ingest_dedup_persistent_store(spark, tmp_path_factory):
         r["fingerprint"] for r in spark.read.parquet(store).collect()
     ]
     assert sorted(store_fps) == sorted(set(got_fps))
+
+
+def test_ingest_dedup_replay_idempotent_property(spark, tmp_path_factory):
+    """Property (hypothesis): for ANY replay pattern — an in-order run
+    of every batch followed by arbitrary re-executions of arbitrary
+    batches in arbitrary order, each with identical content (Structured
+    Streaming's re-execution contract, including a batch re-running
+    after later batches committed) — the final output and fingerprint
+    store are IDENTICAL to the clean single-run states."""
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from remap_spark.streaming.dedup import ingest_dedup_batch
+
+    # batches of (doc_id, text) where texts collide across batches:
+    # small text alphabet forces cross-batch and in-batch duplicates
+    texts = st.sampled_from(["alpha beta", "gamma", "delta eps", "zeta"])
+    batch = st.lists(texts, min_size=1, max_size=4)
+    scenario = st.tuples(
+        st.lists(batch, min_size=2, max_size=3),
+        st.lists(st.integers(min_value=0, max_value=2), max_size=4),
+    )
+
+    root = str(tmp_path_factory.mktemp("replay_prop"))
+    run_no = [0]
+
+    def run_sequence(batches, order, tag):
+        out = f"{root}/{tag}/out"
+        store = f"{root}/{tag}/store"
+        for bid in order:
+            if bid >= len(batches):
+                continue
+            rows = [
+                (bid * 100 + j, t) for j, t in enumerate(batches[bid])
+            ]
+            df = spark.createDataFrame(rows, "doc_id bigint, text string")
+            ingest_dedup_batch(df, bid, out, store)
+        kept = sorted(
+            (r["doc_id"], r["fingerprint"])
+            for r in spark.read.parquet(out).collect()
+        )
+        st_fps = sorted(
+            (r["fingerprint"], r["_batch_id"])
+            for r in spark.read.parquet(store).collect()
+        )
+        return kept, st_fps
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(scn=scenario)
+    def prop(scn):
+        batches, replays = scn
+        run_no[0] += 1
+        tag = run_no[0]
+        clean_order = list(range(len(batches)))
+        replay_order = clean_order + [b for b in replays if b < len(batches)]
+        clean = run_sequence(batches, clean_order, f"c{tag}")
+        replayed = run_sequence(batches, replay_order, f"r{tag}")
+        assert clean == replayed, (batches, replay_order)
+        shutil.rmtree(f"{root}/c{tag}", ignore_errors=True)
+        shutil.rmtree(f"{root}/r{tag}", ignore_errors=True)
+
+    prop()
