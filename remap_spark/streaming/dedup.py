@@ -126,7 +126,9 @@ def ingest_dedup_batch(
     fs = jpath.getFileSystem(
         spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
     )
-    if fs.exists(jpath):
+    # an EMPTY pre-created directory is also "no store yet" (schema
+    # inference would fail on it); anything else must read cleanly
+    if fs.exists(jpath) and len(fs.listStatus(jpath)) > 0:
         seen = (
             spark.read.parquet(store_path)
             .where(F.col("_batch_id") != batch_id)
