@@ -391,6 +391,96 @@ def span_duplication(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup with REMOVAL — the action step of Lee et
+    al. 2022 that ``span_duplication`` only scores: every token covered
+    by a k-token window occurring in >= ``min_docs - 1`` OTHER
+    documents is dropped, and each document's text is rebuilt from the
+    surviving tokens in order. Because any duplicated span of length
+    >= k is tiled by its k-windows, this removes full cross-document
+    boilerplate spans (the suffix-array formulation finds max-length
+    spans exactly; fixed-k tiling is the standard distributed
+    relaxation and removes a superset of every >=k duplicated span).
+    Returns (doc, text, n_tokens, n_removed) for documents with >= 1
+    token.
+
+    Shape: the positional token stream (posexplode over an id-hash
+    repartition) is eagerly cut once — it feeds the gram build and the
+    final rebuild. Gram starts ship as 60-bit hashes; the
+    duplicated-gram set comes from a partial-aggregated distinct-doc
+    count (no gram-keyed window — same skew reasoning as
+    span_duplication) and is joined back to gram START POSITIONS;
+    coverage explodes only the DUPLICATED starts k-fold, stays keyed
+    by (doc, pos), and the rebuild is one per-doc aggregation reusing
+    the id-hash partitioning. Everything is corpus-proportional; the
+    k-fold explode touches only duplicated material."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        df.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(tokenize(F.col(text_col))).alias("i", "w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("doc").orderBy("i")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", j).over(w) for j in range(1, k)]
+    )
+    n_parts_expr = sum(
+        F.when(F.lead("w", j).over(w).isNotNull(), 1).otherwise(0)
+        for j in range(1, k)
+    )
+    grams = (
+        toks.select("doc", "i", gram.alias("gram"), n_parts_expr.alias("_np"))
+        .where(F.col("_np") == k - 1)
+        .select("doc", "i", portable_hash60("gram").alias("g"))
+        .localCheckpoint(eager=True)  # feeds the count AND the probe
+    )
+    dup = (
+        grams.select("doc", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= min_docs)
+        .select("g")
+    )
+    covered = (
+        grams.join(dup, "g")
+        .select(
+            "doc",
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias(
+                "i"
+            ),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(1))
+    )
+    marked = toks.join(covered, ["doc", "i"], "left")
+    kept_words = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_cov").isNull(), F.struct("i", "w"))
+            )
+        ),
+        lambda s: s["w"],
+    )
+    return marked.groupBy("doc").agg(
+        F.concat_ws(" ", kept_words).alias("text"),
+        F.count("*").alias("n_tokens"),
+        F.coalesce(F.sum("_cov"), F.lit(0)).alias("n_removed"),
+    )
+
+
 def contamination_hits(
     corpus: DataFrame,
     probes: DataFrame,

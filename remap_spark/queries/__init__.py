@@ -135,6 +135,7 @@ CHECK_WINDOW = 50
 # admitted rows, so next round's mandatory set (the 16 r2 leftovers)
 # fits the r5 window.
 _TAIL_QUERIES = [
+    "ext_ann_lsh",  # r2-green fill demoted for ext_dedup_span_removal
     # r2-green leftovers (due again by r5; in-window canary in parens):
     "ext_mm_image_features",  # multimodal decode (PNG/BMP pytest real-bytes)
     "ext_mm_frame_sample",  # multimodal 1->N expansion

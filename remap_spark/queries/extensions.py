@@ -1786,6 +1786,57 @@ _SPAN_SQL = f"""
 """
 
 
+def ext_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with removal
+    (operators/dedup.remove_duplicate_spans): tokens covered by any
+    cross-document duplicated 5-token window are dropped and the text
+    rebuilt — the action step whose decision metric is
+    ext_dedup_span."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.remove_duplicate_spans(docs, k=5, min_docs=2)
+    return out.select(
+        F.col("doc").alias("doc_id"), "text", "n_tokens", "n_removed"
+    ).orderBy("doc_id")
+
+
+_SPAN_REMOVAL_SQL = f"""
+    WITH {_TOKS},
+    t AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+      FROM toks
+    ),
+    g5 AS (
+      SELECT doc_id, pos, {_SPAN_GRAM} AS gram
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS g
+      FROM g5 WHERE gram IS NOT NULL
+    ),
+    dup AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM sh)
+      GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT sh.doc_id, sh.pos + r.u AS pos
+      FROM sh JOIN dup USING (g) CROSS JOIN range(5) AS r(u)
+    ),
+    marked AS (
+      SELECT t.doc_id, t.pos, t.word, c.pos IS NOT NULL AS covered
+      FROM t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT covered THEN word END,
+                               ' ' ORDER BY pos), '') AS text,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def ext_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (operators/split.cap_per_group): keep at
     most 15 docs per source by deterministic hash order — the domain
@@ -2290,6 +2341,7 @@ EXT_QUERIES = {
     "ext_pipeline_curate": ext_pipeline_curate,
     "ext_text_lm_score": ext_text_lm_score,
     "ext_dedup_span": ext_dedup_span,
+    "ext_dedup_span_removal": ext_dedup_span_removal,
     "ext_source_cap": ext_source_cap,
     "ext_dedup_bloom": ext_dedup_bloom,
     "ext_ann_hard_negatives": ext_ann_hard_negatives,
@@ -2340,6 +2392,7 @@ EXT_ORACLES = {
     "ext_pipeline_curate": _pipeline_curate_oracle(),
     "ext_text_lm_score": _LM_SCORE_SQL,
     "ext_dedup_span": _SPAN_SQL,
+    "ext_dedup_span_removal": _SPAN_REMOVAL_SQL,
     "ext_source_cap": _SOURCE_CAP_SQL,
     "ext_dedup_bloom": _bloom_oracle(),
     "ext_ann_hard_negatives": _HARD_NEG_SQL,

@@ -961,6 +961,33 @@ def test_bpe_train_sennrich_example(spark):
     assert merges[3] == ("l", "o")
 
 
+def test_remove_duplicate_spans_hand_computed(spark):
+    """Span removal: a 5-token window shared by two docs is removed
+    from BOTH, longer shared spans are removed in full via k-window
+    tiling, and untouched docs pass through byte-identical."""
+    from remap_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "a b c d e x y z w q"),
+        (2, "p q r s t a b c d e"),
+        (3, "unique words only here now"),
+        # 6-token shared span: windows at pos 0 AND 1 are both dup,
+        # tiling covers all 6 tokens
+        (4, "m n o u v w extra tail words here"),
+        (5, "m n o u v w other continuation text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(df, k=5, min_docs=2).collect()
+    }
+    assert out[1] == ("x y z w q", 10, 5)
+    assert out[2] == ("p q r s t", 10, 5)
+    assert out[3] == ("unique words only here now", 5, 0)
+    assert out[4] == ("extra tail words here", 10, 6)
+    assert out[5] == ("other continuation text here", 10, 6)
+
+
 def test_bpe_batched_merges_fewer_passes(spark):
     """A tie-rich corpus must apply multiple symbol-disjoint merges in
     one pass: four equal-frequency two-letter words yield >= 4 merges

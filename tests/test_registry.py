@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # sit inside the checked window until a green row is recorded.
 NEVER_CHECKED = [
     "ext_funnel_conversion",  # new in round 4
+    "ext_dedup_span_removal",  # new in round 4
 ]
 
 # Queries whose implementation changed in round 4 (Pregel generic
