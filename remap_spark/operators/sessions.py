@@ -31,6 +31,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period_days: int = 1,
+) -> DataFrame:
+    """Cohort retention analysis: users are cohorted by the period of
+    their FIRST event; for every (cohort, periods-since-cohort) cell,
+    the count of distinct active users and the retention rate against
+    the cohort's size. Returns (cohort, period_idx, n_active,
+    retention) with cohort formatted yyyy-MM-dd; period 0 is the
+    cohort period itself (retention 1.0 by construction).
+
+    Shape: one user-keyed aggregate for first-seen, a user-keyed join
+    back (co-partitioned with the aggregate's shuffle), a distinct on
+    (cohort, period, user) — the only corpus-sized shuffle — then a
+    tiny per-cell rollup joined against the broadcastable cohort-size
+    relation. Retention rounds half-up in the 1e-5 integer domain
+    (ROUND(double, 5) is engine-divergent on power-of-two cohort
+    sizes, e.g. odd/64 ties)."""
+    first = df.groupBy(user_col).agg(F.min(ts_col).alias("_first"))
+    cohorts = first.select(
+        user_col, F.to_date(F.date_trunc("day", F.col("_first"))).alias("_c0")
+    )
+    acts = df.select(
+        user_col, F.to_date(F.date_trunc("day", F.col(ts_col))).alias("_d")
+    )
+    idx = F.floor(F.datediff(F.col("_d"), F.col("_c0")) / period_days)
+    active = (
+        acts.join(cohorts, user_col)
+        .select("_c0", idx.alias("period_idx"), user_col)
+        .distinct()
+    )
+    cells = active.groupBy("_c0", "period_idx").agg(
+        F.count("*").alias("n_active")
+    )
+    sizes = cohorts.groupBy("_c0").agg(F.count("*").alias("_size"))
+    retention = (
+        F.floor(
+            F.col("n_active") * F.lit(100000.0) / F.col("_size") + F.lit(0.5)
+        )
+        / 100000.0
+    )
+    return (
+        cells.join(F.broadcast(sizes), "_c0")
+        .select(
+            F.date_format("_c0", "yyyy-MM-dd").alias("cohort"),
+            F.col("period_idx").cast("bigint").alias("period_idx"),
+            "n_active",
+            retention.alias("retention"),
+        )
+        .orderBy("cohort", "period_idx")
+    )
+
+
 def funnel_stage_times(
     df: DataFrame,
     steps: Sequence[str],

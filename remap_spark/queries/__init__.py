@@ -82,6 +82,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ext_approx_percentiles": relational.ext_approx_percentiles,
     "ext_funnel": relational.ext_funnel,
     "ext_funnel_conversion": relational.ext_funnel_conversion,
+    "ext_cohort_retention": relational.ext_cohort_retention,
 }
 
 ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}
@@ -135,6 +136,7 @@ CHECK_WINDOW = 50
 # admitted rows, so next round's mandatory set (the 16 r2 leftovers)
 # fits the r5 window.
 _TAIL_QUERIES = [
+    "dq37_lead_lag",  # r2-green fill demoted for ext_cohort_retention (dq06/dq25/dq43 canaries)
     "ext_ann_lsh",  # r2-green fill demoted for ext_dedup_span_removal
     # r2-green leftovers (due again by r5; in-window canary in parens):
     "ext_mm_image_features",  # multimodal decode (PNG/BMP pytest real-bytes)

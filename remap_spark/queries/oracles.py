@@ -501,6 +501,33 @@ DQ_ORACLES["ext_funnel_conversion"] = """
     ORDER BY stage_idx
 """
 
+# cohort retention: first-seen-day cohorts, distinct-active cells,
+# half-up retention in the 1e-5 integer domain (ROUND ties diverge)
+DQ_ORACLES["ext_cohort_retention"] = """
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS c0
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT f.c0,
+             CAST(FLOOR(date_diff('day', f.c0,
+                  CAST(date_trunc('day', e.ts) AS DATE)) / 1) AS BIGINT)
+               AS period_idx,
+             e.user_id
+      FROM events e JOIN first f ON f.user_id = e.user_id
+    ),
+    cells AS (
+      SELECT c0, period_idx, COUNT(*) AS n_active
+      FROM active GROUP BY c0, period_idx
+    ),
+    sizes AS (SELECT c0, COUNT(*) AS sz FROM first GROUP BY c0)
+    SELECT strftime(cells.c0, '%Y-%m-%d') AS cohort, period_idx,
+           n_active,
+           FLOOR(n_active * 100000.0 / sz + 0.5) / 100000.0 AS retention
+    FROM cells JOIN sizes ON cells.c0 = sizes.c0
+    ORDER BY cohort, period_idx
+"""
+
 # dq41 runs the SAME recursive-CTE text in both engines
 from .relational import RECURSIVE_SQL_QUERY as _RECURSIVE_SQL_QUERY  # noqa: E402
 

@@ -946,6 +946,17 @@ def ext_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, FUNNEL_STEPS, FUNNEL_WINDOW_US, percentiles=(0.5, 0.9))
 
 
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention over the events table
+    (operators/sessions.cohort_retention): users cohorted by first-seen
+    day, per-cell distinct-active counts and half-up-rounded retention
+    rates."""
+    from ..operators.sessions import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, period_days=1)
+
+
 def dq43_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (RANGE BETWEEN interval PRECEDING): per
     event_type, count+sum of events in the trailing 1 hour — the
