@@ -152,9 +152,10 @@ def test_no_unbounded_driver_actions_in_operator_sources():
         "pregel.py": {".first()", ".count()"},
         "similarity.py": {".first()"},  # dim=None fallback only
         "dedup.py": {".count()"},  # max_doc_freq opt-in document-frequency pass
-        # bpe_train's per-round argmax: ONE row (the merge rule) — the
-        # greedy rule sequence is the algorithm's sequential part
-        "text.py": {".first()"},
+        # bpe_train's per-pass merge-rule batch: LIMIT batch_limit (64)
+        # rows — driver-sized by construction; the greedy rule sequence
+        # is the algorithm's sequential part
+        "text.py": {".collect()"},
         # logistic_train: d+1 gradient floats per round — the model is
         # driver-sized by definition; the data never moves
         "ml.py": {".first()"},
