@@ -31,6 +31,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def sessionize(
+    df: DataFrame,
+    gap_us: int = 1_800_000_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: append a per-user ``session_id``
+    (1-based, increasing with time) that increments whenever the gap
+    since the user's previous event exceeds ``gap_us`` microseconds.
+    The batch twin of streaming/windows' session windows, and the
+    shared primitive under dq14.
+
+    Shape: ONE user-keyed shuffle; the lag and the running sum share
+    the same window partitioning. Gap arithmetic is microsecond-exact
+    integer (no float ambiguity at the boundary)."""
+    from pyspark.sql.window import Window
+
+    from ..functions import epoch_us
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = epoch_us(ts_col) - F.lag(epoch_us(ts_col)).over(w)
+    flagged = df.withColumn(
+        "_new_sess",
+        F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("_new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).drop("_new_sess")
+
+
 def cohort_retention(
     df: DataFrame,
     ts_col: str = "ts",

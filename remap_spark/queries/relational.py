@@ -272,24 +272,13 @@ def dq13_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dq14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands sessionization (30-min inactivity gap)."""
+    """Gaps-and-islands sessionization (30-min inactivity gap) on the
+    shared operator (operators/sessions.sessionize: one user-keyed
+    shuffle, microsecond-exact integer gap arithmetic)."""
+    from ..operators.sessions import sessionize
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-exact gap (epoch_us ~ DuckDB epoch_us, NTZ-safe): no
-    # float / truncation ambiguity at the 30-min boundary
-    gap = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_sess"),
-    )
-    sess = flagged.select(
-        "user_id",
-        F.sum("new_sess")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("session_id"),
-    )
+    sess = sessionize(ev.select("user_id", "ts", "event_id"))
     per_sess = sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events")
     )

@@ -19,6 +19,11 @@ from .readers import (
     read_xml_elements,
     warc_http_text,
 )
+from .streams import (
+    read_stream_files,
+    read_stream_kafka,
+    read_stream_rate,
+)
 from .writers import (
     write_bucketed_table,
     write_csv,
@@ -90,6 +95,9 @@ __all__ = [
     "read_text",
     "read_binary_files",
     "read_warc",
+    "read_stream_files",
+    "read_stream_kafka",
+    "read_stream_rate",
     "warc_http_text",
     "read_csv",
     "read_parquet",

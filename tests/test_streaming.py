@@ -674,3 +674,39 @@ def test_ingest_dedup_replay_idempotent_property(spark, tmp_path_factory):
         shutil.rmtree(f"{root}/r{tag}", ignore_errors=True)
 
     prop()
+
+
+def test_stream_source_registry_rate_and_kafka_error(spark, tmp_path):
+    """Source registry tier: the built-in rate source streams synthetic
+    rows through a real micro-batch, and the Kafka wrapper fails with
+    an actionable error in a connector-less environment (Kafka
+    connectivity is deploy-time config, not engine code)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from remap_spark.sources import read_stream_kafka, read_stream_rate
+
+    src = read_stream_rate(spark, rows_per_second=500, num_partitions=2)
+    assert src.isStreaming and set(src.columns) == {"timestamp", "value"}
+    q = (
+        src.select(F.col("value"))
+        .writeStream.format("memory")
+        .queryName("rate_probe")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) c FROM rate_probe").first()["c"] > 0:
+                break
+            time.sleep(0.5)
+        assert spark.sql("SELECT COUNT(*) c FROM rate_probe").first()["c"] > 0
+    finally:
+        q.stop()
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_stream_kafka(spark, "localhost:9092", "topic")
