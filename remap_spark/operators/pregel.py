@@ -91,7 +91,7 @@ class Pregel:
         update: Callable[[DataFrame, Column, int], list[Column]] | None = None,
         vote_halt: Column | None = None,
         max_supersteps: int = 30,
-        checkpoint_interval: int = 5,
+        checkpoint_interval: int = 10,
         num_partitions: int | None = None,
         messages: Callable[[DataFrame, int], DataFrame] | None = None,
         aggregator: list[Column] | None = None,
@@ -570,6 +570,14 @@ def connected_components_star(
     )
     prev_e = e
     prev_sig: tuple | None = None
+    # convergence is checked every SECOND round: each check is a driver
+    # action (the round floor on small graphs), the intermediate
+    # round's lazy checkpoints materialize inside the next check's
+    # aggregate, and a one-round overshoot past the fixpoint is
+    # idempotent (star ops map a set of stars to itself). The exact
+    # exceptAll confirm below still guards the signature, so a
+    # hypothetical 2-cycle can never terminate the loop wrongly.
+    check_every = 2
     for _round in range(max_rounds):
         # -- large-star: symmetrize, larger neighbors adopt the min
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -618,6 +626,8 @@ def connected_components_star(
         # p ~ 2^-64; on the off chance they do, the confirm fails and
         # the loop simply continues — exactness never depends on the
         # hash).
+        if (_round + 1) % check_every != 0:
+            continue  # lazy rounds pile up; next check materializes them
         sig_row = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
