@@ -481,6 +481,71 @@ def remove_duplicate_spans(
     )
 
 
+def dedup_paragraphs_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """CROSS-document paragraph/line dedup (the C4 §2.2 three-sentence
+    rule at segment granularity, applied corpus-wide as in Dolma): a
+    segment occurring in multiple documents survives only at its
+    FIRST occurrence — the (min doc_id, then min position) one — and
+    every other copy is dropped; each document's text is rebuilt from
+    its surviving segments in order. Complements ``dedup_lines``
+    (intra-document) and ``remove_duplicate_spans`` (sub-segment
+    windows). Returns (doc, text, n_segments, n_removed) for documents
+    with >= 1 segment.
+
+    Shape: segments ship as 60-bit hashes into ONE global
+    first-occurrence aggregate (min struct(doc, pos) per hash —
+    partial-aggregated map-side, so a boilerplate segment present in
+    ~every doc collapses to one row per input partition before the
+    exchange), joined back to the segment stream on the hash
+    (AQE-skew-splittable), then one per-doc rebuild on the id-hash
+    partitioning. Segment text itself never crosses an exchange except
+    inside its own document's rebuild row."""
+    from ..functions import portable_hash60 as _h60  # noqa: F401 (doc link)
+
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    segs = (
+        df.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "seg"),
+        )
+        .where(F.trim(F.col("seg")) != "")
+        .select("doc", "pos", "seg", portable_hash60("seg").alias("h"))
+        .localCheckpoint(eager=True)  # feeds first-occurrence AND probe
+    )
+    firsts = segs.groupBy("h").agg(
+        F.min(F.struct("doc", "pos")).alias("_first")
+    )
+    marked = segs.join(firsts, "h").select(
+        "doc",
+        "pos",
+        "seg",
+        (
+            (F.col("_first.doc") == F.col("doc"))
+            & (F.col("_first.pos") == F.col("pos"))
+        ).cast("int").alias("_keep"),
+    )
+    kept_segs = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_keep") == 1, F.struct("pos", "seg"))
+            )
+        ),
+        lambda s: s["seg"],
+    )
+    return marked.groupBy("doc").agg(
+        F.concat_ws(sep, kept_segs).alias("text"),
+        F.count("*").alias("n_segments"),
+        F.sum(F.lit(1) - F.col("_keep")).alias("n_removed"),
+    )
+
+
 def contamination_hits(
     corpus: DataFrame,
     probes: DataFrame,

@@ -136,6 +136,7 @@ CHECK_WINDOW = 50
 # admitted rows, so next round's mandatory set (the 16 r2 leftovers)
 # fits the r5 window.
 _TAIL_QUERIES = [
+    "dq38_sql_api",  # r2-green fill demoted for ext_dedup_paragraph_global (dq41 r3-green)
     "dq37_lead_lag",  # r2-green fill demoted for ext_cohort_retention (dq06/dq25/dq43 canaries)
     "ext_ann_lsh",  # r2-green fill demoted for ext_dedup_span_removal
     # r2-green leftovers (due again by r5; in-window canary in parens):

@@ -1837,6 +1837,71 @@ _SPAN_REMOVAL_SQL = f"""
 """
 
 
+def ext_dedup_paragraph_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide segment dedup (operators/dedup.dedup_paragraphs_
+    global): a line occurring anywhere else in the corpus survives only
+    at its first (min doc, min pos) occurrence; texts rebuilt from
+    survivors. The fixture corpus has no cross-document duplicate
+    lines, so the query CONSTRUCTS boilerplate deterministically —
+    every doc_id % 4 == 0 gets a shared footer line, every
+    doc_id % 7 == 0 a shared header line (mirrored in the oracle) —
+    and the dedup provably keeps each exactly once, corpus-wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    footer = F.lit("subscribe to our newsletter for updates")
+    header = F.lit("cookie notice this site uses cookies")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.concat(header, F.lit("\n")))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("\n"), footer))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = dd.dedup_paragraphs_global(aug)
+    return out.select(
+        F.col("doc").alias("doc_id"), "text", "n_segments", "n_removed"
+    ).orderBy("doc_id")
+
+
+_PARA_GLOBAL_SQL = """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'cookie notice this site uses cookies' || chr(10)
+                  ELSE '' END
+             || text
+             || CASE WHEN doc_id % 4 = 0
+                     THEN chr(10) || 'subscribe to our newsletter for updates'
+                     ELSE '' END AS text
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id AS doc, i AS pos, seg
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10))) AS seg,
+               generate_subscripts(string_split(text, chr(10)), 1) AS i
+        FROM aug
+      ) WHERE trim(seg) <> ''
+    ),
+    marked AS (
+      SELECT doc, pos, seg,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY seg
+                                          ORDER BY doc, pos) = 1
+                  THEN 1 ELSE 0 END AS keep
+      FROM segs
+    )
+    SELECT doc AS doc_id,
+           COALESCE(string_agg(CASE WHEN keep = 1 THEN seg END,
+                               chr(10) ORDER BY pos), '') AS text,
+           COUNT(*) AS n_segments,
+           CAST(SUM(1 - keep) AS BIGINT) AS n_removed
+    FROM marked GROUP BY doc ORDER BY doc_id
+"""
+
+
 def ext_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (operators/split.cap_per_group): keep at
     most 15 docs per source by deterministic hash order — the domain
@@ -2342,6 +2407,7 @@ EXT_QUERIES = {
     "ext_text_lm_score": ext_text_lm_score,
     "ext_dedup_span": ext_dedup_span,
     "ext_dedup_span_removal": ext_dedup_span_removal,
+    "ext_dedup_paragraph_global": ext_dedup_paragraph_global,
     "ext_source_cap": ext_source_cap,
     "ext_dedup_bloom": ext_dedup_bloom,
     "ext_ann_hard_negatives": ext_ann_hard_negatives,
@@ -2393,6 +2459,7 @@ EXT_ORACLES = {
     "ext_text_lm_score": _LM_SCORE_SQL,
     "ext_dedup_span": _SPAN_SQL,
     "ext_dedup_span_removal": _SPAN_REMOVAL_SQL,
+    "ext_dedup_paragraph_global": _PARA_GLOBAL_SQL,
     "ext_source_cap": _SOURCE_CAP_SQL,
     "ext_dedup_bloom": _bloom_oracle(),
     "ext_ann_hard_negatives": _HARD_NEG_SQL,

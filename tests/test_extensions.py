@@ -988,6 +988,29 @@ def test_remove_duplicate_spans_hand_computed(spark):
     assert out[5] == ("other continuation text here", 10, 6)
 
 
+def test_dedup_paragraphs_global_hand_computed(spark):
+    """Cross-document segment dedup: a line shared by three docs
+    survives only in the lowest (doc, pos); intra-doc repeats also
+    collapse to the first; untouched docs pass through."""
+    from remap_spark.operators.dedup import dedup_paragraphs_global
+
+    rows = [
+        (1, "alpha\nshared footer\nbravo"),
+        (2, "charlie\nshared footer"),
+        (3, "shared footer\ndelta\ndelta"),
+        (4, "echo only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc"]: (r["text"], r["n_segments"], r["n_removed"])
+        for r in dedup_paragraphs_global(df).collect()
+    }
+    assert out[1] == ("alpha\nshared footer\nbravo", 3, 0)
+    assert out[2] == ("charlie", 2, 1)
+    assert out[3] == ("delta", 3, 2)  # footer copy + intra-doc delta repeat
+    assert out[4] == ("echo only", 1, 0)
+
+
 def test_bpe_batched_merges_fewer_passes(spark):
     """A tie-rich corpus must apply multiple symbol-disjoint merges in
     one pass: four equal-frequency two-letter words yield >= 4 merges
