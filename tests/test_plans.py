@@ -262,6 +262,29 @@ def test_incremental_dedup_bucketed_store_no_store_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS fp_store_flat")
 
 
+def test_paragraph_global_dedup_partial_aggs_no_segment_window(spark):
+    """Corpus-wide segment dedup: the first-occurrence aggregate must
+    be a partial-aggregated groupBy on the segment hash (map-side
+    combine collapses a boilerplate segment before the exchange), with
+    no Window over the hash key — the same skew reasoning as
+    span_duplication."""
+    r = _report(spark, "ext_dedup_paragraph_global")
+    assert "Window" not in r["plan"], r["plan"]
+    assert r["partial_aggs"], r["plan"]
+    assert not r["cartesian"]
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The funnel fold costs ONE corpus-sized exchange (the user-keyed
+    collect_list); everything after runs on per-user rows. The plan may
+    add small exchanges for the stage-literal join and final ordering,
+    but no second exchange of the event table: total exchanges stays
+    tiny and no cartesian appears beyond the 1-row stage relation."""
+    r = _report(spark, "ext_funnel")
+    assert r["exchanges"] <= 5, r["plan"]
+    assert "CartesianProduct" not in r["plan"]
+
+
 def test_span_dedup_no_gram_window(spark):
     """span_duplication's cross-corpus gram count must be a partial-
     aggregated groupBy + join back, never a count() Window partitioned

@@ -474,3 +474,45 @@ def test_binned_interval_join_equals_naive(spark, ivs, pts, bw):
         if s <= p <= s + ln
     }
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=docs)
+def test_span_score_and_removal_agree(spark, data):
+    """Cross-operator contract: span_duplication's per-doc duplicated-
+    window count is zero exactly when remove_duplicate_spans removes
+    zero tokens from that doc (both at k=2 over random small corpora —
+    the scoring and the removal must see the SAME duplicated windows)."""
+    from remap_spark.operators.dedup import (
+        remove_duplicate_spans,
+        span_duplication,
+    )
+
+    rows = [(i, text) for i, (_, text) in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    score = {
+        r["doc"]: r["n_dup_windows"]
+        for r in span_duplication(df, k=2, min_docs=2).collect()
+    }
+    removed = {
+        r["doc"]: r["n_removed"]
+        for r in remove_duplicate_spans(df, k=2, min_docs=2).collect()
+    }
+    # scoring emits a row only for docs with >= 1 window (>= k tokens);
+    # removal emits one for docs with >= 1 token — scoring's domain is
+    # a subset, and window-less docs can never have anything removed
+    assert set(score) <= set(removed)
+    for doc in set(removed) - set(score):
+        assert removed[doc] == 0, (doc, removed[doc], rows)
+    for doc in score:
+        assert (score[doc] == 0) == (removed[doc] == 0), (
+            doc, score[doc], removed[doc], rows,
+        )
+        # removal is bounded by total tokens and at least the window
+        # size when any duplicated window exists
+        if score[doc] > 0:
+            assert removed[doc] >= 2
