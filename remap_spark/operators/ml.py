@@ -98,6 +98,79 @@ def logistic_train(
     return w, b
 
 
+def logistic_train_relation(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 1.0,
+    iters: int = 5,
+) -> DataFrame:
+    """Batch-GD training with the model kept IN-PLAN as a 1-ROW
+    RELATION (_w0.._wd, _b) — the same trick as Pregel's broadcast
+    aggregator: each round's mean-gradient aggregate and weight update
+    are subtrees cross-joined back as broadcasts, rounds unroll with a
+    lazy localCheckpoint (Catalyst analyzes one round at a time), and
+    ONE action at the end materializes the whole walk. ``logistic_
+    train`` pays one driver round-trip per round instead (~0.25 s each
+    locally); identical arithmetic, so either path matches the same
+    unrolled-CTE oracle. Precondition: ``df`` should be materialized
+    (standardize's eager checkpoint) — every round's aggregate scans
+    it."""
+    spark = df.sparkSession
+    d = len(feature_cols)
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"_w{j}") for j in range(d)],
+        F.lit(0.0).alias("_b"),
+    )
+    y = F.col(label_col).cast("double")
+    for _ in range(iters):
+        z = F.col("_b")
+        for j, c in enumerate(feature_cols):
+            z = z + F.col(f"_w{j}") * F.col(c).cast("double")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - y
+        g = df.crossJoin(F.broadcast(w)).agg(
+            *[
+                F.avg(err * F.col(c).cast("double")).alias(f"_g{j}")
+                for j, c in enumerate(feature_cols)
+            ],
+            F.avg(err).alias("_gb"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                *[
+                    (F.col(f"_w{j}") - F.lit(lr) * F.col(f"_g{j}")).alias(
+                        f"_w{j}"
+                    )
+                    for j in range(d)
+                ],
+                (F.col("_b") - F.lit(lr) * F.col("_gb")).alias("_b"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return w
+
+
+def logistic_score_relation(
+    df: DataFrame,
+    feature_cols: list[str],
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "p",
+) -> DataFrame:
+    """Score against a 1-row weights relation
+    (``logistic_train_relation`` output) via a broadcast cross join —
+    the fully in-plan twin of ``logistic_score``."""
+    z = F.col("_b")
+    for j, c in enumerate(feature_cols):
+        z = z + F.col(f"_w{j}") * F.col(c).cast("double")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.crossJoin(F.broadcast(weights)).select(
+        F.col(id_col), p.alias(out_col)
+    )
+
+
 def accuracy(
     df: DataFrame, p_col: str, label_col: str, threshold: float = 0.5
 ) -> Column:

@@ -1972,15 +1972,19 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality models, CCNet language routing) as ONE aggregate per
     training round plus a codegen scoring pass. The oracle replays the
     identical unrolled GD walk as chained CTEs (kmeans-style)."""
-    from ..operators.ml import logistic_score, logistic_train
-
-    from ..operators.ml import standardize
+    from ..operators.ml import (
+        logistic_score_relation,
+        logistic_train_relation,
+        standardize,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     feats = standardize(_clf_features(docs), _CLF_FEATURES)
-    w, b = logistic_train(feats, _CLF_FEATURES, "y", lr=4.0, iters=12)
-    scored = logistic_score(
-        feats.select("doc_id", "y", *_CLF_FEATURES), _CLF_FEATURES, w, b
+    # the model stays IN-PLAN as a 1-row relation: 12 GD rounds unroll
+    # into one job instead of one driver action per round
+    wrel = logistic_train_relation(feats, _CLF_FEATURES, "y", lr=4.0, iters=12)
+    scored = logistic_score_relation(
+        feats.select("doc_id", "y", *_CLF_FEATURES), _CLF_FEATURES, wrel
     )
     return (
         scored.join(feats.select("doc_id", "y"), "doc_id")
