@@ -14,11 +14,12 @@ state-store OOM at 100 TB/day.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StructField,
@@ -88,6 +89,93 @@ def running_user_stats(
         update,
         outputStructType=USER_STATS_OUTPUT,
         stateStructType=_USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_funnel_stages(
+    events: DataFrame,
+    steps: Sequence[str],
+    window_us: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Continuous conversion funnel — the streaming twin of
+    operators/sessions.funnel_stage_times: per-user greedy first-match
+    stage slots maintained in the state store across micro-batches,
+    one updated row per user per batch they appear in. Because stage i
+    requires stage i-1, reached slots always form a PREFIX, so
+    ``stage_ts`` is emitted DENSE: epoch-us of stages 1..stage_reached
+    (no NULL padding — nullable array elements also break row decoding
+    in some sinks). The greedy walk is ORDER-SENSITIVE, so exactness
+    against the batch fold holds when each user's events arrive in
+    (ts, event_id) order across batches (the per-batch slice is sorted
+    before applying; cross-batch reordering is the documented
+    replay/out-of-orderness caveat — asserted stream ≡ batch in tests
+    over time-chunked batches).
+
+    Scale: state is K int64 slots per ACTIVE user, co-located by the
+    same user-key shuffle as any groupBy; set ``timeout_ms`` so
+    abandoned users age out of the store."""
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("stage_reached", IntegerType()),
+            StructField("stage_ts", ArrayType(LongType())),
+        ]
+    )
+    state_schema = StructType([StructField("slots", ArrayType(LongType()))])
+
+    def update(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        # state holds the DENSE reached-prefix; pad to k for the walk
+        dense = [int(v) for v in state.get[0]] if state.exists else []
+        slots = dense + [None] * (k - len(dense))
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                rows.append(
+                    (int(r[ts_col].value) // 1000, r[id_col], r[type_col])
+                )
+        rows.sort(key=lambda t: (t[0], t[1]))
+        for ts_us, _eid, etype in rows:
+            i = step_idx.get(etype)
+            if i is None or slots[i] is not None:
+                continue
+            prev_ok = i == 0 or (
+                slots[i - 1] is not None
+                and ts_us - slots[0] <= window_us
+            )
+            if prev_ok:
+                slots[i] = ts_us
+        dense = [s for s in slots if s is not None]
+        state.update((dense,))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage_reached": [len(dense)],
+                "stage_ts": [dense],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="update",
         timeoutConf=timeout,
     )

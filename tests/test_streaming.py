@@ -710,3 +710,70 @@ def test_stream_source_registry_rate_and_kafka_error(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_stream_kafka(spark, "localhost:9092", "topic")
+
+
+def test_streaming_funnel_equals_batch(spark, tmp_path_factory):
+    """Streaming funnel (applyInPandasWithState) must converge to the
+    batch fold's exact per-user stage slots when events arrive in
+    (ts, event_id) order across micro-batches: the fixture is split
+    into three order-respecting time chunks, streamed one file per
+    trigger, and each user's final emitted row (stage slots are
+    monotone — they only fill) must equal funnel_stage_times."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.sessions import funnel_stage_times
+    from remap_spark.queries.relational import FUNNEL_STEPS, FUNNEL_WINDOW_US
+    from remap_spark.streaming.stateful import streaming_funnel_stages
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # order-respecting thirds: rank on (ts, event_id) so no user's
+    # later event lands in an earlier batch
+    ranked = ev.withColumn(
+        "_tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    src = str(tmp_path_factory.mktemp("funnel_src"))
+    for i in (1, 2, 3):
+        ranked.where(F.col("_tile") == i).drop("_tile").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/chunk{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = streaming_funnel_stages(stream, FUNNEL_STEPS, FUNNEL_WINDOW_US)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql("SELECT * FROM funnel_stream").collect()
+    final: dict = {}
+    for r in emitted:
+        cur = final.get(r["user_id"])
+        if cur is None or r["stage_reached"] >= cur["stage_reached"]:
+            final[r["user_id"]] = r
+    batch = {
+        # batch emits k nullable slots; streaming emits the dense
+        # reached-prefix (slots are prefix-monotone)
+        r["user_id"]: [t for t in r["stage_ts"] if t is not None]
+        for r in funnel_stage_times(ev, FUNNEL_STEPS, FUNNEL_WINDOW_US).collect()
+    }
+    assert set(final) == set(batch)
+    for uid, row in final.items():
+        assert list(row["stage_ts"]) == batch[uid], (
+            uid, list(row["stage_ts"]), batch[uid],
+        )
+    # non-vacuous: some users must progress past stage 1
+    assert any(r["stage_reached"] >= 2 for r in final.values())
