@@ -388,6 +388,10 @@ def test_no_query_plans_a_cartesian_product(spark):
         # per-superstep single-row aggregator broadcast (in-plan dangling
         # mass — the alternative is one driver action per superstep)
         "ext_pagerank_dangling",
+        # in-plan GD: the 1-row weights relation broadcasts into every
+        # gradient aggregate and the scoring pass (the alternative is
+        # one driver action per training round)
+        "ext_quality_classifier",
     }
     bad = []
     for name, fn in ALL_QUERIES.items():
