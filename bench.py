@@ -43,6 +43,12 @@ def main() -> None:
     # (2) MIN-of-N: on a noise-floored local bench the minimum is the
     #     unbiased estimator of the query's intrinsic cost — every
     #     perturbation (GC, JIT, co-scheduling) only ever ADDS time.
+    # A forced System.gc() barrier between visits was tried and made
+    # recorded numbers WORSE (+11% suite total): the post-GC allocation
+    # stall lands inside the timed window. Interleaving + min already
+    # bounds suite-context overstatement to ~1.5x on the most
+    # composition-heavy query, and NEVER understates — no phantom
+    # regressions (the r3 failure mode).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     names = sorted(ALL_QUERIES)
     samples: dict[str, list[float]] = {name: [] for name in names}
