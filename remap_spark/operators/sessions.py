@@ -120,6 +120,55 @@ def cohort_retention(
     )
 
 
+def rolling_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """DAU / trailing-WAU per day: for every day with >= 1 event, the
+    count of distinct users active that day and the count of distinct
+    users active in the trailing ``window_days`` window ending that
+    day. Returns (day yyyy-MM-dd, dau, wau) ordered by day.
+
+    Shape: COUNT(DISTINCT) over a RANGE window is not expressible as a
+    window function, so the standard expansion applies: the (user, day)
+    distinct activity relation (corpus -> one row per user-day) is
+    exploded k-fold — each active day contributes to the next k days'
+    windows — then one distinct + one count per day. Shuffle volume is
+    O(user-days x k), bounded by the window length, never by the raw
+    event count; the expensive raw-event distinct happens once up
+    front with map-side partial aggregation."""
+    ud = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("_d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds dau, the expansion, and days
+    )
+    dau = ud.groupBy("_d").agg(F.count("*").alias("dau"))
+    contrib = (
+        ud.select(
+            "_u",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("_i"),
+            "_d",
+        )
+        .select("_u", F.expr("date_add(_d, _i)").alias("_d"))
+        .distinct()
+    )
+    wau = contrib.groupBy("_d").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, "_d")
+        .select(
+            F.date_format("_d", "yyyy-MM-dd").alias("day"), "dau", "wau"
+        )
+        .orderBy("day")
+    )
+
+
 def funnel_stage_times(
     df: DataFrame,
     steps: Sequence[str],

@@ -83,6 +83,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ext_funnel": relational.ext_funnel,
     "ext_funnel_conversion": relational.ext_funnel_conversion,
     "ext_cohort_retention": relational.ext_cohort_retention,
+    "ext_active_users": relational.ext_active_users,
 }
 
 ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}
@@ -136,6 +137,7 @@ CHECK_WINDOW = 50
 # admitted rows, so next round's mandatory set (the 16 r2 leftovers)
 # fits the r5 window.
 _TAIL_QUERIES = [
+    "dq36_conditional_agg",  # r2-green fill demoted for ext_active_users (ext_profile_columns r3)
     "dq38_sql_api",  # r2-green fill demoted for ext_dedup_paragraph_global (dq41 r3-green)
     "dq37_lead_lag",  # r2-green fill demoted for ext_cohort_retention (dq06/dq25/dq43 canaries)
     "ext_ann_lsh",  # r2-green fill demoted for ext_dedup_span_removal

@@ -528,6 +528,24 @@ DQ_ORACLES["ext_cohort_retention"] = """
     ORDER BY cohort, period_idx
 """
 
+# DAU/WAU: distinct user-days expanded k-fold (each active day
+# contributes to the next k trailing windows), one distinct + count
+DQ_ORACLES["ext_active_users"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    contrib AS (
+      SELECT DISTINCT user_id, d + CAST(r.u AS INTEGER) AS d
+      FROM ud CROSS JOIN range(7) AS r(u)
+    ),
+    wau AS (SELECT d, COUNT(*) AS wau FROM contrib GROUP BY d)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau AS dau, wau.wau AS wau
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+"""
+
 # dq41 runs the SAME recursive-CTE text in both engines
 from .relational import RECURSIVE_SQL_QUERY as _RECURSIVE_SQL_QUERY  # noqa: E402
 

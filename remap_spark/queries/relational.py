@@ -946,6 +946,17 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, period_days=1)
 
 
+def ext_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day over events
+    (operators/sessions.rolling_active_users): the COUNT(DISTINCT)-
+    over-range-window shape via bounded k-fold expansion of the
+    user-day activity relation."""
+    from ..operators.sessions import rolling_active_users
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_active_users(ev, window_days=7)
+
+
 def dq43_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (RANGE BETWEEN interval PRECEDING): per
     event_type, count+sum of events in the trailing 1 hour — the

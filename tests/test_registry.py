@@ -27,6 +27,7 @@ NEVER_CHECKED = [
     "ext_dedup_span_removal",  # new in round 4
     "ext_cohort_retention",  # new in round 4
     "ext_dedup_paragraph_global",  # new in round 4
+    "ext_active_users",  # new in round 4
 ]
 
 # Queries whose implementation changed in round 4 (Pregel generic
