@@ -124,80 +124,83 @@ register_extensions()
 CHECK_WINDOW = 50
 
 # Green in a prior round's driver gate, unchanged since, and redundant
-# with an in-window sibling. Round-4 rotation policy (VERDICT r3 #7):
-# the window admits, in priority order, (1) never-checked queries,
-# (2) every query whose latest green row is TWO rounds old (the 16
-# r1-only rows — max staleness is pinned by test_registry), (3) every
-# query whose code path changed this round (the Pregel/fixpoint family
-# after the aggregator + block-convergence rework, span dedup after
-# the de-skew, the funnel rewire), then (4) the oldest r2-green rows.
-# Rotated OUT: all 39 r3-green rows whose code is unchanged, plus 16
-# r2-green family members whose capability has an in-window canary —
-# every tail entry is one round fresher than the r4 window's oldest
-# admitted rows, so next round's mandatory set (the 16 r2 leftovers)
-# fits the r5 window.
+# with an in-window sibling. Round-5 rotation policy (VERDICT r4 #1):
+# the window admits, in priority order, (1) the 20 queries whose
+# latest green row is r2 (two rounds stale — the mandatory set named
+# in VERDICT r4 "What's wrong" #1), (2) queries new or code-changed
+# this round (incremental fuzzy dedup, span-length merge, analytics
+# pipeline, WAU sketch, the paragraph-dedup separator fix, the
+# cohort-retention period-cohort fix), then (3) 24 of the 39 r3-green
+# rows so they never reach two-rounds-stale. Rotated OUT: all 48
+# unchanged r4-green rows plus 15 r3-green rows whose family has an
+# in-window canary — those 15 lead the mandatory set for the r6
+# window, exactly as the 20 r2 rows led this one.
 _TAIL_QUERIES = [
-    "dq36_conditional_agg",  # r2-green fill demoted for ext_active_users (ext_profile_columns r3)
-    "dq38_sql_api",  # r2-green fill demoted for ext_dedup_paragraph_global (dq41 r3-green)
-    "dq37_lead_lag",  # r2-green fill demoted for ext_cohort_retention (dq06/dq25/dq43 canaries)
-    "ext_ann_lsh",  # r2-green fill demoted for ext_dedup_span_removal
-    # r2-green leftovers (due again by r5; in-window canary in parens):
-    "ext_mm_image_features",  # multimodal decode (PNG/BMP pytest real-bytes)
-    "ext_mm_frame_sample",  # multimodal 1->N expansion
-    "ext_mm_audio_features",  # multimodal family (WAV pytest real-bytes)
-    "ext_text_stats",  # text-projection family (ext_text_quality canary r3)
-    "ext_text_langid",  # text-projection family
-    "ext_text_fingerprint",  # text-projection family
-    "ext_text_tokens",  # text-projection family
-    "ext_text_quality",  # text-projection family (lm_score/clean r3-green)
-    "ext_ann_topk",  # ANN family (ext_ann_ivf r3-green)
-    "ext_sample_det",  # sampler family (ext_sample_weighted r3-green)
-    "ext_sample_stratified",  # sampler family
-    "ext_split_train_test",  # split family (leakage_safe in-window r4)
-    "ext_dedup_ngram_jaccard",  # dedup family (span/canonical in-window r4)
-    "ext_dedup_simhash",  # dedup family
-    "ext_dedup_embedding",  # embedding family (ext_dedup_semantic in-window)
-    "ext_dedup_minhash_lsh",  # LSH inside canonical/leakage (in-window r4)
-    # r3-green, code unchanged since:
-    "dq03_wordcount",
-    "dq11_except",
-    "dq18_grouped_udf",
-    "dq24_asof_join",
-    "dq28_exists",
-    "dq30_grouping_sets",
-    "dq41_recursive_sql",
-    "dq43_rolling_range",
-    "dq44_merge_upsert",
-    "ext_profile_columns",
-    "ext_approx_distinct",
-    "ext_approx_percentiles",
-    "ext_dedup_exact",
-    "ext_ann_ivf",
-    "ext_salted_agg",
-    "ext_pack_sequences",
-    "ext_text_line_dedup",
-    "ext_text_decontaminate",
-    "ext_text_pii",
-    "ext_text_repetition",
-    "ext_text_vocab",
-    "ext_kmeans_embed",
-    "ext_sample_quality_mix",
-    "ext_dedup_incremental",
-    "ext_corpus_report",
-    "ext_text_tfidf",
-    "ext_text_boilerplate",
-    "ext_text_clean",
-    "ext_sample_weighted",
-    "ext_mix_temperature",
-    "ext_text_chunk",
-    "ext_pipeline_curate",
-    "ext_text_lm_score",
-    "ext_source_cap",
-    "ext_dedup_bloom",
-    "ext_ann_hard_negatives",
-    "ext_corpus_diff",
-    "ext_range_join_binned",
-    "ext_quality_classifier",
+    # r3-green deferred one round (due in the r6 window; canary in parens):
+    "dq03_wordcount",  # (dq19_buckets tokenize/agg canary, dq18 grouped-UDF)
+    "ext_salted_agg",  # (dq05_agg; salted≡plain equivalence pytest)
+    "ext_pack_sequences",  # (prefix-sum window family: dq39/dq43 in tail are r4)
+    "ext_text_line_dedup",  # (text family canaries ext_text_stats/quality in window)
+    "ext_text_repetition",  # (text family)
+    "ext_text_boilerplate",  # (text family)
+    "ext_text_clean",  # (text family)
+    "ext_text_chunk",  # (text family)
+    "ext_text_lm_score",  # (broadcast-model family: ext_quality_classifier in window)
+    "ext_text_tfidf",  # (in-plan count idiom family)
+    "ext_sample_weighted",  # (sampler family: ext_sample_det/stratified in window)
+    "ext_sample_quality_mix",  # (sampler family)
+    "ext_source_cap",  # (sampler family)
+    "ext_corpus_report",  # (profiler family: ext_profile_columns in window)
+    "ext_corpus_diff",  # (profiler family)
+    # r4-green, code unchanged since:
+    "dq01_project",
+    "dq02_filter",
+    "dq04_collation",
+    "dq05_agg",
+    "dq06_secondary_sort",
+    "dq07_topk",
+    "dq08_join_agg",
+    "dq09_multiway_join",
+    "dq10_anti",
+    "dq10_semi",
+    "dq11_intersect",
+    "dq12_rollup",
+    "dq13_tumbling",
+    "dq14_sessionize",
+    "dq15_json",
+    "dq15_year",
+    "dq16_flood_max",
+    "dq17_pagerank",
+    "dq19_buckets",
+    "dq20_range_join",
+    "dq21_full_outer",
+    "dq21_left_outer",
+    "dq21_right_outer",
+    "dq22_union",
+    "dq23_cube",
+    "dq25_window_funcs",
+    "dq26_distinct_agg",
+    "dq27_sliding",
+    "dq29_scalar_subquery",
+    "dq31_pivot",
+    "dq32_session_window",
+    "dq33_percentiles",
+    "dq34_array_funcs",
+    "dq35_regexp",
+    "dq39_running_total",
+    "dq40_pointer_jump",
+    "dq42_star_components",
+    "ext_active_users",
+    "ext_dedup_canonical",
+    "ext_dedup_components",
+    "ext_dedup_semantic",
+    "ext_dedup_span",
+    "ext_dedup_span_removal",
+    "ext_funnel",
+    "ext_funnel_conversion",
+    "ext_pagerank_dangling",
+    "ext_split_leakage_safe",
+    "ext_text_bpe_pairs",
 ]
 
 

@@ -22,31 +22,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries that have never had a full green driver row — every one must
 # sit inside the checked window until a green row is recorded.
-NEVER_CHECKED = [
-    "ext_funnel_conversion",  # new in round 4
-    "ext_dedup_span_removal",  # new in round 4
-    "ext_cohort_retention",  # new in round 4
-    "ext_dedup_paragraph_global",  # new in round 4
-    "ext_active_users",  # new in round 4
-]
+# (Populated as round-5 queries land; each new queries() entry is
+# appended here the same commit it is registered.)
+NEVER_CHECKED: list[str] = []
 
-# Queries whose implementation changed in round 4 (Pregel generic
-# aggregator + dangling-pagerank rewrite, fixpoint block-convergence
-# rework touching every flood/CC consumer, span-dedup de-skew, funnel
-# operator rewire) — they need a fresh driver row.
-CHANGED_R4 = [
-    "ext_funnel",
-    "ext_funnel_conversion",
-    "ext_dedup_span",
-    "ext_pagerank_dangling",
-    "dq16_flood_max",
-    "dq17_pagerank",
-    "dq40_pointer_jump",
-    "dq42_star_components",
-    "ext_dedup_components",
-    "ext_dedup_canonical",
-    "ext_dedup_semantic",
-    "ext_split_leakage_safe",
+# Queries whose implementation changed in round 5 (paragraph-dedup
+# separator regex fix, cohort-retention period-aligned cohort key) —
+# they need a fresh driver row.
+CHANGED_R5 = [
+    "ext_dedup_paragraph_global",
+    "ext_cohort_retention",
 ]
 
 
@@ -68,7 +53,7 @@ def test_never_checked_families_inside_window():
 
 
 def test_changed_queries_inside_window():
-    missing = [q for q in CHANGED_R4 if q not in WINDOW]
+    missing = [q for q in CHANGED_R5 if q not in WINDOW]
     assert not missing, f"changed queries outside driver window: {missing}"
 
 
