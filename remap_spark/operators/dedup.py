@@ -27,6 +27,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -497,6 +499,9 @@ def dedup_paragraphs_global(
     windows). Returns (doc, text, n_segments, n_removed) for documents
     with >= 1 segment.
 
+    ``sep`` is a LITERAL separator string (regex metacharacters are
+    escaped before the split), matching the oracle's string_split.
+
     Shape: segments ship as 60-bit hashes into ONE global
     first-occurrence aggregate (min struct(doc, pos) per hash —
     partial-aggregated map-side, so a boilerplate segment present in
@@ -513,7 +518,11 @@ def dedup_paragraphs_global(
         df.repartition(n_part, F.col(id_col))
         .select(
             F.col(id_col).alias("doc"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "seg"),
+            # F.split takes a Java regex: escape so a metacharacter
+            # separator ('.', '|') splits literally like the oracle
+            F.posexplode(
+                F.split(F.col(text_col), re.escape(sep))
+            ).alias("pos", "seg"),
         )
         .where(F.trim(F.col("seg")) != "")
         .select("doc", "pos", "seg", portable_hash60("seg").alias("h"))

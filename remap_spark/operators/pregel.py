@@ -574,9 +574,13 @@ def connected_components_star(
     # action (the round floor on small graphs), the intermediate
     # round's lazy checkpoints materialize inside the next check's
     # aggregate, and a one-round overshoot past the fixpoint is
-    # idempotent (star ops map a set of stars to itself). The exact
-    # exceptAll confirm below still guards the signature, so a
-    # hypothetical 2-cycle can never terminate the loop wrongly.
+    # idempotent (star ops map a set of stars to itself). The exceptAll
+    # confirm below guards against hash-signature COLLISIONS (two
+    # different edge sets with equal count/sum); note both it and the
+    # signature compare states check_every rounds apart, so early-stop
+    # safety rests on the star algorithm's monotone convergence (labels
+    # only decrease, so no state can recur without being a fixpoint —
+    # Kiveris et al.'s proof), not on the confirm itself.
     check_every = 2
     for _round in range(max_rounds):
         # -- large-star: symmetrize, larger neighbors adopt the min

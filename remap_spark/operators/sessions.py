@@ -72,11 +72,15 @@ def cohort_retention(
     period_days: int = 1,
 ) -> DataFrame:
     """Cohort retention analysis: users are cohorted by the period of
-    their FIRST event; for every (cohort, periods-since-cohort) cell,
-    the count of distinct active users and the retention rate against
-    the cohort's size. Returns (cohort, period_idx, n_active,
-    retention) with cohort formatted yyyy-MM-dd; period 0 is the
-    cohort period itself (retention 1.0 by construction).
+    their FIRST event — the cohort key is the first-seen day floored
+    to an epoch-anchored ``period_days`` boundary, so with
+    period_days=7 all users first seen in the same (epoch-aligned)
+    week share one cohort; for every (cohort, periods-since-cohort)
+    cell, the count of distinct active users and the retention rate
+    against the cohort's size. Returns (cohort, period_idx, n_active,
+    retention) with cohort formatted yyyy-MM-dd (the period's start
+    day); period 0 is the cohort period itself (retention 1.0 by
+    construction).
 
     Shape: one user-keyed aggregate for first-seen, a user-keyed join
     back (co-partitioned with the aggregate's shuffle), a distinct on
@@ -86,8 +90,15 @@ def cohort_retention(
     (ROUND(double, 5) is engine-divergent on power-of-two cohort
     sizes, e.g. odd/64 ties)."""
     first = df.groupBy(user_col).agg(F.min(ts_col).alias("_first"))
+    fd = F.to_date(F.date_trunc("day", F.col("_first")))
+    # floor the first-seen DAY to the epoch-anchored period boundary so
+    # the cohort key itself has period granularity (not day granularity
+    # with only period_idx scaled)
+    off = F.pmod(
+        F.datediff(fd, F.to_date(F.lit("1970-01-01"))), F.lit(period_days)
+    )
     cohorts = first.select(
-        user_col, F.to_date(F.date_trunc("day", F.col("_first"))).alias("_c0")
+        user_col, F.date_sub(fd, off.cast("int")).alias("_c0")
     )
     acts = df.select(
         user_col, F.to_date(F.date_trunc("day", F.col(ts_col))).alias("_d")

@@ -501,17 +501,24 @@ DQ_ORACLES["ext_funnel_conversion"] = """
     ORDER BY stage_idx
 """
 
-# cohort retention: first-seen-day cohorts, distinct-active cells,
-# half-up retention in the 1e-5 integer domain (ROUND ties diverge)
+# cohort retention: first-seen day floored to the epoch-anchored
+# 7-day period boundary, distinct-active cells, half-up retention in
+# the 1e-5 integer domain (ROUND ties diverge)
 DQ_ORACLES["ext_cohort_retention"] = """
-    WITH first AS (
-      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS c0
+    WITH fd AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0
       FROM events GROUP BY user_id
+    ),
+    first AS (
+      SELECT user_id,
+             d0 - CAST(date_diff('day', DATE '1970-01-01', d0) % 7
+                       AS INTEGER) AS c0
+      FROM fd
     ),
     active AS (
       SELECT DISTINCT f.c0,
              CAST(FLOOR(date_diff('day', f.c0,
-                  CAST(date_trunc('day', e.ts) AS DATE)) / 1) AS BIGINT)
+                  CAST(date_trunc('day', e.ts) AS DATE)) / 7) AS BIGINT)
                AS period_idx,
              e.user_id
       FROM events e JOIN first f ON f.user_id = e.user_id

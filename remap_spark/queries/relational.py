@@ -936,14 +936,16 @@ def ext_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily cohort retention over the events table
-    (operators/sessions.cohort_retention): users cohorted by first-seen
-    day, per-cell distinct-active counts and half-up-rounded retention
-    rates."""
+    """Weekly cohort retention over the events table
+    (operators/sessions.cohort_retention): users cohorted by their
+    first-seen epoch-aligned 7-day period, per-cell distinct-active
+    counts and half-up-rounded retention rates. period_days=7
+    exercises the period-aligned cohort key (the r4 advisor finding:
+    day-truncated cohorts with only period_idx scaled)."""
     from ..operators.sessions import cohort_retention
 
     ev = load_table(spark, sf_dir, "events")
-    return cohort_retention(ev, period_days=1)
+    return cohort_retention(ev, period_days=7)
 
 
 def ext_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,6 +58,12 @@ def running_user_stats(
     ) -> Iterator:
         import pandas as pd
 
+        if state.hasTimedOut:
+            # Abandoned user: evict without re-arming the timeout or
+            # re-emitting a stale row (re-arming here would keep every
+            # key alive forever, defeating the store-size bound).
+            state.remove()
+            return
         total, batches, vsum = (
             state.get if state.exists else (0, 0, 0)
         )
@@ -120,12 +126,15 @@ def streaming_funnel_stages(
 
     Scale: state is K int64 slots per ACTIVE user, co-located by the
     same user-key shuffle as any groupBy; set ``timeout_ms`` so
-    abandoned users age out of the store."""
+    abandoned users age out of the store (on timeout the user's state
+    is REMOVED after one final row is emitted, so an abandoned funnel
+    surfaces exactly once and then stops occupying the store)."""
     k = len(steps)
     step_idx = {s: i for i, s in enumerate(steps)}
+    user_field = events.schema[user_col]
     out_schema = StructType(
         [
-            StructField("user_id", LongType()),
+            StructField(user_col, user_field.dataType),
             StructField("stage_reached", IntegerType()),
             StructField("stage_ts", ArrayType(LongType())),
         ]
@@ -135,6 +144,21 @@ def streaming_funnel_stages(
     def update(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
         import pandas as pd
 
+        if state.hasTimedOut:
+            # Abandoned funnel: emit the final reached-prefix once,
+            # then evict WITHOUT re-arming — re-arming here would
+            # re-emit an unchanged row every interval and keep the
+            # key in the store forever.
+            final = [int(v) for v in state.get[0]] if state.exists else []
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "stage_reached": [len(final)],
+                    "stage_ts": [final],
+                }
+            )
+            return
         # state holds the DENSE reached-prefix; pad to k for the walk
         dense = [int(v) for v in state.get[0]] if state.exists else []
         slots = dense + [None] * (k - len(dense))
@@ -161,7 +185,7 @@ def streaming_funnel_stages(
             state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                user_col: [key[0]],
                 "stage_reached": [len(dense)],
                 "stage_ts": [dense],
             }
