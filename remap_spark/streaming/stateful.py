@@ -44,14 +44,11 @@ _USER_STATS_STATE = StructType(
 )
 
 
-def running_user_stats(
-    events: DataFrame, timeout_ms: int | None = None
-) -> DataFrame:
-    """Per-user running totals maintained across micro-batches.
-
-    Emits one updated row per user per micro-batch in which the user
-    appears. value is accumulated in integer micros so state updates
-    are exact and order-independent."""
+def _make_stats_update(timeout_ms: int | None):
+    """Build the per-group update closure for running_user_stats —
+    module-level so the timeout-eviction branch is unit-testable with
+    a fake GroupState (a real ProcessingTimeTimeout firing is not
+    deterministically reachable in a test)."""
 
     def update(
         key: tuple, pdfs: Iterator, state: GroupState
@@ -86,6 +83,19 @@ def running_user_stats(
             }
         )
 
+    return update
+
+
+def running_user_stats(
+    events: DataFrame, timeout_ms: int | None = None
+) -> DataFrame:
+    """Per-user running totals maintained across micro-batches.
+
+    Emits one updated row per user per micro-batch in which the user
+    appears. value is accumulated in integer micros so state updates
+    are exact and order-independent. With ``timeout_ms`` set, a user
+    idle past the timeout is evicted from the store (no row emitted)."""
+    update = _make_stats_update(timeout_ms)
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if timeout_ms is not None
@@ -129,8 +139,6 @@ def streaming_funnel_stages(
     abandoned users age out of the store (on timeout the user's state
     is REMOVED after one final row is emitted, so an abandoned funnel
     surfaces exactly once and then stops occupying the store)."""
-    k = len(steps)
-    step_idx = {s: i for i, s in enumerate(steps)}
     user_field = events.schema[user_col]
     out_schema = StructType(
         [
@@ -140,6 +148,37 @@ def streaming_funnel_stages(
         ]
     )
     state_schema = StructType([StructField("slots", ArrayType(LongType()))])
+    update = _make_funnel_update(
+        steps, window_us, ts_col, user_col, type_col, id_col, timeout_ms
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def _make_funnel_update(
+    steps: Sequence[str],
+    window_us: int,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    id_col: str,
+    timeout_ms: int | None,
+):
+    """Build the per-group update closure for streaming_funnel_stages —
+    module-level so the timeout-eviction branch is unit-testable with
+    a fake GroupState."""
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
 
     def update(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
         import pandas as pd
@@ -191,15 +230,4 @@ def streaming_funnel_stages(
             }
         )
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if timeout_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
-    return events.groupBy(user_col).applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=timeout,
-    )
+    return update

@@ -777,3 +777,74 @@ def test_streaming_funnel_equals_batch(spark, tmp_path_factory):
         )
     # non-vacuous: some users must progress past stage 1
     assert any(r["stage_reached"] >= 2 for r in final.values())
+
+
+class _FakeGroupState:
+    """Minimal GroupState double for driving update closures directly
+    (a real ProcessingTimeTimeout firing is not deterministically
+    reachable in a test)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.rearmed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        assert self._value is not None
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.rearmed = True
+
+
+def test_stateful_timeout_evicts_without_rearm():
+    """On state.hasTimedOut the update closures must evict the key and
+    NOT re-arm the timeout — re-arming would keep abandoned keys in
+    the store forever and re-emit an unchanged row every interval
+    (round-4 advisor finding)."""
+    from remap_spark.streaming.stateful import (
+        _make_funnel_update,
+        _make_stats_update,
+    )
+
+    # running_user_stats: timed-out key -> removed, nothing emitted
+    upd = _make_stats_update(timeout_ms=1000)
+    st = _FakeGroupState(value=(5, 2, 700), timed_out=True)
+    out = list(upd((42,), iter([]), st))
+    assert out == []
+    assert st.removed and not st.rearmed
+
+    # funnel: timed-out key -> exactly ONE final row, then removed
+    upd = _make_funnel_update(
+        ["a", "b", "c"], 10**9, "ts", "user_id", "event_type",
+        "event_id", 1000,
+    )
+    st = _FakeGroupState(value=([100, 250],), timed_out=True)
+    out = list(upd((7,), iter([]), st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["user_id"] == 7
+    assert row["stage_reached"] == 2
+    assert list(row["stage_ts"]) == [100, 250]
+    assert st.removed and not st.rearmed
+
+    # live path still re-arms (the timeout contract for active keys)
+    import pandas as pd
+
+    upd = _make_stats_update(timeout_ms=1000)
+    st = _FakeGroupState()
+    out = list(upd((1,), iter([pd.DataFrame({"value": [2.5]})]), st))
+    assert len(out) == 1 and st.rearmed and st._value == (1, 1, 2_500_000)
