@@ -118,11 +118,15 @@ def _doc_shingles(
     if dedup:
         s = s.distinct()
     if max_doc_freq is not None:
-        n_docs = df.count()
+        # corpus size arrives via a broadcast single-row crossJoin (the
+        # tfidf_topk idiom) — a driver-side df.count() here would be an
+        # extra full scan of the corpus at 100 TB
+        n_docs = df.select(F.count("*").alias("_nd"))
         hot = (
             s.groupBy("gram")
             .agg(F.count("*").alias("df"))
-            .where(F.col("df") > max_doc_freq * n_docs)
+            .crossJoin(F.broadcast(n_docs))
+            .where(F.col("df") > max_doc_freq * F.col("_nd"))
             .select("gram")
         )
         s = s.join(F.broadcast(hot), "gram", "left_anti")
@@ -707,4 +711,142 @@ def incremental_dedup(
     withfp = new_docs.join(fps, id_col)
     return withfp.join(
         seen_fps.select(F.col(fp_col)), on=fp_col, how="left_anti"
+    )
+
+
+def signature_store_rows(
+    docsigs: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Explode a (doc, sigs array<bigint>) relation into persistent
+    signature-store rows (band, key, doc, sigs) — one row per band,
+    key = the band's signature components joined with '_' (identical
+    strings to minhash_lsh_pairs' in-batch band keys). Write the store
+    bucketed on (band, key) (sources.write_bucketed_table) and every
+    future probe join co-locates with zero store-side exchange."""
+    rows = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.element_at(F.col("sigs"), bi * rows + r + 1).cast(
+                            "string"
+                        )
+                        for r in range(rows)
+                    ],
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return (
+        # a NULL sigs row (doc too short for shingles) has no band
+        # keys — without this filter the struct array still explodes
+        # into rows with empty-string keys
+        docsigs.where(F.col("sigs").isNotNull())
+        .select(F.explode(band_structs).alias("_bk"), "doc", "sigs")
+        .select(
+            F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"),
+            "doc", "sigs",
+        )
+    )
+
+
+def _est_jaccard(a: Column, b: Column, num_hashes: int) -> Column:
+    """MinHash Jaccard estimate: fraction of equal signature
+    components. Evaluated only on band-collision candidates — cheap
+    array work, never a corpus-sized computation."""
+    eq = F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v)
+    return F.size(eq) / F.lit(float(num_hashes))
+
+
+def incremental_dedup_fuzzy(
+    new_docs: DataFrame,
+    store: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    portable: bool = True,
+) -> DataFrame:
+    """Ingestion-time NEAR-duplicate dedup — the fuzzy analog of
+    ``incremental_dedup``: arriving documents are dropped when their
+    MinHash signature estimates Jaccard >= ``threshold`` against (a)
+    any document in the persistent signature ``store`` (schema =
+    signature_store_rows: band, key, doc, sigs) or (b) any EARLIER
+    (smaller id) document in the same batch. Returns surviving
+    ``new_docs`` rows plus their ``sigs`` column; append
+    ``signature_store_rows`` of the survivors to the store to complete
+    the upsert.
+
+    The within-batch rule is the standard keep-first relaxation: a doc
+    is dropped if it collides-and-verifies against ANY earlier batch
+    doc, even one itself dropped (chains a~b~c drop b and c) — the
+    same greedy order-dependence as C4's reservoir dedup, documented
+    rather than paying a components pass per micro-batch.
+
+    Scale shape: candidates come ONLY from band-key equality (shuffle
+    ~ docs x bands short rows; no O(n^2) scan); each candidate row is
+    verified in place by the signature-equality estimate — no second
+    shuffle to dedup pairs before verification, only a narrow distinct
+    on surviving doc ids. The store join shuffles the probe side on
+    (band, key); with the store bucketed on those keys its side needs
+    zero exchange regardless of history size. Hot band keys (a
+    boilerplate signature shared by many stored docs) are
+    AQE-skew-splittable since sigs ride as payload, not key."""
+    sig = minhash_signatures(
+        new_docs, text_col, id_col, n, num_hashes, seed, portable
+    )
+    docsigs = sig.select(
+        "doc",
+        F.array(*[F.col(f"sig{i}") for i in range(num_hashes)]).alias("sigs"),
+    ).localCheckpoint(eager=False)  # feeds probe, self-join, and join-back
+    probe = signature_store_rows(docsigs, num_hashes, bands)
+    est_ok = (
+        _est_jaccard(F.col("a"), F.col("b"), num_hashes)
+        >= F.lit(threshold)
+    )
+    hit_store = (
+        probe.alias("p")
+        .join(store.alias("s"), ["band", "key"])
+        .select(
+            F.col("p.doc").alias("doc"),
+            F.col("p.sigs").alias("a"),
+            F.col("s.sigs").alias("b"),
+        )
+        .where(est_ok)
+        .select("doc")
+        .distinct()
+    )
+    hit_batch = (
+        probe.alias("pa")
+        .join(
+            probe.alias("pb"),
+            (F.col("pa.band") == F.col("pb.band"))
+            & (F.col("pa.key") == F.col("pb.key"))
+            & (F.col("pa.doc") > F.col("pb.doc")),
+        )
+        .select(
+            F.col("pa.doc").alias("doc"),
+            F.col("pa.sigs").alias("a"),
+            F.col("pb.sigs").alias("b"),
+        )
+        .where(est_ok)
+        .select("doc")
+        .distinct()
+    )
+    dropped = hit_store.union(hit_batch).distinct()
+    return (
+        # left join: a doc too short to produce shingles has no
+        # signature row — it can't match anything and must SURVIVE
+        # (sigs NULL; signature_store_rows drops it from the upsert)
+        new_docs.join(
+            docsigs.withColumnRenamed("doc", id_col), id_col, "left"
+        )
+        .join(dropped.withColumnRenamed("doc", id_col), id_col, "left_anti")
     )

@@ -1092,6 +1092,150 @@ _INCR_DEDUP_SQL = f"""
 """
 
 
+def ext_dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental NEAR-dup ingestion dedup
+    (operators/dedup.incremental_dedup_fuzzy): even doc_ids form the
+    persistent MinHash signature store (signature_store_rows), odd
+    doc_ids arrive as the new batch. The fixture has no cross-doc
+    near-duplicates, so the query CONSTRUCTS them: odd ids ≡ 1 (mod 5)
+    take their even predecessor's text plus a 3-token tail (a near-dup
+    of a STORED doc), odd ids ≡ 7 (mod 10) copy the text of batch doc
+    id-2 (a dup of an EARLIER batch doc, exercising keep-first). The
+    oracle recomputes the identical portable signatures, band keys,
+    and signature-equality Jaccard estimates in DuckDB, so the check
+    is exact — survivors AND their sig0 component must match."""
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    base_new = docs.where(F.col("doc_id") % 2 == 1)
+    de = docs.select(
+        (F.col("doc_id") + 1).alias("_nid"), F.col("text").alias("_dtext")
+    )
+    do = docs.select(
+        (F.col("doc_id") + 2).alias("_pid"), F.col("text").alias("_ptext")
+    )
+    new = (
+        base_new.join(de, base_new.doc_id == de._nid, "left")
+        .join(do, base_new.doc_id == do._pid, "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 1,
+                F.coalesce(
+                    F.concat(F.col("_dtext"), F.lit(" graft extra tail")),
+                    F.col("text"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 10 == 7,
+                F.coalesce(F.col("_ptext"), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    sig = dd.minhash_signatures(seen)
+    docsigs = sig.select(
+        "doc", F.array(*[F.col(f"sig{i}") for i in range(16)]).alias("sigs")
+    )
+    store = dd.signature_store_rows(docsigs)
+    kept = dd.incremental_dedup_fuzzy(new, store, threshold=0.5)
+    return kept.select(
+        "doc_id", F.element_at("sigs", 1).alias("sig0")
+    ).orderBy("doc_id")
+
+
+def _sig_ctes_for(src: str, p: str, num_hashes: int = 16) -> str:
+    """toks/grams/shingle-hash/sigs CTE chain (prefix ``p``) over an
+    arbitrary (doc_id, text) relation ``src`` — the portable MinHash
+    pipeline parameterized so the fuzzy-incremental oracle can run it
+    over both the constructed batch and the store side."""
+    params = minhash_params(num_hashes, 42)
+    sig_exprs = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS sig{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    split = (
+        "string_split_regex(lower(translate(text, '.,?:;!\"', '       ')), "
+        "'\\s+')"
+    )
+    return f"""{p}toks AS (
+      SELECT doc_id, word, i FROM (
+        SELECT doc_id, unnest({split}) AS word,
+               generate_subscripts({split}, 1) AS i
+        FROM {src}
+      ) WHERE word <> ''
+    ),
+    {p}grams AS (
+      SELECT doc_id,
+             word || ' ' || LEAD(word, 1) OVER w || ' ' ||
+             LEAD(word, 2) OVER w AS gram
+      FROM {p}toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    {p}hashed AS (
+      SELECT doc_id AS doc, {_H32.format(x='gram')} AS h
+      FROM {p}grams WHERE gram IS NOT NULL
+    ),
+    {p}sigs AS (SELECT doc, {sig_exprs} FROM {p}hashed GROUP BY doc)"""
+
+
+def _fuzzy_incr_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    def bands_sql(p: str) -> str:
+        cols = ", ".join(f"sig{i}" for i in range(num_hashes))
+        return " UNION ALL ".join(
+            "SELECT {bi} AS band, concat_ws('_', {keys}) AS key, doc, {cols}"
+            " FROM {p}sigs".format(
+                bi=bi,
+                keys=", ".join(f"sig{bi * rows + r}" for r in range(rows)),
+                cols=cols,
+                p=p,
+            )
+            for bi in range(bands)
+        )
+    est = " + ".join(
+        f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH newdocs AS (
+      SELECT n.doc_id,
+             CASE WHEN n.doc_id % 5 = 1
+                    THEN COALESCE(d.text || ' graft extra tail', n.text)
+                  WHEN n.doc_id % 10 = 7
+                    THEN COALESCE(p.text, n.text)
+                  ELSE n.text END AS text
+      FROM documents n
+      LEFT JOIN documents d ON d.doc_id + 1 = n.doc_id
+      LEFT JOIN documents p ON p.doc_id + 2 = n.doc_id
+      WHERE n.doc_id % 2 = 1
+    ),
+    seendocs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    {_sig_ctes_for('newdocs', 'n_')},
+    {_sig_ctes_for('seendocs', 's_')},
+    n_bands AS ({bands_sql('n_')}),
+    s_bands AS ({bands_sql('s_')}),
+    hit_store AS (
+      SELECT DISTINCT a.doc
+      FROM n_bands a JOIN s_bands b
+        ON a.band = b.band AND a.key = b.key
+      WHERE ({est}) / {float(num_hashes)} >= 0.5
+    ),
+    hit_batch AS (
+      SELECT DISTINCT a.doc
+      FROM n_bands a JOIN n_bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc > b.doc
+      WHERE ({est}) / {float(num_hashes)} >= 0.5
+    )
+    SELECT n.doc_id, ns.sig0 AS sig0
+    FROM newdocs n LEFT JOIN n_sigs ns ON ns.doc = n.doc_id
+    WHERE n.doc_id NOT IN (SELECT doc FROM hit_store)
+      AND n.doc_id NOT IN (SELECT doc FROM hit_batch)
+    ORDER BY doc_id
+"""
+
+
 def ext_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture report: ROLLUP over (source, lang) with document
     counts and BPE-ish token totals — the table a data-mixture plan is
@@ -2398,6 +2542,7 @@ EXT_QUERIES = {
     "ext_sample_quality_mix": ext_sample_quality_mix,
     "ext_dedup_canonical": ext_dedup_canonical,
     "ext_dedup_incremental": ext_dedup_incremental,
+    "ext_dedup_incremental_fuzzy": ext_dedup_incremental_fuzzy,
     "ext_corpus_report": ext_corpus_report,
     "ext_text_tfidf": ext_text_tfidf,
     "ext_text_boilerplate": ext_text_boilerplate,
@@ -2450,6 +2595,7 @@ EXT_ORACLES = {
     "ext_sample_quality_mix": _quality_mix_oracle(),
     "ext_dedup_canonical": _canonical_oracle(),
     "ext_dedup_incremental": _INCR_DEDUP_SQL,
+    "ext_dedup_incremental_fuzzy": _fuzzy_incr_oracle(),
     "ext_corpus_report": _CORPUS_REPORT_SQL,
     "ext_text_tfidf": _TFIDF_SQL,
     "ext_text_boilerplate": _BOILERPLATE_SQL,

@@ -1207,3 +1207,47 @@ def test_pagerank_dangling_conserves_mass(spark):
     # naive dq17 on the full graph sums below 1 only via float noise;
     # the dangling variant must not collapse to uniform either
     assert max(rows.values()) > 2 * min(rows.values())
+
+
+def test_incremental_dedup_fuzzy_semantics(spark):
+    """Fuzzy ingest dedup: near-dups of STORED docs drop, near-dups of
+    EARLIER batch docs drop (keep-first), fresh and short-text docs
+    survive; survivors carry signatures for the store upsert."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.operators.dedup import (
+        incremental_dedup_fuzzy,
+        minhash_signatures,
+        signature_store_rows,
+    )
+
+    base = " ".join(f"tok{i} word{i} item{i}" for i in range(40))
+    seen = spark.createDataFrame(
+        [(100, base), (101, "unrelated " + " ".join(f"z{i}" for i in range(60)))],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(seen)
+    docsigs = sig.select(
+        "doc", F.array(*[F.col(f"sig{i}") for i in range(16)]).alias("sigs")
+    )
+    store = signature_store_rows(docsigs)
+    new = spark.createDataFrame(
+        [
+            (1, base + " extra trailing words"),  # near-dup of stored 100 -> drop
+            (2, " ".join(f"fresh{i} new{i}" for i in range(50))),  # keep
+            (3, " ".join(f"fresh{i} new{i}" for i in range(50)) + " tail"),
+            # ^ near-dup of EARLIER batch doc 2 -> drop (keep-first)
+            (4, "hi"),  # too short for 3-gram shingles -> must survive
+        ],
+        ["doc_id", "text"],
+    )
+    kept = incremental_dedup_fuzzy(new, store, threshold=0.5)
+    rows = {r["doc_id"]: r for r in kept.collect()}
+    assert sorted(rows) == [2, 4], sorted(rows)
+    assert rows[2]["sigs"] is not None
+    assert rows[4]["sigs"] is None  # no shingles, no signature
+    # upsert rows: only docs WITH signatures contribute store rows
+    upsert = signature_store_rows(
+        kept.select(F.col("doc_id").alias("doc"), "sigs")
+    )
+    assert upsert.groupBy("doc").count().count() == 1  # doc 2 only

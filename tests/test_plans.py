@@ -151,7 +151,8 @@ def test_no_unbounded_driver_actions_in_operator_sources():
         # which a partial take/first would corrupt)
         "pregel.py": {".first()", ".count()"},
         "similarity.py": {".first()"},  # dim=None fallback only
-        "dedup.py": {".count()"},  # max_doc_freq opt-in document-frequency pass
+        # dedup.py: NO driver actions — the max_doc_freq corpus count
+        # is in-plan as a broadcast 1-row relation since round 5
         # bpe_train's per-pass merge-rule batch: LIMIT batch_limit (64)
         # rows — driver-sized by construction; the greedy rule sequence
         # is the algorithm's sequential part
@@ -418,3 +419,44 @@ def test_binned_range_join_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_incremental_fuzzy_bucketed_store_no_store_exchange(spark):
+    """incremental_dedup_fuzzy against a signature store bucketed on
+    (band, key) must co-locate the probe join with ZERO store-side
+    exchange: the bucketed plan carries exactly one fewer Exchange
+    than the same probe against an unbucketed store."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.dedup import (
+        incremental_dedup_fuzzy,
+        minhash_signatures,
+        signature_store_rows,
+    )
+    from remap_spark.plans import explain_str
+    from remap_spark.sources import write_bucketed_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    sig = minhash_signatures(old)
+    docsigs = sig.select(
+        "doc", F.array(*[F.col(f"sig{i}") for i in range(16)]).alias("sigs")
+    )
+    store = signature_store_rows(docsigs)
+    write_bucketed_table(store, "sig_store_b", ["band", "key"], 8)
+    store.write.mode("overwrite").saveAsTable("sig_store_flat")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        n_bucketed = explain_str(
+            incremental_dedup_fuzzy(new, spark.table("sig_store_b")), "simple"
+        ).count("Exchange")
+        n_flat = explain_str(
+            incremental_dedup_fuzzy(new, spark.table("sig_store_flat")),
+            "simple",
+        ).count("Exchange")
+        assert n_bucketed == n_flat - 1, (n_bucketed, n_flat)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

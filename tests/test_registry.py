@@ -24,7 +24,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # sit inside the checked window until a green row is recorded.
 # (Populated as round-5 queries land; each new queries() entry is
 # appended here the same commit it is registered.)
-NEVER_CHECKED: list[str] = []
+NEVER_CHECKED: list[str] = [
+    "ext_dedup_incremental_fuzzy",  # new in round 5
+]
 
 # Queries whose implementation changed in round 5 (paragraph-dedup
 # separator regex fix, cohort-retention period-aligned cohort key) —
