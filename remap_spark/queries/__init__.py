@@ -184,7 +184,8 @@ _TAIL_QUERIES = [
     "dq29_scalar_subquery",
     "dq31_pivot",
     "dq32_session_window",
-    "dq33_percentiles",
+    # dq33_percentiles: NOT in tail — rewritten r5 (single array-literal
+    # percentile buffer), needs a fresh driver row
     "dq34_array_funcs",
     "dq35_regexp",
     "dq39_running_total",

@@ -693,14 +693,22 @@ def dq33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (linear interpolation, same formula as SQL PERCENTILE_CONT
     / DuckDB quantile_cont) so the oracle can hash-match. The 100 TB
     path is approx_percentile (t-digest sketch, one pass, mergeable
-    partials) — same call shape, no global sort of the group."""
+    partials) — same call shape, no global sort of the group.
+
+    Both percentiles come from ONE array-literal percentile aggregate:
+    two scalar percentile() calls each buffer the full value stream
+    per group, so the single-buffer form measured ~40% faster at sf0.1
+    (3.0 s -> 1.9 s fresh-session; see BASELINE.md dq33 note)."""
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-            F.count("*").alias("cnt"),
+        .agg(pcts.alias("_p"), F.count("*").alias("cnt"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("_p", 1), 4).alias("p50"),
+            F.round(F.element_at("_p", 2), 4).alias("p90"),
+            "cnt",
         )
         .orderBy("l_returnflag")
     )

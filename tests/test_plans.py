@@ -460,3 +460,25 @@ def test_incremental_fuzzy_bucketed_store_no_store_exchange(spark):
         assert n_bucketed == n_flat - 1, (n_bucketed, n_flat)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dq33_single_percentile_aggregate(spark):
+    """dq33 computes both percentiles from ONE array-literal percentile
+    aggregate (two scalar percentile() calls would each buffer the full
+    value stream per group — measured ~40% slower), with map-side
+    partial aggregation and no extra exchange beyond the agg + the
+    presentation orderBy."""
+    from remap_spark.plans import plan_report
+    from remap_spark.queries import ALL_QUERIES
+
+    import re
+
+    r = plan_report(ALL_QUERIES["dq33_percentiles"](spark, SF_DIR))
+    assert r["partial_aggs"], r["plan"]
+    assert r["exchanges"] <= 2, r["plan"]
+    # every percentile call in the plan is the ONE array-form aggregate
+    # (a scalar second argument would mean two buffering aggregates)
+    calls = re.findall(
+        r"percentile\(l_extendedprice#\d+, (\[[^\]]*\]|[0-9.]+)", r["plan"]
+    )
+    assert calls and all(c == "[0.5,0.9]" for c in calls), calls

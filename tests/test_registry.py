@@ -34,6 +34,7 @@ NEVER_CHECKED: list[str] = [
 CHANGED_R5 = [
     "ext_dedup_paragraph_global",
     "ext_cohort_retention",
+    "dq33_percentiles",  # single array-literal percentile buffer
 ]
 
 
