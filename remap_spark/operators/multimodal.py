@@ -169,6 +169,253 @@ def _decode_png(blob: bytes):
     return w, h, _rgb_features(px)
 
 
+def _jpeg_zigzag():
+    """The JPEG zigzag coefficient order (ISO 10918-1 Figure 5) derived
+    rather than transcribed: diagonals by r+c, even diagonals walked
+    down-left (by column), odd diagonals up-right (by row)."""
+    return sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[1] if (rc[0] + rc[1]) % 2 == 0 else rc[0],
+        ),
+    )
+
+
+def _dct_basis():
+    """Orthonormal 8-point DCT-II basis matrix M (M @ M.T = I):
+    spatial = M.T @ coefs @ M, coefs = M @ spatial @ M.T."""
+    import numpy as np
+
+    u = np.arange(8).reshape(-1, 1)
+    x = np.arange(8).reshape(1, -1)
+    m = np.cos((2 * x + 1) * u * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    m[0] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+def _build_huff(counts, symbols):
+    """Canonical Huffman table (JPEG DHT): {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment, honoring
+    0xFF00 byte stuffing; restart markers are consumed explicitly via
+    restart(). Any other marker mid-stream raises (corrupt input)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos = buf, pos
+        self.cur, self.nbits = 0, 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            b = self.buf[self.pos]
+            if b == 0xFF:
+                if self.buf[self.pos + 1] != 0x00:
+                    raise ValueError("marker inside entropy data")
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.cur, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+    def receive_extend(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+    def restart(self) -> None:
+        self.nbits = 0  # discard partial byte (encoder pads to align)
+        if self.buf[self.pos] != 0xFF or not (
+            0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _decode_jpeg(blob: bytes):
+    """REAL image decode for baseline sequential JPEG (SOF0/SOF1,
+    Huffman) — pure stdlib struct + numpy, no imaging library: marker
+    parse (DQT/DHT/SOF/DRI/SOS), per-MCU Huffman entropy decode with
+    byte stuffing and restart markers, dequantize, de-zigzag, 8x8 IDCT
+    via the orthonormal DCT basis, per-factor chroma upsampling,
+    BT.601 YCbCr->RGB (grayscale replicates Y). Progressive (SOF2),
+    arithmetic coding, hierarchical, and 12-bit frames raise and fall
+    to the caller's fake/raise path. Returns (width, height, 8-float
+    features) with the _decode_bmp feature contract."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG signature")
+    qt: dict = {}
+    huff: dict = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    pos = 2
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", blob, pos)
+        data = blob[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        data, np.uint8, 64, i
+                    ).astype(np.int32)
+                    i += 64
+                else:
+                    qt[tq] = np.frombuffer(
+                        data[i : i + 128], ">u2"
+                    ).astype(np.int32)
+                    i += 128
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                i += 1
+                counts = list(data[i : i + 16])
+                i += 16
+                n = sum(counts)
+                huff[(tc, th)] = _build_huff(counts, list(data[i : i + n]))
+                i += n
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec = data[0]
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            h, w = struct.unpack_from(">HH", data, 1)
+            nc = data[5]
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = data[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG frame type 0x{marker:02x}")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data)
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan = [
+                (data[1 + 2 * i], data[2 + 2 * i] >> 4, data[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    w, h, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    max_h = max(hs for _, hs, _, _ in comps)
+    max_v = max(vs for _, _, vs, _ in comps)
+    if any(max_h % hs or max_v % vs for _, hs, vs, _ in comps):
+        raise ValueError("non-integer sampling ratio")
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    zz = _jpeg_zigzag()
+    m = _dct_basis()
+    planes = {
+        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
+        for cid, hs, vs, _ in comps
+    }
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    br = _JpegBits(blob, pos)
+    for mi in range(mcux * mcuy):
+        if restart_interval and mi and mi % restart_interval == 0:
+            br.restart()
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(mi, mcux)
+        for cid, td, ta in scan:
+            hs, vs, tq = by_id[cid]
+            for byi in range(vs):
+                for bxi in range(hs):
+                    s = br.huff(huff[(0, td)])
+                    pred[cid] += br.receive_extend(s)
+                    coefs = np.zeros(64, np.int64)
+                    coefs[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = br.huff(huff[(1, ta)])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        coefs[k] = br.receive_extend(s)
+                        k += 1
+                    deq = coefs * qt[tq]
+                    block = np.zeros((8, 8))
+                    for i, (r_, c_) in enumerate(zz):
+                        block[r_, c_] = deq[i]
+                    spatial = m.T @ block @ m + 128.0
+                    y0 = (my * vs + byi) * 8
+                    x0 = (mx * hs + bxi) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+    full = {}
+    for cid, hs, vs, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, max_v // vs, axis=0), max_h // hs, axis=1)
+        full[cid] = p[:h, :w]
+    if len(comps) == 1:
+        px = np.clip(np.stack([full[comps[0][0]]] * 3, axis=-1), 0, 255)
+    elif len(comps) == 3:
+        y = full[comps[0][0]]
+        cb = full[comps[1][0]] - 128.0
+        cr = full[comps[2][0]] - 128.0
+        px = np.clip(
+            np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=-1,
+            ),
+            0,
+            255,
+        )
+    else:
+        raise ValueError(f"unsupported component count {len(comps)}")
+    return w, h, _rgb_features(px)
+
+
 def _decode_wav(blob: bytes):
     """REAL audio decode for PCM WAV — stdlib ``wave`` + numpy, no
     audio library. Returns (n_frames, 8-float features): RMS,
@@ -206,12 +453,12 @@ def _decode_wav(blob: bytes):
 
 
 def _decode_image_impl(blob: bytes, fake: bool):
-    """Image decode with container sniffing: a real BMP blob ('BM'
-    magic) decodes NATIVELY (_decode_bmp — stdlib only), and a real
-    8-bit RGB/RGBA PNG decodes NATIVELY too (_decode_png — stdlib
-    zlib/struct); JPEG needs an imaging library this environment
-    lacks, so it falls to the deterministic md5 fake (fake=True) or
-    raises. The swap-in seam for Pillow is this dispatch alone."""
+    """Image decode with container sniffing: real BMP ('BM' magic),
+    8-bit RGB/RGBA PNG, and BASELINE JPEG (SOF0/SOF1 Huffman) all
+    decode NATIVELY (stdlib struct/zlib + numpy — no imaging library);
+    only progressive/arithmetic JPEG and exotic PNG subtypes fall to
+    the deterministic md5 fake (fake=True) or raise. The swap-in seam
+    for Pillow is this dispatch alone."""
     if blob[:2] == b"BM" and len(blob) >= 54:
         try:
             return _decode_bmp(blob)
@@ -227,12 +474,20 @@ def _decode_image_impl(blob: bytes, fake: bool):
             # unsupported subtype (16-bit, palette, interlaced) falls
             # through to the fake/raise path below
             pass
+    if blob[:2] == b"\xff\xd8":
+        try:
+            return _decode_jpeg(blob)
+        except Exception:
+            # progressive (SOF2), arithmetic, 12-bit, or corrupt falls
+            # through to the fake/raise path below
+            pass
     if not fake:
         raise NotImplementedError(
-            "compressed image decode (JPEG; exotic PNG subtypes) "
-            "requires an imaging library not present in this "
+            "progressive/arithmetic JPEG and exotic PNG subtypes "
+            "require an imaging library not present in this "
             "environment; pass fake=True for the deterministic stub "
-            "(uncompressed BMP and 8-bit RGB/RGBA PNG decode natively)"
+            "(uncompressed BMP, 8-bit RGB/RGBA PNG, and baseline "
+            "sequential JPEG decode natively)"
         )
     import hashlib
 

@@ -1251,3 +1251,226 @@ def test_incremental_dedup_fuzzy_semantics(spark):
         kept.select(F.col("doc_id").alias("doc"), "sigs")
     )
     assert upsert.groupBy("doc").count().count() == 1  # doc 2 only
+
+
+def _jpeg_enc_tables():
+    """Canonical Huffman tables for the test encoder: every symbol at
+    code length 8 (valid canonical assignment, never reaches the
+    all-ones code). Returns (dc_map, ac_map, dc_dht, ac_dht)."""
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    def canon(symbols):
+        return {sym: (i, 8) for i, sym in enumerate(symbols)}
+    def dht(symbols):
+        counts = [0] * 16
+        counts[7] = len(symbols)
+        return bytes(counts) + bytes(symbols)
+    return canon(dc_syms), canon(ac_syms), dht(dc_syms), dht(ac_syms)
+
+
+class _JpegBW:
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0)
+                self.acc, self.n = 0, 0
+
+    def align(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _mag(v):
+    s = int(abs(v)).bit_length()
+    code = v if v >= 0 else v + (1 << s) - 1
+    return s, code
+
+
+def _make_jpeg(rows, subsample=False, restart_interval=0, gray=False):
+    """Baseline JPEG encoder for tests: quant tables all ones, custom
+    canonical Huffman tables, optional 4:2:0 subsampling / restart
+    markers / single-component grayscale. Dimensions must be multiples
+    of the MCU size (8, or 16 when subsampled)."""
+    import struct
+
+    import numpy as np
+
+    from remap_spark.operators.multimodal import _dct_basis, _jpeg_zigzag
+
+    m, zz = _dct_basis(), _jpeg_zigzag()
+    h = len(rows)
+    w = len(rows[0])
+    px = np.array(rows, dtype=np.float64)
+    if gray:
+        planes = [px]
+        comps = [(1, 1, 1, 0)]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        planes = [y, cb, cr]
+    dc_map, ac_map, dc_dht, ac_dht = _jpeg_enc_tables()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xDB, bytes([0x01]) + bytes([1] * 64))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + dc_dht)
+    out += seg(0xC4, bytes([0x10]) + ac_dht)
+    out += seg(0xC4, bytes([0x01]) + dc_dht)
+    out += seg(0xC4, bytes([0x11]) + ac_dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for i, (cid, _, _, _) in enumerate(comps):
+        td = 0 if i == 0 else 1
+        sos += bytes([cid, (td << 4) | td])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    max_h = max(hs for _, hs, _, _ in comps)
+    max_v = max(vs for _, _, vs, _ in comps)
+    mcux, mcuy = w // (8 * max_h), h // (8 * max_v)
+    bw = _JpegBW()
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    rst = 0
+    for mi in range(mcux * mcuy):
+        if restart_interval and mi and mi % restart_interval == 0:
+            bw.align()
+            bw.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(mi, mcux)
+        for pi, (cid, hs, vs, _) in enumerate(comps):
+            plane = planes[pi]
+            for byi in range(vs):
+                for bxi in range(hs):
+                    y0 = (my * vs + byi) * 8
+                    x0 = (mx * hs + bxi) * 8
+                    block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coefs = m @ block @ m.T
+                    q = [int(round(coefs[r_, c_])) for r_, c_ in zz]
+                    dcm, acm = dc_map, ac_map
+                    s, code = _mag(q[0] - pred[cid])
+                    pred[cid] = q[0]
+                    c8, l8 = dcm[s]
+                    bw.put(c8, l8)
+                    bw.put(code, s)
+                    run = 0
+                    last_nz = max(
+                        (k for k in range(1, 64) if q[k]), default=0
+                    )
+                    for k in range(1, last_nz + 1):
+                        if q[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c8, l8 = acm[0xF0]
+                            bw.put(c8, l8)
+                            run -= 16
+                        s, code = _mag(q[k])
+                        c8, l8 = acm[(run << 4) | s]
+                        bw.put(c8, l8)
+                        bw.put(code, s)
+                        run = 0
+                    if last_nz < 63:
+                        c8, l8 = acm[0x00]
+                        bw.put(c8, l8)
+    bw.align()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multimodal_real_jpeg_decode(spark):
+    """Baseline sequential JPEG decodes NATIVELY (stdlib + numpy
+    Huffman/IDCT) — the fake is narrowed to progressive/arithmetic
+    JPEG. Covers 4:4:4 color, 4:2:0 subsampling, grayscale, restart
+    markers, and the production mapInPandas path."""
+    import pytest
+
+    from remap_spark.operators.multimodal import (
+        _decode_image_impl,
+        _decode_jpeg,
+        image_features,
+    )
+
+    # solid color 8x8, 4:4:4 — decoded means must hit the color
+    solid = [[(200, 80, 40)] * 8 for _ in range(8)]
+    w, h, feats = _decode_jpeg(_make_jpeg(solid))
+    assert (w, h) == (8, 8)
+    assert feats[0] == pytest.approx(200 / 255, abs=0.02)
+    assert feats[1] == pytest.approx(80 / 255, abs=0.02)
+    assert feats[2] == pytest.approx(40 / 255, abs=0.02)
+
+    # two-tone 16x8 (left block black, right white): mean lum ~0.5
+    two = [[(0, 0, 0)] * 8 + [(255, 255, 255)] * 8 for _ in range(8)]
+    w, h, feats = _decode_jpeg(_make_jpeg(two))
+    assert (w, h) == (16, 8)
+    assert feats[3] == pytest.approx(0.5, abs=0.02)  # mean lum
+    assert feats[7] == pytest.approx(0.5, abs=0.02)  # bright fraction
+
+    # horizontal gradient 8x8: mean R ~ average of the ramp
+    grad = [[(i * 32, i * 16, i * 8) for i in range(8)] for _ in range(8)]
+    _, _, feats = _decode_jpeg(_make_jpeg(grad))
+    assert feats[0] == pytest.approx(sum(i * 32 for i in range(8)) / 8 / 255, abs=0.02)
+
+    # 4:2:0 subsampled 16x16 solid
+    solid2 = [[(60, 120, 180)] * 16 for _ in range(16)]
+    w, h, feats = _decode_jpeg(_make_jpeg(solid2, subsample=True))
+    assert (w, h) == (16, 16)
+    assert feats[0] == pytest.approx(60 / 255, abs=0.02)
+    assert feats[2] == pytest.approx(180 / 255, abs=0.02)
+
+    # grayscale single component
+    g = [[90] * 8 for _ in range(8)]
+    w, h, feats = _decode_jpeg(_make_jpeg(g, gray=True))
+    assert (w, h) == (8, 8)
+    assert feats[0] == pytest.approx(90 / 255, abs=0.02)
+    assert feats[4] == pytest.approx(0.0, abs=0.01)  # lum std
+
+    # restart markers: 32x8 with DRI=2 (predictors reset per interval)
+    wide = [[(i * 8 % 256,) * 3 for i in range(32)] for _ in range(8)]
+    w, h, feats = _decode_jpeg(_make_jpeg(wide, restart_interval=2))
+    assert (w, h) == (32, 8)
+    exp_r = sum(i * 8 % 256 for i in range(32)) / 32 / 255
+    assert feats[0] == pytest.approx(exp_r, abs=0.02)
+
+    # production mapInPandas path with fake=False
+    df = spark.createDataFrame(
+        [(1, _make_jpeg(solid))], "media_id bigint, media binary"
+    )
+    row = image_features(df, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (8, 8)
+    assert row["features"][0] == pytest.approx(200 / 255, abs=0.02)
+
+    # progressive (SOF2) header must fall to the fake / raise
+    prog = bytearray(_make_jpeg(solid))
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    w, h, f8 = _decode_image_impl(bytes(prog), fake=True)
+    assert (w, h) == (4, 4) and len(f8) == 8
+    with pytest.raises(NotImplementedError):
+        _decode_image_impl(bytes(prog), fake=False)
