@@ -175,16 +175,39 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's LSH
-    bucket. Recall < 1 by construction; raise recall with multi-probe
-    (fewer planes) or multiple tables (different seeds) — at 100 TB
-    this turns a full-corpus scan per query into a bucket lookup."""
-    qb = F.broadcast(
+    bucket. Recall < 1 by construction; ``probe_hamming=1`` enables
+    MULTI-PROBE — each query additionally probes every bucket whose
+    sign signature differs by one bit (the n_planes nearest buckets,
+    where a near-neighbor most likely lands when a single hyperplane
+    margin was crossed) — lifting recall at fixed n_planes for a
+    bounded (n_planes+1)x candidate growth. The probe expansion lives
+    on the broadcast QUERY side (an explode of xor'd bucket ids), so
+    the corpus is still bucketed once and never rescanned; each
+    candidate sits in exactly one bucket and probed buckets are
+    distinct, so no pair is scored twice. At 100 TB this turns a
+    full-corpus scan per query into n_planes+1 bucket lookups."""
+    qsig = (
         lsh_bucket_signatures(queries, vec_col, id_col, n_planes, seed, dim)
         .withColumnRenamed("vec_id", "query_id")
         .withColumnRenamed("vec", "qv")
     )
+    if probe_hamming >= 1:
+        # Hamming<=1 perturbations; higher orders grow combinatorially
+        # and are better served by a second hash table (different seed)
+        masks = [0] + [1 << i for i in range(n_planes)]
+        qsig = qsig.select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.array(
+                    *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ).alias("bucket"),
+        )
+    qb = F.broadcast(qsig)
     cb = lsh_bucket_signatures(candidates, vec_col, id_col, n_planes, seed, dim)
     scored = (
         qb.join(cb, "bucket")

@@ -333,10 +333,14 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     path for ext_ann_topk: candidates come only from the query's sign
     bucket, turning a full-corpus scan per query into a bucket join.
     The oracle replays the identical hyperplanes as SQL literals, so
-    recall loss vs brute force is deterministic and hash-checked."""
+    recall loss vs brute force is deterministic and hash-checked.
+    probe_hamming=1 (round 5): each query also probes the n_planes
+    Hamming-1 buckets, mirrored in the oracle with an xor mask list."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    topk = sim.cosine_topk_lsh(queries, emb, k=10, n_planes=8, seed=42, dim=64)
+    topk = sim.cosine_topk_lsh(
+        queries, emb, k=10, n_planes=8, seed=42, dim=64, probe_hamming=1
+    )
     return topk.select(
         "query_id",
         F.col("rank").cast("bigint").alias("rank"),
@@ -347,6 +351,7 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
     planes = sim._hyperplanes(dim, n_planes, seed)
+    masks = ", ".join(str(m) for m in [0] + [1 << i for i in range(n_planes)])
     bucket = " + ".join(
         "(CASE WHEN list_dot_product(v, [{vals}]) >= 0 THEN {w} ELSE 0 END)".format(
             vals=", ".join(repr(x) for x in p), w=1 << i
@@ -356,7 +361,13 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+    q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+    q AS (
+      SELECT query_id, qv, xor(bucket, m.mask) AS bucket
+      FROM q0 CROSS JOIN (
+        SELECT unnest([{masks}]) AS mask
+      ) m
+    ),
     scored AS (
       SELECT q.query_id, c.vec_id,
              {_COS.format(a='q.qv', b='c.v')} AS cosine
