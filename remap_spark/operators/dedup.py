@@ -397,35 +397,18 @@ def span_duplication(
     )
 
 
-def remove_duplicate_spans(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 5,
-    min_docs: int = 2,
-) -> DataFrame:
-    """Exact-substring dedup with REMOVAL — the action step of Lee et
-    al. 2022 that ``span_duplication`` only scores: every token covered
-    by a k-token window occurring in >= ``min_docs - 1`` OTHER
-    documents is dropped, and each document's text is rebuilt from the
-    surviving tokens in order. Because any duplicated span of length
-    >= k is tiled by its k-windows, this removes full cross-document
-    boilerplate spans (the suffix-array formulation finds max-length
-    spans exactly; fixed-k tiling is the standard distributed
-    relaxation and removes a superset of every >=k duplicated span).
-    Returns (doc, text, n_tokens, n_removed) for documents with >= 1
-    token.
-
-    Shape: the positional token stream (posexplode over an id-hash
-    repartition) is eagerly cut once — it feeds the gram build and the
-    final rebuild. Gram starts ship as 60-bit hashes; the
-    duplicated-gram set comes from a partial-aggregated distinct-doc
-    count (no gram-keyed window — same skew reasoning as
-    span_duplication) and is joined back to gram START POSITIONS;
-    coverage explodes only the DUPLICATED starts k-fold, stays keyed
-    by (doc, pos), and the rebuild is one per-doc aggregation reusing
-    the id-hash partitioning. Everything is corpus-proportional; the
-    k-fold explode touches only duplicated material."""
+def _covered_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int, min_docs: int
+):
+    """Shared stream under the exact-substring-dedup action operators:
+    (toks, covered) where ``toks`` is the positional token stream
+    (doc, i, w) over an id-hash repartition (eagerly checkpointed —
+    it feeds the gram build and the caller's rebuild/merge) and
+    ``covered`` is the distinct (doc, i, _cov=1) set of token
+    positions tiled by any k-window occurring in >= min_docs
+    documents. See remove_duplicate_spans for the full scale
+    rationale (hashed gram keys, partial-agg dup count, no gram-keyed
+    window, k-fold explode of duplicated starts only)."""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
@@ -471,6 +454,77 @@ def remove_duplicate_spans(
         .distinct()
         .withColumn("_cov", F.lit(1))
     )
+    return toks, covered
+
+
+def duplicate_span_lengths(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated spans — the variable-length fidelity step of
+    exact-substring dedup (Lee et al. 2022): adjacent/overlapping
+    duplicated k-windows are merged into maximal contiguous runs, so
+    every cross-document duplicated span of length >= k surfaces as
+    ONE row with its start position and total length (the suffix-array
+    formulation's span list, recovered from the fixed-k tiling since a
+    length-L duplicated span is tiled by L-k+1 windows that merge back
+    into one run). Returns (doc, span_start, span_len).
+
+    Shape: the covered-position stream of remove_duplicate_spans, then
+    a gaps-and-islands merge — one doc-keyed row_number window (i -
+    rank is constant within a contiguous run) and one (doc, island)
+    aggregate, both reusing the id-hash partitioning; no extra
+    corpus-sized exchange beyond the shared covered build."""
+    from pyspark.sql.window import Window
+
+    _toks, covered = _covered_positions(df, text_col, id_col, k, min_docs)
+    w = Window.partitionBy("doc").orderBy("i")
+    islands = covered.select(
+        "doc", "i", (F.col("i") - F.row_number().over(w)).alias("_isl")
+    )
+    return (
+        islands.groupBy("doc", "_isl")
+        .agg(
+            F.min("i").alias("span_start"),
+            F.count("*").alias("span_len"),
+        )
+        .select("doc", "span_start", "span_len")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup with REMOVAL — the action step of Lee et
+    al. 2022 that ``span_duplication`` only scores: every token covered
+    by a k-token window occurring in >= ``min_docs - 1`` OTHER
+    documents is dropped, and each document's text is rebuilt from the
+    surviving tokens in order. Because any duplicated span of length
+    >= k is tiled by its k-windows, this removes full cross-document
+    boilerplate spans (the suffix-array formulation finds max-length
+    spans exactly; fixed-k tiling is the standard distributed
+    relaxation and removes a superset of every >=k duplicated span).
+    Returns (doc, text, n_tokens, n_removed) for documents with >= 1
+    token.
+
+    Shape: the positional token stream (posexplode over an id-hash
+    repartition) is eagerly cut once — it feeds the gram build and the
+    final rebuild. Gram starts ship as 60-bit hashes; the
+    duplicated-gram set comes from a partial-aggregated distinct-doc
+    count (no gram-keyed window — same skew reasoning as
+    span_duplication) and is joined back to gram START POSITIONS;
+    coverage explodes only the DUPLICATED starts k-fold, stays keyed
+    by (doc, pos), and the rebuild is one per-doc aggregation reusing
+    the id-hash partitioning. Everything is corpus-proportional; the
+    k-fold explode touches only duplicated material."""
+    toks, covered = _covered_positions(df, text_col, id_col, k, min_docs)
     marked = toks.join(covered, ["doc", "i"], "left")
     kept_words = F.transform(
         F.array_sort(

@@ -1992,6 +1992,56 @@ _SPAN_REMOVAL_SQL = f"""
 """
 
 
+def ext_dedup_span_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans (operators/dedup.duplicate_span_
+    lengths): adjacent duplicated 5-token windows merged into maximal
+    contiguous runs with start + length — the variable-length span
+    list of Lee et al.'s suffix-array formulation, recovered from the
+    fixed-k tiling. Oracle: the same positional CTE chain as
+    ext_dedup_span_removal up to the covered set, then a
+    gaps-and-islands merge (pos - ROW_NUMBER)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.duplicate_span_lengths(docs, k=5, min_docs=2)
+    return out.select(
+        F.col("doc").alias("doc_id"), "span_start", "span_len"
+    ).orderBy("doc_id", "span_start")
+
+
+_SPAN_LENGTHS_SQL = f"""
+    WITH {_TOKS},
+    t AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+      FROM toks
+    ),
+    g5 AS (
+      SELECT doc_id, pos, {_SPAN_GRAM} AS gram
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS g
+      FROM g5 WHERE gram IS NOT NULL
+    ),
+    dup AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM sh)
+      GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT sh.doc_id, sh.pos + r.u AS pos
+      FROM sh JOIN dup USING (g) CROSS JOIN range(5) AS r(u)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM cov
+    )
+    SELECT doc_id, MIN(pos) AS span_start, COUNT(*) AS span_len
+    FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
 def ext_dedup_paragraph_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide segment dedup (operators/dedup.dedup_paragraphs_
     global): a line occurring anywhere else in the corpus survives only
@@ -2567,6 +2617,7 @@ EXT_QUERIES = {
     "ext_text_lm_score": ext_text_lm_score,
     "ext_dedup_span": ext_dedup_span,
     "ext_dedup_span_removal": ext_dedup_span_removal,
+    "ext_dedup_span_lengths": ext_dedup_span_lengths,
     "ext_dedup_paragraph_global": ext_dedup_paragraph_global,
     "ext_source_cap": ext_source_cap,
     "ext_dedup_bloom": ext_dedup_bloom,
@@ -2620,6 +2671,7 @@ EXT_ORACLES = {
     "ext_text_lm_score": _LM_SCORE_SQL,
     "ext_dedup_span": _SPAN_SQL,
     "ext_dedup_span_removal": _SPAN_REMOVAL_SQL,
+    "ext_dedup_span_lengths": _SPAN_LENGTHS_SQL,
     "ext_dedup_paragraph_global": _PARA_GLOBAL_SQL,
     "ext_source_cap": _SOURCE_CAP_SQL,
     "ext_dedup_bloom": _bloom_oracle(),

@@ -26,6 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # appended here the same commit it is registered.)
 NEVER_CHECKED: list[str] = [
     "ext_dedup_incremental_fuzzy",  # new in round 5
+    "ext_dedup_span_lengths",  # new in round 5
 ]
 
 # Queries whose implementation changed in round 5 (paragraph-dedup
@@ -35,6 +36,7 @@ CHANGED_R5 = [
     "ext_dedup_paragraph_global",
     "ext_cohort_retention",
     "dq33_percentiles",  # single array-literal percentile buffer
+    "ext_ann_lsh",  # multi-probe (Hamming-1) bucket expansion
 ]
 
 
