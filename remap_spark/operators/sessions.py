@@ -212,11 +212,29 @@ def funnel_stage_times(
             ).alias("_evs")
         )
     )
+    fold = stage_fold_expr(steps, window_us)
+    return per_user.select(F.col(user_col), fold.alias("stage_ts"))
+
+
+def stage_fold_expr(
+    steps: Sequence[str], window_us: int, evs_col: str = "_evs"
+):
+    """The greedy funnel fold as a Column over a (ts, eid, et)-struct
+    array sorted by (ts, eid): K nullable epoch-us stage slots, slot i
+    filled by the first event of stage i arriving after slot i-1 was
+    set and within ``window_us`` of the stage-1 anchor. Shared by
+    funnel_stage_times and pipeline compositions that already hold the
+    per-user sorted event array (ext_pipeline_analytics folds it inside
+    an existing user-keyed aggregate — no second shuffle)."""
+    from ..functions import epoch_us
+
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
     init = F.array_repeat(F.lit(None).cast("bigint"), k)
     # old-acc semantics: one event can satisfy only its own stage (the
     # previous stage must have been reached by an EARLIER event)
-    fold = F.aggregate(
-        "_evs",
+    return F.aggregate(
+        evs_col,
         init,
         lambda acc, e: F.transform(
             acc,
@@ -239,7 +257,6 @@ def funnel_stage_times(
             ),
         ),
     )
-    return per_user.select(F.col(user_col), fold.alias("stage_ts"))
 
 
 def funnel(

@@ -84,6 +84,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ext_funnel_conversion": relational.ext_funnel_conversion,
     "ext_cohort_retention": relational.ext_cohort_retention,
     "ext_active_users": relational.ext_active_users,
+    "ext_pipeline_analytics": relational.ext_pipeline_analytics,
 }
 
 ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}

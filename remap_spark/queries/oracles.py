@@ -617,3 +617,70 @@ def _profile_oracle() -> str:
 
 
 DQ_ORACLES["ext_profile_columns"] = _profile_oracle()
+
+# analytics composition: sessionize (gaps-and-islands) -> per-user
+# funnel stage via the v/c/p first-match chain -> epoch-aligned weekly
+# cohort; the fold's prefix semantics == stage membership chain
+DQ_ORACLES["ext_pipeline_analytics"] = """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN gap IS NULL OR gap > 1800000000
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM g
+    ),
+    nu AS (
+      SELECT user_id, MAX(session_id) AS n_sessions,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+      FROM s GROUP BY user_id
+    ),
+    v AS (
+      SELECT user_id, t, eid FROM (
+        SELECT user_id, ts AS t, event_id AS eid,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    c AS (
+      SELECT user_id, t, eid, vt FROM (
+        SELECT e.user_id, e.ts AS t, e.event_id AS eid, v.t AS vt,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (v.t, v.eid)
+          AND epoch_us(e.ts) - epoch_us(v.t) <= 172800000000
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (c.t, c.eid)
+        AND epoch_us(e.ts) - epoch_us(c.vt) <= 172800000000
+      GROUP BY e.user_id
+    ),
+    staged AS (
+      SELECT nu.user_id,
+             strftime(nu.d0 - CAST(date_diff('day', DATE '1970-01-01',
+                                             nu.d0) % 7 AS INTEGER),
+                      '%Y-%m-%d') AS cohort,
+             CAST(CASE WHEN nu.user_id IN (SELECT user_id FROM p) THEN 3
+                       WHEN nu.user_id IN (SELECT user_id FROM c) THEN 2
+                       WHEN nu.user_id IN (SELECT user_id FROM v) THEN 1
+                       ELSE 0 END AS BIGINT) AS stage_reached,
+             CAST(LEAST(FLOOR(nu.n_sessions / 10), 20) AS BIGINT) AS sess_bucket
+      FROM nu
+    )
+    SELECT cohort, stage_reached, sess_bucket, COUNT(*) AS n_users
+    FROM staged GROUP BY cohort, stage_reached, sess_bucket
+    ORDER BY cohort, stage_reached, sess_bucket
+"""

@@ -967,6 +967,59 @@ def ext_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(ev, window_days=7)
 
 
+def ext_pipeline_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics composition FLAGSHIP (the sessions twin of
+    ext_pipeline_curate): sessionize -> per-user funnel fold -> weekly
+    cohort, all inside ONE plan with a SINGLE user-keyed exchange —
+    the sessionize window's hash partitioning on user_id is reused by
+    the per-user aggregate (session count, first-seen day, sorted
+    event array for the greedy stage fold), so chaining the three
+    operators adds no extra user shuffle (pinned by
+    test_plans.test_pipeline_analytics_single_user_exchange). Reports
+    (cohort, stage_reached, sess_bucket, n_users): users per
+    epoch-aligned weekly cohort x funnel stage reached x decade
+    session-count bucket (floor(n/10), capped at 20)."""
+    from ..operators.sessions import sessionize, stage_fold_expr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sess = sessionize(ev)
+    per_user = sess.groupBy("user_id").agg(
+        F.max("session_id").alias("_ns"),
+        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("_d0"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("et"),
+                )
+            )
+        ).alias("_evs"),
+    )
+    fold = stage_fold_expr(FUNNEL_STEPS, FUNNEL_WINDOW_US)
+    off = F.pmod(
+        F.datediff(F.col("_d0"), F.to_date(F.lit("1970-01-01"))), F.lit(7)
+    )
+    staged = per_user.select(
+        F.date_format(
+            F.date_sub("_d0", off.cast("int")), "yyyy-MM-dd"
+        ).alias("cohort"),
+        F.size(F.filter(fold, lambda x: x.isNotNull()))
+        .cast("bigint")
+        .alias("stage_reached"),
+        F.least(F.floor(F.col("_ns") / 10), F.lit(20))
+        .cast("bigint")
+        .alias("sess_bucket"),
+    )
+    return (
+        staged.groupBy("cohort", "stage_reached", "sess_bucket")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort", "stage_reached", "sess_bucket")
+    )
+
+
 def dq43_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame (RANGE BETWEEN interval PRECEDING): per
     event_type, count+sum of events in the trailing 1 hour — the

@@ -482,3 +482,21 @@ def test_dq33_single_percentile_aggregate(spark):
         r"percentile\(l_extendedprice#\d+, (\[[^\]]*\]|[0-9.]+)", r["plan"]
     )
     assert calls and all(c == "[0.5,0.9]" for c in calls), calls
+
+
+def test_pipeline_analytics_single_user_exchange(spark):
+    """The analytics composition (sessionize -> per-user funnel fold ->
+    cohort rollup) must reuse the sessionize window's user_id hash
+    partitioning for the per-user aggregate: exactly ONE user-keyed
+    exchange in the whole plan (the report rollup and presentation
+    sort key on other columns)."""
+    import re
+
+    from remap_spark.plans import explain_str
+    from remap_spark.queries import ALL_QUERIES
+
+    plan = explain_str(
+        ALL_QUERIES["ext_pipeline_analytics"](spark, SF_DIR), "simple"
+    )
+    user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) == 1, plan

@@ -27,6 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NEVER_CHECKED: list[str] = [
     "ext_dedup_incremental_fuzzy",  # new in round 5
     "ext_dedup_span_lengths",  # new in round 5
+    "ext_pipeline_analytics",  # new in round 5
 ]
 
 # Queries whose implementation changed in round 5 (paragraph-dedup
