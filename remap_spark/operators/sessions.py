@@ -180,6 +180,53 @@ def rolling_active_users(
     )
 
 
+def rolling_active_users_approx(
+    df: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Sketch tier of ``rolling_active_users``: per-day HLL user
+    sketches (Apache DataSketches, hll_sketch_agg — mergeable, built
+    with map-side partial aggregation straight from RAW events, no
+    user-day distinct pass at all), k-fold expanded by DAY ROW (one
+    sketch per day feeds the next k days' windows) and merged with
+    hll_union_agg. Shuffle volume is O(days x k x 2^lg_k bytes) —
+    fully independent of user cardinality, where the exact tier ships
+    O(user-days x k) rows; this is the 100 TB WAU path. Typical error
+    ~1-2% at lg_k=12. Returns (day yyyy-MM-dd, dau_apx, wau_apx)."""
+    day_sk = (
+        df.select(
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("_d"),
+            F.col(user_col).alias("_u"),
+        )
+        .groupBy("_d")
+        .agg(F.hll_sketch_agg("_u", F.lit(lg_k)).alias("_sk"))
+        .localCheckpoint(eager=True)  # feeds dau, the expansion, and join
+    )
+    dau = day_sk.select(
+        "_d", F.hll_sketch_estimate("_sk").alias("dau_apx")
+    )
+    contrib = day_sk.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("_i"),
+        "_d",
+        "_sk",
+    ).select(F.expr("date_add(_d, _i)").alias("_d"), "_sk")
+    wau = contrib.groupBy("_d").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("wau_apx")
+    )
+    return (
+        dau.join(wau, "_d")
+        .select(
+            F.date_format("_d", "yyyy-MM-dd").alias("day"),
+            "dau_apx",
+            "wau_apx",
+        )
+        .orderBy("day")
+    )
+
+
 def funnel_stage_times(
     df: DataFrame,
     steps: Sequence[str],

@@ -85,6 +85,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ext_cohort_retention": relational.ext_cohort_retention,
     "ext_active_users": relational.ext_active_users,
     "ext_pipeline_analytics": relational.ext_pipeline_analytics,
+    "ext_active_users_approx": relational.ext_active_users_approx,
 }
 
 ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}
@@ -153,6 +154,7 @@ _TAIL_QUERIES = [
     "ext_source_cap",  # (sampler family)
     "ext_corpus_report",  # (profiler family: ext_profile_columns in window)
     "ext_corpus_diff",  # (profiler family)
+    "ext_text_vocab",  # (vocab family: sketch-twin pytest + text canaries)
     # r4-green, code unchanged since:
     "dq01_project",
     "dq02_filter",

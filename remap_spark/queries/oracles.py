@@ -684,3 +684,22 @@ DQ_ORACLES["ext_pipeline_analytics"] = """
     FROM staged GROUP BY cohort, stage_reached, sess_bucket
     ORDER BY cohort, stage_reached, sess_bucket
 """
+
+# WAU sketch tier: exact anchors + literal-TRUE bands (sketch values
+# are engine-specific), same contract as ext_approx_distinct
+DQ_ORACLES["ext_active_users_approx"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    contrib AS (
+      SELECT DISTINCT user_id, d + CAST(r.u AS INTEGER) AS d
+      FROM ud CROSS JOIN range(7) AS r(u)
+    ),
+    wau AS (SELECT d, COUNT(*) AS wau FROM contrib GROUP BY d)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau AS dau, wau.wau AS wau,
+           TRUE AS dau_ok, TRUE AS wau_ok
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+"""

@@ -967,6 +967,41 @@ def ext_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(ev, window_days=7)
 
 
+def ext_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU sketch tier (operators/sessions.rolling_active_users_approx):
+    per-day HLL user sketches merged over the trailing window — shuffle
+    independent of user cardinality, the 100 TB path for
+    ext_active_users. Sketch VALUES differ across engines, so the
+    driver contract is the error-band predicate (exact anchors from
+    the exact tier + booleans asserting the sketch within ±10%), like
+    ext_approx_distinct."""
+    from ..operators.sessions import (
+        rolling_active_users,
+        rolling_active_users_approx,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = rolling_active_users(ev, window_days=7)
+    apx = rolling_active_users_approx(ev, window_days=7)
+    return (
+        exact.join(apx, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (
+                (F.col("dau_apx") >= F.col("dau") * 0.9)
+                & (F.col("dau_apx") <= F.col("dau") * 1.1)
+            ).alias("dau_ok"),
+            (
+                (F.col("wau_apx") >= F.col("wau") * 0.9)
+                & (F.col("wau_apx") <= F.col("wau") * 1.1)
+            ).alias("wau_ok"),
+        )
+        .orderBy("day")
+    )
+
+
 def ext_pipeline_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-analytics composition FLAGSHIP (the sessions twin of
     ext_pipeline_curate): sessionize -> per-user funnel fold -> weekly

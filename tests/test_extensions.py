@@ -1519,3 +1519,29 @@ def test_lsh_multi_probe_recall(spark):
     # and its scored-candidate pool is <= (n_planes+1)x the single pool
     # (each of the 9 probed buckets contributes its occupants once)
     assert len(multi) <= 8 * 10
+
+
+def test_rolling_active_users_approx_error(spark):
+    """The HLL WAU sketch tier must track the exact tier within 5%
+    relative error on every day (lg_k=12 over the fixture's user
+    cardinality)."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.sessions import (
+        rolling_active_users,
+        rolling_active_users_approx,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in rolling_active_users(ev).collect()
+    }
+    apx = {
+        r["day"]: (r["dau_apx"], r["wau_apx"])
+        for r in rolling_active_users_approx(ev).collect()
+    }
+    assert set(exact) == set(apx) and len(exact) > 0
+    for day, (dau, wau) in exact.items():
+        da, wa = apx[day]
+        assert abs(da - dau) <= 0.05 * dau, (day, da, dau)
+        assert abs(wa - wau) <= 0.05 * wau, (day, wa, wau)
