@@ -24,9 +24,61 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _fresh_mode(query_names: list[str]) -> None:
+    """SPARK_GRAFT_BENCH_FRESH mode: one SUBPROCESS + one vanilla
+    SparkSession per query (warm-up run + min-of-3), so suite context
+    (109 registered plans, shared-JVM heap pressure, neighbor GC) is
+    excluded by construction. This is the arbiter for in-suite drift:
+    compare a query's interleaved-suite number against its fresh
+    number before calling a regression real (BASELINE.md dq33 note)."""
+    import subprocess
+
+    worker = (
+        "import sys, time, json; sys.path.insert(0, {root!r});"
+        "from remap_spark.engine import build_session;"
+        "from remap_spark.queries import ALL_QUERIES;"
+        "spark = build_session(app_name='bench_fresh');"
+        "spark.sparkContext.setLogLevel('ERROR');"
+        "q = ALL_QUERIES[{name!r}];"
+        "f = lambda: q(spark, {sf!r}).write.format('noop')"
+        ".mode('overwrite').save();"
+        "f();"
+        "ts = [];\n"
+        "for _ in range(3):\n"
+        "    t0 = time.perf_counter(); f(); ts.append(time.perf_counter() - t0)\n"
+        "print('FRESH', json.dumps(round(min(ts), 3)))"
+    )
+    root = str(Path(__file__).resolve().parent)
+    timings: dict[str, float] = {}
+    for name in query_names:
+        cmd = [sys.executable, "-c", worker.format(root=root, name=name, sf=SF_DIR)]
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        for ln in out.stdout.splitlines():
+            if ln.startswith("FRESH "):
+                timings[name] = json.loads(ln[6:])
+    print(
+        json.dumps(
+            {
+                "metric": "fresh_session_per_query",
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
 def main() -> None:
     from remap_spark.engine import build_session
     from remap_spark.queries import ALL_QUERIES
+
+    fresh = os.environ.get("SPARK_GRAFT_BENCH_FRESH")
+    if fresh:
+        names = (
+            sorted(ALL_QUERIES) if fresh == "1" else fresh.split(",")
+        )
+        _fresh_mode(names)
+        return
 
     spark = build_session(app_name="remap_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")

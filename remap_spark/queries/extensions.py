@@ -1796,7 +1796,7 @@ def ext_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias("n_pii"),
     )
-    sig = sim.lsh_bucket_signatures(emb, n_planes=4).select(
+    sig = sim.lsh_bucket_signatures(emb, n_planes=4, dim=64).select(
         F.col("vec_id").alias("doc_id"), (F.col("bucket") % 4).alias("bgroup")
     )
     joined = q.join(pii, "doc_id").join(sig, "doc_id")
