@@ -503,3 +503,252 @@ def kmeans_lloyd(
     final = _assign(cents).select(F.col("_pid").alias(id_col), "cluster")
     centroids = cents.select("cluster", F.col("_cq").alias("centroid"))
     return final, centroids
+
+
+def _quantized(vec_col: str, scale: int) -> Column:
+    """int64-quantized vector (the kmeans_lloyd determinism contract:
+    identical IEEE double multiply + half-away-from-zero round in
+    Spark and DuckDB, so every downstream distance is an exact
+    integer)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+    )
+
+
+def pq_codebook(
+    candidates: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic product-quantization codebook: subspace ``s``'s
+    ``k`` centroids are the k lowest-id vectors' s-th dim/m-slices,
+    int64-quantized. Returns (sub, cid, cq array<bigint>). Like
+    ivf_topk's coarse quantizer, the deterministic default exists so
+    the oracle can replay it; pass pq_train's output for a trained
+    codebook with everything downstream identical."""
+    d_sub = dim // m
+    q = _quantized(vec_col, scale)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(q, s * d_sub + 1, d_sub).alias("cq"),
+            )
+            for s in range(m)
+        ]
+    )
+    return (
+        candidates.where(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cid"), F.explode(slices).alias("x"))
+        .select("x.sub", "cid", "x.cq")
+    )
+
+
+def pq_train(
+    candidates: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-subspace Lloyd refinement of pq_codebook — ALL m subspaces
+    train in one pass per iteration: the (point, sub) slice stream is
+    built once, each round broadcasts the m*k centroid rows into a
+    map-side argmin (no shuffle of the points), and the update is one
+    (sub, cid, pos)-keyed aggregate. Same int64-quantized exact
+    arithmetic as kmeans_lloyd (argmin ties break on cid, centroid
+    update is FLOOR(sum/count)); lineage cut per round."""
+    d_sub = dim // m
+    q = _quantized(vec_col, scale)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(q, s * d_sub + 1, d_sub).alias("sq"),
+            )
+            for s in range(m)
+        ]
+    )
+    pts = (
+        candidates.select(
+            F.col(id_col).alias("_pid"), F.explode(slices).alias("x")
+        )
+        .select("_pid", "x.sub", "x.sq")
+        .localCheckpoint(eager=False)
+    )
+    cents = pq_codebook(candidates, m, k, vec_col, id_col, dim, scale)
+    dist = F.aggregate(
+        F.zip_with("sq", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("_pid", "sub").orderBy("_d", "cid")
+    for _ in range(iters):
+        assign = (
+            pts.join(F.broadcast(cents), "sub")
+            .select("_pid", "sub", "sq", "cid", dist.alias("_d"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+        )
+        cents = (
+            assign.select("sub", "cid", F.posexplode("sq").alias("_pos", "_v"))
+            .groupBy("sub", "cid", "_pos")
+            .agg(
+                F.floor(F.sum("_v").cast("double") / F.count("*")).alias("_m")
+            )
+            .groupBy("sub", "cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias(
+                    "_s"
+                )
+            )
+            .select(
+                "sub", "cid", F.transform("_s", lambda s: s["_m"]).alias("cq")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
+def pq_encode(
+    candidates: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """PQ encode: each vector compressed to m uint8-sized codes (the
+    argmin centroid per subspace, ties on cid). Returns (vec_id,
+    codes array<int> in sub order) — dim doubles (256 B at dim=64)
+    become m bytes; at 100 TB this is the compressed corpus
+    representation the ADC scan reads instead of raw vectors."""
+    d_sub = dim // m
+    q = _quantized(vec_col, scale)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(q, s * d_sub + 1, d_sub).alias("sq"),
+            )
+            for s in range(m)
+        ]
+    )
+    subs = candidates.select(
+        F.col(id_col).alias("_pid"), F.explode(slices).alias("x")
+    ).select("_pid", "x.sub", "x.sq")
+    dist = F.aggregate(
+        F.zip_with("sq", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("_pid", "sub").orderBy("_d", "cid")
+    return (
+        subs.join(F.broadcast(codebook), "sub")
+        .select("_pid", "sub", "cid", dist.alias("_d"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .groupBy("_pid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                lambda s: s["cid"],
+            ).alias("codes")
+        )
+        .select(F.col("_pid").alias(id_col), "codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_cent: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: per
+    query, an m*n_cent lookup table of exact integer part-distances
+    (query slice vs centroid) is packed into ONE array and broadcast;
+    each candidate's distance is m array lookups summed over its
+    codes — no raw vectors are read in the scan. Returns (query_id,
+    rank, vec_id, dist2) with dist2 the EXACT quantized ADC distance
+    (engine-portable integer). Self-matches excluded.
+
+    Scale: the corpus side touches only the m-byte codes column
+    (dim/m * 8-byte compression of the scan), the LUT is
+    queries x m x n_cent tiny rows built broadcast-side, and the
+    per-candidate score is computed map-side before the top-k
+    shuffle. Compose with ivf_topk cells to prune candidates before
+    the ADC scan."""
+    d_sub = dim // m
+    q = _quantized(vec_col, scale)
+    qslices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(q, s * d_sub + 1, d_sub).alias("sq"),
+            )
+            for s in range(m)
+        ]
+    )
+    pdist = F.aggregate(
+        F.zip_with("sq", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.explode(qslices).alias("x")
+        )
+        .select("query_id", "x.sub", "x.sq")
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "query_id",
+            (F.col("sub") * n_cent + F.col("cid")).alias("_key"),
+            pdist.alias("_pd"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_key", "_pd"))),
+                lambda s: s["_pd"],
+            ).alias("_lut")
+        )
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.element_at(
+            "_lut",
+            (s * n_cent + F.element_at("codes", (s + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "vec_id")
+    return (
+        codes.crossJoin(F.broadcast(lut))
+        .where(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("vec_id"), score.alias("dist2"))
+        .select(
+            "query_id", "vec_id", "dist2",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "dist2")
+    )

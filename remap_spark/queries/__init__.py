@@ -155,6 +155,7 @@ _TAIL_QUERIES = [
     "ext_corpus_report",  # (profiler family: ext_profile_columns in window)
     "ext_corpus_diff",  # (profiler family)
     "ext_text_vocab",  # (vocab family: sketch-twin pytest + text canaries)
+    "ext_dedup_bloom",  # (broadcast-probe family: decontaminate in window)
     # r4-green, code unchanged since:
     "dq01_project",
     "dq02_filter",

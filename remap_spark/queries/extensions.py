@@ -384,6 +384,78 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
 """
 
 
+def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_codebook /
+    pq_encode / pq_topk): the compressed-domain tier — corpus vectors
+    become m=8 codes against a 16-centroid-per-subspace codebook, and
+    each query scans only codes via an ADC lookup table. All
+    arithmetic is int64-quantized (the kmeans_lloyd contract), so the
+    ADC distances are EXACT integers the DuckDB oracle reproduces
+    bit-for-bit — no error band needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cb = sim.pq_codebook(emb, m=8, k=16, dim=64)
+    codes = sim.pq_encode(emb, cb, m=8, dim=64)
+    topk = sim.pq_topk(queries, codes, cb, k=10, m=8, n_cent=16, dim=64)
+    return topk.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "vec_id",
+        "dist2",
+    ).orderBy("query_id", "rank")
+
+
+_ANN_PQ_SQL = """
+    WITH qv AS (
+      SELECT vec_id, ord,
+             CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM (
+        SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord
+        FROM embeddings
+      )
+    ),
+    sub AS (
+      SELECT vec_id, CAST(FLOOR((ord - 1) / 8) AS INTEGER) AS sub, ord, q
+      FROM qv
+    ),
+    cent AS (
+      SELECT vec_id AS cid, sub, ord, q FROM sub WHERE vec_id < 16
+    ),
+    enc AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT p.vec_id, p.sub, c.cid,
+               SUM((p.q - c.q) * (p.q - c.q)) AS d
+        FROM sub p JOIN cent c ON c.sub = p.sub AND c.ord = p.ord
+        GROUP BY p.vec_id, p.sub, c.cid
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.sub
+                                   ORDER BY d, cid) = 1
+      )
+    ),
+    lut AS (
+      SELECT p.vec_id AS query_id, p.sub, c.cid,
+             SUM((p.q - c.q) * (p.q - c.q)) AS pd
+      FROM sub p JOIN cent c ON c.sub = p.sub AND c.ord = p.ord
+      WHERE p.vec_id < 5
+      GROUP BY p.vec_id, p.sub, c.cid
+    ),
+    scored AS (
+      SELECT l.query_id, e.vec_id, CAST(SUM(l.pd) AS BIGINT) AS dist2
+      FROM enc e JOIN lut l ON l.sub = e.sub AND l.cid = e.cid
+      WHERE l.query_id <> e.vec_id
+      GROUP BY l.query_id, e.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist2, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, rn AS "rank", vec_id, dist2
+    FROM ranked WHERE rn <= 10 ORDER BY query_id, rn
+"""
+
+
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (operators.similarity.ivf_topk): the partition-
     pruned scale path — cell assignment is one linear broadcast pass,
@@ -2582,6 +2654,7 @@ EXT_QUERIES = {
     "ext_dedup_embedding": ext_dedup_embedding,
     "ext_ann_topk": ext_ann_topk,
     "ext_ann_lsh": ext_ann_lsh,
+    "ext_ann_pq": ext_ann_pq,
     "ext_ann_ivf": ext_ann_ivf,
     "ext_text_tokens": ext_text_tokens,
     "ext_text_quality": ext_text_quality,
@@ -2636,6 +2709,7 @@ EXT_ORACLES = {
     "ext_dedup_embedding": _DEDUP_EMB_SQL,
     "ext_ann_topk": _ANN_TOPK_SQL,
     "ext_ann_lsh": _ann_lsh_oracle(),
+    "ext_ann_pq": _ANN_PQ_SQL,
     "ext_ann_ivf": _ann_ivf_oracle(),
     "ext_text_tokens": _TEXT_TOKENS_SQL,
     "ext_text_quality": _TEXT_QUALITY_SQL,
