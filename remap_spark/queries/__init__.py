@@ -129,13 +129,14 @@ CHECK_WINDOW = 50
 # with an in-window sibling. Round-5 rotation policy (VERDICT r4 #1):
 # the window admits, in priority order, (1) the 20 queries whose
 # latest green row is r2 (two rounds stale — the mandatory set named
-# in VERDICT r4 "What's wrong" #1), (2) queries new or code-changed
-# this round (incremental fuzzy dedup, span-length merge, analytics
-# pipeline, WAU sketch, the paragraph-dedup separator fix, the
-# cohort-retention period-cohort fix), then (3) 24 of the 39 r3-green
-# rows so they never reach two-rounds-stale. Rotated OUT: all 48
-# unchanged r4-green rows plus 15 r3-green rows whose family has an
-# in-window canary — those 15 lead the mandatory set for the r6
+# in VERDICT r4 "What's wrong" #1), (2) the 6 queries NEW this round
+# (incremental fuzzy dedup, span-length merge, analytics pipeline,
+# WAU sketch, PQ ANN) plus the 5 code-changed ones (dq33 percentile
+# fuse, multi-probe ext_ann_lsh, the paragraph-dedup separator fix,
+# the cohort-retention period-cohort fix), then (3) 22 of the 39
+# r3-green rows so they never reach two-rounds-stale. Rotated OUT:
+# all unchanged r4-green rows plus 17 r3-green rows whose family has
+# an in-window canary — those 17 lead the mandatory set for the r6
 # window, exactly as the 20 r2 rows led this one.
 _TAIL_QUERIES = [
     # r3-green deferred one round (due in the r6 window; canary in parens):
