@@ -155,3 +155,109 @@ def ingest_dedup_batch(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def stream_ingest_dedup_fuzzy(
+    stream_df: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> object:
+    """Continuous NEAR-duplicate ingestion dedup — the streaming twin
+    of operators/dedup.incremental_dedup_fuzzy with a PERSISTENT
+    MinHash signature store: every micro-batch probes the store via
+    band-key equality, verifies candidates by the signature-equality
+    Jaccard estimate, applies the keep-first rule within the batch,
+    then appends the survivors' band rows to the store. Same
+    exactly-once protocol as stream_ingest_dedup (per-batch dynamic
+    partition overwrite; the store read excludes the current batch
+    id, so a replayed batch never sees its own half-written
+    signatures)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_dedup_fuzzy_batch(
+            batch_df, batch_id, out_path, store_path,
+            text_col, id_col, threshold, num_hashes, bands,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def ingest_dedup_fuzzy_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """One micro-batch of the fuzzy ingestion-dedup protocol (the
+    foreachBatch body of ``stream_ingest_dedup_fuzzy``, exposed for
+    direct replay-idempotence property tests). Store schema =
+    signature_store_rows (band, key, doc, sigs) + _batch_id partition;
+    bucket the compacted store on (band, key) and the probe join runs
+    with zero store-side exchange (test_plans pins the batch analog).
+
+    Scale: the store holds bands rows x 8-byte sig components per
+    ever-kept document; the probe join ships band keys + signatures,
+    never text. Replay-idempotent: the FS-API existence check and the
+    current-batch exclusion follow ingest_dedup_batch exactly."""
+    from ..operators.dedup import (
+        incremental_dedup_fuzzy,
+        signature_store_rows,
+    )
+
+    spark = batch_df.sparkSession
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    if fs.exists(jpath) and len(fs.listStatus(jpath)) > 0:
+        store = (
+            spark.read.parquet(store_path)
+            .where(F.col("_batch_id") != batch_id)
+            .select("band", "key", "doc", "sigs")
+        )
+    else:  # first batch: no store yet (still dedups within the batch)
+        store = spark.createDataFrame(
+            [], "band int, key string, doc bigint, sigs array<bigint>"
+        )
+    survivors = incremental_dedup_fuzzy(
+        batch_df, store, threshold, text_col, id_col,
+        num_hashes=num_hashes, bands=bands,
+    ).localCheckpoint(eager=True)  # feeds both writes once
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            survivors.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+        (
+            signature_store_rows(
+                survivors.select(F.col(id_col).alias("doc"), "sigs"),
+                num_hashes,
+                bands,
+            )
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(store_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -848,3 +848,53 @@ def test_stateful_timeout_evicts_without_rearm():
     st = _FakeGroupState()
     out = list(upd((1,), iter([pd.DataFrame({"value": [2.5]})]), st))
     assert len(out) == 1 and st.rearmed and st._value == (1, 1, 2_500_000)
+
+
+def test_ingest_dedup_fuzzy_batches_and_replay(spark, tmp_path_factory):
+    """Fuzzy ingest dedup across micro-batches: near-dups of docs kept
+    in EARLIER batches drop, fresh docs survive and extend the
+    signature store; replaying committed batches (including after
+    later batches committed) leaves output and store byte-identical —
+    the same exactly-once contract as the exact twin."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.streaming.dedup import ingest_dedup_fuzzy_batch
+
+    root = str(tmp_path_factory.mktemp("fuzzy_ingest"))
+    out, store = f"{root}/out", f"{root}/store"
+    base_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+    base_b = " ".join(f"delta{i} eps{i} zeta{i}" for i in range(30))
+    b0 = spark.createDataFrame(
+        [(1, base_a), (2, base_b)], "doc_id bigint, text string"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, base_a + " tiny new tail"),  # near-dup of batch-0 doc 1
+            (11, " ".join(f"fresh{i} words{i} here{i}" for i in range(30))),
+            (12, " ".join(f"fresh{i} words{i} here{i}" for i in range(30))
+                 + " extra"),  # near-dup of EARLIER doc 11 (keep-first)
+        ],
+        "doc_id bigint, text string",
+    )
+    ingest_dedup_fuzzy_batch(b0, 0, out, store, threshold=0.5)
+    ingest_dedup_fuzzy_batch(b1, 1, out, store, threshold=0.5)
+
+    def state():
+        kept = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        st_rows = sorted(
+            (r["band"], r["key"], r["doc"], r["_batch_id"])
+            for r in spark.read.parquet(store).collect()
+        )
+        return kept, st_rows
+
+    kept, st_rows = state()
+    assert kept == [1, 2, 11], kept
+    assert {d for _, _, d, _ in st_rows} == {1, 2, 11}
+    # replay batch 0 after batch 1 committed, then batch 1 again
+    ingest_dedup_fuzzy_batch(b0, 0, out, store, threshold=0.5)
+    ingest_dedup_fuzzy_batch(b1, 1, out, store, threshold=0.5)
+    assert state() == (kept, st_rows)
+    # store partitions carry batch lineage for compaction
+    assert {b for _, _, _, b in st_rows} == {0, 1}
