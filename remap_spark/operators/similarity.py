@@ -752,3 +752,125 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "dist2")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_cent: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    scale: int = 1_000_000,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF+PQ — the full production ANN composition: the coarse
+    quantizer prunes the candidate set to the query's n_probe cells
+    (ivf_topk's cosine cells, deterministic default), then the ADC
+    scan scores ONLY those candidates' m-byte codes via the broadcast
+    lookup table (pq_topk's integer distances). At 100 TB: cell is the
+    partition column (probes = partition-pruned scans), codes are the
+    only corpus bytes the scan touches, and the per-candidate work is
+    m array lookups — the FAISS IVFADC layout expressed as DataFrame
+    ops. Returns (query_id, rank, vec_id, dist2), dist2 the exact
+    quantized ADC distance."""
+    if codebook is None:
+        codebook = pq_codebook(candidates, m, n_cent, vec_col, id_col, dim, scale)
+    codes = pq_encode(candidates, codebook, m, vec_col, id_col, dim, scale)
+    cent = F.broadcast(
+        candidates.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    assign = (
+        candidates.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2")
+        )
+        .crossJoin(cent)
+        .select(
+            "vec_id", "cid",
+            cosine_similarity(F.col("cv2"), F.col("cv")).alias("sim"),
+        )
+        .select("*", F.row_number().over(w_assign).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cid")
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .crossJoin(cent)
+        .select(
+            "query_id", "cid",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+        .select("*", F.row_number().over(w_probe).alias("rn"))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    d_sub = dim // m
+    q = _quantized(vec_col, scale)
+    qslices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(q, s * d_sub + 1, d_sub).alias("sq"),
+            )
+            for s in range(m)
+        ]
+    )
+    pdist = F.aggregate(
+        F.zip_with("sq", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.explode(qslices).alias("x")
+        )
+        .select("query_id", "x.sub", "x.sq")
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "query_id",
+            (F.col("sub") * n_cent + F.col("cid")).alias("_key"),
+            pdist.alias("_pd"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_key", "_pd"))),
+                lambda s: s["_pd"],
+            ).alias("_lut")
+        )
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.element_at(
+            "_lut",
+            (s * n_cent + F.element_at("codes", (s + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "vec_id")
+    return (
+        codes.join(assign, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(lut), "query_id")
+        .select("query_id", "vec_id", score.alias("dist2"))
+        .select(
+            "query_id", "vec_id", "dist2",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "dist2")
+    )

@@ -456,6 +456,103 @@ _ANN_PQ_SQL = """
 """
 
 
+def ext_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composition (operators/similarity.ivf_pq_topk): coarse
+    cosine cells prune candidates (2 of 8 probed), PQ/ADC integer
+    distances score only the probed candidates' codes — the FAISS
+    IVFADC layout as DataFrame ops. Distances are int64-exact, so the
+    oracle reproduces the full composition bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    topk = sim.ivf_pq_topk(
+        queries, emb, k=10, n_centroids=8, n_probe=2, m=8, n_cent=16, dim=64
+    )
+    return topk.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "vec_id",
+        "dist2",
+    ).orderBy("query_id", "rank")
+
+
+def _ann_ivf_pq_oracle(
+    n_centroids: int = 8, n_probe: int = 2, k: int = 10
+) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS.format(a='q.v', b='c.cv')} DESC, c.cid) AS rn
+        FROM e q CROSS JOIN cent c WHERE q.vec_id < 5
+      ) WHERE rn <= {n_probe}
+    ),
+    qv AS (
+      SELECT vec_id, ord,
+             CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM (
+        SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord
+        FROM embeddings
+      )
+    ),
+    subq AS (
+      SELECT vec_id, CAST(FLOOR((ord - 1) / 8) AS INTEGER) AS sub, ord, q
+      FROM qv
+    ),
+    pqcent AS (
+      SELECT vec_id AS cid, sub, ord, q FROM subq WHERE vec_id < 16
+    ),
+    enc AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT p.vec_id, p.sub, c.cid,
+               SUM((p.q - c.q) * (p.q - c.q)) AS d
+        FROM subq p JOIN pqcent c ON c.sub = p.sub AND c.ord = p.ord
+        GROUP BY p.vec_id, p.sub, c.cid
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.sub
+                                   ORDER BY d, cid) = 1
+      )
+    ),
+    lut AS (
+      SELECT p.vec_id AS query_id, p.sub, c.cid,
+             SUM((p.q - c.q) * (p.q - c.q)) AS pd
+      FROM subq p JOIN pqcent c ON c.sub = p.sub AND c.ord = p.ord
+      WHERE p.vec_id < 5
+      GROUP BY p.vec_id, p.sub, c.cid
+    ),
+    scored AS (
+      SELECT pr.query_id, a.vec_id, CAST(SUM(l.pd) AS BIGINT) AS dist2
+      FROM enc e
+      JOIN assign a ON a.vec_id = e.vec_id
+      JOIN probes pr ON pr.cell = a.cell
+      JOIN lut l ON l.query_id = pr.query_id
+               AND l.sub = e.sub AND l.cid = e.cid
+      WHERE a.vec_id <> pr.query_id
+      GROUP BY pr.query_id, a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist2, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, rn AS "rank", vec_id, dist2
+    FROM ranked WHERE rn <= {k} ORDER BY query_id, rn
+"""
+
+
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (operators.similarity.ivf_topk): the partition-
     pruned scale path — cell assignment is one linear broadcast pass,
@@ -2655,6 +2752,7 @@ EXT_QUERIES = {
     "ext_ann_topk": ext_ann_topk,
     "ext_ann_lsh": ext_ann_lsh,
     "ext_ann_pq": ext_ann_pq,
+    "ext_ann_ivf_pq": ext_ann_ivf_pq,
     "ext_ann_ivf": ext_ann_ivf,
     "ext_text_tokens": ext_text_tokens,
     "ext_text_quality": ext_text_quality,
@@ -2710,6 +2808,7 @@ EXT_ORACLES = {
     "ext_ann_topk": _ANN_TOPK_SQL,
     "ext_ann_lsh": _ann_lsh_oracle(),
     "ext_ann_pq": _ANN_PQ_SQL,
+    "ext_ann_ivf_pq": _ann_ivf_pq_oracle(),
     "ext_ann_ivf": _ann_ivf_oracle(),
     "ext_text_tokens": _TEXT_TOKENS_SQL,
     "ext_text_quality": _TEXT_QUALITY_SQL,

@@ -393,6 +393,13 @@ def test_no_query_plans_a_cartesian_product(spark):
         # gradient aggregate and the scoring pass (the alternative is
         # one driver action per training round)
         "ext_quality_classifier",
+        # in-plan corpus count (1-row broadcast, r5: replaced the
+        # driver-side df.count() in _doc_shingles' stop-gram filter)
+        "ext_dedup_ngram_jaccard",
+        # ADC lookup tables: one m*n_cent integer array per QUERY,
+        # broadcast into the code scan — bounded by the query set
+        "ext_ann_pq",
+        "ext_ann_ivf_pq",
     }
     bad = []
     for name, fn in ALL_QUERIES.items():
@@ -445,6 +452,13 @@ def test_incremental_fuzzy_bucketed_store_no_store_exchange(spark):
         "doc", F.array(*[F.col(f"sig{i}") for i in range(16)]).alias("sigs")
     )
     store = signature_store_rows(docsigs)
+    # a killed prior run can leave the warehouse dir without a catalog
+    # entry — saveAsTable then fails LOCATION_ALREADY_EXISTS
+    import shutil
+
+    for tbl in ("sig_store_b", "sig_store_flat"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
     write_bucketed_table(store, "sig_store_b", ["band", "key"], 8)
     store.write.mode("overwrite").saveAsTable("sig_store_flat")
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -30,6 +30,7 @@ NEVER_CHECKED: list[str] = [
     "ext_pipeline_analytics",  # new in round 5
     "ext_active_users_approx",  # new in round 5
     "ext_ann_pq",  # new in round 5
+    "ext_ann_ivf_pq",  # new in round 5
 ]
 
 # Queries whose implementation changed in round 5 (paragraph-dedup
