@@ -158,6 +158,7 @@ _TAIL_QUERIES = [
     "ext_text_vocab",  # (vocab family: sketch-twin pytest + text canaries)
     "ext_dedup_bloom",  # (broadcast-probe family: decontaminate in window)
     "ext_ann_hard_negatives",  # (ANN family: topk/lsh/ivf/pq/ivf_pq in window)
+    "ext_mix_temperature",  # (mixture family: sample_det/stratified in window)
     # r4-green, code unchanged since:
     "dq01_project",
     "dq02_filter",

@@ -977,6 +977,127 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_pipeline_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization FLAGSHIP (the third composition, after
+    ext_pipeline_curate and ext_pipeline_analytics): quality gate ->
+    overlapping chunking -> sequence packing in ONE lineage — the
+    intake-to-training-examples shape. Docs surviving the quality gate
+    (verdict != 'drop') are chunked (32-token windows, 4 overlap), and
+    the chunk stream is packed into 256-token sequences per source;
+    the report is the per-source packing layout plus total tokens.
+    Exact integer arithmetic end-to-end (chunk ordinals, prefix sums),
+    so the full composition hash-matches the oracle."""
+    from ..operators.pack import concat_chunk_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept_ids = (
+        tx.quality_score(docs).where(F.col("verdict") != "drop")
+        .select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    chunks = tx.chunk_documents(kept, chunk_size=32, overlap=4)
+    withsrc = chunks.join(docs.select("doc_id", "source"), "doc_id")
+    toks = withsrc.select(
+        "source",
+        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("ord"),
+        F.col("n_tokens").cast("bigint").alias("n_tok"),
+    ).where(F.col("n_tok") > 0)
+    packed = concat_chunk_pack(
+        toks, "n_tok", "ord", seq_len=256, shard_col="source"
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.max("last_seq") + F.lit(1)).alias("n_seqs"),
+            F.sum(
+                (F.col("first_seq") != F.col("last_seq")).cast("bigint")
+            ).alias("boundary_chunks"),
+            F.max(F.col("last_seq") - F.col("first_seq") + F.lit(1)).alias(
+                "max_span"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_PRETOKENIZE_SQL = r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\s+'),
+               w -> w <> '')) AS DOUBLE) AS n_tokens,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(translate(text, '.,?:;!"', '')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(
+               string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\s+'),
+               w -> w IN ('the','and','of','to','is'))) AS DOUBLE) AS n_stop
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             LEAST(n_tokens / 200.0, 1.0) * 0.5
+             + LEAST(n_stop / n_tokens * 4.0, 1.0) * 0.3
+             + (1.0 - LEAST(n_punct / n_chars * 10.0, 1.0)) * 0.2 AS score
+      FROM m
+    ),
+    kept AS (SELECT doc_id FROM s WHERE score >= 0.3),
+    toks AS (
+      SELECT doc_id, word, i FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\s+')) AS word,
+               generate_subscripts(string_split_regex(lower(translate(text, '.,?:;!"', '       ')), '\s+'), 1) AS i
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    ord2 AS (
+      SELECT t.doc_id, t.word,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.i) AS o
+      FROM toks t JOIN kept USING (doc_id)
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM ord2 GROUP BY doc_id),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(FLOOR((GREATEST(n - 4, 1) + 27) / 28.0) AS INT) - 1)) AS ci
+      FROM n
+    ),
+    chtok AS (
+      SELECT c.doc_id, c.ci, COUNT(*) AS n_tok
+      FROM chunks c JOIN ord2 o
+        ON o.doc_id = c.doc_id
+       AND o.o > c.ci * 28 AND o.o <= c.ci * 28 + 32
+      GROUP BY c.doc_id, c.ci
+    ),
+    withsrc AS (
+      SELECT d.source, ch.doc_id * 10000 + ch.ci AS ord, ch.n_tok
+      FROM chtok ch JOIN documents d USING (doc_id)
+      WHERE ch.n_tok > 0
+    ),
+    pos AS (
+      SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      FROM withsrc
+    ),
+    seqs AS (
+      SELECT source, n_tok,
+             (end_off - n_tok) // 256 AS first_seq,
+             (end_off - 1) // 256 AS last_seq
+      FROM pos
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MAX(last_seq) + 1 AS BIGINT) AS n_seqs,
+           CAST(SUM(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END)
+                AS BIGINT) AS boundary_chunks,
+           CAST(MAX(last_seq - first_seq + 1) AS BIGINT) AS max_span
+    FROM seqs GROUP BY source ORDER BY source
+"""
+
+
 _PACK_SQL = r"""
     WITH toks AS (
         SELECT doc_id, source,
@@ -2775,6 +2896,7 @@ EXT_QUERIES = {
     "ext_dedup_canonical": ext_dedup_canonical,
     "ext_dedup_incremental": ext_dedup_incremental,
     "ext_dedup_incremental_fuzzy": ext_dedup_incremental_fuzzy,
+    "ext_pipeline_pretokenize": ext_pipeline_pretokenize,
     "ext_corpus_report": ext_corpus_report,
     "ext_text_tfidf": ext_text_tfidf,
     "ext_text_boilerplate": ext_text_boilerplate,
@@ -2831,6 +2953,7 @@ EXT_ORACLES = {
     "ext_dedup_canonical": _canonical_oracle(),
     "ext_dedup_incremental": _INCR_DEDUP_SQL,
     "ext_dedup_incremental_fuzzy": _fuzzy_incr_oracle(),
+    "ext_pipeline_pretokenize": _PRETOKENIZE_SQL,
     "ext_corpus_report": _CORPUS_REPORT_SQL,
     "ext_text_tfidf": _TFIDF_SQL,
     "ext_text_boilerplate": _BOILERPLATE_SQL,
