@@ -1637,3 +1637,82 @@ def test_pq_adc_recall_and_trained_codebook(spark):
     d0 = distortion(cb)
     d1 = distortion(pq_train(df, m=4, k=8, iters=3, dim=16))
     assert d1 < d0, (d1, d0)
+
+
+def test_span_lengths_consistent_with_removal(spark):
+    """Cross-operator invariant: duplicate_span_lengths' maximal runs
+    must tile EXACTLY the positions remove_duplicate_spans drops —
+    per-doc sum(span_len) == n_removed — and every maximal run is at
+    least k long (runs are unions of k-window tiles)."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.dedup import (
+        duplicate_span_lengths,
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    spans = duplicate_span_lengths(docs, k=5, min_docs=2).collect()
+    removed = {
+        r["doc"]: r["n_removed"]
+        for r in remove_duplicate_spans(docs, k=5, min_docs=2).collect()
+    }
+    assert len(spans) > 0  # non-vacuous at this SF
+    per_doc: dict = {}
+    for r in spans:
+        assert r["span_len"] >= 5, r
+        per_doc[r["doc"]] = per_doc.get(r["doc"], 0) + r["span_len"]
+    for doc, total in per_doc.items():
+        assert total == removed[doc], (doc, total, removed[doc])
+    # docs with no spans must have n_removed == 0
+    for doc, n in removed.items():
+        if doc not in per_doc:
+            assert n == 0, (doc, n)
+
+
+def test_pq_adc_exact_on_centroid_candidates(spark):
+    """ADC distance is EXACT (not approximate) when the candidate is a
+    codebook vector: its codes select its own centroids, so the ADC
+    sum equals the true quantized L2 distance query-to-candidate."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = pq_codebook(emb, m=8, k=16, dim=64)
+    codes = pq_encode(emb, cb, m=8, dim=64)
+    queries = emb.where(F.col("vec_id") == 20)
+    # restrict candidates to the 16 centroid vectors
+    cent_codes = codes.where(F.col("vec_id") < 16)
+    adc = {
+        r["vec_id"]: r["dist2"]
+        for r in pq_topk(
+            queries, cent_codes, cb, k=16, m=8, n_cent=16, dim=64
+        ).collect()
+    }
+    # exact quantized L2 via a direct expression
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    qv = emb.where(F.col("vec_id") == 20).select(q.alias("qv"))
+    exact = {
+        r["vec_id"]: r["d"]
+        for r in emb.where(F.col("vec_id") < 16)
+        .select("vec_id", q.alias("cv"))
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        .collect()
+    }
+    assert adc == {k: exact[k] for k in adc} and len(adc) == 16
