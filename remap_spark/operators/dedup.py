@@ -904,3 +904,26 @@ def incremental_dedup_fuzzy(
         )
         .join(dropped.withColumnRenamed("doc", id_col), id_col, "left_anti")
     )
+
+
+def compact_signature_store(
+    spark,
+    store_path: str,
+    table_name: str,
+    num_buckets: int = 16,
+) -> None:
+    """Operational compaction for the fuzzy ingest store: fold the
+    accumulated per-batch partitions (stream_ingest_dedup_fuzzy writes
+    one _batch_id partition per micro-batch) into a single table
+    BUCKETED on (band, key) — after which every probe join runs with
+    zero store-side exchange (the bucketed-join contract pinned by
+    test_incremental_fuzzy_bucketed_store_no_store_exchange). Run it
+    off the ingest path at whatever cadence keeps the partition count
+    sane; the next batch can keep appending to the parquet store while
+    the compacted table serves probes."""
+    from ..sources import write_bucketed_table
+
+    store = spark.read.parquet(store_path).select(
+        "band", "key", "doc", "sigs"
+    )
+    write_bucketed_table(store, table_name, ["band", "key"], num_buckets)

@@ -1716,3 +1716,73 @@ def test_pq_adc_exact_on_centroid_candidates(spark):
         .collect()
     }
     assert adc == {k: exact[k] for k in adc} and len(adc) == 16
+
+
+def test_ivf_pq_with_trained_codebook(spark):
+    """pq_train's output feeds ivf_pq_topk unchanged (the trained-
+    codebook seam, mirroring test_ivf_with_trained_centroids) and the
+    trained composition returns well-formed per-query top-k."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.similarity import ivf_pq_topk, pq_train
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    trained = pq_train(emb, m=8, k=16, iters=2, dim=64)
+    out = ivf_pq_topk(
+        queries, emb, k=5, n_centroids=8, n_probe=2, m=8, n_cent=16,
+        dim=64, codebook=trained,
+    ).collect()
+    per_q: dict = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for qid, rows in per_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        dists = [r["dist2"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert dists == sorted(dists)  # monotone by rank
+        assert all(r["vec_id"] != qid for r in rows)
+
+
+def test_compact_signature_store_round_trip(spark, tmp_path_factory):
+    """compact_signature_store folds the per-batch parquet partitions
+    into a bucketed table holding exactly the same rows."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.dedup import (
+        compact_signature_store,
+        minhash_signatures,
+        signature_store_rows,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = minhash_signatures(docs.where(F.col("doc_id") < 40))
+    docsigs = sig.select(
+        "doc", F.array(*[F.col(f"sig{i}") for i in range(16)]).alias("sigs")
+    )
+    rows = signature_store_rows(docsigs)
+    path = str(tmp_path_factory.mktemp("sig_store"))
+    # simulate two ingest batches
+    rows.where(F.col("doc") < 20).withColumn(
+        "_batch_id", F.lit(0)
+    ).write.mode("append").partitionBy("_batch_id").parquet(path)
+    rows.where(F.col("doc") >= 20).withColumn(
+        "_batch_id", F.lit(1)
+    ).write.mode("append").partitionBy("_batch_id").parquet(path)
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS sig_store_compacted")
+    shutil.rmtree("spark-warehouse/sig_store_compacted", ignore_errors=True)
+    compact_signature_store(spark, path, "sig_store_compacted", 8)
+    got = sorted(
+        (r["band"], r["key"], r["doc"])
+        for r in spark.table("sig_store_compacted").collect()
+    )
+    want = sorted(
+        (r["band"], r["key"], r["doc"]) for r in rows.collect()
+    )
+    assert got == want and len(got) > 0

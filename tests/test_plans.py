@@ -514,3 +514,18 @@ def test_pipeline_analytics_single_user_exchange(spark):
     )
     user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
     assert len(user_exchanges) == 1, plan
+
+
+def test_pretokenize_pipeline_bounded_exchanges(spark):
+    """The pretokenize flagship (quality gate -> chunk -> pack) stays
+    corpus-proportional: chunking is a narrow generator, so the plan
+    carries only the doc-key gate join, the per-source packing window,
+    the report aggregate, and the presentation sort — no cartesian,
+    and a bounded exchange count."""
+    from remap_spark.plans import plan_report
+    from remap_spark.queries import ALL_QUERIES
+
+    r = plan_report(ALL_QUERIES["ext_pipeline_pretokenize"](spark, SF_DIR))
+    assert not r["cartesian"]
+    assert r["exchanges"] <= 6, r["plan"]
+    assert r["partial_aggs"], r["plan"]
