@@ -240,10 +240,6 @@ def funnel_stage_times(
     ``stage_ts`` is an array of K nullable epoch-microsecond slots,
     slot i holding the timestamp of the first event satisfying stage
     i (NULL = stage not reached)."""
-    from ..functions import epoch_us
-
-    k = len(steps)
-    steps_arr = F.array(*[F.lit(s) for s in steps])
     per_user = (
         df.where(F.col(type_col).isin(list(steps)))
         .groupBy(user_col)
