@@ -927,3 +927,74 @@ def compact_signature_store(
         "band", "key", "doc", "sigs"
     )
     write_bucketed_table(store, table_name, ["band", "key"], num_buckets)
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Approximate-then-verify near-dup — the production composition:
+    MinHash-LSH banding proposes candidate pairs (linear shuffles, no
+    O(n^2) scan), then EXACT n-gram Jaccard is computed for those
+    pairs ONLY and pairs below ``threshold`` are discarded. Unlike
+    ngram_jaccard_pairs (exact but quadratic) this verifies a
+    candidate set whose size is corpus-proportional, so the exact
+    arithmetic never touches non-colliding pairs. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Shape: candidates are checkpointed once (they feed the doc-set
+    restriction and the intersection join); the distinct gram stream
+    is cut down to CANDIDATE DOCS first (broadcast of the bounded
+    candidate-doc set — swap for a shuffle semi-join if candidates
+    ever stop fitting), intersections come from one
+    (pair x shared-gram) join keyed by 60-bit gram hashes, and sizes
+    join back per side. Shuffle volume ~ candidate pairs x doc gram
+    count — subquadratic end-to-end."""
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, n, num_hashes, bands, seed, portable
+    ).localCheckpoint(eager=True)
+    s = _doc_shingles(df, text_col, id_col, n, None, dedup=True).select(
+        "doc", portable_hash60("gram").alias("g")
+    )
+    cdocs = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .union(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sc = s.join(F.broadcast(cdocs), "doc").localCheckpoint(eager=True)
+    sizes = sc.groupBy("doc").agg(F.count("*").alias("n"))
+    a = sc.select(F.col("doc").alias("doc_a"), "g")
+    b = sc.select(F.col("doc").alias("doc_b"), "g")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("_nb"))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    # half-up in the 1e-5 integer domain (ROUND(double) ties diverge
+    # across engines); the threshold compares the UNROUNDED quotient —
+    # identical IEEE division in both engines
+    jac5 = (
+        F.floor(
+            F.col("_inter") * 100000.0
+            / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+            + F.lit(0.5)
+        )
+        / 100000.0
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", jac5.alias("jaccard"))
+    )

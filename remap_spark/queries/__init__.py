@@ -159,6 +159,7 @@ _TAIL_QUERIES = [
     "ext_dedup_bloom",  # (broadcast-probe family: decontaminate in window)
     "ext_ann_hard_negatives",  # (ANN family: topk/lsh/ivf/pq/ivf_pq in window)
     "ext_mix_temperature",  # (mixture family: sample_det/stratified in window)
+    "ext_range_join_binned",  # (range family: dq20 r4-green, plan test pinned)
     # r4-green, code unchanged since:
     "dq01_project",
     "dq02_filter",

@@ -124,6 +124,47 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-then-verify near-dup (operators/dedup.
+    lsh_verified_pairs): MinHash-LSH candidates, exact n-gram Jaccard
+    computed ONLY on candidate pairs, threshold 0.5 — the production
+    composition whose two tiers (ext_dedup_minhash_lsh and
+    ext_dedup_ngram_jaccard) are separately green. The oracle replays
+    the banded pairs and the exact hashed-gram Jaccard end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.lsh_verified_pairs(docs, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _lsh_verified_oracle(threshold: float = 0.5) -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes()},
+    sh60 AS (
+      SELECT DISTINCT doc, {_H60.format(x='gram')} AS g FROM shingles
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh60 GROUP BY doc),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+      FROM pairs p
+      JOIN sh60 a ON a.doc = p.doc_a
+      JOIN sh60 b ON b.doc = p.doc_b AND b.g = a.g
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           FLOOR(i.i * 100000.0 / (na.n + nb.n - i.i) + 0.5) / 100000.0
+             AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc = i.doc_a
+    JOIN sizes nb ON nb.doc = i.doc_b
+    WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= {threshold}
+    ORDER BY doc_a, doc_b
+"""
+
+
 def _minhash_pairs_ctes(num_hashes: int = 16, bands: int = 4, seed: int = 42) -> str:
     """WITH-body (no leading WITH) ending in a ``pairs(doc_a, doc_b)``
     CTE — shared by the pair-emitting oracle and the connected-components
@@ -2868,6 +2909,7 @@ EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
     "ext_dedup_minhash_lsh": ext_dedup_minhash_lsh,
+    "ext_dedup_lsh_verified": ext_dedup_lsh_verified,
     "ext_dedup_simhash": ext_dedup_simhash,
     "ext_dedup_embedding": ext_dedup_embedding,
     "ext_ann_topk": ext_ann_topk,
@@ -2925,6 +2967,7 @@ EXT_ORACLES = {
     "ext_dedup_exact": _DEDUP_EXACT_SQL,
     "ext_dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "ext_dedup_minhash_lsh": _minhash_oracle(),
+    "ext_dedup_lsh_verified": _lsh_verified_oracle(),
     "ext_dedup_simhash": _simhash_oracle(),
     "ext_dedup_embedding": _DEDUP_EMB_SQL,
     "ext_ann_topk": _ANN_TOPK_SQL,
