@@ -331,6 +331,7 @@ def _flood_fixpoint(
     num_partitions: int | None = None,
     max_iter: int = 1000,
     max_block: int = 8,
+    msg=None,
 ) -> DataFrame:
     """Shared propagate-until-fixpoint loop: each round every vertex
     ``combine``s its inbox and ``pick``s between old and incoming value;
@@ -388,11 +389,16 @@ def _flood_fixpoint(
             # lineage of `edges` across the unrolled rounds, so
             # dataframe-attribute references (edges["dst"]) would be
             # ambiguous self-join columns from round 2 on
+            # optional per-edge message transform (``msg`` references
+            # _msg and any edge column, e.g. _msg + wt for SSSP);
+            # default forwards the vertex value unchanged
+            m = msg if msg is not None else F.col("_msg")
             inbox = (
                 cur.select(F.col("id").alias("src"), F.col("value").alias("_msg"))
                 .join(edges, "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(combine("_msg").alias("_inbox"))
+                .select(F.col("dst").alias("id"), m.alias("_m"))
+                .groupBy("id")
+                .agg(combine("_m").alias("_inbox"))
             )
             new_val = pick(
                 F.col("value"), F.coalesce(F.col("_inbox"), F.col("value"))
@@ -649,4 +655,96 @@ def connected_components_star(
     # star centers and isolated vertices map to themselves
     return verts.join(comp, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
+def sssp(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    wt: str = "wt",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Single-source shortest paths — Bellman-Ford as flood-min over
+    dist+weight messages: every round each vertex offers its neighbors
+    ``dist + edge weight`` and keeps the minimum seen; fixpoint when no
+    distance improves (the same block-amortized loop as flood_max /
+    connected_components — min propagation is monotone, so the
+    last-round convergence witness and in-block overshoot are both
+    safe). Returns (id, dist) for REACHABLE vertices only.
+
+    edges: directed (src, dst, wt >= 0). Scale: one inbox shuffle per
+    round, O(shortest-path hop diameter) rounds; weights ride the
+    (co-partitioned) edge relation, never the vertex state."""
+    big = F.lit(1 << 40).cast("bigint")
+    vertices = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .select(
+            "id",
+            F.when(F.col("id") == source, F.lit(0).cast("bigint"))
+            .otherwise(big)
+            .alias("value"),
+        )
+    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(wt).alias("wt")
+    )
+    out = _flood_fixpoint(
+        vertices,
+        e,
+        F.min,
+        F.least,
+        num_partitions,
+        msg=F.col("_msg") + F.col("wt"),
+    )
+    return out.where(F.col("value") < big).select(
+        "id", F.col("value").alias("dist")
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count over an undirected graph (edge-iterator
+    with id orientation): edges are canonicalized a < b, and each
+    triangle a < b < c is found exactly once via the two-hop join
+    (a,b)+(b,c) probed against (a,c). Returns ONE row
+    (n_vertices, n_edges, n_triangles).
+
+    Scale: the standard distributed formulation — two equi-joins on
+    vertex keys, no enumeration of non-edges. Id orientation bounds
+    each join key's fan-out by the vertex's higher-id degree; for
+    power-law graphs orient by (degree, id) instead so hubs land on
+    the many-small side (same count, smaller worst partition)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds three join legs + counts
+    )
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        und.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    verts = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .distinct()
+        .agg(F.count("*").alias("n_vertices"))
+    )
+    nedges = und.agg(F.count("*").alias("n_edges"))
+    return verts.crossJoin(nedges).crossJoin(tri).select(
+        "n_vertices", "n_edges", "n_triangles"
     )

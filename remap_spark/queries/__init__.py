@@ -18,6 +18,8 @@ from .graphs import (
     dq17_pagerank,
     dq40_pointer_jump,
     dq42_star_components,
+    ext_graph_sssp,
+    ext_graph_triangles,
     ext_pagerank_dangling,
 )
 from .oracles import DQ_ORACLES
@@ -48,6 +50,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq40_pointer_jump": dq40_pointer_jump,
     "dq42_star_components": dq42_star_components,
     "ext_pagerank_dangling": ext_pagerank_dangling,
+    "ext_graph_triangles": ext_graph_triangles,
+    "ext_graph_sssp": ext_graph_sssp,
     "dq18_grouped_udf": relational.dq18_grouped_udf,
     "dq19_buckets": relational.dq19_buckets,
     "dq20_range_join": relational.dq20_range_join,
@@ -160,6 +164,8 @@ _TAIL_QUERIES = [
     "ext_ann_hard_negatives",  # (ANN family: topk/lsh/ivf/pq/ivf_pq in window)
     "ext_mix_temperature",  # (mixture family: sample_det/stratified in window)
     "ext_range_join_binned",  # (range family: dq20 r4-green, plan test pinned)
+    "dq28_exists",  # (subquery family: dq29 scalar-subquery r4-green)
+    "dq30_grouping_sets",  # (grouping family: dq12/dq23/dq31 r4-green)
     # r4-green, code unchanged since:
     "dq01_project",
     "dq02_filter",

@@ -275,3 +275,98 @@ def _pagerank_dangling_oracle(steps: int = 10, d: float = 0.85, n: int = 10) -> 
 
 
 GRAPH_ORACLES["ext_pagerank_dangling"] = _pagerank_dangling_oracle()
+
+
+def _derived_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~500-vertex graph derived deterministically from the orders
+    fixture (u = o_orderkey % 500, v = o_custkey % 500, u != v,
+    distinct) — big enough for non-vacuous triangle / shortest-path
+    answers where the reference's 10-vertex literals are not."""
+    from ..engine import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            (F.col("o_orderkey") % 500).alias("u"),
+            (F.col("o_custkey") % 500).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count (operators/pregel.triangle_count) over the
+    orders-derived graph: id-oriented edge-iterator, each triangle
+    found exactly once — integer-exact, so the oracle's self-join SQL
+    hash-matches."""
+    from ..operators.pregel import triangle_count
+
+    e = _derived_graph_edges(spark, sf_dir)
+    return triangle_count(e, src="u", dst="v")
+
+
+def ext_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (operators/pregel.sssp, Bellman-
+    Ford flood-min) from vertex 0 over the symmetrized orders-derived
+    graph with deterministic weights (u+v) % 7 + 1. The oracle is a
+    bounded recursive-CTE Bellman-Ford (all path lengths < 200 —
+    far above any shortest path on this diameter) reduced by MIN."""
+    from ..operators.pregel import sssp
+
+    und = _derived_graph_edges(spark, sf_dir)
+    dir_edges = und.select("u", "v").union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    weighted = dir_edges.select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        ((F.col("u") + F.col("v")) % 7 + 1).alias("wt"),
+    )
+    out = sssp(weighted, source=0)
+    return out.select(F.col("id"), F.col("dist")).orderBy("id")
+
+
+GRAPH_ORACLES["ext_graph_triangles"] = """
+    WITH e0 AS (
+      SELECT DISTINCT o_orderkey % 500 AS u, o_custkey % 500 AS v
+      FROM orders WHERE o_orderkey % 500 <> o_custkey % 500
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM e0
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    verts AS (
+      SELECT COUNT(*) AS n_vertices FROM (
+        SELECT a AS v FROM und UNION SELECT b FROM und
+      )
+    )
+    SELECT n_vertices,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT COUNT(*) FROM tri) AS n_triangles
+    FROM verts
+"""
+
+GRAPH_ORACLES["ext_graph_sssp"] = """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT o_orderkey % 500 AS u, o_custkey % 500 AS v
+      FROM orders WHERE o_orderkey % 500 <> o_custkey % 500
+    ),
+    dir AS (
+      SELECT u AS s, v AS d FROM e0 UNION SELECT v, u FROM e0
+    ),
+    wts AS (SELECT s, d, (s + d) % 7 + 1 AS wt FROM dir),
+    walk(v, dist) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION
+      SELECT w.d, walk.dist + w.wt
+      FROM walk JOIN wts w ON w.s = walk.v
+      WHERE walk.dist + w.wt < 200
+    )
+    SELECT v AS id, MIN(dist) AS dist FROM walk GROUP BY v ORDER BY id
+"""

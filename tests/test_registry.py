@@ -33,6 +33,8 @@ NEVER_CHECKED: list[str] = [
     "ext_ann_ivf_pq",  # new in round 5
     "ext_pipeline_pretokenize",  # new in round 5
     "ext_dedup_lsh_verified",  # new in round 5
+    "ext_graph_triangles",  # new in round 5
+    "ext_graph_sssp",  # new in round 5
 ]
 
 # Queries whose implementation changed in round 5 (paragraph-dedup
