@@ -103,12 +103,27 @@ def main() -> None:
     # regressions (the r3 failure mode).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     names = sorted(ALL_QUERIES)
+
+    def _calibrate() -> float:
+        # fixed trivial probe; a shifted floor between the start and
+        # end values marks whole-session drift (thermal / co-tenancy),
+        # distinguishing it from per-query regressions (two r5 runs an
+        # hour apart differed ~10% UNIFORMLY — this attributes that)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(ALL_QUERIES["dq02_filter"](spark, SF_DIR))
+            ts.append(time.perf_counter() - t0)
+        return round(min(ts), 3)
+
+    cal_start = _calibrate()
     samples: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(runs):
         for name in names:
             t0 = time.perf_counter()
             _force(ALL_QUERIES[name](spark, SF_DIR))
             samples[name].append(time.perf_counter() - t0)
+    cal_end = _calibrate()
     timings = {name: round(min(s), 3) for name, s in samples.items()}
 
     total = round(sum(timings.values()), 3)
@@ -121,6 +136,7 @@ def main() -> None:
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "n_queries": len(timings),
+            "calibration": {"start": cal_start, "end": cal_end},
             "spark_version": spark.version,
             "cores": os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
         }
