@@ -1786,3 +1786,149 @@ def test_compact_signature_store_round_trip(spark, tmp_path_factory):
         (r["band"], r["key"], r["doc"]) for r in rows.collect()
     )
     assert got == want and len(got) > 0
+
+
+class _FlacBW:
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, v, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc, self.n = 0, 0
+
+    def sput(self, v, nbits):
+        self.put(v & ((1 << nbits) - 1), nbits)
+
+    def rice(self, v, param):
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1  # zigzag
+        q = u >> param
+        if q:
+            self.put(0, q)
+        self.put(1, 1)
+        if param:
+            self.put(u & ((1 << param) - 1), param)
+
+    def align(self):
+        while self.n:
+            self.put(0, 1)
+
+
+def _make_flac(channels, sr=8000, bps=16, subframe="verbatim", rice_param=2):
+    """Minimal FLAC encoder for tests: STREAMINFO + ONE frame;
+    independent channels; subframe = 'verbatim' | 'constant' |
+    'fixed1' (order-1 fixed predictor, Rice residual, partition
+    order 0) | 'lpc1' (order-1 LPC, coef=1, shift=0 — same predictor
+    as fixed1 through the LPC decode path)."""
+    n = len(channels[0])
+    ch = len(channels)
+    hdr = _FlacBW()
+    hdr.put(16, 16)  # min blocksize
+    hdr.put(16, 16)  # max blocksize
+    hdr.put(0, 24)
+    hdr.put(0, 24)
+    hdr.put(sr, 20)
+    hdr.put(ch - 1, 3)
+    hdr.put(bps - 1, 5)
+    hdr.put(n, 36)
+    si = bytes(hdr.out) + bytes(16)  # zero md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si  # last block
+    # frame header: sync(14) 0 0 | bs=0110 (8-bit follows) sr=0000 |
+    # chan=ch-1 size=100(16bit) 0 | frame#=0 | blocksize-1 | crc8
+    out += bytes([0xFF, 0xF8])
+    out += bytes([(0x6 << 4) | 0x0])
+    size_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps]
+    out += bytes([((ch - 1) << 4) | (size_code << 1)])
+    out += bytes([0x00])  # UTF-8 frame number 0
+    out += bytes([n - 1])  # 8-bit blocksize - 1
+    out += bytes([0x00])  # CRC-8 (decoder parses, never verifies)
+    bw = _FlacBW()
+    for samples in channels:
+        bw.put(0, 1)  # padding bit
+        if subframe == "verbatim":
+            bw.put(1, 6)
+            bw.put(0, 1)  # no wasted bits
+            for s in samples:
+                bw.sput(s, bps)
+        elif subframe == "constant":
+            bw.put(0, 6)
+            bw.put(0, 1)
+            bw.sput(samples[0], bps)
+        elif subframe in ("fixed1", "lpc1"):
+            if subframe == "fixed1":
+                bw.put(8 + 1, 6)
+                bw.put(0, 1)
+                bw.sput(samples[0], bps)  # warm-up
+            else:
+                bw.put(32 + 0, 6)  # LPC order 1
+                bw.put(0, 1)
+                bw.sput(samples[0], bps)
+                bw.put(14, 4)  # precision 15
+                bw.sput(0, 5)  # shift 0
+                bw.sput(1, 15)  # coef = 1 -> prediction s[i-1]
+            bw.put(0, 2)  # rice method 0 (4-bit params)
+            bw.put(0, 4)  # partition order 0
+            bw.put(rice_param, 4)
+            for i in range(1, n):
+                bw.rice(samples[i] - samples[i - 1], rice_param)
+        else:
+            raise ValueError(subframe)
+    bw.align()
+    out += bytes(bw.out)
+    out += bytes(2)  # frame CRC-16 (parsed, never verified)
+    return bytes(out)
+
+
+def test_multimodal_real_flac_decode(spark):
+    """Native FLAC decode (stdlib+numpy bit-level): every subframe
+    type must reproduce EXACTLY the features of the same PCM through
+    the WAV path — plus the production mapInPandas path and the
+    MP3-only fake fallback."""
+    import pytest
+
+    from remap_spark.operators.multimodal import (
+        _decode_audio_impl,
+        _decode_flac,
+        _decode_wav,
+        audio_features,
+    )
+
+    samples = [0, 12000, -9000, 30001, -32000, 7, 1500, -1]
+    wav = _make_wav(samples)
+    n_w, f_w = _decode_wav(wav)
+
+    for kind in ("verbatim", "fixed1", "lpc1"):
+        flac = _make_flac([samples], subframe=kind)
+        n_f, f_f = _decode_flac(flac)
+        assert (n_f, f_f) == (n_w, f_w), kind
+
+    # constant subframe
+    n_c, f_c = _decode_flac(_make_flac([[123] * 8], subframe="constant"))
+    n_cw, f_cw = _decode_wav(_make_wav([123] * 8))
+    assert (n_c, f_c) == (n_cw, f_cw)
+
+    # stereo independent channels == stereo WAV twin
+    left = [100, -200, 300, -400]
+    right = [50, 60, -70, 80]
+    fl = _make_flac([left, right], subframe="verbatim")
+    n_s, f_s = _decode_flac(fl)
+    assert n_s == 4 and f_s[7] == 2.0  # channel descriptor
+
+    # production path, real decode
+    df = spark.createDataFrame(
+        [(1, _make_flac([samples]))], "media_id bigint, media binary"
+    )
+    row = audio_features(df, fake=False).collect()[0]
+    assert row["n_samples"] == len(samples)
+    assert row["features"][0] == pytest.approx(f_w[0], abs=1e-6)
+
+    # MP3 magic still falls to the fake / raises without it
+    mp3 = b"\xff\xfb" + b"x" * 64
+    n, f8 = _decode_audio_impl(mp3, fake=True)
+    assert len(f8) == 8
+    with pytest.raises(NotImplementedError):
+        _decode_audio_impl(mp3, fake=False)
