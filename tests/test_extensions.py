@@ -1932,3 +1932,28 @@ def test_multimodal_real_flac_decode(spark):
     assert len(f8) == 8
     with pytest.raises(NotImplementedError):
         _decode_audio_impl(mp3, fake=False)
+
+
+def test_sssp_and_triangles_known_graphs(spark):
+    """Hand-checkable graph answers: K4 has exactly 4 triangles; SSSP
+    on a weighted path-with-shortcut picks the cheaper route and drops
+    unreachable vertices."""
+    from remap_spark.operators.pregel import sssp, triangle_count
+
+    # K4 (complete graph on 4 vertices, edges given in mixed order)
+    k4 = spark.createDataFrame(
+        [(0, 1), (2, 0), (0, 3), (1, 2), (3, 1), (2, 3)],
+        "src bigint, dst bigint",
+    )
+    row = triangle_count(k4).collect()[0]
+    assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+    # 0 -1-> 1 -1-> 2 -1-> 3, plus a direct 0 -5-> 3 shortcut that
+    # LOSES to the 3-hop path (cost 3); vertex 9 is unreachable
+    # (only an out-edge from it)
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 5), (9, 0, 1)],
+        "src bigint, dst bigint, wt bigint",
+    )
+    dist = {r["id"]: r["dist"] for r in sssp(edges, source=0).collect()}
+    assert dist == {0: 0, 1: 1, 2: 2, 3: 3}
