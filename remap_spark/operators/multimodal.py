@@ -2,11 +2,13 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side plumbing is real and tested: schemas, mapInPandas batch
-iteration, partition sizing. The actual codec work (JPEG decode, audio
-resample, video frame extraction) is STUBBED — the container has no
-image/audio libraries — behind ``_decode_*_impl`` functions that raise
-NotImplementedError unless a deterministic fake is requested. Swapping
-in Pillow/torchaudio/PyAV changes ONLY those functions.
+iteration, partition sizing. The common codecs decode NATIVELY in
+stdlib+numpy (no imaging/audio library): BMP, 8-bit PNG, Huffman JPEG
+(baseline sequential AND progressive), PCM WAV, and FLAC. Only exotic
+variants (arithmetic-coded/hierarchical/12-bit JPEG, 16-bit/palette
+PNG) and MP3 fall to ``_decode_*_impl``'s deterministic fake or raise
+NotImplementedError. Swapping in Pillow/torchaudio/PyAV changes ONLY
+those functions.
 
 Scale notes:
 - media blobs make rows wide: repartition by target partition *bytes*
@@ -237,10 +239,14 @@ class _JpegBits:
                 return sym
         raise ValueError("bad huffman code")
 
-    def receive_extend(self, s: int) -> int:
+    def receive(self, n: int) -> int:
         v = 0
-        for _ in range(s):
+        for _ in range(n):
             v = (v << 1) | self.bit()
+        return v
+
+    def receive_extend(self, s: int) -> int:
+        v = self.receive(s)
         return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
     def restart(self) -> None:
@@ -252,15 +258,161 @@ class _JpegBits:
         self.pos += 2
 
 
+def _jpeg_decode_scan(
+    blob, pos, frame, scan, ss, se, ah, al, huff, coef, restart_interval
+):
+    """Entropy-decode ONE scan into the per-component zigzag
+    coefficient stores. Handles all four progressive scan kinds (DC
+    first/refine, AC first/refine) plus the baseline full-band scan
+    (Ss=0, Se=63, Ah=Al=0) through the same handlers. Interleaved
+    (ns>1) scans walk the MCU grid; single-component scans walk the
+    component's OWN ceil-dimension block grid in raster order (T.81
+    A.2.2). Returns the byte offset of the next marker."""
+    w, h, comps = frame
+    by_id = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+    max_h = max(hs for _, hs, _, _ in comps)
+    max_v = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w // (8 * max_h))
+    interleaved = len(scan) > 1
+    if interleaved:
+        mcuy = -(-h // (8 * max_v))
+        units = mcux * mcuy
+    else:
+        cid0, _, _ = scan[0]
+        hs, vs = by_id[cid0]
+        comp_w = -(-(w * hs) // max_h)
+        comp_h = -(-(h * vs) // max_v)
+        cbw, cbh = -(-comp_w // 8), -(-comp_h // 8)
+        units = cbw * cbh
+    br = _JpegBits(blob, pos)
+    pred = {cid: 0 for cid, _, _ in scan}
+    eobrun = 0
+    k0 = max(ss, 1)
+    for ui in range(units):
+        if restart_interval and ui and ui % restart_interval == 0:
+            br.restart()
+            pred = {cid: 0 for cid in pred}
+            eobrun = 0
+        blocks = []
+        if interleaved:
+            my, mx = divmod(ui, mcux)
+            for cid, td, ta in scan:
+                hs, vs = by_id[cid]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        blocks.append(
+                            (cid, my * vs + byi, mx * hs + bxi, td, ta)
+                        )
+        else:
+            cid, td, ta = scan[0]
+            by, bx = divmod(ui, cbw)
+            blocks = [(cid, by, bx, td, ta)]
+        for cid, by, bx, td, ta in blocks:
+            blk = coef[cid][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first pass (baseline included)
+                    s = br.huff(huff[(0, td)])
+                    pred[cid] += br.receive_extend(s)
+                    blk[0] = pred[cid] << al
+                elif br.bit():  # DC refinement: one bit per block
+                    blk[0] |= 1 << al
+            if se >= 1:
+                if ah == 0:  # AC first pass (baseline included)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = k0
+                    while k <= se:
+                        rs = br.huff(huff[(1, ta)])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:  # EOBn (baseline EOB: r=0)
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overflow")
+                        blk[k] = br.receive_extend(s) << al
+                        k += 1
+                else:  # AC refinement
+                    eobrun = _jpeg_ac_refine(
+                        br, blk, k0, se, al, huff[(1, ta)], eobrun
+                    )
+    # skip pad bits / stuffing to the next real marker
+    p = br.pos
+    while p + 1 < len(blob):
+        if blob[p] == 0xFF and blob[p + 1] != 0x00 and not (
+            0xD0 <= blob[p + 1] <= 0xD7
+        ):
+            break
+        p += 1
+    return p
+
+
+def _jpeg_ac_refine(br, blk, k0, se, al, table, eobrun):
+    """AC successive-approximation refinement for one block (ITU T.81
+    G.2 / the IJG decode_mcu_AC_refine control flow): correction bits
+    for history-nonzero coefficients, (run,1) codes placing newly-
+    nonzero ones, EOB runs covering whole blocks whose remaining band
+    is correction-only. Returns the updated EOB-run counter."""
+    p1, m1 = 1 << al, -1 << al
+    k = k0
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(table)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: rest of this block is corrections
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # ZRL: skip 16 zero-history slots (corrections en route)
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # trailing correction bits under the EOB run
+            if blk[k] != 0:
+                if br.bit() and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_jpeg(blob: bytes):
-    """REAL image decode for baseline sequential JPEG (SOF0/SOF1,
-    Huffman) — pure stdlib struct + numpy, no imaging library: marker
-    parse (DQT/DHT/SOF/DRI/SOS), per-MCU Huffman entropy decode with
-    byte stuffing and restart markers, dequantize, de-zigzag, 8x8 IDCT
-    via the orthonormal DCT basis, per-factor chroma upsampling,
-    BT.601 YCbCr->RGB (grayscale replicates Y). Progressive (SOF2),
-    arithmetic coding, hierarchical, and 12-bit frames raise and fall
-    to the caller's fake/raise path. Returns (width, height, 8-float
+    """REAL image decode for Huffman JPEG, baseline sequential
+    (SOF0/SOF1) AND progressive (SOF2) — pure stdlib struct + numpy,
+    no imaging library. Marker parse (DQT/DHT/SOF/DRI/SOS); every
+    scan decodes into per-component zigzag COEFFICIENT stores (the
+    progressive model: spectral-selection bands, successive-
+    approximation first+refine passes with EOB runs; a baseline scan
+    is the Ss=0..63, Ah=Al=0 special case of the same handlers), with
+    byte stuffing and restart markers; then one vectorized pass
+    dequantizes, de-zigzags, IDCTs via the orthonormal DCT basis,
+    upsamples chroma per sampling factor, and converts BT.601
+    YCbCr->RGB (grayscale replicates Y). Arithmetic coding,
+    hierarchical, lossless, and 12-bit frames raise and fall to the
+    caller's fake/raise path. Returns (width, height, 8-float
     features) with the _decode_bmp feature contract."""
     import struct
 
@@ -272,7 +424,8 @@ def _decode_jpeg(blob: bytes):
     huff: dict = {}
     frame = None
     restart_interval = 0
-    scan = None
+    coef: dict = {}
+    saw_scan = False
     pos = 2
     while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
@@ -300,7 +453,7 @@ def _decode_jpeg(blob: bytes):
                         data[i : i + 128], ">u2"
                     ).astype(np.int32)
                     i += 128
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (tables may be redefined per scan)
             i = 0
             while i < len(data):
                 tc, th = data[i] >> 4, data[i] & 15
@@ -310,7 +463,7 @@ def _decode_jpeg(blob: bytes):
                 n = sum(counts)
                 huff[(tc, th)] = _build_huff(counts, list(data[i : i + n]))
                 i += n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / prog
             prec = data[0]
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -321,76 +474,52 @@ def _decode_jpeg(blob: bytes):
                 cid, hv, tq = data[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            max_h = max(hs for _, hs, _, _ in comps)
+            max_v = max(vs for _, _, vs, _ in comps)
+            if any(max_h % hs or max_v % vs for _, hs, vs, _ in comps):
+                raise ValueError("non-integer sampling ratio")
+            mcux = -(-w // (8 * max_h))
+            mcuy = -(-h // (8 * max_v))
+            for cid, hs, vs, _ in comps:
+                coef[cid] = np.zeros((mcuy * vs, mcux * hs, 64), np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG frame type 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = data[0]
             scan = [
                 (data[1 + 2 * i], data[2 + 2 * i] >> 4, data[2 + 2 * i] & 15)
                 for i in range(ns)
             ]
-            pos += seglen
-            break
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
+            pos = _jpeg_decode_scan(
+                blob, pos + seglen, frame, scan, ss, se, ah, al,
+                huff, coef, restart_interval,
+            )
+            saw_scan = True
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("missing SOF/SOS")
     w, h, comps = frame
-    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     max_h = max(hs for _, hs, _, _ in comps)
     max_v = max(vs for _, _, vs, _ in comps)
-    if any(max_h % hs or max_v % vs for _, hs, vs, _ in comps):
-        raise ValueError("non-integer sampling ratio")
-    mcux = -(-w // (8 * max_h))
-    mcuy = -(-h // (8 * max_v))
     zz = _jpeg_zigzag()
     m = _dct_basis()
-    planes = {
-        cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
-        for cid, hs, vs, _ in comps
-    }
-    pred = {cid: 0 for cid, _, _, _ in comps}
-    br = _JpegBits(blob, pos)
-    for mi in range(mcux * mcuy):
-        if restart_interval and mi and mi % restart_interval == 0:
-            br.restart()
-            pred = {cid: 0 for cid in pred}
-        my, mx = divmod(mi, mcux)
-        for cid, td, ta in scan:
-            hs, vs, tq = by_id[cid]
-            for byi in range(vs):
-                for bxi in range(hs):
-                    s = br.huff(huff[(0, td)])
-                    pred[cid] += br.receive_extend(s)
-                    coefs = np.zeros(64, np.int64)
-                    coefs[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = br.huff(huff[(1, ta)])
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC index overflow")
-                        coefs[k] = br.receive_extend(s)
-                        k += 1
-                    deq = coefs * qt[tq]
-                    block = np.zeros((8, 8))
-                    for i, (r_, c_) in enumerate(zz):
-                        block[r_, c_] = deq[i]
-                    spatial = m.T @ block @ m + 128.0
-                    y0 = (my * vs + byi) * 8
-                    x0 = (mx * hs + bxi) * 8
-                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
     full = {}
-    for cid, hs, vs, _ in comps:
-        p = planes[cid]
+    for cid, hs, vs, tq in comps:
+        c = coef[cid].astype(np.int64) * qt[tq]  # both in zigzag order
+        by, bx = c.shape[0], c.shape[1]
+        deq = np.zeros((by, bx, 8, 8))
+        for i, (r_, c_) in enumerate(zz):
+            deq[:, :, r_, c_] = c[:, :, i]
+        spatial = np.einsum("ij,abjk,kl->abil", m.T, deq, m) + 128.0
+        p = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         p = np.repeat(np.repeat(p, max_v // vs, axis=0), max_h // hs, axis=1)
         full[cid] = p[:h, :w]
     if len(comps) == 1:
@@ -681,11 +810,12 @@ def _decode_flac(blob: bytes):
 
 def _decode_image_impl(blob: bytes, fake: bool):
     """Image decode with container sniffing: real BMP ('BM' magic),
-    8-bit RGB/RGBA PNG, and BASELINE JPEG (SOF0/SOF1 Huffman) all
-    decode NATIVELY (stdlib struct/zlib + numpy — no imaging library);
-    only progressive/arithmetic JPEG and exotic PNG subtypes fall to
-    the deterministic md5 fake (fake=True) or raise. The swap-in seam
-    for Pillow is this dispatch alone."""
+    8-bit RGB/RGBA PNG, and Huffman JPEG — baseline sequential
+    (SOF0/SOF1) AND progressive (SOF2) — all decode NATIVELY (stdlib
+    struct/zlib + numpy, no imaging library); only arithmetic-coded /
+    hierarchical / 12-bit JPEG and exotic PNG subtypes fall to the
+    deterministic md5 fake (fake=True) or raise. The swap-in seam for
+    Pillow is this dispatch alone."""
     if blob[:2] == b"BM" and len(blob) >= 54:
         try:
             return _decode_bmp(blob)
@@ -705,16 +835,16 @@ def _decode_image_impl(blob: bytes, fake: bool):
         try:
             return _decode_jpeg(blob)
         except Exception:
-            # progressive (SOF2), arithmetic, 12-bit, or corrupt falls
+            # arithmetic-coded, hierarchical, 12-bit, or corrupt falls
             # through to the fake/raise path below
             pass
     if not fake:
         raise NotImplementedError(
-            "progressive/arithmetic JPEG and exotic PNG subtypes "
-            "require an imaging library not present in this "
+            "arithmetic-coded/hierarchical/12-bit JPEG and exotic PNG "
+            "subtypes require an imaging library not present in this "
             "environment; pass fake=True for the deterministic stub "
-            "(uncompressed BMP, 8-bit RGB/RGBA PNG, and baseline "
-            "sequential JPEG decode natively)"
+            "(uncompressed BMP, 8-bit RGB/RGBA PNG, and Huffman JPEG "
+            "-- baseline AND progressive -- decode natively)"
         )
     import hashlib
 
@@ -729,7 +859,15 @@ def _decode_audio_impl(blob: bytes, fake: bool):
     and native FLAC ('fLaC' magic — all four subframe types, Rice
     residuals, stereo decorrelation) both decode NATIVELY (stdlib +
     numpy); only MP3 and other lossy codecs fall to the deterministic
-    fake or raise."""
+    fake or raise.
+
+    Why MP3 stays stubbed when FLAC/JPEG decode natively: Layer III's
+    polyphase synthesis filterbank is defined over a 512-coefficient
+    prototype window that exists ONLY as a quantized table in ISO
+    11172-3 Annex B (no closed form to derive it from), and this
+    container has neither that table data nor any audio codec to
+    validate a re-entry against — so a from-scratch decoder could not
+    be proven correct here. The seam is this dispatch alone."""
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         try:
             return _decode_wav(blob)

@@ -1258,7 +1258,9 @@ def _jpeg_enc_tables():
     code length 8 (valid canonical assignment, never reaches the
     all-ones code). Returns (dc_map, ac_map, dc_dht, ac_dht)."""
     dc_syms = list(range(12))
-    ac_syms = [0x00, 0xF0] + [
+    # 0x00=EOB/EOB0, 0xF0=ZRL, EOBn run-length symbols (progressive),
+    # then the (run, size) matrix
+    ac_syms = [0x00, 0xF0] + [r << 4 for r in range(1, 15)] + [
         (r << 4) | s for r in range(16) for s in range(1, 11)
     ]
     def canon(symbols):
@@ -1404,6 +1406,297 @@ def _make_jpeg(rows, subsample=False, restart_interval=0, gray=False):
     return bytes(out)
 
 
+def _make_jpeg_prog(rows, gray=False, subsample=False, al_top=1, split=20):
+    """Progressive JPEG encoder for tests (SOF2): DC-first interleaved
+    scan at Al=al_top, per-component AC spectral-selection scans
+    (1..split, split+1..63) at Al=al_top, then per-level successive-
+    approximation refinement scans (DC bit scans; AC refinement with
+    correction bits, newly-nonzero (run,1) codes, and EOB runs per
+    ITU T.81 G.1.2.3) down to Al=0. Same quant/Huffman conventions as
+    _make_jpeg; dimensions must be multiples of the MCU size."""
+    import struct
+
+    import numpy as np
+
+    from remap_spark.operators.multimodal import _dct_basis, _jpeg_zigzag
+
+    m, zz = _dct_basis(), _jpeg_zigzag()
+    h = len(rows)
+    w = len(rows[0])
+    px = np.array(rows, dtype=np.float64)
+    if gray:
+        planes = [px]
+        comps = [(1, 1, 1, 0)]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        else:
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        planes = [y, cb, cr]
+    dc_map, ac_map, dc_dht, ac_dht = _jpeg_enc_tables()
+
+    # zigzag coefficient blocks per component, raster block order
+    qb = []
+    grids = []
+    for plane in planes:
+        ph, pw = plane.shape
+        cbh, cbw = ph // 8, pw // 8
+        blocks = []
+        for by in range(cbh):
+            row = []
+            for bx in range(cbw):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coefs = m @ (block - 128.0) @ m.T
+                row.append([int(round(coefs[r_, c_])) for r_, c_ in zz])
+            blocks.append(row)
+        qb.append(blocks)
+        grids.append((cbh, cbw))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xDB, bytes([0x01]) + bytes([1] * 64))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + dc_dht)
+    out += seg(0xC4, bytes([0x10]) + ac_dht)
+    out += seg(0xC4, bytes([0x01]) + dc_dht)
+    out += seg(0xC4, bytes([0x11]) + ac_dht)
+
+    def sos_hdr(scan_comps, ss, se, ah, al_):
+        payload = bytes([len(scan_comps)])
+        for cid, td, ta in scan_comps:
+            payload += bytes([cid, (td << 4) | ta])
+        payload += bytes([ss, se, (ah << 4) | al_])
+        return seg(0xDA, payload)
+
+    max_h = max(hs for _, hs, _, _ in comps)
+    max_v = max(vs for _, _, vs, _ in comps)
+    mcux, mcuy = w // (8 * max_h), h // (8 * max_v)
+
+    def mcu_blocks():
+        """(pi, by, bx) triples in interleaved MCU order."""
+        for mi in range(mcux * mcuy):
+            my, mx = divmod(mi, mcux)
+            for pi, (cid, hs, vs, _) in enumerate(comps):
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        yield pi, my * vs + byi, mx * hs + bxi
+
+    # --- scan 1: DC first, interleaved, Al=al_top ---
+    all_scan = [
+        (cid, 0 if i == 0 else 1, 0 if i == 0 else 1)
+        for i, (cid, _, _, _) in enumerate(comps)
+    ]
+    out += sos_hdr(all_scan, 0, 0, 0, al_top)
+    bw = _JpegBW()
+    pred = [0] * len(comps)
+    for pi, by, bx in mcu_blocks():
+        v = qb[pi][by][bx][0] >> al_top  # arithmetic shift (T.81 DC)
+        s, code = _mag(v - pred[pi])
+        pred[pi] = v
+        c8, l8 = dc_map[s]
+        bw.put(c8, l8)
+        bw.put(code, s)
+    bw.align()
+    out += bw.out
+
+    def ac_first_scan(pi, band, al_):
+        nonlocal out
+        cid = comps[pi][0]
+        ta = 0 if pi == 0 else 1
+        out += sos_hdr([(cid, 0, ta)], band[0], band[-1], 0, al_)
+        bw = _JpegBW()
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                c8, l8 = ac_map[nb << 4]
+                bw.put(c8, l8)
+                if nb:
+                    bw.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        cbh, cbw = grids[pi]
+        for by in range(cbh):
+            for bx in range(cbw):
+                q = qb[pi][by][bx]
+                vals = [
+                    (1 if q[k] >= 0 else -1) * (abs(q[k]) >> al_)
+                    for k in band
+                ]
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+                    continue
+                flush()
+                run = 0
+                last_nz = max(i for i, v in enumerate(vals) if v)
+                for i in range(last_nz + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c8, l8 = ac_map[0xF0]
+                        bw.put(c8, l8)
+                        run -= 16
+                    s, code = _mag(v)
+                    c8, l8 = ac_map[(run << 4) | s]
+                    bw.put(c8, l8)
+                    bw.put(code, s)
+                    run = 0
+                if last_nz < len(vals) - 1:
+                    eobrun += 1
+        flush()
+        bw.align()
+        out += bw.out
+
+    def ac_refine_scan(pi, band, al_):
+        """Refine band from Al=al_+1 history to Al=al_ (Ah=al_+1)."""
+        nonlocal out
+        cid = comps[pi][0]
+        ta = 0 if pi == 0 else 1
+        out += sos_hdr([(cid, 0, ta)], band[0], band[-1], al_ + 1, al_)
+        bw = _JpegBW()
+        eobrun = 0
+        pend = []
+
+        def flush():
+            nonlocal eobrun, pend
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                c8, l8 = ac_map[nb << 4]
+                bw.put(c8, l8)
+                if nb:
+                    bw.put(eobrun - (1 << nb), nb)
+                for b in pend:
+                    bw.put(b, 1)
+                pend = []
+                eobrun = 0
+
+        cbh, cbw = grids[pi]
+        for by in range(cbh):
+            for bx in range(cbw):
+                q = qb[pi][by][bx]
+                r, be = 0, []
+                for k in band:
+                    a = abs(q[k]) >> al_
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        flush()
+                        c8, l8 = ac_map[0xF0]
+                        bw.put(c8, l8)
+                        r -= 16
+                        for b in be:
+                            bw.put(b, 1)
+                        be = []
+                    if a > 1:  # history-nonzero: buffer correction bit
+                        be.append(a & 1)
+                        continue
+                    flush()  # newly nonzero: (run, 1) + sign + pending
+                    c8, l8 = ac_map[(r << 4) | 1]
+                    bw.put(c8, l8)
+                    bw.put(1 if q[k] > 0 else 0, 1)
+                    for b in be:
+                        bw.put(b, 1)
+                    be = []
+                    r = 0
+                if r > 0 or be:
+                    eobrun += 1
+                    pend += be
+                    if eobrun == 0x7FFF:
+                        flush()
+        flush()
+        bw.align()
+        out += bw.out
+
+    band_lo = list(range(1, split + 1))
+    band_hi = list(range(split + 1, 64))
+    for pi in range(len(comps)):
+        ac_first_scan(pi, band_lo, al_top)
+        ac_first_scan(pi, band_hi, al_top)
+    for lvl in range(al_top - 1, -1, -1):
+        # DC refinement: Ah=lvl+1, Al=lvl, one raw bit per block
+        out += sos_hdr(all_scan, 0, 0, lvl + 1, lvl)
+        bw = _JpegBW()
+        for pi, by, bx in mcu_blocks():
+            bw.put((qb[pi][by][bx][0] >> lvl) & 1, 1)
+        bw.align()
+        out += bw.out
+        for pi in range(len(comps)):
+            ac_refine_scan(pi, band_lo, lvl)
+            ac_refine_scan(pi, band_hi, lvl)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multimodal_real_progressive_jpeg_decode(spark):
+    """Progressive JPEG (SOF2) decodes NATIVELY through the same
+    coefficient-store pipeline as baseline: spectral-selection bands,
+    successive-approximation first+refinement scans, EOB runs. After
+    full refinement the coefficients are bit-identical to the baseline
+    encoding of the same image, so features must match the baseline
+    decode exactly."""
+    import pytest
+
+    from remap_spark.operators.multimodal import (
+        _decode_image_impl,
+        _decode_jpeg,
+        image_features,
+    )
+
+    grad = [
+        [((x * 13 + y * 7) % 256, (x * 5) % 256, (y * 11) % 256) for x in range(16)]
+        for y in range(16)
+    ]
+    base = _decode_jpeg(_make_jpeg(grad))
+    for kwargs in (
+        {},  # one refinement level, default band split
+        {"al_top": 2, "split": 5},  # two successive-approx levels
+    ):
+        w, h, feats = _decode_jpeg(_make_jpeg_prog(grad, **kwargs))
+        assert (w, h) == (16, 16)
+        assert feats == pytest.approx(base[2], abs=1e-9), kwargs
+
+    # 4:2:0 subsampling: AC scans walk each component's OWN block grid
+    base_sub = _decode_jpeg(_make_jpeg(grad, subsample=True))
+    w, h, feats = _decode_jpeg(_make_jpeg_prog(grad, subsample=True))
+    assert (w, h) == (16, 16)
+    assert feats == pytest.approx(base_sub[2], abs=1e-9)
+
+    # grayscale single component
+    g = [[(x * 16 + y) % 256 for x in range(8)] for y in range(8)]
+    base_g = _decode_jpeg(_make_jpeg(g, gray=True))
+    w, h, feats = _decode_jpeg(_make_jpeg_prog(g, gray=True, split=3))
+    assert (w, h) == (8, 8)
+    assert feats == pytest.approx(base_g[2], abs=1e-9)
+
+    # production dispatch path accepts SOF2 with fake=False
+    blob = _make_jpeg_prog(grad)
+    w, h, feats = _decode_image_impl(blob, fake=False)
+    assert (w, h) == (16, 16)
+    df = spark.createDataFrame([(1, blob)], "media_id bigint, media binary")
+    row = image_features(df, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (16, 16)
+    assert row["features"] == pytest.approx(base[2], abs=1e-6)
+
+
 def test_multimodal_real_jpeg_decode(spark):
     """Baseline sequential JPEG decodes NATIVELY (stdlib + numpy
     Huffman/IDCT) — the fake is narrowed to progressive/arithmetic
@@ -1466,14 +1759,15 @@ def test_multimodal_real_jpeg_decode(spark):
     assert (row["width"], row["height"]) == (8, 8)
     assert row["features"][0] == pytest.approx(200 / 255, abs=0.02)
 
-    # progressive (SOF2) header must fall to the fake / raise
-    prog = bytearray(_make_jpeg(solid))
-    idx = prog.find(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
-    w, h, f8 = _decode_image_impl(bytes(prog), fake=True)
+    # arithmetic-coded (SOF9) header must fall to the fake / raise
+    # (progressive SOF2 now decodes natively — see the dedicated test)
+    arith = bytearray(_make_jpeg(solid))
+    idx = arith.find(b"\xff\xc0")
+    arith[idx + 1] = 0xC9
+    w, h, f8 = _decode_image_impl(bytes(arith), fake=True)
     assert (w, h) == (4, 4) and len(f8) == 8
     with pytest.raises(NotImplementedError):
-        _decode_image_impl(bytes(prog), fake=False)
+        _decode_image_impl(bytes(arith), fake=False)
 
 
 def test_lsh_multi_probe_recall(spark):

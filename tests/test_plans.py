@@ -400,6 +400,9 @@ def test_no_query_plans_a_cartesian_product(spark):
         # broadcast into the code scan — bounded by the query set
         "ext_ann_pq",
         "ext_ann_ivf_pq",
+        # final assembly of three 1-row aggregates (n_vertices x
+        # n_edges x n_triangles) — each BNLJ side is a single row
+        "ext_graph_triangles",
     }
     bad = []
     for name, fn in ALL_QUERIES.items():
