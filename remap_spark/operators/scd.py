@@ -1,0 +1,67 @@
+"""Slowly-changing-dimension (Type 2) history construction.
+
+The warehouse-side twin of dq44's CDC merge-upsert: instead of keeping
+only the latest state per key, build the FULL validity-interval history
+from a change stream — one row per (key, version) with
+``valid_from`` / ``valid_to`` / ``is_current``, collapsing consecutive
+observations whose tracked attributes did not actually change.
+
+Scale shape: everything is expressed over ONE key-partitioned sort
+(lag-based change detection, running version sum) plus a per-(key,
+version) combiner aggregate and a second window over the version-level
+relation (orders of magnitude smaller than the event stream). No
+driver actions, no self-joins; skew is bounded by the hottest key's
+event count, same as any sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build Type-2 dimension history from a change stream.
+
+    ``df`` holds one row per observed state (key, ts, attrs...).
+    Output: one row per (key, version): the tracked attributes,
+    ``valid_from`` (first observation of this state), ``valid_to``
+    (start of the next version, NULL for the open current version) and
+    ``is_current``. Consecutive rows with identical attributes merge
+    into one version — re-observing an unchanged state never opens a
+    new interval. ``tiebreak_col`` makes same-timestamp ordering
+    deterministic.
+
+    Null-safe comparison: an attribute transitioning NULL -> value (or
+    back) IS a change; NULL -> NULL is not (eqNullSafe).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = F.lag(tiebreak_col).over(w).isNull()  # first row per key
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    versioned = df.withColumn(
+        "version",
+        F.sum(F.when(changed, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # attrs are constant within a version by construction, so they can
+    # sit in the grouping key; min(ts) is the version's open edge
+    per_version = versioned.groupBy(key_col, "version", *attr_cols).agg(
+        F.min(ts_col).alias("valid_from")
+    )
+    wv = Window.partitionBy(key_col).orderBy("version")
+    return per_version.select(
+        key_col,
+        "version",
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -589,6 +589,67 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag-of-terms query —
+    the standard retrieval scorer for mining a corpus for documents
+    about a topic (seed selection, decontamination triage, quality
+    routing). score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b +
+    b·len_d/avgdl)), idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    Returns the topk (rank, doc_id, score) rows ordered by the ROUNDED
+    score then doc_id, so the ordering is reproducible cross-engine.
+
+    Shape: doc lengths come from the full token stream's per-doc
+    aggregate; tf is computed ONLY for the query terms (the filter is
+    applied before the aggregate, so the shuffled tf relation is
+    |terms|-bounded per doc); df and the (N, avgdl) constants ride in
+    as broadcast relations (term-count-sized and single-row — never a
+    driver action). The global top-k is a TakeOrdered, not a full
+    sort. At 100 TB the only corpus-sized shuffle is the per-doc
+    length aggregate, which is combiner-style."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("word"),
+    )
+    lens = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    tf = (
+        toks.where(F.col("word").isin(query_terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("dfc"))
+    consts = lens.agg(
+        F.count("*").alias("_nd"), F.avg("dlen").alias("_avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_nd") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)
+    )
+    norm = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dlen") / F.col("_avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("_s", idf * F.col("tf") * (k1 + 1.0) / norm)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 5).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(topk)
+        .select("doc_id", "score")
+    )
+
+
 def boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",

@@ -166,6 +166,11 @@ _TAIL_QUERIES = [
     "ext_range_join_binned",  # (range family: dq20 r4-green, plan test pinned)
     "dq28_exists",  # (subquery family: dq29 scalar-subquery r4-green)
     "dq30_grouping_sets",  # (grouping family: dq12/dq23/dq31 r4-green)
+    # r3-green demoted mid-r5 to fund the three NEW queries' window
+    # slots (bm25 / scd2 / zorder); due in the r6 window with the rest:
+    "ext_dedup_exact",  # (dedup family: ngram/minhash/simhash/... in window)
+    "ext_ann_ivf",  # (ANN family: topk/lsh/pq/ivf_pq in window)
+    "ext_text_pii",  # (text family: tokens/quality/stats/langid in window)
     # r4-green, code unchanged since:
     "dq01_project",
     "dq02_filter",

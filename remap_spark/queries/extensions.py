@@ -2905,6 +2905,145 @@ def _bloom_oracle(m_bits: int = 1 << 16, k: int = 5, seed: int = 7) -> str:
     """
 
 
+def ext_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scores (operators/text.bm25_topk) for a fixed
+    3-term query over the documents corpus: Okapi tf saturation +
+    length normalization, top-20 by (rounded score, doc_id). The
+    oracle replays the identical formula; the ORDER BY is on the
+    ROUNDED score so the cut is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bm25_topk(docs, ["hash", "vector", "spark"], topk=20)
+
+
+_BM25_SQL = f"""
+    WITH {_TOKS},
+    lens AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM toks
+      WHERE word IN ('hash', 'vector', 'spark') GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, COUNT(*) AS dfc FROM tf GROUP BY word),
+    consts AS (
+      SELECT COUNT(*) AS nd, AVG(dlen) AS avgdl FROM lens
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (nd - dfc + 0.5) / (dfc + 0.5))
+               * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl)) AS s
+      FROM tf
+      JOIN dfreq ON dfreq.word = tf.word
+      JOIN lens ON lens.doc_id = tf.doc_id
+      CROSS JOIN consts
+    )
+    SELECT doc_id, ROUND(SUM(s), 5) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history (operators/scd.
+    scd2_history) of each user's event_type state over the events
+    stream: change detection is null-safe lag comparison, consecutive
+    identical states collapse into one validity interval, the open
+    version carries valid_to NULL / is_current 1. Interval edges are
+    exported as epoch microseconds (integer-exact cross-engine)."""
+    from ..functions import epoch_us
+    from ..operators.scd import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_col="event_id",
+    )
+    return hist.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        F.col("event_type").alias("state"),
+        epoch_us("valid_from").alias("valid_from_us"),
+        epoch_us("valid_to").alias("valid_to_us"),
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("user_id", "version")
+
+
+_SCD2_SQL = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_id) OVER w IS NULL
+                       OR event_type IS DISTINCT FROM LAG(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versioned AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM ordered
+    ),
+    per_version AS (
+      SELECT user_id, version, event_type AS state, MIN(ts) AS valid_from
+      FROM versioned GROUP BY user_id, version, event_type
+    ),
+    hist AS (
+      SELECT user_id, version, state, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to
+      FROM per_version
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, state,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(valid_to) AS valid_to_us,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM hist ORDER BY user_id, version
+"""
+
+
+def ext_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key + data-skipping stats (operators/layout):
+    lineitem (l_partkey, l_suppkey) bucketized mod 256, bits
+    interleaved into a 16-bit Morton key, top-8-bits bucket = the file
+    a range-partitioned write would place the row in. Output is the
+    per-bucket min/max/count stats relation — the footer metadata a
+    stats-pruned scan reads — proving every bucket covers a tight
+    16x16 tile of the (partkey, suppkey) plane. Integer-exact."""
+    from ..operators.layout import skipping_stats, zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"),
+        (F.col("l_suppkey") % 256).alias("y"),
+    )
+    keyed = li.withColumn("z_key", zorder_key(["x", "y"], bits=8))
+    stats = skipping_stats(
+        keyed.withColumn("bucket", F.shiftright("z_key", 8)),
+        "bucket",
+        ["x", "y"],
+    )
+    return stats.orderBy("bucket")
+
+
+_Z_TERMS = " + ".join(
+    [f"(((x >> {i}) & 1) << {2 * i})" for i in range(8)]
+    + [f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(8)]
+)
+
+_ZORDER_SQL = f"""
+    WITH xy AS (
+      SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem
+    ),
+    z AS (SELECT x, y, {_Z_TERMS} AS z_key FROM xy)
+    SELECT CAST(z_key >> 8 AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM z GROUP BY 1 ORDER BY bucket
+"""
+
+
 EXT_QUERIES = {
     "ext_dedup_exact": ext_dedup_exact,
     "ext_dedup_ngram_jaccard": ext_dedup_ngram_jaccard,
@@ -2961,6 +3100,9 @@ EXT_QUERIES = {
     "ext_range_join_binned": ext_range_join_binned,
     "ext_text_bpe_pairs": ext_text_bpe_pairs,
     "ext_quality_classifier": ext_quality_classifier,
+    "ext_text_bm25": ext_text_bm25,
+    "ext_scd2_history": ext_scd2_history,
+    "ext_layout_zorder": ext_layout_zorder,
 }
 
 EXT_ORACLES = {
@@ -3019,4 +3161,7 @@ EXT_ORACLES = {
     "ext_range_join_binned": _RANGE_BINNED_SQL,
     "ext_text_bpe_pairs": _BPE_SQL,
     "ext_quality_classifier": _classifier_oracle(iters=12, lr=4.0),
+    "ext_text_bm25": _BM25_SQL,
+    "ext_scd2_history": _SCD2_SQL,
+    "ext_layout_zorder": _ZORDER_SQL,
 }

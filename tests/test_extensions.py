@@ -2251,3 +2251,151 @@ def test_sssp_and_triangles_known_graphs(spark):
     )
     dist = {r["id"]: r["dist"] for r in sssp(edges, source=0).collect()}
     assert dist == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_scd2_history_semantics(spark):
+    """SCD2 invariants on a constructed change stream: consecutive
+    identical states collapse, a state REVISITED after a change opens
+    a new version (no global dedup), NULL<->value transitions count as
+    changes, NULL->NULL does not, same-timestamp ties order by the
+    tiebreak column, and intervals tile: valid_to == next valid_from,
+    exactly one open version per key."""
+    import datetime as dt
+
+    from remap_spark.operators.scd import scd2_history
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: A A B B A  -> versions A, B, A
+        (1, ts(0), "A", 1),
+        (1, ts(10), "A", 2),
+        (1, ts(20), "B", 3),
+        (1, ts(30), "B", 4),
+        (1, ts(40), "A", 5),
+        # user 2: NULL NULL X NULL -> versions NULL, X, NULL
+        (2, ts(0), None, 6),
+        (2, ts(10), None, 7),
+        (2, ts(20), "X", 8),
+        (2, ts(30), None, 9),
+        # user 3: same-ts tie -> event_id orders it: P (id 10), Q (id 11)
+        (3, ts(0), "Q", 11),
+        (3, ts(0), "P", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, state string, event_id bigint"
+    )
+    hist = scd2_history(
+        df, key_col="user_id", ts_col="ts",
+        attr_cols=["state"], tiebreak_col="event_id",
+    )
+    got = {
+        (r["user_id"], r["version"]): r
+        for r in hist.collect()
+    }
+    assert len(got) == 3 + 3 + 2
+
+    u1 = [got[(1, v)] for v in (1, 2, 3)]
+    assert [r["state"] for r in u1] == ["A", "B", "A"]
+    assert u1[0]["valid_from"] == ts(0)
+    assert u1[0]["valid_to"] == ts(20)  # tiles with next version
+    assert u1[1]["valid_to"] == ts(40)
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"]
+    assert not u1[0]["is_current"] and not u1[1]["is_current"]
+
+    u2 = [got[(2, v)] for v in (1, 2, 3)]
+    assert [r["state"] for r in u2] == [None, "X", None]
+    assert u2[0]["valid_from"] == ts(0)  # NULL,NULL collapsed
+
+    u3 = [got[(3, v)] for v in (1, 2)]
+    assert [r["state"] for r in u3] == ["P", "Q"]  # tiebreak order
+
+
+def test_bm25_scoring(spark):
+    """BM25 on a hand-computable corpus: 3 docs, query {cat}; doc a
+    has tf=2 over 4 tokens, doc b tf=1 over 2, doc c misses the term.
+    N=3, df=2, avgdl=3 -> verify the exact Okapi value and that the
+    absent doc scores nothing."""
+    import math
+
+    import pytest
+
+    from remap_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat dog cat bird"),
+            (2, "cat fish"),
+            (3, "dog dog bird"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["cat"]).collect()}
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def okapi(tf, dlen, avgdl=3.0):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dlen / avgdl))
+
+    assert 3 not in out  # no query term, no row
+    assert out[1] == pytest.approx(okapi(2, 4), abs=1e-5)
+    assert out[2] == pytest.approx(okapi(1, 2), abs=1e-5)
+
+
+def test_zorder_key_and_skipping(spark):
+    """zorder_key matches a python Morton reference, and the layout
+    point: on a 64x64 grid split into 256 files, an 8x8 box predicate
+    must open <=9 z-order buckets (the box overlaps at most 3x3 of
+    the 4x4 tiles) versus ~32 under a single-column x-sorted layout
+    whose files each span (nearly) the full y range."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.operators.layout import (
+        eligible_buckets,
+        skipping_stats,
+        zorder_key,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    keyed = grid.withColumn("z_key", zorder_key(["x", "y"], bits=6))
+
+    def morton(x, y):
+        return sum(
+            (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))
+            for i in range(6)
+        )
+
+    sample = keyed.where((F.col("x") % 17 == 0) & (F.col("y") % 13 == 0))
+    for r in sample.collect():
+        assert r["z_key"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+    box = {"x": (21, 28), "y": (35, 42)}  # deliberately tile-misaligned
+    z_stats = skipping_stats(
+        keyed.withColumn("bucket", F.shiftright("z_key", 4)), "bucket", ["x", "y"]
+    )
+    assert z_stats.count() == 256
+    z_open = eligible_buckets(z_stats, box).count()
+
+    # single-column-sort layout (the thing z-order exists to beat):
+    # 256 files of 16 rows ordered by x with arbitrary y order inside
+    # each x -> tight x stats, near-full-range y stats per file
+    from pyspark.sql.window import Window
+
+    linear = grid.withColumn(
+        "bucket",
+        (
+            (F.row_number().over(Window.orderBy("x", (F.col("y") * 37) % 64)) - 1)
+            / 16
+        ).cast("long"),
+    )
+    lin_open = eligible_buckets(
+        skipping_stats(linear, "bucket", ["x", "y"]), box
+    ).count()
+
+    assert z_open <= 9, z_open
+    assert z_open < lin_open, (z_open, lin_open)

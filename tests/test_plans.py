@@ -403,6 +403,9 @@ def test_no_query_plans_a_cartesian_product(spark):
         # final assembly of three 1-row aggregates (n_vertices x
         # n_edges x n_triangles) — each BNLJ side is a single row
         "ext_graph_triangles",
+        # (N, avgdl) corpus constants: a single-row broadcast into the
+        # per-term scoring join (same contract as the in-plan counts)
+        "ext_text_bm25",
     }
     bad = []
     for name, fn in ALL_QUERIES.items():
