@@ -65,3 +65,59 @@ def scd2_history(
         "valid_from",
         F.lead("valid_from").over(wv).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def scd2_apply_batch(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Incrementally apply an APPEND-ONLY batch of change rows to an
+    existing Type-2 dimension (a prior ``scd2_history`` output).
+
+    Only keys present in the batch are rebuilt: their existing history
+    rows are replayed as a change stream (one pseudo-event per version
+    at its ``valid_from``) together with the new events, and re-run
+    through ``scd2_history``; every untouched key's rows stream
+    through without being rewritten. Because the replayed stream
+    reproduces exactly the original change points, the result is
+    row-identical to a full recompute over (old events ∪ batch) —
+    the equivalence the tests and the ext_scd2_incremental oracle pin.
+
+    Preconditions (the append-only CDC contract):
+    - every batch row's ``ts`` is later than the key's last observed
+      event (late/backfill events need the full rebuild path);
+    - batch ``tiebreak_col`` values are >= 0 (replayed history rows
+      take tiebreak -1 so a batch event at exactly the open version's
+      ``valid_from`` orders after it, as it did in the full stream).
+
+    Scale shape: the rebuild input is |touched keys|'s history +
+    batch — batch-proportional, not dimension-proportional; the
+    untouched side is a key-hash anti-join, no sort, no window. This
+    is what makes daily dimension maintenance O(batch) at 100 TB.
+    """
+    touched = changes.select(key_col).distinct()
+    keep = dim.join(touched, key_col, "left_anti")
+    replay = dim.join(touched, key_col, "left_semi").select(
+        key_col,
+        F.col("valid_from").alias(ts_col),
+        *attr_cols,
+        F.lit(-1).cast("long").alias(tiebreak_col),
+    )
+    batch = changes.select(
+        key_col,
+        ts_col,
+        *attr_cols,
+        F.col(tiebreak_col).cast("long").alias(tiebreak_col),
+    )
+    rebuilt = scd2_history(
+        replay.unionByName(batch),
+        key_col=key_col,
+        ts_col=ts_col,
+        attr_cols=attr_cols,
+        tiebreak_col=tiebreak_col,
+    )
+    return keep.unionByName(rebuilt)

@@ -171,6 +171,7 @@ _TAIL_QUERIES = [
     "ext_dedup_exact",  # (dedup family: ngram/minhash/simhash/... in window)
     "ext_ann_ivf",  # (ANN family: topk/lsh/pq/ivf_pq in window)
     "ext_text_pii",  # (text family: tokens/quality/stats/langid in window)
+    "ext_dedup_incremental",  # (incremental family: dedup_incremental_fuzzy in window)
     # r4-green, code unchanged since:
     "dq01_project",
     "dq02_filter",

@@ -3004,6 +3004,47 @@ _SCD2_SQL = """
 """
 
 
+def ext_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/scd.scd2_apply_batch):
+    the dimension is built from events up to 2024-01-21, then the
+    remaining events are applied as an append-only CDC batch — only
+    touched keys rebuild, untouched rows stream through. The oracle is
+    the FULL-recompute SQL (_SCD2_SQL): the incremental path must be
+    row-identical to rebuilding history from the complete stream,
+    which is precisely the invariant that makes it safe to run daily
+    at 100 TB."""
+    from ..functions import epoch_us
+    from ..operators.scd import scd2_apply_batch, scd2_history
+
+    cutoff_us = 1705795200000000  # 2024-01-21 00:00:00 in naive micros
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    dim = scd2_history(
+        ev.where(epoch_us("ts") <= cutoff_us),
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_col="event_id",
+    )
+    hist = scd2_apply_batch(
+        dim,
+        ev.where(epoch_us("ts") > cutoff_us),
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_col="event_id",
+    )
+    return hist.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        F.col("event_type").alias("state"),
+        epoch_us("valid_from").alias("valid_from_us"),
+        epoch_us("valid_to").alias("valid_to_us"),
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("user_id", "version")
+
+
 def ext_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key + data-skipping stats (operators/layout):
     lineitem (l_partkey, l_suppkey) bucketized mod 256, bits
@@ -3102,6 +3143,7 @@ EXT_QUERIES = {
     "ext_quality_classifier": ext_quality_classifier,
     "ext_text_bm25": ext_text_bm25,
     "ext_scd2_history": ext_scd2_history,
+    "ext_scd2_incremental": ext_scd2_incremental,
     "ext_layout_zorder": ext_layout_zorder,
 }
 
@@ -3163,5 +3205,8 @@ EXT_ORACLES = {
     "ext_quality_classifier": _classifier_oracle(iters=12, lr=4.0),
     "ext_text_bm25": _BM25_SQL,
     "ext_scd2_history": _SCD2_SQL,
+    # incremental apply must be row-identical to the full recompute —
+    # the oracle IS the full-history SQL
+    "ext_scd2_incremental": _SCD2_SQL,
     "ext_layout_zorder": _ZORDER_SQL,
 }
