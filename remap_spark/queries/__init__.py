@@ -172,6 +172,7 @@ _TAIL_QUERIES = [
     "ext_ann_ivf",  # (ANN family: topk/lsh/pq/ivf_pq in window)
     "ext_text_pii",  # (text family: tokens/quality/stats/langid in window)
     "ext_dedup_incremental",  # (incremental family: dedup_incremental_fuzzy in window)
+    "ext_kmeans_embed",  # (quantized-Lloyd family: ext_ann_pq training in window)
     # r4-green, code unchanged since:
     "dq01_project",
     "dq02_filter",

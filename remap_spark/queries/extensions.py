@@ -3068,6 +3068,46 @@ def ext_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("bucket")
 
 
+def ext_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering stats (operators/layout.
+    with_hilbert_key): same bucketization as ext_layout_zorder but
+    keyed by the jump-free Hilbert order — every 256-key curve segment
+    is one connected region, so per-bucket min/max boxes are tighter
+    than Morton's on average (pinned by test_hilbert_locality). The
+    oracle replays the identical per-bit fold via hilbert_sql's CTE
+    chain; integer-exact."""
+    from ..operators.layout import skipping_stats, with_hilbert_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"),
+        (F.col("l_suppkey") % 256).alias("y"),
+    )
+    keyed = with_hilbert_key(li, "x", "y", bits=8)
+    stats = skipping_stats(
+        keyed.withColumn("bucket", F.shiftright("h_key", 8)),
+        "bucket",
+        ["x", "y"],
+    )
+    return stats.orderBy("bucket")
+
+
+def _hilbert_oracle() -> str:
+    from ..operators.layout import hilbert_sql
+
+    hq = hilbert_sql(
+        "x",
+        "y",
+        "(SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem)",
+        bits=8,
+    )
+    return f"""
+    SELECT CAST(h_key >> 8 AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+           MIN(hx) AS min_x, MAX(hx) AS max_x,
+           MIN(hy) AS min_y, MAX(hy) AS max_y
+    FROM ({hq}) GROUP BY 1 ORDER BY bucket
+    """
+
+
 _Z_TERMS = " + ".join(
     [f"(((x >> {i}) & 1) << {2 * i})" for i in range(8)]
     + [f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(8)]
@@ -3145,6 +3185,7 @@ EXT_QUERIES = {
     "ext_scd2_history": ext_scd2_history,
     "ext_scd2_incremental": ext_scd2_incremental,
     "ext_layout_zorder": ext_layout_zorder,
+    "ext_layout_hilbert": ext_layout_hilbert,
 }
 
 EXT_ORACLES = {
@@ -3209,4 +3250,5 @@ EXT_ORACLES = {
     # the oracle IS the full-history SQL
     "ext_scd2_incremental": _SCD2_SQL,
     "ext_layout_zorder": _ZORDER_SQL,
+    "ext_layout_hilbert": _hilbert_oracle(),
 }
