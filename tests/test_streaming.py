@@ -898,3 +898,64 @@ def test_ingest_dedup_fuzzy_batches_and_replay(spark, tmp_path_factory):
     assert state() == (kept, st_rows)
     # store partitions carry batch lineage for compaction
     assert {b for _, _, _, b in st_rows} == {0, 1}
+
+
+def test_stream_scd2_batches_and_replay(spark, tmp_path_factory):
+    """Streaming SCD2 protocol: three sequential micro-batches leave
+    the bucket-partitioned dimension store EXACTLY equal to a full
+    batch recompute over all events; replaying any batch afterwards —
+    including out of order, after later batches committed — changes
+    nothing (scd2_apply_batch's append-only idempotence)."""
+    import datetime as dt
+
+    from remap_spark.operators.scd import scd2_history
+    from remap_spark.streaming.scd import read_dim, scd2_apply_stream_batch
+
+    t0 = dt.datetime(2025, 6, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    schema = "user_id bigint, ts timestamp, state string, event_id bigint"
+    batches = [
+        [(1, ts(0), "A", 1), (2, ts(1), "X", 2), (1, ts(5), "B", 3)],
+        [(1, ts(10), "B", 4), (3, ts(11), "K", 5), (2, ts(12), "Y", 6)],
+        [(2, ts(20), "X", 7), (1, ts(21), "A", 8), (4, ts(22), "Q", 9)],
+    ]
+    root = str(tmp_path_factory.mktemp("stream_scd2"))
+    dim = f"{root}/dim"
+    kw = dict(
+        key_col="user_id", ts_col="ts",
+        attr_cols=["state"], tiebreak_col="event_id",
+    )
+
+    def snapshot():
+        cols = ["user_id", "version", "state", "valid_from", "valid_to",
+                "is_current"]
+        return sorted(
+            tuple(r) for r in read_dim(spark, dim).select(cols).collect()
+        )
+
+    for rows in batches:
+        scd2_apply_stream_batch(
+            spark.createDataFrame(rows, schema), dim, n_buckets=8, **kw
+        )
+    full = scd2_history(
+        spark.createDataFrame(sum(batches, []), schema), **kw
+    )
+    expected = sorted(
+        tuple(r)
+        for r in full.select(
+            "user_id", "version", "state", "valid_from", "valid_to",
+            "is_current",
+        ).collect()
+    )
+    clean = snapshot()
+    assert clean == expected
+
+    # replays: last batch, then an OLD batch after later ones committed
+    for rows in (batches[2], batches[1], batches[0]):
+        scd2_apply_stream_batch(
+            spark.createDataFrame(rows, schema), dim, n_buckets=8, **kw
+        )
+        assert snapshot() == clean
