@@ -355,3 +355,73 @@ def test_crawl_to_curation_pipeline(spark, tmp_path):
     assert all(r["verdict"] == "keep" for r in scored), scored
     cleaned = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert all("<" not in t for t in cleaned.values())
+
+
+def test_cluster_write_produces_prunable_footer_stats(spark, tmp_path_factory):
+    """End-to-end layout proof: cluster_by_zorder's PARQUET OUTPUT
+    carries row-group min/max footer stats (read back with DuckDB's
+    parquet_metadata — the same stats any engine prunes on) tight
+    enough that a box predicate must open only a few row groups, while
+    the same data written in single-column sort order leaves the
+    y-stats near-full-range so almost nothing can be skipped."""
+    import glob
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from remap_spark.operators.layout import cluster_by_zorder
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    root = str(tmp_path_factory.mktemp("zwrite"))
+    clustered = f"{root}/clustered"
+    linear = f"{root}/linear"
+    cluster_by_zorder(grid, ["x", "y"], bits=6, num_files=16).drop(
+        "z_key"
+    ).write.parquet(clustered)
+    # single-column sort: tight x stats, useless y stats
+    grid.repartitionByRange(16, "x").sortWithinPartitions(
+        "x", (F.col("y") * 37) % 64
+    ).write.parquet(linear)
+
+    con = duckdb.connect()
+
+    def eligible(path, lo_x, hi_x, lo_y, hi_y):
+        q = f"""
+        WITH m AS (
+          SELECT file_name, row_group_id, path_in_schema,
+                 CAST(stats_min AS BIGINT) AS lo,
+                 CAST(stats_max AS BIGINT) AS hi
+          FROM parquet_metadata('{path}/*.parquet')
+          WHERE path_in_schema IN ('x', 'y')
+        ),
+        rg AS (
+          SELECT file_name, row_group_id,
+                 MAX(CASE WHEN path_in_schema = 'x' THEN lo END) AS min_x,
+                 MAX(CASE WHEN path_in_schema = 'x' THEN hi END) AS max_x,
+                 MAX(CASE WHEN path_in_schema = 'y' THEN lo END) AS min_y,
+                 MAX(CASE WHEN path_in_schema = 'y' THEN hi END) AS max_y
+          FROM m GROUP BY 1, 2
+        )
+        SELECT COUNT(*) AS total,
+               COUNT(*) FILTER (
+                 min_x <= {hi_x} AND max_x >= {lo_x}
+                 AND min_y <= {hi_y} AND max_y >= {lo_y}
+               ) AS open
+        FROM rg
+        """
+        total, open_ = con.execute(q).fetchone()
+        return total, open_
+
+    assert len(glob.glob(f"{clustered}/*.parquet")) >= 8
+    # predicate on the SECOND dimension only — the case single-column
+    # sort cannot prune at all (its y stats span the full range) while
+    # the interleaved layout's real footer stats skip most row groups
+    zt, zo = eligible(clustered, 0, 63, 35, 42)
+    lt, lo_ = eligible(linear, 0, 63, 35, 42)
+    assert zt >= 16 and lt >= 16
+    assert lo_ == lt, (lo_, lt)  # x-sort: every row group opens
+    assert zo * 2 <= zt, (zo, zt)  # z-order: >=half skipped
+    assert zo < lo_, (zo, lo_)
