@@ -3045,6 +3045,65 @@ def ext_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version")
 
 
+def ext_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/rollup): the
+    per-part rollup state is built from lineitem shipped before
+    1999-01-01, then the remaining rows merge in as a batch (one
+    full-outer key join, mergeable combines only). The oracle is the
+    FULL GROUP BY over all rows — the merge must be row-identical,
+    which is the invariant that lets a 100 TB dashboard table update
+    from deltas. Money/quantity in integer cents (explicit round) so
+    the arithmetic is engine-exact."""
+    from ..functions import epoch_us
+    from ..operators.rollup import aggregate_state, merge_aggregate_state
+
+    cutoff_us = 915148800000000  # 1999-01-01 00:00:00 in naive micros
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    specs = {
+        "n_rows": ("count", "qty_c"),
+        "qty_sum_c": ("sum", "qty_c"),
+        "price_min_c": ("min", "price_c"),
+        "price_max_c": ("max", "price_c"),
+    }
+    state = aggregate_state(
+        li.where(epoch_us("l_shipdate") <= cutoff_us), ["l_partkey"], specs
+    )
+    merged = merge_aggregate_state(
+        state,
+        li.where(epoch_us("l_shipdate") > cutoff_us),
+        ["l_partkey"],
+        specs,
+    )
+    return merged.select(
+        "l_partkey",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("qty_sum_c").cast("bigint").alias("qty_sum_c"),
+        "price_min_c",
+        "price_max_c",
+    ).orderBy("l_partkey")
+
+
+_ROLLUP_SQL = """
+    WITH c AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem
+    )
+    SELECT l_partkey, COUNT(*) AS n_rows,
+           CAST(SUM(qty_c) AS BIGINT) AS qty_sum_c,
+           MIN(price_c) AS price_min_c, MAX(price_c) AS price_max_c
+    FROM c GROUP BY l_partkey ORDER BY l_partkey
+"""
+
+
 def ext_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key + data-skipping stats (operators/layout):
     lineitem (l_partkey, l_suppkey) bucketized mod 256, bits
@@ -3186,6 +3245,7 @@ EXT_QUERIES = {
     "ext_scd2_incremental": ext_scd2_incremental,
     "ext_layout_zorder": ext_layout_zorder,
     "ext_layout_hilbert": ext_layout_hilbert,
+    "ext_rollup_incremental": ext_rollup_incremental,
 }
 
 EXT_ORACLES = {
@@ -3251,4 +3311,7 @@ EXT_ORACLES = {
     "ext_scd2_incremental": _SCD2_SQL,
     "ext_layout_zorder": _ZORDER_SQL,
     "ext_layout_hilbert": _hilbert_oracle(),
+    # incremental merge must equal the full recompute — the oracle IS
+    # the plain GROUP BY over all rows
+    "ext_rollup_incremental": _ROLLUP_SQL,
 }

@@ -2528,3 +2528,56 @@ def test_hilbert_key_exact_and_locality(spark):
         )
         assert hsum * 3 < zsum * 2, (div, hsum, zsum)
         assert hmax * 4 <= zmax, (div, hmax, zmax)
+
+
+def test_rollup_merge_semantics(spark):
+    """merge_aggregate_state invariants on a constructed batch: new
+    groups appear, untouched groups pass through byte-identical,
+    overlapping groups combine per kind (sum adds, count adds, min/max
+    fold), and a NULL-valued measure in one side never poisons the
+    other (coalesce/fold semantics)."""
+    from remap_spark.operators.rollup import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    specs = {
+        "n": ("count", "v"),
+        "s": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    hist = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 10), ("c", 7)], ["k", "v"]
+    )
+    batch = spark.createDataFrame(
+        [("a", 3), ("d", 100), ("d", -2)], ["k", "v"]
+    )
+    state = aggregate_state(hist, ["k"], specs)
+    merged = {
+        r["k"]: r for r in merge_aggregate_state(
+            state, batch, ["k"], specs
+        ).collect()
+    }
+    assert set(merged) == {"a", "b", "c", "d"}
+    assert (merged["a"]["n"], merged["a"]["s"], merged["a"]["lo"],
+            merged["a"]["hi"]) == (3, 9, 1, 5)
+    assert (merged["b"]["n"], merged["b"]["s"]) == (1, 10)  # untouched
+    assert (merged["d"]["n"], merged["d"]["s"], merged["d"]["lo"],
+            merged["d"]["hi"]) == (2, 98, -2, 100)  # new group
+
+    # equivalence with full recompute over the union
+    full = {
+        r["k"]: r
+        for r in aggregate_state(
+            hist.unionByName(batch), ["k"], specs
+        ).collect()
+    }
+    for k in full:
+        assert tuple(merged[k]) == tuple(full[k]), k
+
+    # non-mergeable kinds are rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        aggregate_state(hist, ["k"], {"p": ("percentile", "v")})
