@@ -133,6 +133,108 @@ def _doc_shingles(
     return s
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT-threshold word-set similarity join via PREFIX FILTERING
+    (the AllPairs/PPJoin family): every pair with set-Jaccard >=
+    threshold, NO false negatives, without the full quadratic
+    self-join. Returns (doc_a, doc_b, inter, uni) with doc_a < doc_b.
+
+    How: order the vocabulary globally by ascending document frequency
+    (rare first); a doc of set size s only needs its first
+    s - ceil(t*s) + 1 tokens in the inverted index — two docs with
+    Jaccard >= t MUST share a token inside these prefixes (the prefix-
+    filter theorem), so the candidate join runs over prefix postings
+    only. Candidates then pass the size filter (t*sa <= sb <= sa/t)
+    and exact intersection verification.
+
+    All threshold arithmetic is INTEGER (t scaled to micros): a float
+    ceil(t*s) can land one ulp high and shorten the prefix below the
+    theorem's bound — a silent false-negative class this formulation
+    makes impossible. The final predicate is inter*1e6 >= t_u*union,
+    exact in any engine.
+
+    Scale: this is the exact-result complement to minhash_lsh_pairs.
+    The index is prefix postings only — rare tokens with short
+    lists; a hot stopword enters prefixes only for docs where it
+    ranks within the first s-ceil(t*s)+1 rarest tokens (long docs),
+    so its posting list shrinks by orders of magnitude vs the full
+    inverted index. The verify join touches candidate pairs, not all
+    pairs; everything is equi-join + combiner aggregates."""
+    from pyspark.sql.window import Window
+
+    t_u = int(round(threshold * 1_000_000))
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokenize(F.col(text_col))).alias("word"),
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("sz"))
+    # global rarity rank (vocabulary-sized -> broadcast)
+    rank = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("dfc"))
+        .withColumn(
+            "w_rank",
+            F.row_number().over(Window.orderBy("dfc", "word")),
+        )
+        .select("word", "w_rank")
+    )
+    # prefix length = sz - ceil(t*sz) + 1, in exact integer arithmetic
+    pref_len = F.col("sz") - F.floor(
+        (t_u * F.col("sz") + 999_999) / 1_000_000
+    ) + 1
+    ranked = (
+        toks.join(F.broadcast(rank), "word")
+        .join(sizes, "doc")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy("w_rank")
+            ),
+        )
+        .where(F.col("pos") <= pref_len)
+        .select("doc", "word", "sz")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # size filter: t*sa <= sb <= sa/t (integer form)
+            & (F.col("b.sz") * 1_000_000 >= F.col("a.sz") * t_u)
+            & (F.col("b.sz") * t_u <= F.col("a.sz") * 1_000_000),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sz").alias("sa"),
+            F.col("b.sz").alias("sb"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc").alias("doc_a"), "word")
+    tb = toks.select(F.col("doc").alias("doc_b"), "word")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "word"])
+        .groupBy("doc_a", "doc_b", "sa", "sb")
+        .agg(F.count("*").alias("inter"))
+    )
+    uni = F.col("sa") + F.col("sb") - F.col("inter")
+    return (
+        inter.where(F.col("inter") * 1_000_000 >= t_u * uni)
+        .select("doc_a", "doc_b", "inter", uni.alias("uni"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -3045,6 +3045,38 @@ def ext_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version")
 
 
+def ext_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold set-similarity join via prefix filtering
+    (operators/dedup.prefix_filter_pairs, AllPairs/PPJoin family) at
+    Jaccard >= 0.95 over document word sets. The oracle is the
+    BRUTE-FORCE quadratic all-pairs Jaccard — so the driver gate
+    verifies the prefix-filter theorem end-to-end: the pruned index
+    must lose NOTHING versus comparing every pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.prefix_filter_pairs(docs, threshold=0.95)
+    return out.orderBy("doc_a", "doc_b")
+
+
+_PREFIX_FILTER_SQL = f"""
+    WITH {_TOKS},
+    sets AS (SELECT DISTINCT doc_id, word FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sets a JOIN sets b
+        ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * 1000000 >= 950000 * (sa.sz + sb.sz - inter)
+    ORDER BY doc_a, doc_b
+"""
+
+
 def ext_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/rollup): the
     per-part rollup state is built from lineitem shipped before
@@ -3246,6 +3278,7 @@ EXT_QUERIES = {
     "ext_layout_zorder": ext_layout_zorder,
     "ext_layout_hilbert": ext_layout_hilbert,
     "ext_rollup_incremental": ext_rollup_incremental,
+    "ext_dedup_prefix_filter": ext_dedup_prefix_filter,
 }
 
 EXT_ORACLES = {
@@ -3314,4 +3347,7 @@ EXT_ORACLES = {
     # incremental merge must equal the full recompute — the oracle IS
     # the plain GROUP BY over all rows
     "ext_rollup_incremental": _ROLLUP_SQL,
+    # brute-force all-pairs oracle: the prefix-filtered join must be
+    # lossless versus comparing every pair
+    "ext_dedup_prefix_filter": _PREFIX_FILTER_SQL,
 }

@@ -2581,3 +2581,51 @@ def test_rollup_merge_semantics(spark):
 
     with pytest.raises(ValueError):
         aggregate_state(hist, ["k"], {"p": ("percentile", "v")})
+
+
+def test_prefix_filter_pairs_lossless(spark):
+    """prefix_filter_pairs must equal brute-force all-pairs Jaccard,
+    including the adversarial cases: (a) a high-overlap pair whose
+    only DIFFERING tokens are the globally rarest (the prefix index
+    is built exactly from those, so a off-by-one prefix would lose
+    the pair), (b) Jaccard == threshold EXACTLY (>= is inclusive,
+    integer arithmetic makes the boundary exact), (c) identical sets,
+    (d) pairs below threshold excluded."""
+    from remap_spark.operators.dedup import prefix_filter_pairs
+
+    shared = [f"w{i}" for i in range(19)]  # 19 shared mid-frequency words
+    docs = [
+        # (a): 20-token sets differing only in globally-unique tokens
+        (1, " ".join(shared + ["rareonly1"])),
+        (2, " ".join(shared + ["rareonly2"])),
+        # (c): identical 19-token sets (jaccard 1.0)
+        (3, " ".join(shared)),
+        (4, " ".join(reversed(shared))),
+        # (d): ~half overlap -> excluded at 0.95
+        (5, " ".join(shared[:10] + [f"x{i}" for i in range(10)])),
+        # (b): subset of doc 1's set, |y|=19 of |x|=20 -> j = 19/20 = 0.95
+        (6, " ".join(shared[:18] + ["rareonly1"])),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    sets = {
+        i: set(t.split())
+        for i, t in docs
+    }
+    expected = set()
+    for x in sets:
+        for y in sets:
+            if x < y:
+                inter = len(sets[x] & sets[y])
+                uni = len(sets[x] | sets[y])
+                if inter * 1_000_000 >= 950_000 * uni:
+                    expected.add((x, y, inter, uni))
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["inter"], r["uni"])
+        for r in prefix_filter_pairs(df, threshold=0.95).collect()
+    }
+    assert got == expected
+    assert (1, 2, 19, 21) not in got  # j = 19/21 < 0.95
+    assert (1, 6, 19, 20) in got  # exact boundary kept
+    assert (3, 4, 19, 19) in got  # identical sets
