@@ -133,15 +133,17 @@ CHECK_WINDOW = 50
 # with an in-window sibling. Round-5 rotation policy (VERDICT r4 #1):
 # the window admits, in priority order, (1) the 20 queries whose
 # latest green row is r2 (two rounds stale — the mandatory set named
-# in VERDICT r4 "What's wrong" #1), (2) the 6 queries NEW this round
-# (incremental fuzzy dedup, span-length merge, analytics pipeline,
-# WAU sketch, PQ ANN) plus the 5 code-changed ones (dq33 percentile
-# fuse, multi-probe ext_ann_lsh, the paragraph-dedup separator fix,
-# the cohort-retention period-cohort fix), then (3) 22 of the 39
-# r3-green rows so they never reach two-rounds-stale. Rotated OUT:
-# all unchanged r4-green rows plus 17 r3-green rows whose family has
-# an in-window canary — those 17 lead the mandatory set for the r6
-# window, exactly as the 20 r2 rows led this one.
+# in VERDICT r4 "What's wrong" #1), (2) everything NEW or code-changed
+# this round (graph triangles/SSSP, fuzzy incremental dedup, span
+# merge, analytics pipeline, WAU sketch, PQ/IVF-PQ ANN, dq33 fuse,
+# multi-probe ext_ann_lsh, bm25, scd2 history + incremental, z-order +
+# Hilbert layout, rollup merge, prefix-filter join, the advisor-fix
+# queries), then (3) as many r3-green rows as the remaining slots hold.
+# Rotated OUT: all unchanged r4-green rows plus the r3-green rows whose
+# family has an in-window canary — every demoted r3-green row below is
+# the mandatory head of the r6 window, exactly as the 20 r2 rows led
+# this one. Six r3-green fillers were demoted mid-round to fund the
+# slots of the six late-r5 queries (one-in-one-out keeps head == 50).
 _TAIL_QUERIES = [
     # r3-green deferred one round (due in the r6 window; canary in parens):
     "dq03_wordcount",  # (dq19_buckets tokenize/agg canary, dq18 grouped-UDF)

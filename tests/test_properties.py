@@ -516,3 +516,110 @@ def test_span_score_and_removal_agree(spark, data):
         # size when any duplicated window exists
         if score[doc] > 0:
             assert removed[doc] >= 2
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # key
+            st.integers(min_value=0, max_value=50),  # minute offset
+            st.sampled_from(["A", "B", "C", None]),  # state (nullable)
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    split=st.integers(min_value=0, max_value=50),
+)
+def test_scd2_incremental_equals_full_property(spark, data, split):
+    """Property: for ANY event stream and ANY append-only split point,
+    scd2_apply_batch(scd2_history(old), new) == scd2_history(all);
+    additionally every key's intervals tile (valid_to == next
+    valid_from) and exactly one version per key is open."""
+    import datetime as dt
+
+    from remap_spark.operators.scd import scd2_apply_batch, scd2_history
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (k, t0 + dt.timedelta(minutes=m), s, i)
+        for i, (k, m, s) in enumerate(data)
+    ]
+    schema = "user_id bigint, ts timestamp, state string, event_id bigint"
+    kw = dict(
+        key_col="user_id", ts_col="ts",
+        attr_cols=["state"], tiebreak_col="event_id",
+    )
+    cut = t0 + dt.timedelta(minutes=split)
+    old = [r for r in rows if r[1] <= cut]
+    new = [r for r in rows if r[1] > cut]
+    full = scd2_history(spark.createDataFrame(rows, schema), **kw)
+    cols = ["user_id", "version", "state", "valid_from", "valid_to",
+            "is_current"]
+    expected = sorted(tuple(r) for r in full.select(cols).collect())
+    if old:
+        dim = scd2_history(spark.createDataFrame(old, schema), **kw)
+        applied = scd2_apply_batch(
+            dim, spark.createDataFrame(new, schema), **kw
+        )
+        got = sorted(tuple(r) for r in applied.select(cols).collect())
+        assert got == expected
+
+    # interval tiling + single open version per key
+    by_key = {}
+    for r in expected:
+        by_key.setdefault(r[0], []).append(r)
+    for versions in by_key.values():
+        versions.sort(key=lambda r: r[1])
+        assert sum(1 for r in versions if r[5]) == 1
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev[4] == nxt[3]  # valid_to tiles with valid_from
+        assert versions[-1][4] is None
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hist=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(-100, 100)),
+        max_size=12,
+    ),
+    batch=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(-100, 100)),
+        max_size=12,
+    ),
+)
+def test_rollup_merge_equals_full_property(spark, hist, batch):
+    """Property: merge_aggregate_state(state(hist), batch) equals
+    aggregate_state(hist ++ batch) for any histories and batches —
+    including empty sides and groups appearing on only one side."""
+    from remap_spark.operators.rollup import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    if not hist and not batch:
+        return
+    specs = {
+        "n": ("count", "v"),
+        "s": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    schema = "k string, v bigint"
+    hdf = spark.createDataFrame(hist or [], schema)
+    bdf = spark.createDataFrame(batch or [], schema)
+    merged = merge_aggregate_state(
+        aggregate_state(hdf, ["k"], specs), bdf, ["k"], specs
+    )
+    full = aggregate_state(hdf.unionByName(bdf), ["k"], specs)
+    m = sorted(tuple(r) for r in merged.collect())
+    f = sorted(tuple(r) for r in full.collect())
+    assert m == f
