@@ -935,16 +935,55 @@ def audio_features(
     return df.select(id_col, media_col).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+def _avi_frames(blob: bytes):
+    """REAL video container parse: walk a RIFF AVI's chunk tree and
+    yield (frame_idx, frame_bytes) for the stream-0 video data chunks
+    ('00dc' compressed / '00db' uncompressed, in stream order, even-
+    byte padding honored). For an MJPEG AVI each yielded frame is a
+    complete JPEG — decodable by _decode_jpeg — so frame sampling +
+    per-frame features run natively end-to-end. Pure stdlib struct."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI container")
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            fourcc = blob[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", blob, pos + 4)
+            data_start = pos + 8
+            if fourcc in (b"LIST", b"RIFF"):
+                yield from walk(data_start + 4, data_start + size)
+            else:
+                yield fourcc, data_start, size
+            pos = data_start + size + (size & 1)  # chunks are even-aligned
+
+    idx = 0
+    for fourcc, start, size in walk(12, len(blob)):
+        if fourcc in (b"00dc", b"00db"):
+            yield idx, blob[start : start + size]
+            idx += 1
+
+
 def sample_frames(
     df: DataFrame,
     every_n_bytes: int = 64,
     media_col: str = "media",
     id_col: str = "media_id",
+    every_k_frames: int = 1,
 ) -> DataFrame:
-    """Video frame sampling shape: one input row -> k frame rows.
-    The stub slices the blob; a real impl seeks keyframes (PyAV).
-    Demonstrates the 1->N mapInPandas expansion used for frame
-    extraction at scale."""
+    """Video frame sampling: one input row -> k frame rows (the 1->N
+    mapInPandas expansion used for frame extraction at scale).
+
+    RIFF AVI blobs parse NATIVELY (_avi_frames): every
+    ``every_k_frames``-th real video chunk becomes a row whose
+    ``frame`` bytes are the actual encoded frame (for MJPEG, a
+    complete JPEG — chain image_features(fake=False) for native
+    per-frame features). Non-AVI blobs keep the byte-slicing stub
+    (``every_n_bytes``) so opaque fixtures still exercise the
+    expansion shape; a corrupt AVI falls back to the stub rather
+    than failing the batch."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -953,6 +992,22 @@ def sample_frames(
             ids, idxs, frames = [], [], []
             for mid, blob in zip(pdf[id_col], pdf[media_col]):
                 blob = bytes(blob or b"")
+                real = None
+                if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                    try:
+                        real = [
+                            (i, fb)
+                            for i, fb in _avi_frames(blob)
+                            if i % every_k_frames == 0
+                        ]
+                    except Exception:
+                        real = None  # corrupt container -> stub path
+                if real is not None:
+                    for i, fb in real:
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(fb)
+                    continue
                 for k, off in enumerate(range(0, len(blob), every_n_bytes)):
                     ids.append(mid)
                     idxs.append(k)

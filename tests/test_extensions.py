@@ -2629,3 +2629,80 @@ def test_prefix_filter_pairs_lossless(spark):
     assert (1, 2, 19, 21) not in got  # j = 19/21 < 0.95
     assert (1, 6, 19, 20) in got  # exact boundary kept
     assert (3, 4, 19, 19) in got  # identical sets
+
+
+def _make_mjpeg_avi(jpeg_frames):
+    """Minimal valid RIFF AVI: hdrl LIST (avih only) + movi LIST with
+    one 00dc chunk per frame (even-byte padding per RIFF)."""
+    import struct
+
+    def chunk(fourcc, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(list_type, payload):
+        return chunk(b"LIST", list_type + payload)
+
+    avih = chunk(b"avih", struct.pack("<14I", 33333, 0, 0, 0,
+                                      len(jpeg_frames), 0, 1, 0, 16, 16,
+                                      0, 0, 0, 0))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + lst(b"hdrl", avih) + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_video_avi_mjpeg_native_frames(spark):
+    """RIFF AVI parses NATIVELY: sample_frames returns the real MJPEG
+    frame bytes (stream order, even-byte padding and odd-length frames
+    handled, every_k_frames stride), and chaining image_features with
+    fake=False decodes each sampled frame through the native JPEG
+    decoder. Non-AVI blobs keep the byte-slice stub shape."""
+    import pytest
+
+    from remap_spark.operators.multimodal import (
+        _avi_frames,
+        image_features,
+        sample_frames,
+    )
+
+    colors = [(200, 40, 40), (40, 200, 40), (40, 40, 200), (250, 250, 10)]
+    frames = [
+        _make_jpeg([[c] * 8 for _ in range(8)]) for c in colors
+    ]
+    # force an odd-length frame to exercise RIFF padding (a trailing
+    # byte after EOI is ignored by the JPEG parser)
+    if len(frames[1]) % 2 == 0:
+        frames[1] += b"\x00"
+    assert len(frames[1]) % 2 == 1
+    avi = _make_mjpeg_avi(frames)
+    parsed = list(_avi_frames(avi))
+    assert [i for i, _ in parsed] == [0, 1, 2, 3]
+    assert [f for _, f in parsed] == frames
+
+    df = spark.createDataFrame(
+        [(7, avi), (8, b"\x01\x02\x03" * 50)],
+        "media_id bigint, media binary",
+    )
+    out = sample_frames(df, every_k_frames=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # AVI row: real frames 0 and 2
+    avi_rows = sorted(by_id[7], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in avi_rows] == [0, 2]
+    assert bytes(avi_rows[0]["frame"]) == frames[0]
+    assert bytes(avi_rows[1]["frame"]) == frames[2]
+    # opaque row: stub slicing still applies
+    assert len(by_id[8]) == -(-150 // 64)
+
+    # chain: sampled frames -> NATIVE per-frame decode
+    fdf = spark.createDataFrame(
+        [(r["frame_idx"], bytes(r["frame"])) for r in avi_rows],
+        "media_id bigint, media binary",
+    )
+    feats = {
+        r["media_id"]: r for r in image_features(fdf, fake=False).collect()
+    }
+    assert (feats[0]["width"], feats[0]["height"]) == (8, 8)
+    assert feats[0]["features"][0] == pytest.approx(200 / 255, abs=0.02)
+    assert feats[2]["features"][2] == pytest.approx(200 / 255, abs=0.02)
