@@ -3048,18 +3048,26 @@ def ext_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-threshold set-similarity join via prefix filtering
     (operators/dedup.prefix_filter_pairs, AllPairs/PPJoin family) at
-    Jaccard >= 0.95 over document word sets. The oracle is the
+    Jaccard >= 0.99 over document word sets. The oracle is the
     BRUTE-FORCE quadratic all-pairs Jaccard — so the driver gate
     verifies the prefix-filter theorem end-to-end: the pruned index
-    must lose NOTHING versus comparing every pair."""
-    docs = load_table(spark, sf_dir, "documents")
-    out = dd.prefix_filter_pairs(docs, threshold=0.95)
+    must lose NOTHING versus comparing every pair. Scoped to a
+    quarter of the corpus: the synthetic fixture's tiny vocabulary
+    makes the TRUE pair count quadratic (median Jaccard 0.63 — every
+    doc resembles every doc), so output volume, not the algorithm,
+    dominates; real corpora at 0.99 are sparse."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 4 == 0
+    )
+    out = dd.prefix_filter_pairs(docs, threshold=0.99)
     return out.orderBy("doc_a", "doc_b")
 
 
 _PREFIX_FILTER_SQL = f"""
     WITH {_TOKS},
-    sets AS (SELECT DISTINCT doc_id, word FROM toks),
+    sets AS (
+      SELECT DISTINCT doc_id, word FROM toks WHERE doc_id % 4 = 0
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -3072,7 +3080,7 @@ _PREFIX_FILTER_SQL = f"""
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE inter * 1000000 >= 950000 * (sa.sz + sb.sz - inter)
+    WHERE inter * 1000000 >= 990000 * (sa.sz + sb.sz - inter)
     ORDER BY doc_a, doc_b
 """
 
