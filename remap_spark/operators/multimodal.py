@@ -545,6 +545,117 @@ def _decode_jpeg(blob: bytes):
     return w, h, _rgb_features(px)
 
 
+def _gif_lzw(data: bytes, min_code: int, npix: int):
+    """GIF LZW decompress -> list of palette indices (variable code
+    width, clear/EOI codes, table capped at 4096 per the spec)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = [[i] for i in range(clear)] + [[], []]
+    width = min_code + 1
+    out: list = []
+    prev = None
+    acc = nbits = 0
+    pos = 0
+    while len(out) < npix and pos < len(data):
+        acc |= data[pos] << nbits
+        nbits += 8
+        pos += 1
+        while nbits >= width and len(out) < npix:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table) and table[code]:
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                raise ValueError("bad LZW code")
+            out.extend(entry)
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _decode_gif(blob: bytes):
+    """REAL image decode for GIF87a/GIF89a — stdlib + numpy, no
+    imaging library: logical screen descriptor, global/local color
+    tables, extension skipping, first image descriptor, LZW
+    decompress, 4-pass interlace reorder, palette lookup. Returns
+    (width, height, 8-float features) with the _decode_bmp contract.
+    Animation frames after the first are ignored (features come from
+    frame one, like any thumbnailer)."""
+    import struct
+
+    import numpy as np
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(blob):
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _lx, _ly, w, h, iflags = struct.unpack_from("<HHHHB", blob, pos)
+            pos += 9
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("no color table")
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                ln = blob[pos]
+                data += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated LZW stream")
+            rows = np.array(idx, np.int32).reshape(h, w)
+            if iflags & 0x40:  # 4-pass interlace: rows arrive reordered
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            px = pal[rows].astype(np.float64)
+            return w, h, _rgb_features(px)
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("no image data in GIF")
+
+
 def _decode_wav(blob: bytes):
     """REAL audio decode for PCM WAV — stdlib ``wave`` + numpy, no
     audio library. Returns (n_frames, 8-float features): RMS,
@@ -810,12 +921,13 @@ def _decode_flac(blob: bytes):
 
 def _decode_image_impl(blob: bytes, fake: bool):
     """Image decode with container sniffing: real BMP ('BM' magic),
-    8-bit RGB/RGBA PNG, and Huffman JPEG — baseline sequential
-    (SOF0/SOF1) AND progressive (SOF2) — all decode NATIVELY (stdlib
-    struct/zlib + numpy, no imaging library); only arithmetic-coded /
-    hierarchical / 12-bit JPEG and exotic PNG subtypes fall to the
-    deterministic md5 fake (fake=True) or raise. The swap-in seam for
-    Pillow is this dispatch alone."""
+    8-bit RGB/RGBA PNG, GIF87a/89a (LZW, interlace, local palettes),
+    and Huffman JPEG — baseline sequential (SOF0/SOF1) AND progressive
+    (SOF2) — all decode NATIVELY (stdlib struct/zlib + numpy, no
+    imaging library); only arithmetic-coded / hierarchical / 12-bit
+    JPEG and exotic PNG subtypes fall to the deterministic md5 fake
+    (fake=True) or raise. The swap-in seam for Pillow is this dispatch
+    alone."""
     if blob[:2] == b"BM" and len(blob) >= 54:
         try:
             return _decode_bmp(blob)
@@ -838,6 +950,11 @@ def _decode_image_impl(blob: bytes, fake: bool):
             # arithmetic-coded, hierarchical, 12-bit, or corrupt falls
             # through to the fake/raise path below
             pass
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return _decode_gif(blob)
+        except Exception:
+            pass  # corrupt stream falls through to the fake/raise path
     if not fake:
         raise NotImplementedError(
             "arithmetic-coded/hierarchical/12-bit JPEG and exotic PNG "

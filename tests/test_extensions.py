@@ -2706,3 +2706,130 @@ def test_video_avi_mjpeg_native_frames(spark):
     assert (feats[0]["width"], feats[0]["height"]) == (8, 8)
     assert feats[0]["features"][0] == pytest.approx(200 / 255, abs=0.02)
     assert feats[2]["features"][2] == pytest.approx(200 / 255, abs=0.02)
+
+
+def _make_gif(rows_idx, palette, interlace=False, local=False,
+              grow_table=False):
+    """Minimal valid GIF89a for tests: global or local color table, a
+    GCE extension (exercises block skipping), one image, LZW coded
+    with a clear code before every pixel (keeps the code width fixed —
+    the classic 'uncompressed GIF' trick, bit-exact per the spec)."""
+    import struct
+
+    h, w = len(rows_idx), len(rows_idx[0])
+    n = max(2, 1 << max(1, (len(palette) - 1).bit_length()))
+    pal = list(palette) + [(0, 0, 0)] * (n - len(palette))
+    depth = n.bit_length() - 1
+    gflags = (0x80 | (depth - 1)) if not local else 0x00
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h, gflags, 0, 0))
+    palbytes = bytes(c for rgb in pal for c in rgb)
+    if not local:
+        out += palbytes
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, skipped by parser
+    iflags = (0x40 if interlace else 0) | (0x80 | (depth - 1) if local else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    if local:
+        out += palbytes
+    min_code = max(2, depth)
+    out += bytes([min_code])
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+    else:
+        order = list(range(h))
+    pixels = [px for r in order for px in rows_idx[r]]
+    acc = nbits = 0
+    stream = bytearray()
+
+    def put(code, width_):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width_
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    if grow_table:
+        # literal codes with NO intermediate clears: valid (just
+        # uncompressed) LZW, but the decoder's table grows with every
+        # code, so the encoder must mirror its width schedule exactly
+        put(clear, width)
+        size = clear + 2
+        for k, px in enumerate(pixels):
+            put(px, width)
+            if k > 0:
+                size += 1  # decoder appends prev+first from code 2 on
+            if size >= (1 << width) and width < 12:
+                width += 1
+        put(eoi, width)
+    else:
+        for px in pixels:
+            put(clear, width)
+            put(px, width)
+        put(eoi, width)
+    if nbits:
+        stream.append(acc & 0xFF)
+    for off in range(0, len(stream), 255):
+        sub = stream[off : off + 255]
+        out += bytes([len(sub)]) + sub
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_multimodal_real_gif_decode(spark):
+    """GIF87a/89a decodes NATIVELY (stdlib LZW + numpy): global and
+    local palettes, extension skipping, interlaced row reorder, and
+    the production dispatch path. Interlaced output must equal the
+    non-interlaced decode of the same image."""
+    import pytest
+
+    from remap_spark.operators.multimodal import (
+        _decode_gif,
+        _decode_image_impl,
+        image_features,
+    )
+
+    palette = [(200, 40, 40), (40, 200, 40), (40, 40, 200), (250, 250, 10)]
+    # 8x8: row r uses color r % 4
+    rows = [[r % 4] * 8 for r in range(8)]
+    w, h, feats = _decode_gif(_make_gif(rows, palette))
+    assert (w, h) == (8, 8)
+    exp_r = sum(palette[r % 4][0] for r in range(8)) / 8 / 255
+    assert feats[0] == pytest.approx(exp_r, abs=1e-6)
+
+    plain = _decode_gif(_make_gif(rows, palette))
+    inter = _decode_gif(_make_gif(rows, palette, interlace=True))
+    assert inter == plain
+
+    local = _decode_gif(_make_gif(rows, palette, local=True))
+    assert local == plain
+
+    # clear-free stream: decoder table/width growth path must produce
+    # the identical image
+    grown = _decode_gif(_make_gif(rows, palette, grow_table=True))
+    assert grown == plain
+
+    # solid 2-color (min LZW code size floor of 2)
+    solid = [[1] * 8 for _ in range(8)]
+    _, _, f2 = _decode_gif(_make_gif(solid, [(0, 0, 0), (90, 60, 30)]))
+    assert f2[0] == pytest.approx(90 / 255, abs=1e-6)
+
+    # production path + mapInPandas
+    blob = _make_gif(rows, palette)
+    assert _decode_image_impl(blob, fake=False)[:2] == (8, 8)
+    df = spark.createDataFrame([(1, blob)], "media_id bigint, media binary")
+    row = image_features(df, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (8, 8)
+    assert row["features"][0] == pytest.approx(exp_r, abs=1e-6)
+
+    # corrupt stream falls to fake / raises
+    bad = blob[:-10]
+    wf, hf, _ = _decode_image_impl(bad, fake=True)
+    assert (wf, hf) == (4, 4)
+    with pytest.raises(NotImplementedError):
+        _decode_image_impl(bad, fake=False)
