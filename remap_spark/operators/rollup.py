@@ -8,9 +8,10 @@ state ⊕ agg(batch) == agg(history ∪ batch) holds algebraically, so the
 incremental path is provably identical to a full recompute — the
 ext_rollup_incremental oracle IS the full-recompute SQL. Derived
 measures (avg = sum/count, etc.) belong at read time, never in the
-state. Non-mergeable kinds (exact distinct, exact percentile) need
-their own state sketches (see the HLL WAU tier) and are deliberately
-not squeezed into this interface.
+state. Non-mergeable kinds get their own mergeable STATE instead of
+being squeezed into this interface: distinct -> HLL (the WAU sketch
+tier), percentiles -> the fixed-bin histogram state below
+(histogram_state / merge_histogram_state / histogram_percentiles).
 
 Scale shape: agg(batch) is combiner-style and batch-proportional; the
 merge is ONE full-outer equi-join on the group keys — state-sized, but
@@ -24,6 +25,81 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _KINDS = ("sum", "count", "min", "max")
+
+
+def histogram_state(
+    df: DataFrame,
+    keys: list[str],
+    col: Column | str,
+    lo: int,
+    hi: int,
+    bins: int = 64,
+) -> DataFrame:
+    """Mergeable PERCENTILE state: a fixed-bin histogram over the
+    integer domain [lo, hi] — per (keys, bin) counts. Counts add, so
+    state merges by plain summation (no sketch library): this is the
+    percentile column of the incremental-state family (exact
+    sum/count/min/max in merge_aggregate_state, distinct via HLL,
+    percentiles here). Estimate error is bounded by one bin width;
+    the bin arithmetic is integer-exact so two engines produce the
+    IDENTICAL histogram (out-of-range values clamp to the edge
+    bins)."""
+    c = F.col(col) if isinstance(col, str) else col
+    span = hi - lo + 1
+    bin_ = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((c - lo) * bins / F.lit(span)).cast("long")
+        ),
+    )
+    return df.groupBy(*keys, bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def merge_histogram_state(
+    state: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merge two histogram states: union + re-sum per (keys, bin) —
+    row-identical to building the state over the combined rows."""
+    return (
+        state.unionByName(delta)
+        .groupBy(*keys, "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def histogram_percentiles(
+    state: DataFrame,
+    keys: list[str],
+    lo: int,
+    hi: int,
+    bins: int,
+    ps: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """Percentile estimates from the histogram state: for each named
+    percentile (num, den), the LOWER EDGE of the smallest bin whose
+    cumulative count reaches num/den of the group total — integer
+    compares only, so the estimate is engine-reproducible bit-for-bit
+    (no error band needed in the oracle). One cumulative window over
+    the bins relation, which is |keys|x|bins| — tiny."""
+    from pyspark.sql.window import Window
+
+    span = hi - lo + 1
+    w = Window.partitionBy(*keys).orderBy("bin")
+    cum = state.withColumn(
+        "_cum", F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("_tot", F.sum("cnt").over(Window.partitionBy(*keys)))
+    aggs = [F.sum("cnt").alias("n_rows")]
+    for name, (num, den) in ps.items():
+        hit_bin = F.min(
+            F.when(F.col("_cum") * den >= F.col("_tot") * num, F.col("bin"))
+        )
+        aggs.append(
+            (F.lit(lo) + F.floor(hit_bin * span / F.lit(bins)).cast("long"))
+            .alias(name)
+        )
+    return cum.groupBy(*keys).agg(*aggs)
 
 
 def aggregate_state(

@@ -177,6 +177,7 @@ _TAIL_QUERIES = [
     "ext_kmeans_embed",  # (quantized-Lloyd family: ext_ann_pq training in window)
     "ext_pipeline_curate",  # (pipeline family: pipeline_pretokenize/analytics in window)
     "ext_text_decontaminate",  # (text family: tokens/quality/stats/langid in window)
+    "ext_approx_percentiles",  # (percentile family: dq33 + ext_percentile_state in window)
     # r4-green, code unchanged since:
     "dq01_project",
     "dq02_filter",

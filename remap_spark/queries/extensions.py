@@ -3045,6 +3045,82 @@ def ext_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version")
 
 
+def ext_percentile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable percentile state (operators/rollup.histogram_state):
+    per-returnflag quantity histograms built from pre-cutoff lineitem
+    rows, MERGED with the post-cutoff batch (plain count addition),
+    then p50/p90/p99 read off the cumulative bins. Every step is
+    integer arithmetic, so the oracle reproduces the ESTIMATES
+    bit-for-bit from the full data — verifying both the merge
+    (state ⊕ delta == full) and the percentile extraction."""
+    from ..functions import epoch_us
+    from ..operators.rollup import (
+        histogram_percentiles,
+        histogram_state,
+        merge_histogram_state,
+    )
+
+    cutoff_us = 915148800000000  # 1999-01-01, as in ext_rollup_incremental
+    lo, hi, bins = 100, 5000, 64
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_shipdate",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+    )
+    state = histogram_state(
+        li.where(epoch_us("l_shipdate") <= cutoff_us),
+        ["l_returnflag"], "qty_c", lo, hi, bins,
+    )
+    delta = histogram_state(
+        li.where(epoch_us("l_shipdate") > cutoff_us),
+        ["l_returnflag"], "qty_c", lo, hi, bins,
+    )
+    merged = merge_histogram_state(state, delta, ["l_returnflag"])
+    out = histogram_percentiles(
+        merged, ["l_returnflag"], lo, hi, bins,
+        {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)},
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "p50", "p90", "p99",
+    ).orderBy("l_returnflag")
+
+
+_PCT_STATE_SQL = """
+    WITH c AS (
+      SELECT l_returnflag AS f,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    b AS (
+      SELECT f,
+             LEAST(63, GREATEST(0,
+               CAST(FLOOR((v - 100) * 64 / 4901) AS BIGINT))) AS bin,
+             COUNT(*) AS cnt
+      FROM c GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT f, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY f ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY f) AS tot
+      FROM b
+    )
+    SELECT f AS l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           100 + CAST(FLOOR(MIN(CASE WHEN cum * 2 >= tot * 1
+                                     THEN bin END) * 4901 / 64) AS BIGINT)
+             AS p50,
+           100 + CAST(FLOOR(MIN(CASE WHEN cum * 10 >= tot * 9
+                                     THEN bin END) * 4901 / 64) AS BIGINT)
+             AS p90,
+           100 + CAST(FLOOR(MIN(CASE WHEN cum * 100 >= tot * 99
+                                     THEN bin END) * 4901 / 64) AS BIGINT)
+             AS p99
+    FROM cum GROUP BY f ORDER BY f
+"""
+
+
 def ext_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-threshold set-similarity join via prefix filtering
     (operators/dedup.prefix_filter_pairs, AllPairs/PPJoin family) at
@@ -3287,6 +3363,7 @@ EXT_QUERIES = {
     "ext_layout_hilbert": ext_layout_hilbert,
     "ext_rollup_incremental": ext_rollup_incremental,
     "ext_dedup_prefix_filter": ext_dedup_prefix_filter,
+    "ext_percentile_state": ext_percentile_state,
 }
 
 EXT_ORACLES = {
@@ -3358,4 +3435,7 @@ EXT_ORACLES = {
     # brute-force all-pairs oracle: the prefix-filtered join must be
     # lossless versus comparing every pair
     "ext_dedup_prefix_filter": _PREFIX_FILTER_SQL,
+    # full-data histogram oracle: merged state and percentile reads
+    # are integer arithmetic, reproduced bit-for-bit
+    "ext_percentile_state": _PCT_STATE_SQL,
 }

@@ -2833,3 +2833,43 @@ def test_multimodal_real_gif_decode(spark):
     assert (wf, hf) == (4, 4)
     with pytest.raises(NotImplementedError):
         _decode_image_impl(bad, fake=False)
+
+
+def test_histogram_state_merge_and_percentiles(spark):
+    """Histogram-state invariants: merge(state(a), state(b)) equals
+    state(a ++ b) exactly; percentile extraction picks the smallest
+    bin reaching the cumulative fraction (hand-checked on a skewed
+    distribution); out-of-range values clamp to the edge bins."""
+    from remap_spark.operators.rollup import (
+        histogram_percentiles,
+        histogram_state,
+        merge_histogram_state,
+    )
+
+    lo, hi, bins = 0, 99, 10  # bin width 10, bin = v // 10
+    a = spark.createDataFrame(
+        [("g", v) for v in [1, 2, 3, 11, 12, 95]], ["k", "v"]
+    )
+    b = spark.createDataFrame(
+        [("g", v) for v in [4, 5, 13, 96, 97, 98, -5, 250]], ["k", "v"]
+    )
+    sa = histogram_state(a, ["k"], "v", lo, hi, bins)
+    sb = histogram_state(b, ["k"], "v", lo, hi, bins)
+    merged = merge_histogram_state(sa, sb, ["k"])
+    full = histogram_state(a.unionByName(b), ["k"], "v", lo, hi, bins)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # clamping: -5 -> bin 0, 250 -> bin 9
+    counts = {r["bin"]: r["cnt"] for r in merged.collect()}
+    assert counts[0] == 6  # 1,2,3,4,5,-5
+    assert counts[9] == 5  # 95,96,97,98,250
+
+    # 14 rows: bins 0:6, 1:3, 9:5 -> cum 6,9,14
+    # p50: cum*2>=14 first at bin 1 -> est 10; p90: cum*10>=126 -> bin 9 -> 90
+    row = histogram_percentiles(
+        merged, ["k"], lo, hi, bins, {"p50": (1, 2), "p90": (9, 10)}
+    ).collect()[0]
+    assert row["n_rows"] == 14
+    assert row["p50"] == 10
+    assert row["p90"] == 90
