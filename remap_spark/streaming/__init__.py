@@ -1,5 +1,6 @@
 from .dedup import dedup_events
 from .joins import stream_static_enrich, stream_stream_interval_join
+from .scd import read_dim, scd2_apply_stream_batch, stream_scd2_apply
 from .sinks import foreach_batch_overwrite, write_stream_parquet
 from .stateful import running_user_stats
 from .windows import (
@@ -22,4 +23,7 @@ __all__ = [
     "dedup_events",
     "write_stream_parquet",
     "foreach_batch_overwrite",
+    "stream_scd2_apply",
+    "scd2_apply_stream_batch",
+    "read_dim",
 ]
