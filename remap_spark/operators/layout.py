@@ -72,6 +72,24 @@ def skipping_stats(
     return df.groupBy(b.alias("bucket")).agg(*aggs)
 
 
+def cluster_by_hilbert(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Hilbert twin of cluster_by_zorder — the recommended default for
+    2-D clustered writes (see SCALE.md: under unaligned range splits
+    Hilbert's jump-free curve bounds far tighter per-file min/max
+    boxes). Appends ``h_key``, range-partitions and sorts on it."""
+    out = with_hilbert_key(df, x_col, y_col, bits)
+    n = num_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return out.repartitionByRange(n, "h_key").sortWithinPartitions("h_key")
+
+
 def with_hilbert_key(
     df: DataFrame,
     x_col: str,
