@@ -130,22 +130,25 @@ register_extensions()
 CHECK_WINDOW = 50
 
 # Green in a prior round's driver gate, unchanged since, and redundant
-# with an in-window sibling. Round-5 rotation policy (VERDICT r4 #1):
-# the window admits, in priority order, (1) the 20 queries whose
-# latest green row is r2 (two rounds stale — the mandatory set named
-# in VERDICT r4 "What's wrong" #1), (2) everything NEW or code-changed
-# this round (graph triangles/SSSP, fuzzy incremental dedup, span
-# merge, analytics pipeline, WAU sketch, PQ/IVF-PQ ANN, dq33 fuse,
-# multi-probe ext_ann_lsh, bm25, scd2 history + incremental, z-order +
-# Hilbert layout, rollup merge, prefix-filter join, the advisor-fix
-# queries), then (3) as many r3-green rows as the remaining slots hold.
-# Rotated OUT: all unchanged r4-green rows plus the r3-green rows whose
-# family has an in-window canary — every demoted r3-green row below is
-# the mandatory head of the r6 window, exactly as the 20 r2 rows led
-# this one. Six r3-green fillers were demoted mid-round to fund the
-# slots of the six late-r5 queries (one-in-one-out keeps head == 50).
+# with an in-window sibling. Round-6 rotation policy: the round-5
+# driver record (CORRECTNESS_r05.json) NEVER LANDED — the r5 head-50
+# received no driver evidence, so the recorded history is still
+# r01–r04. The r5 window therefore HOLDS for r6: (1) the 18
+# never-driver-checked round-5 queries stay put, (2) the 20 queries
+# whose latest green row is r2 stay put (they are now the most stale
+# on record), (3) the four r5-changed queries (dq33 percentile buffer,
+# cohort period-aligned key, paragraph-dedup separator fix, multi-probe
+# ext_ann_lsh) stay put. Freed this round: the r3-green fillers that
+# rode the r5 window as ballast (dq11_except, dq18, dq24, dq41, dq43,
+# dq44, ext_profile_columns, ext_approx_distinct,
+# ext_quality_classifier) move to the tail — under the 3-recorded-round
+# staleness bound (see tests/test_registry.py) their r03 rows still
+# cover them — funding slots for the round-6 queries, which must enter
+# the window the same commit they are registered. Due FIRST in the r7
+# window: every r3-green tail row below (they fall outside the last two
+# recorded rounds the moment CORRECTNESS_r06 lands).
 _TAIL_QUERIES = [
-    # r3-green deferred one round (due in the r6 window; canary in parens):
+    # r3-green deferred (due in the r7 window; canary in parens):
     "dq03_wordcount",  # (dq19_buckets tokenize/agg canary, dq18 grouped-UDF)
     "ext_salted_agg",  # (dq05_agg; salted≡plain equivalence pytest)
     "ext_pack_sequences",  # (prefix-sum window family: dq39/dq43 in tail are r4)
@@ -168,8 +171,20 @@ _TAIL_QUERIES = [
     "ext_range_join_binned",  # (range family: dq20 r4-green, plan test pinned)
     "dq28_exists",  # (subquery family: dq29 scalar-subquery r4-green)
     "dq30_grouping_sets",  # (grouping family: dq12/dq23/dq31 r4-green)
+    # r3-green demoted at r6 start to fund the round-6 query slots
+    # (the r5 driver record never landed, so their r03 rows are still
+    # the freshest evidence; covered by the 3-recorded-round bound):
+    "dq11_except",  # (set-op family: dq11_intersect/dq22 r4-green)
+    "dq18_grouped_udf",  # (UDF family: dq19 canary; mapreduce pytest)
+    "dq24_asof_join",  # (join family: dq20 range r4-green, plan-pinned)
+    "dq41_recursive_sql",  # (recursive family: dq16/dq17/dq40/dq42 r4)
+    "dq43_rolling_range",  # (window family: dq39/dq25 r4-green)
+    "dq44_merge_upsert",  # (outer-join family: dq21 variants r4-green)
+    "ext_profile_columns",  # (profiler family: corpus_report sibling)
+    "ext_approx_distinct",  # (sketch family: ext_active_users_approx in window)
+    "ext_quality_classifier",  # (broadcast-model family: lm_score sibling)
     # r3-green demoted mid-r5 to fund the three NEW queries' window
-    # slots (bm25 / scd2 / zorder); due in the r6 window with the rest:
+    # slots (bm25 / scd2 / zorder); due in the r7 window with the rest:
     "ext_dedup_exact",  # (dedup family: ngram/minhash/simhash/... in window)
     "ext_ann_ivf",  # (ANN family: topk/lsh/pq/ivf_pq in window)
     "ext_text_pii",  # (text family: tokens/quality/stats/langid in window)
