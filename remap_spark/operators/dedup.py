@@ -1100,3 +1100,52 @@ def lsh_verified_pairs(
         .where(jac >= threshold)
         .select("doc_a", "doc_b", jac5.alias("jaccard"))
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates, assign every
+    document a training-loss weight 1/|cluster| (fixed-point ppm) so a
+    cluster of near-identical pages contributes one document's worth
+    of gradient in aggregate — the downweight-don't-delete policy
+    (UniMax-style) that keeps rare in-cluster variation available to
+    the model. Singletons (no near-dup edge) keep weight 1.0.
+
+    Returns one row PER INPUT DOCUMENT: (doc_id, cluster, cluster_size,
+    weight_ppm) with weight_ppm = floor(1e6 / cluster_size) and
+    cluster = the component's canonical min-id (the doc's own id for
+    singletons).
+
+    Shape: connected components over the candidate pairs (O(log n)
+    star rounds — pair-relation-sized, not corpus-sized), a
+    components-keyed size aggregate (combiner-style), and ONE left
+    join from the corpus to the component map. The component map is
+    duplicate-cluster-members only — at 100 TB it is orders smaller
+    than the corpus and AQE takes the join broadcast when it fits."""
+    from .pregel import connected_components
+
+    kw = {"num_partitions": num_partitions} if num_partitions else {}
+    cc = connected_components(pairs, src=src, dst=dst, **kw)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("_csize"))
+    cmap = cc.join(sizes, "component").select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster"),
+        F.col("_csize").alias("cluster_size"),
+    )
+    out = docs.select(id_col).join(cmap, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("cluster", F.col(id_col)).alias("cluster"),
+        F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+        F.floor(
+            F.lit(1_000_000) / F.coalesce("cluster_size", F.lit(1))
+        )
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )

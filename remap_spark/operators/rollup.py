@@ -151,3 +151,85 @@ def merge_aggregate_state(
             )
         out_cols.append(c.alias(out))
     return merged.select(*out_cols)
+
+
+# ---------------------------------------------------------------------
+# KMV distinct-count state (the DISTINCT column of the mergeable-state
+# family: sum/count/min/max above, percentiles = histogram_state, and
+# distinct = the k-minimum-values sketch here). Unlike HLL (whose
+# register hashing is engine-private, so its oracle can only check an
+# error band) KMV is reproducible from first principles: the hash is
+# the portable md5-derived value and every step below is integer
+# arithmetic, so two engines produce the IDENTICAL estimate.
+# ---------------------------------------------------------------------
+
+# 13 hex digits -> [0, 2^52): wide enough that collisions are
+# negligible, narrow enough that (k-1) * 2^52 stays inside int64 for
+# k <= 2047.
+KMV_DOMAIN = 1 << 52
+
+
+def kmv_hash(col) -> "Column":
+    """Portable 52-bit hash for KMV: first 13 md5 hex digits."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_state(
+    df: DataFrame, keys: list[str], col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV state: the k smallest DISTINCT hash values of
+    ``col`` — rows (keys..., h). Shape: a combiner-style distinct on
+    (keys, h) then one group-keyed window to rank; state size is
+    bounded by k rows per group regardless of input volume."""
+    from pyspark.sql.window import Window
+
+    hashed = df.select(*keys, kmv_hash(col).alias("h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def merge_kmv_state(
+    a: DataFrame, b: DataFrame, keys: list[str], k: int = 64
+) -> DataFrame:
+    """Merge two KMV states: union, re-distinct (the same value seen
+    by both sides must count once), keep the k smallest per group —
+    row-identical to building the state over the combined inputs,
+    which is what makes the sketch safe for incremental maintenance
+    and map-side partial aggregation."""
+    from pyspark.sql.window import Window
+
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(
+    state: DataFrame, keys: list[str], k: int = 64
+) -> DataFrame:
+    """Distinct-count estimate from KMV state: with fewer than k
+    hashes the count is EXACT (every distinct value is present);
+    otherwise the classic estimator (k-1) * DOMAIN / h_k, evaluated
+    with integer floor division so it is bit-identical across
+    engines. Returns (keys..., n_hashes, est_distinct)."""
+    return state.groupBy(*keys).agg(
+        F.count("*").alias("n_hashes"),
+        F.when(
+            F.count("*") < k, F.count("*")
+        )
+        .otherwise(
+            F.expr(f"CAST({k - 1} AS BIGINT) * {KMV_DOMAIN} div MAX(h)")
+        )
+        .cast("bigint")
+        .alias("est_distinct"),
+    )

@@ -361,3 +361,53 @@ def funnel(
     return (
         stages.join(reached, "_i", "left").select(*out_cols).orderBy("stage_idx")
     )
+
+
+def top_event_paths(
+    df: DataFrame,
+    n_steps: int = 3,
+    topk: int = 20,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most frequent n-step event paths — consecutive event-type
+    sequences in each user's timeline (the product-analytics "user
+    flow" report: which step chains dominate). Every consecutive run
+    of ``n_steps`` events contributes one path occurrence; ordering
+    within a user is (ts, event_id) so ties are deterministic.
+
+    Returns the ``topk`` rows (path_rank, step_1..step_n, n_occurrences)
+    ordered by count desc then path lexicographically.
+
+    Shape: ONE user-keyed shuffle for the lead window (the same layout
+    sessionize/funnel use — a pipeline computing several per-user
+    reports reuses the exchange), then a combiner-style path count
+    whose shuffle volume is the distinct-path relation (bounded by
+    |event_type|^n, not event volume), and a TakeOrdered for the
+    top-k (no global sort). At 100 TB nothing but the distinct-path
+    aggregate crosses the second exchange."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = [F.col(type_col).alias("step_1")] + [
+        F.lead(type_col, j).over(w).alias(f"step_{j + 1}")
+        for j in range(1, n_steps)
+    ]
+    paths = df.select(*steps).where(
+        F.col(f"step_{n_steps}").isNotNull()
+    )
+    counted = paths.groupBy(
+        *[f"step_{j + 1}" for j in range(n_steps)]
+    ).agg(F.count("*").alias("n_occurrences"))
+    order = [F.desc("n_occurrences")] + [
+        F.col(f"step_{j + 1}") for j in range(n_steps)
+    ]
+    wr = Window.orderBy(*order)
+    return (
+        counted.select(
+            F.row_number().over(wr).alias("path_rank"), "*"
+        )
+        .where(F.col("path_rank") <= topk)
+    )

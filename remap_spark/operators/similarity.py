@@ -874,3 +874,64 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "dist2")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (Cormack et al.
+    SIGIR'09) — the standard hybrid-retrieval combiner for sparse
+    (BM25) + dense (embedding) candidate lists feeding RAG or
+    training-data mining. Each input holds one (id, rank) row per
+    retrieved item, rank 1-based; fusion score(d) = sum over lists of
+    1/(rrf_k + rank_d).
+
+    The score is computed in FIXED-POINT: each contribution is
+    10^9 // (rrf_k + rank) as a bigint, so fusion is pure integer
+    arithmetic — bit-identical across engines and insensitive to
+    summation order (the property the DuckDB oracle checks; float RRF
+    would hash-diverge on associativity).
+
+    Returns (fused_rank, id, rrf_score, n_lists) for the topk fused
+    ids, ordered by (score desc, id). Shape: the inputs are top-k
+    relations (k rows each — broadcast-sized by construction), so the
+    union + groupBy is a few-KB shuffle regardless of corpus size; the
+    heavy lifting happened inside the per-list retrievers, which are
+    scale-audited separately (bm25_topk: one combiner-style corpus
+    aggregate; cosine_topk_*: banded / broadcast designs)."""
+    parts = []
+    for r in rankings:
+        # FLOOR over the double division (not integer `/`): Spark and
+        # DuckDB disagree on what int/int returns, but both produce the
+        # identical IEEE double here, and floor of it is exact
+        parts.append(
+            r.select(
+                F.col(id_col).alias("_id"),
+                F.floor(
+                    F.lit(1_000_000_000)
+                    / (F.lit(rrf_k) + F.col(rank_col))
+                )
+                .cast("bigint")
+                .alias("_c"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy("_id").agg(
+        F.sum("_c").alias("rrf_score"), F.count("*").alias("n_lists")
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.col("_id"))
+    return (
+        fused.select(
+            F.row_number().over(w).alias("fused_rank"),
+            F.col("_id").alias(id_col),
+            "rrf_score",
+            "n_lists",
+        )
+        .where(F.col("fused_rank") <= topk)
+    )

@@ -246,3 +246,72 @@ def temperature_weights(
         )
         .orderBy("grp")
     )
+
+
+def token_budget_recipe(
+    per_doc: DataFrame,
+    budget_tokens: int,
+    weights: dict[str, int],
+    max_epochs_bp: int = 40_000,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    default_weight: int = 1,
+) -> DataFrame:
+    """Data-mixture recipe: given per-document token counts and
+    relative source weights, compute how many EPOCHS of each source a
+    training run should take to hit ``budget_tokens`` total — the
+    planning step behind weighted corpus mixtures (web-heavy with
+    boosted books/wiki, capped repetition a la Muennighoff et al.'s
+    data-constrained scaling: repeating a source beyond ~4 epochs
+    stops helping, hence ``max_epochs_bp``).
+
+    All arithmetic is integer (epochs in basis points, 10000 = 1.0x):
+    target_s = budget * w_s div W; epochs_bp = min(cap,
+    target_s * 10000 div T_s); planned_s = T_s * epochs_bp div 10000.
+    Returns per source (source, n_docs, n_tokens, weight,
+    target_tokens, epochs_bp, planned_tokens), ordered by source.
+
+    Shape: ONE combiner-style aggregate over the corpus (per-source
+    totals — the only corpus-sized pass), then pure expression work on
+    the |sources|-row relation; the weight total rides on a window
+    over that tiny relation, so there is no driver action and no
+    second scan. The weight map is a literal CASE chain (sources are
+    a small closed set; an external weight TABLE would broadcast-join
+    the same way)."""
+    from pyspark.sql.window import Window
+
+    w_expr = None
+    for name, wt in weights.items():
+        cond = F.col(source_col) == name
+        w_expr = (
+            F.when(cond, wt) if w_expr is None else w_expr.when(cond, wt)
+        )
+    w_expr = (
+        F.lit(default_weight)
+        if w_expr is None
+        else w_expr.otherwise(default_weight)
+    )
+    per_source = per_doc.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tokens_col).cast("bigint").alias("n_tokens"),
+    )
+    sized = per_source.withColumn("weight", w_expr.cast("bigint")).withColumn(
+        "_wtot", F.sum("weight").over(Window.partitionBy())
+    )
+    target = F.expr(f"CAST({budget_tokens} AS BIGINT) * weight div _wtot")
+    out = sized.withColumn("target_tokens", target).withColumn(
+        "epochs_bp",
+        F.least(
+            F.lit(max_epochs_bp).cast("bigint"),
+            F.expr("target_tokens * 10000 div n_tokens"),
+        ),
+    )
+    return out.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "weight",
+        "target_tokens",
+        "epochs_bp",
+        F.expr("n_tokens * epochs_bp div 10000").alias("planned_tokens"),
+    ).orderBy(source_col)

@@ -816,3 +816,55 @@ def url_duplicates(
         .agg(F.count("*").alias("cnt"), F.min(id_col).alias("keep_id"))
         .where(F.col("cnt") > 1)
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing — one rung
+    up the CCNet/KenLM ladder from unigram_lm_scores: documents whose
+    token PAIRS are improbable (shuffled text, keyword stuffing,
+    boilerplate soup) score high even when their unigram mix looks
+    normal. For each document with >= 2 tokens:
+    xent = -mean ln p(w2|w1), p(w2|w1) = (c(w1,w2)+1) / (ctx(w1)+V),
+    ctx(w1) = bigram occurrences anchored at w1, V = corpus distinct
+    unigrams; ppl = exp(xent).
+
+    Shape: the token stream is one posexplode over an id-hash
+    repartition; bigrams come from a lead() window INSIDE that same
+    doc-keyed layout (no extra exchange); the bigram model and its
+    context marginal are combiner-style aggregates whose shuffle
+    volume is model-sized, not corpus-sized; V rides in as a
+    broadcast single-row relation (same idiom as bm25_topk's consts)
+    and the model joins back via broadcast. At 100 TB cap the model
+    at top-M bigrams with an OOV floor (same policy as
+    unigram_lm_scores' vocabulary note); the aggregates themselves
+    never materialize on the driver."""
+    from pyspark.sql.window import Window
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "w1"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "doc_id", "w1", F.lead("w1").over(wd).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    model = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+    ctx = bigrams.groupBy("w1").agg(F.count("*").alias("_c1"))
+    vocab = toks.agg(F.countDistinct("w1").alias("_v"))
+    nll = -F.log(
+        (F.col("_c12") + 1).cast("double") / (F.col("_c1") + F.col("_v"))
+    )
+    return (
+        bigrams.join(F.broadcast(model), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 5).alias("xent"),
+            F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
+        )
+    )

@@ -77,6 +77,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq38_sql_api": relational.dq38_sql_api,
     "dq41_recursive_sql": relational.dq41_recursive_sql,
     "dq39_running_total": relational.dq39_running_total,
+    "dq45_rank_funcs": relational.dq45_rank_funcs,
     "dq43_rolling_range": relational.dq43_rolling_range,
     "dq44_merge_upsert": relational.dq44_merge_upsert,
     "ext_profile_columns": relational.ext_profile_columns,

@@ -3439,3 +3439,504 @@ EXT_ORACLES = {
     # are integer arithmetic, reproduced bit-for-bit
     "ext_percentile_state": _PCT_STATE_SQL,
 }
+
+
+# ---------------------------------------------------------------------
+# round 6: hybrid retrieval, time-series repair, path mining, bigram
+# LM, KMV distinct state, soft dedup, mixture recipe
+# ---------------------------------------------------------------------
+
+
+def ext_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 bag-of-terms ranking over documents
+    fused with a dense cosine ranking over embeddings by
+    reciprocal-rank fusion (operators/similarity.rrf_fuse, fixed-point
+    integer scores). The sparse list is ext_text_bm25's exact query;
+    the dense list is vec 0's brute-force cosine top-20; fusion keeps
+    the top 15. The oracle replays both retrievers AND the integer
+    fusion, so ranks, scores, and membership must all agree."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = tx.bm25_topk(docs, ["hash", "vector", "spark"], topk=20)
+    ws = Window.orderBy(F.desc("score"), "doc_id")
+    sparse_r = sparse.select(
+        "doc_id", F.row_number().over(ws).alias("rank")
+    )
+    dense = sim.cosine_topk_bruteforce(
+        emb.where(F.col("vec_id") == 0), emb, k=20
+    )
+    dense_r = dense.select(F.col("vec_id").alias("doc_id"), "rank")
+    fused = sim.rrf_fuse([sparse_r, dense_r], rrf_k=60, topk=15)
+    return fused.orderBy("fused_rank")
+
+
+_RRF_SQL = f"""
+    WITH {_TOKS},
+    lens AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM toks
+      WHERE word IN ('hash', 'vector', 'spark') GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, COUNT(*) AS dfc FROM tf GROUP BY word),
+    consts AS (SELECT COUNT(*) AS nd, AVG(dlen) AS avgdl FROM lens),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (nd - dfc + 0.5) / (dfc + 0.5))
+               * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avgdl)) AS s
+      FROM tf
+      JOIN dfreq ON dfreq.word = tf.word
+      JOIN lens ON lens.doc_id = tf.doc_id
+      CROSS JOIN consts
+    ),
+    sparse AS (
+      SELECT doc_id, ROUND(SUM(s), 5) AS score
+      FROM scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    sparse_r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM sparse
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id = 0),
+    dscored AS (
+      SELECT c.vec_id, {_COS.format(a='q.v', b='c.v')} AS cosine
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    dense_r AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rnk
+      FROM dscored QUALIFY rnk <= 20
+    ),
+    contribs AS (
+      SELECT doc_id, CAST(FLOOR(1000000000 / (60 + rnk)) AS BIGINT) AS c
+      FROM sparse_r
+      UNION ALL
+      SELECT doc_id, CAST(FLOOR(1000000000 / (60 + rnk)) AS BIGINT) AS c
+      FROM dense_r
+    ),
+    fused AS (
+      SELECT doc_id, SUM(c) AS rrf_score, COUNT(*) AS n_lists
+      FROM contribs GROUP BY doc_id
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+             AS fused_rank,
+           doc_id, CAST(rrf_score AS BIGINT) AS rrf_score, n_lists
+    FROM fused
+    QUALIFY fused_rank <= 15
+    ORDER BY fused_rank
+"""
+
+
+def ext_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + repair (operators/timeseries.
+    fill_date_gaps): daily high-value event rollups per type are
+    sparse (value > 220 keeps ~half the days), the grid restores every
+    day in each type's span, counts zero-fill, and the peak-value
+    gauge forward-fills from the last observed day. is_gap marks
+    synthesized rows, making the repair itself part of the checked
+    contract."""
+    from ..operators.timeseries import fill_date_gaps
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 220)
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.max(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "peak_cents"
+        ),
+    )
+    filled = fill_date_gaps(
+        daily,
+        ["event_type"],
+        "day",
+        zero_cols=["n_events"],
+        carry_cols=["peak_cents"],
+    )
+    return filled.select(
+        "event_type", "day", "is_gap", "n_events", "peak_cents"
+    ).orderBy("event_type", "day")
+
+
+_TS_GAPFILL_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n_events,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS peak_cents
+      FROM events WHERE value > 220 GROUP BY 1, 2
+    ),
+    ext AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM ext
+    ),
+    joined AS (
+      SELECT g.event_type, g.day,
+             CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS is_gap,
+             COALESCE(d.n_events, 0) AS n_events,
+             d.peak_cents
+      FROM grid g
+      LEFT JOIN daily d
+        ON d.event_type = g.event_type AND d.day = g.day
+    )
+    SELECT event_type, day, is_gap, n_events,
+           last_value(peak_cents IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS peak_cents
+    FROM joined
+    ORDER BY event_type, day
+"""
+
+
+def ext_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA smoothing (operators/timeseries.ewma_trailing,
+    alpha=0.5 over the last 8 observations) of daily order revenue per
+    priority class across 1995. Every weight is an exact binary
+    fraction and the oracle mirrors the identical left-associated
+    term chain, so the smoothed values are bit-reproducible; the
+    final half-up quantization to 1e-4 is the repo's standard
+    ROUND-divergence guard."""
+    from ..operators.timeseries import ewma_trailing
+
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    daily = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    sm = ewma_trailing(
+        daily, ["o_orderpriority"], "o_orderdate", "cents",
+        alpha=0.5, n=8,
+    )
+    return sm.select(
+        "o_orderpriority",
+        "o_orderdate",
+        "cents",
+        (F.floor(F.col("ewma") * 10000 + 0.5) / 10000).alias("ewma"),
+    ).orderBy("o_orderpriority", "o_orderdate")
+
+
+def _ewma_oracle() -> str:
+    from ..operators.timeseries import ewma_weights
+
+    ws = ewma_weights(0.5, 8)
+    lag = (
+        lambda j: "cents"
+        if j == 0
+        else f"LAG(cents, {j}) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate)"
+    )
+    num = " + ".join(
+        f"COALESCE({lag(j)} * {w!r}, 0.0)" for j, w in enumerate(ws)
+    )
+    den = " + ".join(
+        f"CASE WHEN {lag(j)} IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        for j, w in enumerate(ws)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT o_orderpriority, o_orderdate,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1996-01-01'
+      GROUP BY 1, 2
+    ),
+    sm AS (
+      SELECT o_orderpriority, o_orderdate, cents,
+             ({num}) / ({den}) AS ewma
+      FROM daily
+    )
+    SELECT o_orderpriority, o_orderdate, cents,
+           FLOOR(ewma * 10000 + 0.5) / 10000 AS ewma
+    FROM sm
+    ORDER BY o_orderpriority, o_orderdate
+"""
+
+
+def ext_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths (operators/sessions.top_event_paths): the 20
+    most frequent 3-step consecutive event-type sequences across all
+    user timelines, ordered by occurrence count — the product-
+    analytics user-flow report. Tie order is (count desc, path),
+    per-user event order is (ts, event_id)."""
+    from ..operators.sessions import top_event_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return top_event_paths(ev, n_steps=3, topk=20).orderBy("path_rank")
+
+
+_USER_PATHS_SQL = """
+    WITH seq AS (
+      SELECT event_type AS step_1,
+             LEAD(event_type, 1) OVER w AS step_2,
+             LEAD(event_type, 2) OVER w AS step_3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT step_1, step_2, step_3, COUNT(*) AS n_occurrences
+      FROM seq WHERE step_3 IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT ROW_NUMBER() OVER (
+             ORDER BY n_occurrences DESC, step_1, step_2, step_3
+           ) AS path_rank,
+           step_1, step_2, step_3, n_occurrences
+    FROM paths
+    QUALIFY path_rank <= 20
+    ORDER BY path_rank
+"""
+
+
+def ext_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (operators/text.bigram_lm_scores,
+    add-one smoothing): per-document cross-entropy over token PAIRS
+    against the corpus bigram model. The oracle rebuilds the same
+    model from the same tokenizer and must match the rounded xent/ppl
+    per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.bigram_lm_scores(docs)
+    return out.select(
+        "doc_id", "n_bigrams", "xent", "ppl"
+    ).orderBy("doc_id")
+
+
+_BIGRAM_LM_SQL = f"""
+    WITH {_TOKS},
+    bg AS (
+      SELECT doc_id, word AS w1,
+             LEAD(word) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM toks
+    ),
+    bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+    model AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg2 GROUP BY 1, 2
+    ),
+    ctx AS (SELECT w1, COUNT(*) AS c1 FROM bg2 GROUP BY 1),
+    voc AS (SELECT COUNT(DISTINCT word) AS v FROM toks),
+    scored AS (
+      SELECT b.doc_id,
+             -ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) AS nll
+      FROM bg2 b
+      JOIN model ON model.w1 = b.w1 AND model.w2 = b.w2
+      JOIN ctx ON ctx.w1 = b.w1
+      CROSS JOIN voc
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, AVG(nll) AS xent
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ROUND(xent, 5) AS xent, ROUND(exp(xent), 4) AS ppl
+    FROM agg ORDER BY doc_id
+"""
+
+
+def ext_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count state (operators/rollup.kmv_state /
+    kmv_estimate, k=64 over a 2^52 md5-derived hash domain): per
+    event_type distinct-user estimates alongside the exact counts.
+    Unlike the HLL tier (error-band oracle only), every KMV step is
+    portable integer arithmetic, so the DuckDB oracle reproduces the
+    ESTIMATE bit-for-bit — the estimator itself is part of the checked
+    contract. Merge-equivalence (state ⊕ state == full) is pinned in
+    tests/test_rollup_state.py."""
+    from ..operators.rollup import kmv_estimate, kmv_state
+
+    ev = load_table(spark, sf_dir, "events")
+    state = kmv_state(ev, ["event_type"], "user_id", k=64)
+    est = kmv_estimate(state, ["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "n_hashes", "est_distinct", "exact_distinct")
+        .orderBy("event_type")
+    )
+
+
+_KMV_SQL = """
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    ),
+    state AS (SELECT event_type, h FROM ranked WHERE rn <= 64),
+    est AS (
+      SELECT event_type, COUNT(*) AS n_hashes,
+             CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                  ELSE 63 * 4503599627370496 // MAX(h) END AS est_distinct
+      FROM state GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT est.event_type, n_hashes,
+           CAST(est_distinct AS BIGINT) AS est_distinct,
+           exact.exact_distinct
+    FROM est JOIN exact ON est.event_type = exact.event_type
+    ORDER BY est.event_type
+"""
+
+
+def ext_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (operators/dedup.soft_dedup_weights): near-duplicate
+    clusters from MinHash-LSH candidate pairs, every document assigned
+    loss weight 1/|cluster| in exact ppm instead of being dropped —
+    the downweight-don't-delete curation policy. One row per corpus
+    document; singletons carry weight 1.0. The oracle replays pairs +
+    recursive closure + the integer weight formula."""
+    from ..operators.dedup import soft_dedup_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    n_parts = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        max(4, docs.rdd.getNumPartitions()),
+    )
+    out = soft_dedup_weights(
+        docs, pairs, num_partitions=n_parts
+    )
+    return out.select(
+        "doc_id", "cluster", "cluster_size", "weight_ppm"
+    ).orderBy("doc_id")
+
+
+def _soft_weights_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    cedges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM cedges
+      UNION
+      SELECT reach.s, cedges.d FROM reach JOIN cedges ON reach.d = cedges.s
+    ),
+    comp AS (
+      SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
+    ),
+    sizes AS (
+      SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
+    ),
+    cmap AS (
+      SELECT comp.node, comp.component, sizes.csize
+      FROM comp JOIN sizes ON comp.component = sizes.component
+    )
+    SELECT d.doc_id,
+           COALESCE(cmap.component, d.doc_id) AS cluster,
+           COALESCE(cmap.csize, 1) AS cluster_size,
+           CAST(FLOOR(1000000 / COALESCE(cmap.csize, 1)) AS BIGINT)
+             AS weight_ppm
+    FROM documents d
+    LEFT JOIN cmap ON cmap.node = d.doc_id
+    ORDER BY d.doc_id
+"""
+
+
+def ext_recipe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning (operators/split.token_budget_recipe):
+    per-source epoch factors to hit a 150k-token budget under
+    relative source weights with a 4-epoch repetition cap — the
+    weighted-mixture recipe step of a training-data pipeline. All
+    integer arithmetic (epochs in basis points); the oracle replays
+    the same tokenizer, weights, and integer division."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(tx.tokenize(F.col("text"))).alias("n_tokens"),
+    )
+    return sp.token_budget_recipe(
+        per_doc,
+        budget_tokens=150_000,
+        weights={"src0": 5, "src1": 5, "src2": 3, "src3": 3, "src4": 2},
+        max_epochs_bp=40_000,
+    )
+
+
+_RECIPE_SQL = f"""
+    WITH {_TOKS},
+    per_doc AS (
+      SELECT d.source, COUNT(toks.word) AS n_tokens
+      FROM documents d LEFT JOIN toks ON toks.doc_id = d.doc_id
+      GROUP BY d.source, d.doc_id
+    ),
+    per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(CASE source
+               WHEN 'src0' THEN 5 WHEN 'src1' THEN 5
+               WHEN 'src2' THEN 3 WHEN 'src3' THEN 3
+               WHEN 'src4' THEN 2 ELSE 1 END AS BIGINT) AS weight
+      FROM per_doc GROUP BY source
+    ),
+    sized AS (
+      SELECT *, SUM(weight) OVER () AS wtot FROM per_source
+    ),
+    planned AS (
+      SELECT source, n_docs, n_tokens, weight,
+             150000 * weight // wtot AS target_tokens,
+             LEAST(CAST(40000 AS BIGINT),
+                   (150000 * weight // wtot) * 10000 // n_tokens)
+               AS epochs_bp
+      FROM sized
+    )
+    SELECT source, n_docs, n_tokens, weight,
+           CAST(target_tokens AS BIGINT) AS target_tokens,
+           CAST(epochs_bp AS BIGINT) AS epochs_bp,
+           CAST(n_tokens * epochs_bp // 10000 AS BIGINT) AS planned_tokens
+    FROM planned ORDER BY source
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "ext_retrieval_rrf": ext_retrieval_rrf,
+        "ext_ts_gapfill": ext_ts_gapfill,
+        "ext_ts_ewma": ext_ts_ewma,
+        "ext_user_paths": ext_user_paths,
+        "ext_text_bigram_lm": ext_text_bigram_lm,
+        "ext_kmv_distinct": ext_kmv_distinct,
+        "ext_dedup_soft_weights": ext_dedup_soft_weights,
+        "ext_recipe_token_budget": ext_recipe_token_budget,
+    }
+)
+
+EXT_ORACLES.update(
+    {
+        "ext_retrieval_rrf": _RRF_SQL,
+        "ext_ts_gapfill": _TS_GAPFILL_SQL,
+        "ext_ts_ewma": _ewma_oracle(),
+        "ext_user_paths": _USER_PATHS_SQL,
+        "ext_text_bigram_lm": _BIGRAM_LM_SQL,
+        "ext_kmv_distinct": _KMV_SQL,
+        "ext_dedup_soft_weights": _soft_weights_oracle(),
+        "ext_recipe_token_budget": _RECIPE_SQL,
+    }
+)

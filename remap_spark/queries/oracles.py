@@ -703,3 +703,28 @@ DQ_ORACLES["ext_active_users_approx"] = """
     FROM dau JOIN wau ON dau.d = wau.d
     ORDER BY day
 """
+
+DQ_ORACLES["dq45_rank_funcs"] = """
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1995-02-01'
+    )
+    SELECT o_orderkey, o_orderpriority, cents,
+           CAST(FLOOR(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS pr_ppm,
+           CAST(FLOOR(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS cd_ppm,
+           ntile(4) OVER w AS quartile,
+           nth_value(cents, 3) OVER wf AS third_cents,
+           first_value(cents) OVER wf AS min_cents,
+           last_value(cents) OVER wf AS max_cents
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderpriority, cents, o_orderkey
+"""

@@ -1203,3 +1203,49 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_apx") <= F.col("exact_part") * 1.1)
         ).alias("apx_ok"),
     ).orderBy("l_returnflag")
+
+
+def dq45_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window surface: percent_rank / cume_dist /
+    ntile / nth_value / first+last over an explicit full-partition
+    frame — the remaining ANSI window functions not exercised by
+    dq25/dq37/dq39. Ranks are quantized to ppm with explicit half-up
+    (floor(x*1e6+0.5)) because both engines derive them from the same
+    integer rank arithmetic; the ordering carries o_orderkey so ntile
+    assignment is deterministic under value ties."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-02-01")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    wo = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wf = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "cents",
+            F.floor(F.percent_rank().over(wo) * 1000000 + 0.5)
+            .cast("bigint")
+            .alias("pr_ppm"),
+            F.floor(F.cume_dist().over(wo) * 1000000 + 0.5)
+            .cast("bigint")
+            .alias("cd_ppm"),
+            F.ntile(4).over(wo).alias("quartile"),
+            F.nth_value("cents", 3).over(wf).alias("third_cents"),
+            F.first("cents").over(wf).alias("min_cents"),
+            F.last("cents").over(wf).alias("max_cents"),
+        )
+        .orderBy("o_orderpriority", "cents", "o_orderkey")
+    )

@@ -406,6 +406,12 @@ def test_no_query_plans_a_cartesian_product(spark):
         # (N, avgdl) corpus constants: a single-row broadcast into the
         # per-term scoring join (same contract as the in-plan counts)
         "ext_text_bm25",
+        # composes bm25's single-row consts broadcast AND the one-row
+        # dense query-vector broadcast (ext_ann_topk contract)
+        "ext_retrieval_rrf",
+        # vocabulary size V: a single-row broadcast into the per-bigram
+        # scoring join (same in-plan-constant contract as bm25/tfidf)
+        "ext_text_bigram_lm",
     }
     bad = []
     for name, fn in ALL_QUERIES.items():

@@ -44,6 +44,15 @@ NEVER_CHECKED: list[str] = [
     "ext_rollup_incremental",  # new in round 5 (late)
     "ext_dedup_prefix_filter",  # new in round 5 (late)
     "ext_percentile_state",  # new in round 5 (late)
+    "dq45_rank_funcs",  # new in round 6
+    "ext_retrieval_rrf",  # new in round 6
+    "ext_ts_gapfill",  # new in round 6
+    "ext_ts_ewma",  # new in round 6
+    "ext_user_paths",  # new in round 6
+    "ext_text_bigram_lm",  # new in round 6
+    "ext_kmv_distinct",  # new in round 6
+    "ext_dedup_soft_weights",  # new in round 6
+    "ext_recipe_token_budget",  # new in round 6
 ]
 
 # Queries whose implementation changed in round 5 (paragraph-dedup
