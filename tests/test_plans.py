@@ -541,3 +541,84 @@ def test_pretokenize_pipeline_bounded_exchanges(spark):
     assert not r["cartesian"]
     assert r["exchanges"] <= 6, r["plan"]
     assert r["partial_aggs"], r["plan"]
+
+
+def test_top_event_paths_bounded_exchanges(spark):
+    """Path mining: one user-keyed window exchange, one combiner-style
+    path-count aggregate, one single-partition rank over the tiny
+    path relation — nothing else may shuffle the corpus."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.sessions import top_event_paths
+    from remap_spark.plans import plan_report
+
+    ev = load_table(spark, SF_DIR, "events")
+    r = plan_report(top_event_paths(ev, n_steps=3, topk=20))
+    assert not r["cartesian"]
+    assert r["partial_aggs"], r["plan"]
+    assert r["exchanges"] <= 4, r["plan"]
+
+
+def test_ewma_single_group_exchange(spark):
+    """EWMA: the lag chain must plan as ONE window over one
+    group-keyed exchange on top of the daily rollup — a per-lag
+    window would multiply exchanges by the chain depth."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.timeseries import ewma_trailing
+    from remap_spark.plans import plan_report
+
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_DIR, "orders")
+    daily = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    import re
+
+    r = plan_report(
+        ewma_trailing(daily, ["o_orderpriority"], "o_orderdate", "cents")
+    )
+    window_nodes = re.findall(r"\(\d+\) Window\n", r["plan"])
+    assert len(window_nodes) <= 1, r["plan"]
+    assert r["exchanges"] <= 3, r["plan"]
+
+
+def test_fill_date_gaps_no_cartesian_grid(spark):
+    """The calendar grid must come from an in-plan sequence explode
+    joined on (group, day) — never a cartesian of groups x days."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.timeseries import fill_date_gaps
+    from remap_spark.plans import plan_report
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    r = plan_report(
+        fill_date_gaps(daily, ["event_type"], "day", zero_cols=["n"])
+    )
+    assert not r["cartesian"], r["plan"]
+    assert "Generate explode" in r["plan"] or "Generate" in r["plan"], r[
+        "plan"
+    ]
+
+
+def test_kmv_state_partial_distinct(spark):
+    """KMV: the (group, hash) distinct must partial-aggregate map-side
+    (the shuffle carries collapsed hashes, not raw rows) and the rank
+    window adds at most one more exchange."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.rollup import kmv_state
+    from remap_spark.plans import plan_report
+
+    ev = load_table(spark, SF_DIR, "events")
+    r = plan_report(kmv_state(ev, ["event_type"], "user_id", k=64))
+    # the distinct plans as a keys-only HashAggregate PAIR around the
+    # exchange (map-side collapse; "partial_" only labels aggregates
+    # with functions, so match the node pair instead)
+    assert r["plan"].count("HashAggregate") >= 2, r["plan"]
+    assert r["exchanges"] <= 3, r["plan"]
+    assert not r["cartesian"]
