@@ -2,6 +2,11 @@ from .dedup import dedup_events
 from .joins import stream_static_enrich, stream_stream_interval_join
 from .scd import read_dim, scd2_apply_stream_batch, stream_scd2_apply
 from .sinks import foreach_batch_overwrite, write_stream_parquet
+from .sketches import (
+    kmv_apply_stream_batch,
+    read_kmv_store,
+    stream_kmv_distinct,
+)
 from .stateful import running_user_stats
 from .windows import (
     read_events_stream,
@@ -26,4 +31,7 @@ __all__ = [
     "stream_scd2_apply",
     "scd2_apply_stream_batch",
     "read_dim",
+    "stream_kmv_distinct",
+    "kmv_apply_stream_batch",
+    "read_kmv_store",
 ]

@@ -959,3 +959,65 @@ def test_stream_scd2_batches_and_replay(spark, tmp_path_factory):
             spark.createDataFrame(rows, schema), dim, n_buckets=8, **kw
         )
         assert snapshot() == clean
+
+
+def test_stream_kmv_replay_idempotent(spark, tmp_path_factory):
+    """Streaming KMV protocol: sequential micro-batches leave the
+    bucket-partitioned sketch store EXACTLY equal to the batch sketch
+    over all rows; replaying any batch afterwards — out of order,
+    after later batches committed — changes nothing (KMV merge
+    idempotence)."""
+    from remap_spark.operators.rollup import kmv_estimate, kmv_state
+    from remap_spark.streaming.sketches import (
+        kmv_apply_stream_batch,
+        read_kmv_store,
+    )
+
+    schema = "g string, v bigint"
+    batches = [
+        [("a", i) for i in range(0, 120)] + [("b", i) for i in range(10)],
+        [("a", i) for i in range(60, 200)] + [("c", i) for i in range(5)],
+        [("b", i) for i in range(5, 40)] + [("a", i) for i in range(150, 260)],
+    ]
+    root = str(tmp_path_factory.mktemp("stream_kmv"))
+    store = f"{root}/kmv"
+
+    def snapshot():
+        return sorted(
+            tuple(r)
+            for r in read_kmv_store(spark, store).select("g", "h").collect()
+        )
+
+    for rows in batches:
+        kmv_apply_stream_batch(
+            spark.createDataFrame(rows, schema), store, ["g"], "v",
+            k=64, n_buckets=8,
+        )
+    full = kmv_state(
+        spark.createDataFrame(sum(batches, []), schema), ["g"], "v", k=64
+    )
+    expected = sorted(tuple(r) for r in full.select("g", "h").collect())
+    assert snapshot() == expected
+
+    after_batches = snapshot()
+    # replay batch 0 after batches 1-2 committed: store must not move
+    kmv_apply_stream_batch(
+        spark.createDataFrame(batches[0], schema), store, ["g"], "v",
+        k=64, n_buckets=8,
+    )
+    assert snapshot() == after_batches
+
+    # estimates read off the store match the batch-side estimator
+    est_store = {
+        r.g: (r.n_hashes, r.est_distinct)
+        for r in kmv_estimate(
+            read_kmv_store(spark, store), ["g"], k=64
+        ).collect()
+    }
+    est_batch = {
+        r.g: (r.n_hashes, r.est_distinct)
+        for r in kmv_estimate(full, ["g"], k=64).collect()
+    }
+    assert est_store == est_batch
+    # group b saw 40 distinct (< k): exact by construction
+    assert est_store["b"] == (40, 40)
