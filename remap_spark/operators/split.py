@@ -315,3 +315,50 @@ def token_budget_recipe(
         "epochs_bp",
         F.expr("n_tokens * epochs_bp div 10000").alias("planned_tokens"),
     ).orderBy(source_col)
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column | str,
+    k: int,
+    salt: str = "",
+    strata: Column | str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row draws u in (0,1] as a pure
+    function of its key hash and keeps score ln(u)/w; the k SMALLEST
+    |ln(u)|/w — equivalently largest u^(1/w) — form an exact weighted
+    WOR sample. Replaces reservoir sampling's run-order dependence
+    with a re-runnable, engine-portable draw (same hash idiom as
+    hash_split): re-running over re-partitioned, re-ordered, or
+    incrementally grown data reproduces the identical sample for the
+    surviving keys.
+
+    With ``strata`` the top-k applies per stratum (one window over the
+    stratum-keyed shuffle); without it the global top-k is a
+    TakeOrdered — no full sort. Zero/negative weights are excluded
+    outright (their A-ES score is undefined).
+
+    Returns the sampled rows plus ``_es_score`` (ascending = keep
+    priority) for auditability."""
+    kc = F.col(key) if isinstance(key, str) else key
+    wc = F.col(weight) if isinstance(weight, str) else weight
+    # u in (0, 1]: (h + 1) / 2^32 over the portable 32-bit hash
+    u = (
+        portable_hash32(F.concat(kc.cast("string"), F.lit("|" + salt)))
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    score = -F.log(u) / wc
+    out = df.where(wc > 0).withColumn("_es_score", score)
+    if strata is None:
+        return out.orderBy("_es_score").limit(k)
+    sc = F.col(strata) if isinstance(strata, str) else strata
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(sc).orderBy("_es_score")
+    return (
+        out.withColumn("_es_rn", F.row_number().over(w))
+        .where(F.col("_es_rn") <= k)
+        .drop("_es_rn")
+    )

@@ -160,6 +160,9 @@ def test_no_unbounded_driver_actions_in_operator_sources():
         # logistic_train: d+1 gradient floats per round — the model is
         # driver-sized by definition; the data never moves
         "ml.py": {".first()"},
+        # assert_expectations: the report relation is rule-count-sized
+        # by construction (one row per declared expectation)
+        "expectations.py": {".collect()"},
     }
     for src in sorted(root.glob("*.py")):
         toks = tokenize.generate_tokens(io.StringIO(src.read_text()).readline)

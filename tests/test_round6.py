@@ -211,3 +211,137 @@ def test_bigram_lm_flags_shuffled_text(spark):
     # the shuffled doc's bigrams are mostly unseen -> higher xent than
     # every fluent copy
     assert all(out[8] > out[i] for i in range(8))
+
+
+def test_weighted_sample_wor_deterministic_and_weighted(spark):
+    from remap_spark.operators.split import weighted_sample_wor
+
+    rows = [(f"k{i}", 100.0 if i < 10 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "key string, w double")
+    s1 = {r.key for r in weighted_sample_wor(df, "key", "w", 50).collect()}
+    # identical under re-partitioning and row reorder
+    s2 = {
+        r.key
+        for r in weighted_sample_wor(
+            df.repartition(17).sortWithinPartitions("w"), "key", "w", 50
+        ).collect()
+    }
+    assert s1 == s2 and len(s1) == 50
+    # the 10 hundred-x-weighted keys should essentially all be kept
+    heavy = {f"k{i}" for i in range(10)}
+    assert len(heavy & s1) >= 9
+    # growing the population keeps surviving keys' scores (subset
+    # property of a pure-key draw): every sampled key that is also
+    # sampled from the doubled pool keeps the same score
+    bigger = spark.createDataFrame(
+        rows + [(f"x{i}", 1.0) for i in range(500)], "key string, w double"
+    )
+    s3 = {r.key: r._es_score for r in
+          weighted_sample_wor(bigger, "key", "w", 50).collect()}
+    base = {r.key: r._es_score for r in
+            weighted_sample_wor(df, "key", "w", 50).collect()}
+    for key in set(base) & set(s3):
+        assert base[key] == s3[key]
+
+
+def test_weighted_sample_wor_matches_duckdb_formula(spark):
+    """Engine portability of the A-ES draw: DuckDB replays the same
+    md5-derived u and -ln(u)/w ordering and picks the same sample."""
+    import duckdb
+
+    from remap_spark.operators.split import weighted_sample_wor
+
+    rows = [(f"doc{i}", float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "key string, w double")
+    got = sorted(
+        r.key for r in weighted_sample_wor(df, "key", "w", 40).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('doc{i}', {float(1 + i % 7)})" for i in range(300))
+        + ") AS v(key, w)"
+    )
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            """
+            SELECT key FROM (
+              SELECT key,
+                -ln((CAST('0x' || substr(md5(key || '|'), 1, 8) AS BIGINT)
+                     + 1) / 4294967296.0) / w AS s
+              FROM t
+            ) ORDER BY s LIMIT 40
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_expectations_one_pass_report(spark):
+    from remap_spark.operators.expectations import (
+        Expectation,
+        assert_expectations,
+        expect_report,
+        expect_unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (3, None, 2.0), (3, "c", None)],
+        "id long, name string, price double",
+    )
+    rep = expect_report(
+        df,
+        [
+            Expectation("price_non_negative", F.col("price") >= 0),
+            Expectation("name_present", F.col("name").isNotNull(), "warn"),
+            Expectation("id_positive", F.col("id") > 0),
+        ],
+    )
+    got = {r.rule: (r.rows_checked, r.violations, r["pass"]) for r in rep.collect()}
+    # null price counts as a violation (contract not satisfiable)
+    assert got["price_non_negative"] == (4, 2, False)
+    assert got["name_present"] == (4, 1, False)
+    assert got["id_positive"] == (4, 0, True)
+
+    uniq = expect_unique(df, ["id"]).collect()[0]
+    assert (uniq.violations, uniq["pass"]) == (1, False)
+
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="price_non_negative"):
+        assert_expectations(rep)
+    # warn severity alone must not raise
+    assert_expectations(
+        expect_report(
+            df, [Expectation("name_present", F.col("name").isNotNull(), "warn")]
+        )
+    )
+
+
+def test_expectations_single_scan_plan(spark):
+    """All rules must fold into ONE aggregate over one scan."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.expectations import Expectation, expect_report
+    from remap_spark.plans import plan_report
+
+    from conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    r = plan_report(
+        expect_report(
+            li,
+            [
+                Expectation("qty_positive", F.col("l_quantity") > 0),
+                Expectation("price_positive", F.col("l_extendedprice") > 0),
+                Expectation(
+                    "discount_range",
+                    (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+                ),
+            ],
+        )
+    )
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", r["plan"])
+    assert len(scans) == 1, r["plan"]
