@@ -91,8 +91,14 @@ def scd2_apply_batch(
     - every batch row's ``ts`` is later than the key's last observed
       event (late/backfill events need the full rebuild path);
     - batch ``tiebreak_col`` values are >= 0 (replayed history rows
-      take tiebreak -1 so a batch event at exactly the open version's
-      ``valid_from`` orders after it, as it did in the full stream).
+      take NEGATIVE tiebreaks so a batch event at exactly the open
+      version's ``valid_from`` orders after it, as it did in the full
+      stream). The replay tiebreak is ``version - 2^31``, not a
+      constant: two versions can share one ``valid_from`` when their
+      originating events carried identical timestamps, and a constant
+      tiebreak made their replay order nondeterministic — the
+      hypothesis property caught the resulting history corruption
+      (same-ts None/'A' versions swapping, round 6).
 
     Scale shape: the rebuild input is |touched keys|'s history +
     batch — batch-proportional, not dimension-proportional; the
@@ -105,7 +111,9 @@ def scd2_apply_batch(
         key_col,
         F.col("valid_from").alias(ts_col),
         *attr_cols,
-        F.lit(-1).cast("long").alias(tiebreak_col),
+        (F.col("version") - F.lit(2_147_483_648))
+        .cast("long")
+        .alias(tiebreak_col),
     )
     batch = changes.select(
         key_col,
