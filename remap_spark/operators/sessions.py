@@ -411,3 +411,54 @@ def top_event_paths(
         )
         .where(F.col("path_rank") <= topk)
     )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    touch_types: Sequence[str],
+    conversion_type: str,
+    model: str = "first",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Marketing attribution: credit each conversion event to the
+    FIRST (model='first') or most recent (model='last') touch event in
+    the same user's preceding timeline. Conversions with no preceding
+    touch attribute to NULL (organic). Returns one row per conversion:
+    (user, conversion event id + ts, channel) — feed it to a groupBy
+    for the per-channel report.
+
+    Shape: ONE user-keyed window (the sessionize/funnel layout —
+    composed pipelines reuse the exchange); the running first/last
+    touch is an ignorenulls window aggregate over (ts, event_id)
+    ordering, so the operator is a narrow projection after the
+    shuffle. No joins, no second corpus pass, scale-invariant."""
+    if model not in ("first", "last"):
+        raise ValueError(f"model must be 'first' or 'last', got {model!r}")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.when(
+        F.col(type_col).isin(list(touch_types)), F.col(type_col)
+    )
+    running = (
+        F.first(touch, ignorenulls=True).over(w)
+        if model == "first"
+        else F.last(touch, ignorenulls=True).over(w)
+    )
+    return (
+        df.withColumn("_channel", running)
+        .where(F.col(type_col) == conversion_type)
+        .select(
+            user_col,
+            F.col(id_col).alias("conversion_id"),
+            F.col(ts_col).alias("conversion_ts"),
+            F.col("_channel").alias("channel"),
+        )
+    )

@@ -345,3 +345,40 @@ def test_expectations_single_scan_plan(spark):
 
     scans = re.findall(r"\(\d+\) Scan parquet", r["plan"])
     assert len(scans) == 1, r["plan"]
+
+
+def test_attribution_first_and_last_touch(spark):
+    from remap_spark.operators.sessions import attribute_conversions
+
+    ts = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        # user 1: ad -> email -> purchase -> purchase (no new touch)
+        (1, 1, ts + 0 * s, "ad"),
+        (1, 2, ts + 1 * s, "email"),
+        (1, 3, ts + 2 * s, "purchase"),
+        (1, 4, ts + 3 * s, "purchase"),
+        # user 2: organic purchase (no touch at all)
+        (2, 5, ts + 0 * s, "purchase"),
+        # user 3: purchase BEFORE any touch, then touched purchase
+        (3, 6, ts + 0 * s, "purchase"),
+        (3, 7, ts + 1 * s, "ad"),
+        (3, 8, ts + 2 * s, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    first = {
+        r.conversion_id: r.channel
+        for r in attribute_conversions(
+            ev, ["ad", "email"], "purchase", model="first"
+        ).collect()
+    }
+    last = {
+        r.conversion_id: r.channel
+        for r in attribute_conversions(
+            ev, ["ad", "email"], "purchase", model="last"
+        ).collect()
+    }
+    assert first == {3: "ad", 4: "ad", 5: None, 6: None, 8: "ad"}
+    assert last == {3: "email", 4: "email", 5: None, 6: None, 8: "ad"}
