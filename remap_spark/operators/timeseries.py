@@ -32,6 +32,9 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def fill_date_gaps(
@@ -125,3 +128,133 @@ def ewma_trailing(
         num = num + tn
         den = den + td
     return df.withColumn(out_col, num / den)
+
+
+def _require_integral(df: DataFrame, col: str, op: str) -> None:
+    dt = df.schema[col].dataType
+    if not isinstance(dt, _INTEGRAL):
+        raise TypeError(
+            f"{op} needs an integral {col!r} (got {dt.simpleString()}): "
+            "scale floats to fixed-point units (cents/micros) first — "
+            "the exactness contract is integer-only"
+        )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    n: int = 30,
+    min_periods: int = 5,
+    k_num: int = 3,
+    k_den: int = 1,
+    out_col: str = "is_anomaly",
+) -> DataFrame:
+    """Flag rows whose value deviates more than ``k_num/k_den``
+    population standard deviations from the mean of the TRAILING ``n``
+    observations (current row excluded, so an outlier never pollutes
+    its own baseline). Rows with fewer than ``min_periods`` trailing
+    observations are never flagged.
+
+    EXACT INTEGER detection — no engine ever takes a square root or
+    divides: with s = sum, q = sum-of-squares, c = count over the
+    trailing frame, ``|x - s/c| > k * sqrt((c*q - s^2)) / c`` is
+    decided as ``k_den^2 * (c*x - s)^2 > k_num^2 * (c*q - s^2)``, all
+    in decimal(38,0) (DuckDB replays it in HUGEINT). ``value_col``
+    must be integral (fixed-point your floats first); exactness holds
+    while (n * |value|)^2 stays under 1e38 — |value| < ~3e17 at the
+    default n = 30.
+
+    Scale shape: ONE group-keyed shuffle, then three sliding-frame
+    window aggregates Spark evaluates in a single window physical node
+    (shared frame, shared sort); the flag itself is codegen decimal
+    arithmetic. ``order_col`` must be unique per group.
+    """
+    _require_integral(df, value_col, "rolling_zscore_anomalies")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(-n, -1)
+    )
+    xd = F.col(value_col).cast("decimal(38,0)")
+    # each window aggregate is projected ONCE (a repeated .over()
+    # expression per use would make WindowExec evaluate sum/count
+    # 4x per row — caught by the plan inspection below)
+    staged = df.select(
+        "*",
+        F.count(xd).over(w).alias("trailing_n"),
+        F.sum(xd).over(w).alias("_s"),
+        F.sum(xd * xd).over(w).alias("_q"),
+    )
+    c = F.col("trailing_n").cast("decimal(38,0)")
+    dev = c * xd - F.col("_s")
+    lhs = F.lit(k_den * k_den).cast("decimal(38,0)") * dev * dev
+    rhs = F.lit(k_num * k_num).cast("decimal(38,0)") * (
+        c * F.col("_q") - F.col("_s") * F.col("_s")
+    )
+    return staged.withColumn(
+        out_col,
+        F.when(F.col("trailing_n") >= min_periods, lhs > rhs).otherwise(
+            F.lit(False)
+        ),
+    ).drop("_s", "_q")
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group time-weighted average (TWAP) of an irregularly
+    sampled, piecewise-constant series: each observation holds until
+    the next one, integrated over [first_ts, last_ts] — the last
+    observation bounds the integral and contributes no mass itself.
+    Groups with a single observation (zero span) return that value.
+
+    Returns one row per group: ``twap`` = sum(v_i * dt_i) DIV span
+    (integer division, truncated toward zero — Spark DIV and DuckDB
+    // agree on negatives) in the value's own fixed-point units, plus
+    ``n_obs`` and ``span_seconds``. All arithmetic is int64 (dt in whole seconds,
+    integral values); exact while sum(|v| * dt) stays under 9e18 per
+    group — document your units against that bound (cents x decades
+    is ~1e16 per observation-year).
+
+    Scale shape: one group-keyed shuffle shared by the lead() window
+    and the final combiner aggregate (same key, same exchange); no
+    corpus-sized relation is widened and there is no driver-side
+    iteration. ``(ts, value)`` pairs must be unique per (group, ts).
+    """
+    _require_integral(df, value_col, "time_weighted_avg")
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(ts_col)
+    secs = F.unix_timestamp(F.col(ts_col))
+    dt = F.lead(secs).over(w) - secs
+    stepped = df.select(
+        *gcols,
+        F.col(value_col).cast("long").alias("_v"),
+        F.coalesce(dt, F.lit(0)).alias("_dt"),
+    )
+    # ONE aggregate carries the integral, the span, and the plain-mean
+    # fallback for zero-span groups (single observation) — the window
+    # and the groupBy share the same group-keyed exchange.
+    return (
+        stepped.groupBy(*gcols)
+        .agg(
+            F.sum(F.col("_v") * F.col("_dt")).alias("_num"),
+            F.sum("_dt").alias("span_seconds"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("_v").alias("_vsum"),
+        )
+        .select(
+            *gcols,
+            F.when(
+                F.col("span_seconds") > 0, F.expr("_num DIV span_seconds")
+            )
+            .otherwise(F.expr("_vsum DIV n_obs"))
+            .alias("twap"),
+            "n_obs",
+            "span_seconds",
+        )
+    )

@@ -111,3 +111,190 @@ def test_association_rules_match_duckdb(spark):
     assert len(srows) > 0
     assert sorted(scols) == sorted(dcols)
     assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+def test_rolling_zscore_hand_computed(spark):
+    from remap_spark.operators.timeseries import rolling_zscore_anomalies
+
+    # stable series then a spike; baseline excludes the current row
+    vals = [100, 102, 98, 101, 99, 100, 180, 101]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, t int, x long"
+    )
+    out = rolling_zscore_anomalies(
+        df, ["g"], "t", "x", n=30, min_periods=5, k_num=3, k_den=1
+    )
+    got = {r.t: (r.trailing_n, r.is_anomaly) for r in out.collect()}
+    # first five rows: under min_periods, never flagged
+    for t in range(5):
+        assert got[t] == (t, False)
+    assert got[5] == (5, False)
+    assert got[6] == (6, True)  # the spike
+    # row after the spike: baseline now contains 180, stddev inflated,
+    # 101 is well inside 3 sigma
+    assert got[7] == (7, False)
+
+
+def test_rolling_zscore_rejects_floats(spark):
+    import pytest
+
+    from remap_spark.operators.timeseries import rolling_zscore_anomalies
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, t int, x double")
+    with pytest.raises(TypeError, match="integral"):
+        rolling_zscore_anomalies(df, ["g"], "t", "x")
+
+
+def test_rolling_zscore_matches_duckdb(spark):
+    """HUGEINT replay of the quadratic-form detection on lineitem
+    (per-supplier price series ordered by ship date + line id)."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.timeseries import rolling_zscore_anomalies
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select(
+            "l_suppkey",
+            F.concat_ws(
+                "|",
+                F.col("l_shipdate").cast("string"),
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+            ).alias("tick"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    got = rolling_zscore_anomalies(
+        li, ["l_suppkey"], "tick", "cents", n=20, min_periods=5
+    ).select("l_suppkey", "tick", "cents", "trailing_n", "is_anomaly")
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH t AS (
+              SELECT l_suppkey,
+                     CAST(l_shipdate AS VARCHAR) || '|' || l_orderkey
+                       || '|' || l_linenumber AS tick,
+                     CAST(l_extendedprice * 100 AS BIGINT) AS cents
+              FROM lineitem
+            ),
+            w AS (
+              SELECT l_suppkey, tick, cents,
+                SUM(CAST(cents AS HUGEINT)) OVER win AS s,
+                SUM(CAST(cents AS HUGEINT) * cents) OVER win AS q,
+                COUNT(cents) OVER win AS c
+              FROM t
+              WINDOW win AS (
+                PARTITION BY l_suppkey ORDER BY tick
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT l_suppkey, tick, cents, c AS trailing_n,
+              CASE WHEN c >= 5 THEN
+                (c*cents - s)*(c*cents - s) > 9*(c*q - s*s)
+              ELSE FALSE END AS is_anomaly
+            FROM w
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+
+    assert len(srows) == len(drows) > 0
+    assert any(r.is_anomaly for r in srows)  # detection actually fires
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+def test_rolling_zscore_plan_one_window_one_exchange(spark):
+    """The detector is one group-keyed exchange feeding ONE Window
+    node that evaluates each of count/sum/sumsq exactly once (a
+    repeated .over() per use would re-aggregate 4x per row)."""
+    import re
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.timeseries import rolling_zscore_anomalies
+    from remap_spark.plans import plan_report
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_suppkey",
+        F.col("l_orderkey").alias("tick"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    r = plan_report(rolling_zscore_anomalies(li, ["l_suppkey"], "tick", "cents"))
+    assert r["exchanges"] == 1
+    window_nodes = re.findall(r"\(\d+\) Window\n", r["plan"])
+    assert len(window_nodes) == 1, r["plan"]
+    spec = r["plan"].split(window_nodes[0], 1)[1].split("\n\n")[0]
+    assert spec.count("count(") == 1 and spec.count("sum(") == 2, spec
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from remap_spark.operators.timeseries import time_weighted_avg
+
+    ts = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        # g: 10 for 2s, 40 for 2s -> twap 25 over 4s
+        ("g", ts + 0 * s, 10),
+        ("g", ts + 2 * s, 40),
+        ("g", ts + 4 * s, 99),  # bounds the integral, no mass
+        # h: single observation -> plain value
+        ("h", ts, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v long")
+    got = {
+        r.g: (r.twap, r.n_obs, r.span_seconds)
+        for r in time_weighted_avg(df, ["g"], "ts", "v").collect()
+    }
+    assert got["g"] == ((10 * 2 + 40 * 2) // 4, 3, 4)
+    assert got["h"] == (7, 1, 0)
+
+
+def test_time_weighted_avg_matches_duckdb(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.timeseries import time_weighted_avg
+
+    ordr = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # (custkey, date) must be unique for the piecewise-constant model:
+    # keep the max-cents order per day (deterministic)
+    ordr = ordr.groupBy("o_custkey", "ots").agg(
+        F.max("cents").alias("cents")
+    )
+    got = time_weighted_avg(ordr, ["o_custkey"], "ots", "cents")
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH t AS (
+              SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+                     MAX(CAST(o_totalprice * 100 AS BIGINT)) AS cents
+              FROM orders GROUP BY 1, 2
+            ),
+            d AS (
+              SELECT o_custkey, cents,
+                COALESCE(CAST(epoch(LEAD(ots) OVER win - ots) AS BIGINT), 0)
+                  AS dt
+              FROM t
+              WINDOW win AS (PARTITION BY o_custkey ORDER BY ots)
+            )
+            SELECT o_custkey,
+              CASE WHEN SUM(dt) > 0 THEN SUM(cents * dt) // SUM(dt)
+                   ELSE SUM(cents) // COUNT(*) END AS twap,
+              COUNT(*) AS n_obs,
+              SUM(dt) AS span_seconds
+            FROM d GROUP BY o_custkey
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+
+    assert len(srows) == len(drows) > 0
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
