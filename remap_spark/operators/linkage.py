@@ -1,0 +1,119 @@
+"""Record linkage / entity resolution: blocked fuzzy matching on a
+string key, then transitive closure into canonical entities.
+
+No reference analog (the reference's joins are exact-key only —
+``remap`` reducers join on emitted keys, never on string distance);
+this is the standard MDM/customer-360 dedup pipeline expressed
+Spark-first:
+
+1. **Blocking** — candidate pairs are generated ONLY within a
+   caller-supplied blocking key (e.g. first letter + length bucket,
+   soundex, zip code). This is what makes fuzzy matching tractable at
+   scale: the self-join is co-partitioned on the block key and its
+   output is sum(b_k^2) over block sizes, not n^2 over the corpus.
+   ``max_block_size`` drops degenerate blocks (the empty-string /
+   "UNKNOWN" pathology) BEFORE the join, bounding the worst key.
+2. **Edge predicate** — ``F.levenshtein(a, b) <= max_distance``
+   (JVM codegen, no Python). Levenshtein cost is O(len^2) per pair:
+   cap field length upstream if records are long (names/addresses are
+   fine; don't feed documents here — that is what the MinHash tier in
+   ``operators/dedup`` is for).
+3. **Closure** — matched pairs feed the O(log n) alternating-star
+   connected components (``operators/pregel.connected_components_star``),
+   so transitive chains (A~B~C with A!~C) still land in one entity,
+   with the component min id as the canonical entity id. Records whose
+   block produced no match resolve to themselves.
+
+DuckDB replays step 1-2 with its own ``levenshtein`` and the closure
+with a recursive-CTE min-label propagation (tests/test_round6b.py),
+so the whole pipeline is oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: Column | str,
+    max_distance: int = 2,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b, distance) whose ``text_col``
+    values are within ``max_distance`` Levenshtein edits, generated
+    only within equal ``block_col`` values. NULL blocks and NULL texts
+    never match. ``max_block_size`` (if set) drops whole blocks larger
+    than the cap before the join.
+    """
+    bc = F.col(block_col) if isinstance(block_col, str) else block_col
+    recs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_txt"),
+            bc.alias("_blk"),
+        )
+        .where(F.col("_blk").isNotNull() & F.col("_txt").isNotNull())
+    )
+    if max_block_size is not None:
+        sizes = recs.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bs"))
+        recs = (
+            recs.join(sizes, "_blk")
+            .where(F.col("_bs") <= max_block_size)
+            .drop("_bs")
+        )
+    a = recs.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_a"),
+        F.col("_txt").alias("_txt_a"),
+    )
+    b = recs.select(
+        F.col("_blk"),
+        F.col("_id").alias("id_b"),
+        F.col("_txt").alias("_txt_b"),
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("_txt_a", "_txt_b"))
+        .where(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: Column | str,
+    max_distance: int = 2,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Canonical entity assignment: every record of ``df`` gains an
+    ``entity_id`` = the minimum ``id_col`` of its fuzzy-match
+    component (transitive closure over :func:`blocked_match_pairs`).
+    Unmatched records (including NULL-text/NULL-block ones) are their
+    own entity.
+
+    Scale shape: the pair relation is match-sized (tiny vs corpus);
+    components run on it in O(log n) star rounds; the final left join
+    maps the corpus through the component relation, which AQE
+    broadcasts whenever the match set is small — the common case.
+    """
+    from .pregel import connected_components_star
+
+    pairs = blocked_match_pairs(
+        df, id_col, text_col, block_col,
+        max_distance=max_distance, max_block_size=max_block_size,
+    )
+    comp = connected_components_star(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias(id_col), F.col("component").alias("_ent")
+    )
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("entity_id", F.coalesce(F.col("_ent"), F.col(id_col)))
+        .drop("_ent")
+    )

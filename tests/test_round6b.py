@@ -298,3 +298,87 @@ def test_time_weighted_avg_matches_duckdb(spark):
 
     assert len(srows) == len(drows) > 0
     assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+def test_entity_resolution_hand_computed(spark):
+    from remap_spark.operators.linkage import (
+        blocked_match_pairs,
+        resolve_entities,
+    )
+
+    rows = [
+        (1, "alpha", "a"),
+        (2, "alphq", "a"),  # 1 edit from alpha
+        (3, "alpqq", "a"),  # 1 edit from alphq, 2 from alpha
+        (4, "alpha", "b"),  # same text, different block: no pair
+        (5, None, "a"),
+        (6, "zzzz", "a"),
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string, blk string")
+    pairs = {
+        (r.id_a, r.id_b): r.distance
+        for r in blocked_match_pairs(df, "rid", "name", "blk", 2).collect()
+    }
+    assert pairs == {(1, 2): 1, (2, 3): 1, (1, 3): 2}
+    ents = {
+        r.rid: r.entity_id
+        for r in resolve_entities(df, "rid", "name", "blk", 2).collect()
+    }
+    assert ents == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6}
+
+
+def test_entity_resolution_block_cap(spark):
+    from remap_spark.operators.linkage import blocked_match_pairs
+
+    rows = [(1, "aa", "x"), (2, "ab", "x"), (3, "ac", "x"), (4, "aa", "y"), (5, "ab", "y")]
+    df = spark.createDataFrame(rows, "rid long, name string, blk string")
+    got = blocked_match_pairs(df, "rid", "name", "blk", 2, max_block_size=2)
+    assert {(r.id_a, r.id_b) for r in got.collect()} == {(4, 5)}
+
+
+def test_entity_resolution_matches_duckdb(spark):
+    """Blocking + levenshtein + recursive-CTE closure replay on the
+    customer table (block = market segment)."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.linkage import resolve_entities
+
+    cust = load_table(spark, SF_DIR, "customer")
+    got = resolve_entities(
+        cust, "c_custkey", "c_name", "c_mktsegment", max_distance=2
+    ).select("c_custkey", "entity_id")
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH RECURSIVE pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a JOIN customer b
+                ON a.c_mktsegment = b.c_mktsegment
+               AND a.c_custkey < b.c_custkey
+               AND levenshtein(a.c_name, b.c_name) <= 2
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            walk(u, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+            ),
+            comp AS (SELECT u, MIN(lbl) AS ent FROM walk GROUP BY u)
+            SELECT c.c_custkey,
+                   COALESCE(comp.ent, c.c_custkey) AS entity_id
+            FROM customer c LEFT JOIN comp ON comp.u = c.c_custkey
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+
+    assert len(srows) == len(drows) > 0
+    # resolution must actually merge something at this SF
+    assert any(r.c_custkey != r.entity_id for r in srows)
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
