@@ -382,3 +382,112 @@ def test_entity_resolution_matches_duckdb(spark):
     # resolution must actually merge something at this SF
     assert any(r.c_custkey != r.entity_id for r in srows)
     assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+def test_rfm_segments_hand_computed(spark):
+    from remap_spark.operators.segments import rfm_segments
+
+    d = datetime.date
+    # five customers, one order each except c5 (two orders)
+    rows = [
+        (1, d(2024, 1, 1), 100),
+        (2, d(2024, 1, 11), 200),
+        (3, d(2024, 1, 21), 300),
+        (4, d(2024, 1, 31), 400),
+        (5, d(2024, 2, 10), 250),
+        (5, d(2024, 2, 11), 250),
+    ]
+    df = spark.createDataFrame(rows, "c long, day date, cents long")
+    got = {
+        r.c: (r.recency_days, r.frequency, r.monetary,
+              r.r_score, r.f_score, r.m_score, r.rfm)
+        for r in rfm_segments(
+            df, "c", "day", "cents", ref_date="2024-02-11"
+        ).collect()
+    }
+    # recency: c1=41 c2=31 c3=21 c4=11 c5=0; cuts .2/.4/.6/.8 of
+    # [0,11,21,31,41] -> 8.8, 19.0, 29.0, 39.0
+    # frequency [1,1,1,1,2] -> cuts 1.0,1.0,1.0,1.2
+    # monetary [100,200,300,400,500] -> cuts 180,260,340,420
+    assert got[1] == (41, 1, 100, 1, 1, 1, 111)
+    assert got[2] == (31, 1, 200, 2, 1, 2, 212)
+    assert got[3] == (21, 1, 300, 3, 1, 3, 313)
+    assert got[4] == (11, 1, 400, 4, 1, 4, 414)
+    assert got[5] == (0, 2, 500, 5, 5, 5, 555)
+
+
+def test_rfm_segments_match_duckdb(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.segments import rfm_segments
+
+    ordr = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    got = rfm_segments(ordr, "o_custkey", "o_orderdate", "cents")
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH pc AS (
+              SELECT o_custkey, MAX(o_orderdate) AS last_d,
+                     COUNT(*) AS frequency,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS monetary
+              FROM orders GROUP BY 1
+            ),
+            pc2 AS (
+              SELECT o_custkey,
+                     date_diff('day', last_d, (SELECT MAX(last_d) FROM pc))
+                       AS recency_days,
+                     frequency, monetary
+              FROM pc
+            ),
+            cuts AS (
+              SELECT
+                ROUND(quantile_cont(recency_days, 0.2), 4) AS rc1,
+                ROUND(quantile_cont(recency_days, 0.4), 4) AS rc2,
+                ROUND(quantile_cont(recency_days, 0.6), 4) AS rc3,
+                ROUND(quantile_cont(recency_days, 0.8), 4) AS rc4,
+                ROUND(quantile_cont(frequency, 0.2), 4) AS fc1,
+                ROUND(quantile_cont(frequency, 0.4), 4) AS fc2,
+                ROUND(quantile_cont(frequency, 0.6), 4) AS fc3,
+                ROUND(quantile_cont(frequency, 0.8), 4) AS fc4,
+                ROUND(quantile_cont(monetary, 0.2), 4) AS mc1,
+                ROUND(quantile_cont(monetary, 0.4), 4) AS mc2,
+                ROUND(quantile_cont(monetary, 0.6), 4) AS mc3,
+                ROUND(quantile_cont(monetary, 0.8), 4) AS mc4
+              FROM pc2
+            )
+            SELECT o_custkey, recency_days, frequency, monetary,
+              5 - ((recency_days > rc1)::INT + (recency_days > rc2)::INT
+                 + (recency_days > rc3)::INT + (recency_days > rc4)::INT)
+                AS r_score,
+              1 + (frequency > fc1)::INT + (frequency > fc2)::INT
+                + (frequency > fc3)::INT + (frequency > fc4)::INT
+                AS f_score,
+              1 + (monetary > mc1)::INT + (monetary > mc2)::INT
+                + (monetary > mc3)::INT + (monetary > mc4)::INT
+                AS m_score,
+              (5 - ((recency_days > rc1)::INT + (recency_days > rc2)::INT
+                  + (recency_days > rc3)::INT + (recency_days > rc4)::INT))
+                * 100
+              + (1 + (frequency > fc1)::INT + (frequency > fc2)::INT
+                   + (frequency > fc3)::INT + (frequency > fc4)::INT) * 10
+              + 1 + (monetary > mc1)::INT + (monetary > mc2)::INT
+                  + (monetary > mc3)::INT + (monetary > mc4)::INT
+                AS rfm
+            FROM pc2 CROSS JOIN cuts
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+
+    assert len(srows) == len(drows) > 0
+    # quintile scoring should actually spread
+    assert len({r.rfm for r in srows}) >= 10
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
