@@ -491,3 +491,89 @@ def test_rfm_segments_match_duckdb(spark):
     # quintile scoring should actually spread
     assert len({r.rfm for r in srows}) >= 10
     assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+def test_pareto_frontier_hand_computed(spark):
+    from remap_spark.operators.skyline import pareto_frontier
+
+    rows = [
+        (1, 1, 9),   # frontier (best x)
+        (2, 3, 3),   # frontier
+        (3, 9, 1),   # frontier (best y)
+        (4, 3, 4),   # dominated by (3,3)
+        (5, 3, 3),   # duplicate of 2: kept (no strict improvement)
+        (6, 2, 8),   # frontier (2<3 on x vs row2; 8<9 vs row1)
+        (7, None, 0),  # NULL criterion: excluded
+    ]
+    df = spark.createDataFrame(rows, "rid long, x int, y int")
+    got = {r.rid for r in pareto_frontier(df, ["x", "y"]).collect()}
+    assert got == {1, 2, 3, 5, 6}
+    # max direction flips dominance
+    got_max = {
+        r.rid
+        for r in pareto_frontier(df, {"x": "max", "y": "max"}).collect()
+    }
+    # (9,1),(3,4),(2,8),(1,9) frontier; (3,3) dominated by (3,4)
+    assert got_max == {1, 3, 4, 6}
+
+
+def test_pareto_frontier_partition_invariant(spark):
+    from remap_spark.operators.skyline import pareto_frontier
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(100), rng.randrange(100), rng.randrange(100))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "rid long, a int, b int, c int")
+    base = {r.rid for r in pareto_frontier(df, ["a", "b", "c"]).collect()}
+    shuffled = {
+        r.rid
+        for r in pareto_frontier(
+            df.repartition(23, "c"), ["a", "b", "c"]
+        ).collect()
+    }
+    assert base == shuffled and 0 < len(base) < 2000
+
+
+def test_pareto_frontier_matches_duckdb(spark):
+    """NOT EXISTS dominance replay on part (minimize retailprice,
+    maximize size)."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.skyline import pareto_frontier
+
+    part = load_table(spark, SF_DIR, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        "p_size",
+    )
+    got = pareto_frontier(part, {"cents": "min", "p_size": "max"})
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH t AS (
+              SELECT p_partkey,
+                     CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+                     p_size
+              FROM part
+              WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+            )
+            SELECT * FROM t a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM t b
+              WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+                AND (b.cents < a.cents OR b.p_size > a.p_size)
+            )
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+
+    assert len(srows) == len(drows) > 0
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
