@@ -108,3 +108,62 @@ def replicate_salt_join(
     )
     out = big_s.join(small_s, [*on, "_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key: Column | str,
+    topk: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective shuffle key: the
+    ``topk`` heaviest key values with their exact row counts, ppm
+    shares, and cumulative share, annotated with the global totals a
+    partitioning decision needs (total rows, distinct keys, mean rows
+    per key). The output is what decides between plain hash
+    partitioning, ``salted_agg``, and AQE skew handling — a top key at
+    100_000+ ppm of a 1000-task shuffle is a straggler.
+
+    Scale shape: ONE combiner-style groupBy(key) count is the only
+    corpus pass; the top-k is TakeOrdered over the key relation
+    (count desc, key asc — deterministic under ties); the rank /
+    cumulative window and the totals broadcast run on k rows. All
+    shares are exact integer ppm (x * 1e6 DIV total).
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    counts = (
+        df.select(kc.cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(topk)
+    # rank / cumulative-share windows run on the k-row top relation
+    # only — the empty-partitionBy single-task window is fine there
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "rank",
+            F.expr("ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC)"),
+        )
+        .withColumn(
+            "share_ppm", F.expr("n_rows * 1000000 DIV total_rows")
+        )
+        .withColumn(
+            "cum_share_ppm",
+            F.expr(
+                "SUM(n_rows) OVER (ORDER BY n_rows DESC, key ASC "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "* 1000000 DIV total_rows"
+            ),
+        )
+        .withColumn(
+            "avg_rows_per_key", F.expr("total_rows DIV distinct_keys")
+        )
+        .select(
+            "rank", "key", "n_rows", "share_ppm", "cum_share_ppm",
+            "total_rows", "distinct_keys", "avg_rows_per_key",
+        )
+    )

@@ -493,6 +493,67 @@ def test_rfm_segments_match_duckdb(spark):
     assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
 
 
+def test_key_skew_report_hand_computed(spark):
+    from remap_spark.operators.skew import key_skew_report
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r.rank: (r.key, r.n_rows, r.share_ppm, r.cum_share_ppm,
+                 r.total_rows, r.distinct_keys, r.avg_rows_per_key)
+        for r in key_skew_report(df, "k", topk=2).collect()
+    }
+    assert got == {
+        1: ("a", 5, 500_000, 500_000, 10, 4, 2),
+        2: ("b", 3, 300_000, 800_000, 10, 4, 2),
+    }
+
+
+def test_key_skew_report_matches_duckdb(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.skew import key_skew_report
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    got = key_skew_report(li, "l_partkey", topk=25)
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH c AS (
+              SELECT CAST(l_partkey AS VARCHAR) AS key, COUNT(*) AS n_rows
+              FROM lineitem GROUP BY 1
+            ),
+            t AS (
+              SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+                     COUNT(*) AS distinct_keys
+              FROM c
+            ),
+            top AS (
+              SELECT * FROM c ORDER BY n_rows DESC, key ASC LIMIT 25
+            )
+            SELECT
+              CAST(ROW_NUMBER() OVER
+                   (ORDER BY n_rows DESC, key ASC) AS BIGINT) AS rank,
+              key, n_rows,
+              CAST(n_rows * 1000000 // total_rows AS BIGINT) AS share_ppm,
+              CAST(SUM(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   * 1000000 // total_rows AS BIGINT) AS cum_share_ppm,
+              total_rows, distinct_keys,
+              CAST(total_rows // distinct_keys AS BIGINT) AS avg_rows_per_key
+            FROM top CROSS JOIN t
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+
+    assert len(srows) == 25
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
 def test_pareto_frontier_hand_computed(spark):
     from remap_spark.operators.skyline import pareto_frontier
 
