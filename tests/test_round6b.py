@@ -493,6 +493,113 @@ def test_rfm_segments_match_duckdb(spark):
     assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
 
 
+def test_ab_test_hand_computed(spark):
+    from remap_spark.operators.experiments import ab_test_report
+
+    rows = [("A", i < 100) for i in range(1000)] + [
+        ("B", i < 150) for i in range(1000)
+    ] + [("holdout", True)] * 7
+    df = spark.createDataFrame(rows, "variant string, ok boolean")
+    r = ab_test_report(df, "variant", F.col("ok"), "A", "B").collect()[0]
+    assert (r.n_control, r.conv_control) == (1000, 100)
+    assert (r.n_treatment, r.conv_treatment) == (1000, 150)
+    assert (r.rate_control_ppm, r.rate_treatment_ppm) == (100_000, 150_000)
+    assert r.uplift_ppm == 50_000
+    # z^2 = (5e4)^2 * 2000 / (1000*1000*250*1750) = 11.428571...
+    assert r.z2_ppm == 11_428_571
+    assert bool(r.significant_95) is True
+    # identical arms: z2 = 0
+    flat = spark.createDataFrame(
+        [("A", i < 10) for i in range(100)] + [("B", i < 10) for i in range(100)],
+        "variant string, ok boolean",
+    )
+    r2 = ab_test_report(flat, "variant", F.col("ok"), "A", "B").collect()[0]
+    assert r2.z2_ppm == 0 and bool(r2.significant_95) is False
+
+
+def test_ab_test_matches_duckdb(spark):
+    """Per-user purchase conversion, arms by user_id parity."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.experiments import ab_test_report
+
+    ev = load_table(spark, SF_DIR, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias(
+            "variant"
+        ),
+        "conv",
+    )
+    got = ab_test_report(users, "variant", F.col("conv") == 1, "even", "odd")
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH u AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+                       AS variant,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+              FROM events GROUP BY user_id
+            ),
+            a AS (
+              SELECT
+                count_if(variant = 'even') AS n_control,
+                count_if(variant = 'even' AND conv = 1) AS conv_control,
+                count_if(variant = 'odd') AS n_treatment,
+                count_if(variant = 'odd' AND conv = 1) AS conv_treatment
+              FROM u
+            )
+            SELECT n_control, conv_control, n_treatment, conv_treatment,
+              CAST(conv_control * 1000000 // n_control AS BIGINT)
+                AS rate_control_ppm,
+              CAST(conv_treatment * 1000000 // n_treatment AS BIGINT)
+                AS rate_treatment_ppm,
+              CAST(conv_treatment * 1000000 // n_treatment
+                 - conv_control * 1000000 // n_control AS BIGINT)
+                AS uplift_ppm,
+              CAST(CASE WHEN (CAST(n_treatment AS HUGEINT) * n_control
+                     * (conv_treatment + conv_control)
+                     * (n_treatment + n_control
+                        - conv_treatment - conv_control)) = 0 THEN 0
+                ELSE (CAST(conv_treatment AS HUGEINT) * n_control
+                      - CAST(conv_control AS HUGEINT) * n_treatment)
+                   * (CAST(conv_treatment AS HUGEINT) * n_control
+                      - CAST(conv_control AS HUGEINT) * n_treatment)
+                   * (n_treatment + n_control) * 1000000
+                   // (CAST(n_treatment AS HUGEINT) * n_control
+                       * (conv_treatment + conv_control)
+                       * (n_treatment + n_control
+                          - conv_treatment - conv_control))
+                END AS BIGINT) AS z2_ppm,
+              CAST(CASE WHEN (CAST(n_treatment AS HUGEINT) * n_control
+                     * (conv_treatment + conv_control)
+                     * (n_treatment + n_control
+                        - conv_treatment - conv_control)) = 0 THEN 0
+                ELSE (CAST(conv_treatment AS HUGEINT) * n_control
+                      - CAST(conv_control AS HUGEINT) * n_treatment)
+                   * (CAST(conv_treatment AS HUGEINT) * n_control
+                      - CAST(conv_control AS HUGEINT) * n_treatment)
+                   * (n_treatment + n_control) * 1000000
+                   // (CAST(n_treatment AS HUGEINT) * n_control
+                       * (conv_treatment + conv_control)
+                       * (n_treatment + n_control
+                          - conv_treatment - conv_control))
+                END AS BIGINT) > 3841600 AS significant_95
+            FROM a
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+
+    assert len(srows) == 1
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
 def test_key_skew_report_hand_computed(spark):
     from remap_spark.operators.skew import key_skew_report
 
