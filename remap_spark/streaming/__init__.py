@@ -8,6 +8,13 @@ from .sketches import (
     stream_kmv_distinct,
 )
 from .stateful import running_user_stats
+from .topk import (
+    compact_topk_store,
+    read_topk,
+    read_topk_store,
+    stream_topk_keys,
+    topk_apply_stream_batch,
+)
 from .windows import (
     read_events_stream,
     run_stream_to_memory,
@@ -34,4 +41,9 @@ __all__ = [
     "stream_kmv_distinct",
     "kmv_apply_stream_batch",
     "read_kmv_store",
+    "stream_topk_keys",
+    "topk_apply_stream_batch",
+    "read_topk",
+    "read_topk_store",
+    "compact_topk_store",
 ]

@@ -1021,3 +1021,74 @@ def test_stream_kmv_replay_idempotent(spark, tmp_path_factory):
     assert est_store == est_batch
     # group b saw 40 distinct (< k): exact by construction
     assert est_store["b"] == (40, 40)
+
+
+def test_stream_topk_replay_and_compact(spark, tmp_path_factory):
+    """Streaming heavy-hitter protocol: batch-partitioned partial
+    counts sum to the exact batch recompute; replaying any batch —
+    including an old one after later commits — rewrites an identical
+    partition and changes nothing; compaction folds retired
+    partitions into the base without moving totals."""
+    from remap_spark.streaming.topk import (
+        compact_topk_store,
+        read_topk,
+        read_topk_store,
+        topk_apply_stream_batch,
+    )
+
+    schema = "k string"
+    batches = [
+        [("a",)] * 30 + [("b",)] * 10,
+        [("a",)] * 5 + [("c",)] * 25,
+        [("b",)] * 40 + [("d",)] * 1,
+    ]
+    root = str(tmp_path_factory.mktemp("stream_topk"))
+    store = f"{root}/topk"
+
+    for i, rows in enumerate(batches):
+        topk_apply_stream_batch(
+            spark.createDataFrame(rows, schema), store, ["k"], i
+        )
+
+    def totals():
+        return {
+            r.k: r.n_rows
+            for r in read_topk_store(spark, store, ["k"]).collect()
+        }
+
+    expected = {"a": 35, "b": 50, "c": 25, "d": 1}
+    assert totals() == expected
+
+    # replay batch 0 out of order, after batches 1-2 committed
+    topk_apply_stream_batch(
+        spark.createDataFrame(batches[0], schema), store, ["k"], 0
+    )
+    assert totals() == expected
+
+    top = [
+        (r.rank, r.k, r.n_rows)
+        for r in read_topk(spark, store, ["k"], topk=3).collect()
+    ]
+    assert top == [(1, "b", 50), (2, "a", 35), (3, "c", 25)]
+
+    # compact batches 0-1 into the base partition; totals unchanged,
+    # partitions reduced to base + batch 2
+    compact_topk_store(spark, store, ["k"], upto_batch_id=1)
+    assert totals() == expected
+    bids = {
+        r._bid for r in spark.read.parquet(store).select("_bid").collect()
+    }
+    assert bids == {-1, 2}
+
+    # a still-live batch (2) replaying AFTER compaction stays correct
+    topk_apply_stream_batch(
+        spark.createDataFrame(batches[2], schema), store, ["k"], 2
+    )
+    assert totals() == expected
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        topk_apply_stream_batch(
+            spark.createDataFrame(batches[0], schema), store, ["k"], -3
+        )
