@@ -148,9 +148,12 @@ CHECK_WINDOW = 50
 # the window the same commit they are registered. Due FIRST in the r7
 # window: every r3-green tail row below (they fall outside the last two
 # recorded rounds the moment CORRECTNESS_r06 lands), plus first-time
-# registration of the round-6 operators that found no r6 slot:
-# weighted_sample_wor and the expectations report (operators shipped in
-# r6 with DuckDB-replay pytests; see SCALE.md round-6 notes).
+# registration of the round-6 operators that found no r6 slot (all
+# shipped with DuckDB-replay pytests; see SCALE.md round-6 sections):
+# weighted_sample_wor, the expectations report, and the continuation
+# batch — attribute_conversions, association_rules, resolve_entities,
+# rfm_segments, rolling_zscore_anomalies, time_weighted_avg,
+# pareto_frontier, key_skew_report, ab_test_report.
 _TAIL_QUERIES = [
     # r3-green deferred (due in the r7 window; canary in parens):
     "dq03_wordcount",  # (dq19_buckets tokenize/agg canary, dq18 grouped-UDF)
