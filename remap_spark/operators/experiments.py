@@ -70,15 +70,17 @@ def ab_test_report(
         "conv_control",
         "n_treatment",
         "conv_treatment",
-        F.expr("conv_control * 1000000 DIV n_control").alias(
+        # NULLIF: a zero-exposure arm reports NULL rates instead of an
+        # ANSI DIVIDE_BY_ZERO (Spark 4 default)
+        F.expr("conv_control * 1000000 DIV NULLIF(n_control, 0)").alias(
             "rate_control_ppm"
         ),
-        F.expr("conv_treatment * 1000000 DIV n_treatment").alias(
-            "rate_treatment_ppm"
-        ),
+        F.expr(
+            "conv_treatment * 1000000 DIV NULLIF(n_treatment, 0)"
+        ).alias("rate_treatment_ppm"),
         (
-            F.expr("conv_treatment * 1000000 DIV n_treatment")
-            - F.expr("conv_control * 1000000 DIV n_control")
+            F.expr("conv_treatment * 1000000 DIV NULLIF(n_treatment, 0)")
+            - F.expr("conv_control * 1000000 DIV NULLIF(n_control, 0)")
         ).alias("uplift_ppm"),
         F.expr(
             f"CASE WHEN {den} = 0 THEN CAST(0 AS BIGINT) "
@@ -86,3 +88,68 @@ def ab_test_report(
             f"DIV {den} AS BIGINT) END"
         ).alias("z2_ppm"),
     ).withColumn("significant_95", F.col("z2_ppm") > Z2_95_PPM)
+
+
+def crosstab_chi2(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """R x C independence cross-tab: one output row per observed
+    (row, col) cell with the observed count, the expected count in
+    ppm, and the cell's chi-square contribution in ppm — DEFINED as
+
+        contribution_ppm = (O*N - rt*ct)^2 * 1e6 DIV (N * rt * ct)
+
+    (rt/ct = marginal totals). The statistic is the plain integer sum
+    of contributions (order-independent, so any engine agrees);
+    ``chi2_summary`` rolls it up with the degrees of freedom. Note the
+    floor is per-cell by definition — that IS the replayable contract,
+    within 1 ppm x n_cells of the real-valued statistic.
+
+    Scale shape: the corpus pass is one combiner groupBy over the
+    cell pair; marginals and N derive from the CELL relation
+    (dimension-sized — never a second corpus scan), and the final
+    joins broadcast the marginal relations.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    row_m = cells.groupBy("r").agg(F.sum("observed").alias("rt"))
+    col_m = cells.groupBy("c").agg(F.sum("observed").alias("ct"))
+    n = cells.agg(F.sum("observed").alias("n_total"))
+    d = "CAST({} AS DECIMAL(38,0))"
+    o, rt, ct, nn = (d.format(x) for x in ("observed", "rt", "ct", "n_total"))
+    num = f"({o} * {nn} - {rt} * {ct})"
+    return (
+        cells.join(F.broadcast(row_m), "r")
+        .join(F.broadcast(col_m), "c")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("r").alias(row_col),
+            F.col("c").alias(col_col),
+            "observed",
+            F.expr(
+                f"CAST({rt} * {ct} * 1000000 DIV {nn} AS BIGINT)"
+            ).alias("expected_ppm"),
+            F.expr(
+                f"CAST({num} * {num} * 1000000 "
+                f"DIV ({nn} * {rt} * {ct}) AS BIGINT)"
+            ).alias("contribution_ppm"),
+        )
+    )
+
+
+def chi2_summary(cells: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """One-row rollup of :func:`crosstab_chi2`: chi2_ppm (sum of the
+    per-cell contributions over OBSERVED cells; absent cells with a
+    nonzero expectation would each add rt*ct*1e6 DIV N — include them
+    upstream by densifying if your data can have structural zeros),
+    plus n_rows/n_cols/dof."""
+    return cells.agg(
+        F.sum("contribution_ppm").alias("chi2_ppm"),
+        F.countDistinct(row_col).alias("n_rows"),
+        F.countDistinct(col_col).alias("n_cols"),
+        (
+            (F.countDistinct(row_col) - 1)
+            * (F.countDistinct(col_col) - 1)
+        ).alias("dof"),
+    )

@@ -868,3 +868,54 @@ def bigram_lm_scores(
             F.round(F.exp(F.avg(nll)), 4).alias("ppl"),
         )
     )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Inverted index over the reference wordcount tokenization
+    (functions.tokenize): one row per term with document frequency,
+    collection frequency, and ALIGNED postings arrays ``doc_ids`` /
+    ``term_freqs`` sorted by document id — the retrieval-side data
+    structure BM25 scoring walks (aligned scalar arrays, not structs,
+    so any engine's list aggregate replays them).
+
+    Scale shape: explode -> ONE combiner groupBy (term, doc) for term
+    frequencies -> ONE groupBy (term) collecting the postings. The
+    collect_list is per-term state: heavy stopword terms concentrate
+    postings on single reducers — cap them away with ``min_doc_freq``'s
+    dual (a max_doc_freq stopword filter upstream) or the vocab
+    heavy-hitter report in this module before indexing a web corpus.
+    """
+    from ..functions import tokenize
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(tokenize(text_col)).alias("term"),
+        )
+        .groupBy("term", "_doc")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    posting = F.array_sort(
+        F.collect_list(F.struct(F.col("_doc"), F.col("_tf")))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("_tf").alias("coll_freq"),
+            posting.alias("_p"),
+        )
+        .where(F.col("doc_freq") >= min_doc_freq)
+        .select(
+            "term",
+            "doc_freq",
+            "coll_freq",
+            F.transform("_p", lambda x: x["_doc"]).alias("doc_ids"),
+            F.transform("_p", lambda x: x["_tf"]).alias("term_freqs"),
+        )
+    )

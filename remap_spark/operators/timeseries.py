@@ -258,3 +258,47 @@ def time_weighted_avg(
             "span_seconds",
         )
     )
+
+
+def period_over_period(
+    daily: DataFrame,
+    group_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Period-over-period comparison (WoW at the default 7): each
+    (group, day) row gains the value observed exactly ``period_days``
+    earlier, the signed delta, and ``pct_change_ppm`` = delta * 1e6
+    DIV previous (NULL when there is no prior observation or it is 0
+    — integer division by zero is NULL in both engines). ``daily``
+    must hold at most one row per (group, day) — the shape
+    ``fill_date_gaps`` produces; run that first if the calendar has
+    holes, or the lag silently skips missing days.
+
+    Scale shape: a self-join on the shifted (group, day) key — both
+    sides hash-partition identically, so it is one co-partitioned
+    shuffle pair with no window sort; the value column must be
+    integral for the ppm arithmetic to be exact.
+    """
+    _require_integral(daily, value_col, "period_over_period")
+    gcols = list(group_cols)
+    prev = daily.select(
+        *gcols,
+        F.date_add(F.col(date_col), period_days).alias(date_col),
+        F.col(value_col).alias("prev_value"),
+    )
+    return (
+        daily.join(prev, gcols + [date_col], "left")
+        .withColumn("delta", F.col(value_col) - F.col("prev_value"))
+        .withColumn(
+            "pct_change_ppm",
+            # NULLIF keeps the zero-base row NULL under ANSI mode
+            # (Spark 4 default) instead of raising DIVIDE_BY_ZERO;
+            # DuckDB's // NULLIF(..) mirrors it
+            F.expr(
+                f"(`{value_col}` - prev_value) * 1000000 "
+                "DIV NULLIF(prev_value, 0)"
+            ),
+        )
+    )

@@ -783,3 +783,183 @@ def test_pareto_frontier_matches_duckdb(spark):
 
     assert len(srows) == len(drows) > 0
     assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+def test_crosstab_chi2_hand_computed(spark):
+    from remap_spark.operators.experiments import chi2_summary, crosstab_chi2
+
+    rows = (
+        [("r1", "c1")] * 30 + [("r1", "c2")] * 10
+        + [("r2", "c1")] * 20 + [("r2", "c2")] * 40
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    cells = crosstab_chi2(df, "r", "c")
+    got = {
+        (x.r, x.c): (x.observed, x.expected_ppm, x.contribution_ppm)
+        for x in cells.collect()
+    }
+    assert got[("r1", "c1")] == (30, 20_000_000, 5_000_000)
+    assert got[("r1", "c2")] == (10, 20_000_000, 5_000_000)
+    assert got[("r2", "c1")] == (20, 30_000_000, 3_333_333)
+    assert got[("r2", "c2")] == (40, 30_000_000, 3_333_333)
+    s = chi2_summary(cells, "r", "c").collect()[0]
+    assert (s.chi2_ppm, s.n_rows, s.n_cols, s.dof) == (16_666_666, 2, 2, 1)
+
+
+def test_crosstab_chi2_matches_duckdb(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.experiments import crosstab_chi2
+
+    ordr = load_table(spark, SF_DIR, "orders")
+    got = crosstab_chi2(ordr, "o_orderpriority", "o_orderstatus")
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH cells AS (
+              SELECT o_orderpriority AS r, o_orderstatus AS c,
+                     COUNT(*) AS observed
+              FROM orders GROUP BY 1, 2
+            ),
+            rm AS (SELECT r, CAST(SUM(observed) AS HUGEINT) AS rt
+                   FROM cells GROUP BY r),
+            cm AS (SELECT c, CAST(SUM(observed) AS HUGEINT) AS ct
+                   FROM cells GROUP BY c),
+            n AS (SELECT CAST(SUM(observed) AS HUGEINT) AS nn FROM cells)
+            SELECT r AS o_orderpriority, c AS o_orderstatus, observed,
+              CAST(rt * ct * 1000000 // nn AS BIGINT) AS expected_ppm,
+              CAST((observed * nn - rt * ct) * (observed * nn - rt * ct)
+                   * 1000000 // (nn * rt * ct) AS BIGINT)
+                AS contribution_ppm
+            FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN n
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+
+    assert len(srows) == len(drows) > 0
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+def test_period_over_period_hand_computed(spark):
+    from remap_spark.operators.timeseries import period_over_period
+
+    d = datetime.date
+    rows = [
+        ("g", d(2024, 1, 1), 10),
+        ("g", d(2024, 1, 8), 20),
+        ("g", d(2024, 1, 15), 5),
+        ("z", d(2024, 1, 1), 0),
+        ("z", d(2024, 1, 8), 9),
+    ]
+    df = spark.createDataFrame(rows, "g string, day date, v long")
+    got = {
+        (r.g, str(r.day)): (r.prev_value, r.delta, r.pct_change_ppm)
+        for r in period_over_period(df, ["g"], "day", "v", 7).collect()
+    }
+    assert got[("g", "2024-01-01")] == (None, None, None)
+    assert got[("g", "2024-01-08")] == (10, 10, 1_000_000)
+    assert got[("g", "2024-01-15")] == (20, -15, -750_000)
+    # zero base: NULL pct (integer div by zero), delta still defined
+    assert got[("z", "2024-01-08")] == (0, 9, None)
+
+
+def test_period_over_period_matches_duckdb(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.timeseries import period_over_period
+
+    ev = load_table(spark, SF_DIR, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    got = period_over_period(daily, ["event_type"], "day", "n", 7)
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT d.event_type, d.day, d.n,
+                   p.n AS prev_value,
+                   d.n - p.n AS delta,
+                   (d.n - p.n) * 1000000 // NULLIF(p.n, 0)
+                     AS pct_change_ppm
+            FROM daily d
+            LEFT JOIN daily p
+              ON p.event_type = d.event_type
+             AND p.day + INTERVAL 7 DAY = d.day
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+
+    assert len(srows) == len(drows) > 0
+    assert any(r.prev_value is not None for r in srows)
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+def test_inverted_index_hand_computed(spark):
+    from remap_spark.operators.text import build_inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a."), (2, "b c")], "doc_id long, text string"
+    )
+    got = {
+        r.term: (r.doc_freq, r.coll_freq, r.doc_ids, r.term_freqs)
+        for r in build_inverted_index(docs).collect()
+    }
+    assert got["a"] == (1, 2, [1], [2])
+    assert got["b"] == (2, 2, [1, 2], [1, 1])
+    assert got["c"] == (1, 1, [2], [1])
+    only_b = {
+        r.term
+        for r in build_inverted_index(docs, min_doc_freq=2).collect()
+    }
+    assert only_b == {"b"}
+
+
+def test_inverted_index_matches_duckdb(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.text import build_inverted_index
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = build_inverted_index(docs, min_doc_freq=5)
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(translate(text,
+                       '.,?:;!"', '       ')), '\\s+')) AS word
+              FROM documents
+            ),
+            words AS (SELECT * FROM toks WHERE word <> ''),
+            tf AS (
+              SELECT word AS term, doc_id, COUNT(*) AS tf
+              FROM words GROUP BY 1, 2
+            )
+            SELECT term,
+                   COUNT(*) AS doc_freq,
+                   CAST(SUM(tf) AS BIGINT) AS coll_freq,
+                   list(doc_id ORDER BY doc_id) AS doc_ids,
+                   list(tf ORDER BY doc_id) AS term_freqs
+            FROM tf GROUP BY term HAVING COUNT(*) >= 5
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+
+    assert len(srows) == len(drows) > 0
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
