@@ -182,3 +182,62 @@ def accuracy(
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Winsorize ``value_col`` (clamp into its [p_lo, p_hi] quantile
+    band), optionally per group — the standard heavy-tail repair
+    before means/regressions on revenue- or latency-shaped columns.
+    Adds ``out_col`` (default ``<value_col>_wins``) and ``is_clipped``
+    (1 where the raw value fell outside the band).
+
+    Both cut points come from ONE array-literal percentile aggregate
+    (linear interpolation — the same definition DuckDB's
+    quantile_cont uses, so oracles replay bit-for-bit); the cuts
+    relation is one row per group and rides a broadcast hash join
+    back onto the corpus — with no groups it is a literal-fold
+    broadcast of a single row. Exact percentile buffers each group's
+    value stream (the dq33 seam); ``exact=False`` swaps in the
+    mergeable t-digest (approx_percentile), the 100 TB path when
+    groups are corpus-sized.
+    """
+    from pyspark.sql.functions import broadcast
+
+    out_col = out_col or f"{value_col}_wins"
+    gcols = list(group_cols or [])
+    pcts = F.array(F.lit(float(p_lo)), F.lit(float(p_hi)))
+    agg = (
+        F.percentile(value_col, pcts)
+        if exact
+        else F.percentile_approx(value_col, pcts, 10_000)
+    )
+    cuts = (df.groupBy(*gcols) if gcols else df.groupBy()).agg(
+        agg.alias("_cuts")
+    ).select(
+        *gcols,
+        F.element_at("_cuts", 1).alias("_lo"),
+        F.element_at("_cuts", 2).alias("_hi"),
+    )
+    joined = (
+        df.join(broadcast(cuts), gcols, "left")
+        if gcols
+        else df.crossJoin(broadcast(cuts))
+    )
+    v = F.col(value_col)
+    return joined.withColumn(
+        out_col,
+        F.when(v < F.col("_lo"), F.col("_lo"))
+        .when(v > F.col("_hi"), F.col("_hi"))
+        .otherwise(v),
+    ).withColumn(
+        "is_clipped",
+        F.when((v < F.col("_lo")) | (v > F.col("_hi")), 1).otherwise(0),
+    ).drop("_lo", "_hi")

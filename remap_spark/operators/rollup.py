@@ -233,3 +233,70 @@ def kmv_estimate(
         .cast("bigint")
         .alias("est_distinct"),
     )
+
+
+def kmv_set_ops(
+    a: DataFrame, b: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """Distinct-set overlap between two relations from their KMV
+    sketches (Beyer et al. 2007): one row
+    (n_a, n_b, est_distinct_a, est_distinct_b, est_union,
+    jaccard_ppm, est_intersect).
+
+    Estimator: build the merged k-smallest state M over A union B;
+    jaccard = |{h in M : h in KMV(A) and h in KMV(B)}| / |M| and
+    intersect = jaccard * union_estimate, both evaluated with bigint
+    ppm arithmetic (DIV) so the readout replays bit-for-bit in any
+    ANSI engine. When either side holds fewer than k distinct values
+    its sketch IS its distinct set, and with both sides under k the
+    union/intersection estimates are exact.
+
+    Shape at 100 TB: each side collapses to <= k rows via one
+    combiner-style distinct + window (kmv_state with no group key);
+    everything after operates on <= 3k rows driver-free. The two
+    corpus scans are the only data passes; the sketches are mergeable,
+    so per-partition/per-day states maintained by stream_kmv_distinct
+    can feed this without rescanning either corpus.
+    """
+    sa = kmv_state(a.select(F.lit(1).alias("_g"), col), ["_g"], col, k)
+    sb = kmv_state(b.select(F.lit(1).alias("_g"), col), ["_g"], col, k)
+    merged = merge_kmv_state(sa, sb, ["_g"], k)
+    both = sa.select("h").intersect(sb.select("h"))
+    m_both = merged.join(both, "h", "left_semi")
+    stats = (
+        merged.agg(
+            F.count("*").alias("m"), F.max("h").alias("hk")
+        )
+        .crossJoin(m_both.agg(F.count("*").alias("c")))
+        .crossJoin(
+            sa.agg(
+                F.count("*").alias("na"), F.max("h").alias("ha")
+            )
+        )
+        .crossJoin(
+            sb.agg(
+                F.count("*").alias("nb"), F.max("h").alias("hb")
+            )
+        )
+    )
+    est = lambda n, h: F.when(  # noqa: E731
+        F.col(n) < k, F.col(n).cast("bigint")
+    ).otherwise(
+        F.expr(f"CAST({k - 1} AS BIGINT) * {KMV_DOMAIN} div {h}")
+    )
+    return stats.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        est("na", "ha").cast("bigint").alias("est_distinct_a"),
+        est("nb", "hb").cast("bigint").alias("est_distinct_b"),
+        est("m", "hk").cast("bigint").alias("est_union"),
+        F.expr("c * 1000000 div m").cast("bigint").alias("jaccard_ppm"),
+        F.when(F.col("m") < k, F.col("c").cast("bigint"))
+        .otherwise(
+            F.expr(
+                f"c * (CAST({k - 1} AS BIGINT) * {KMV_DOMAIN} div hk) div m"
+            )
+        )
+        .cast("bigint")
+        .alias("est_intersect"),
+    )

@@ -462,3 +462,62 @@ def attribute_conversions(
             F.col("_channel").alias("channel"),
         )
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    include_end: bool = False,
+) -> DataFrame:
+    """First-order Markov transition table over user event timelines:
+    for every consecutive event pair in a user's (ts, event_id)-ordered
+    stream, count the (from_event, to_event) transition and report the
+    row-normalized transition probability as an exact ppm integer
+    (n_transitions * 1e6 DIV row_total). ``include_end=True`` adds a
+    terminal '__end__' transition for each user's last event, so every
+    row of the matrix sums to 1e6 (minus DIV flooring).
+
+    The transition matrix is the fitted model behind next-event
+    prediction and user-flow Sankey charts; top_event_paths reports the
+    same timelines as raw n-grams, this normalizes them per source
+    state.
+
+    Shape: ONE user-keyed shuffle for the lead window (the shared
+    sessionize/funnel/paths layout — a composed pipeline pays for the
+    exchange once), then a combiner-style count whose shuffle volume is
+    |event_type|^2 rows at most, a per-from window on that tiny
+    relation, and ppm division as bigint DIV (replays bit-for-bit in
+    ANSI SQL). Nothing corpus-sized crosses the second exchange.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    nxt = F.lead(type_col, 1).over(w)
+    pairs = df.select(
+        F.col(type_col).alias("from_event"),
+        (
+            F.coalesce(nxt, F.lit("__end__")) if include_end else nxt
+        ).alias("to_event"),
+    ).where(F.col("to_event").isNotNull())
+    counted = pairs.groupBy("from_event", "to_event").agg(
+        F.count("*").alias("n_transitions")
+    )
+    per_from = Window.partitionBy("from_event")
+    return counted.select(
+        "from_event",
+        "to_event",
+        "n_transitions",
+        F.expr("n_transitions * 1000000")
+        .cast("bigint")
+        .alias("_num"),
+        F.sum("n_transitions").over(per_from).alias("from_total"),
+    ).select(
+        "from_event",
+        "to_event",
+        "n_transitions",
+        "from_total",
+        F.expr("_num div from_total").cast("bigint").alias("prob_ppm"),
+    )

@@ -362,3 +362,39 @@ def weighted_sample_wor(
         .where(F.col("_es_rn") <= k)
         .drop("_es_rn")
     )
+
+
+def shuffle_for_training(
+    df: DataFrame,
+    key: Column | str,
+    n_shards: int,
+    seed: str = "",
+    shard_col: str = "shard",
+    order_col: str = "shard_order",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training-data export: every
+    row gets a pseudo-random but REPRODUCIBLE (shard, within-shard
+    order) position derived by hashing its key with the seed. Reading
+    shard 0..n-1, each sorted by ``order_col``, yields a permutation
+    that is (a) statistically shuffled — hash order is uncorrelated
+    with source order, the property sequence packers and curriculum
+    samplers need — and (b) identical on every run and engine, so a
+    resumed or re-run export job produces byte-identical shards (the
+    same contract the deterministic samplers make; a changed ``seed``
+    gives an independent permutation).
+
+    Pure projection — ZERO shuffle at assignment time; the one
+    exchange happens where it belongs, in the writer:
+    ``out.repartition(n_shards, shard_col)
+    .sortWithinPartitions(order_col).write.partitionBy(shard_col)``.
+    Ties on the 32-bit order hash are broken by the key value at the
+    writer sort, keeping even hash-colliding rows deterministically
+    placed.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    c = F.col(key) if isinstance(key, str) else key
+    h = portable_hash32(F.concat(c.cast("string"), F.lit("|shuf|" + seed)))
+    return df.withColumn(shard_col, (h % n_shards).cast("int")).withColumn(
+        order_col, h
+    )

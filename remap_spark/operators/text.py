@@ -919,3 +919,97 @@ def build_inverted_index(
             F.transform("_p", lambda x: x["_tf"]).alias("term_freqs"),
         )
     )
+
+
+def _encode_word(syms: list[str], ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Sequential BPE encode of one symbol list: repeatedly merge the
+    LOWEST-RANK adjacent pair present (canonical tokenizer semantics —
+    identical to replaying the training merges in order)."""
+    while len(syms) >= 2:
+        best, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i
+        if best is None:
+            break
+        merged = syms[best_i] + syms[best_i + 1]
+        # merge ALL occurrences of this pair left-to-right before
+        # re-scanning (one rule application, as training does)
+        pair = (syms[best_i], syms[best_i + 1])
+        res, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                res.append(merged)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Encode documents with a trained BPE merge list (the list
+    bpe_train returns): per document, tokenize (the same
+    lower/strip-punct/split the trainer used), split each word into
+    characters + '</w>', replay the merges by rank, and emit the
+    document's token sequence in order plus ``n_tokens`` — the apply
+    side of the tokenizer, producing the sequences a packing/export
+    stage consumes.
+
+    Scale shape — Python touches only the VOCABULARY, never the
+    corpus (the bpe_train boundary argument): words explode
+    corpus-side (codegen), the DISTINCT word table is encoded in one
+    Arrow-batched mapInPandas (merge ranks ride the closure,
+    vocab-sized), and tokens rejoin on the word key — AQE broadcasts
+    the encoded vocab when it is small, shuffle-joins otherwise. Doc
+    reassembly is one doc-keyed combiner aggregate with an in-plan
+    (pos, tokens) array_sort + flatten, so token order is exact and
+    nothing corpus-sized crosses a Python boundary.
+    """
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("_pos", "_word"),
+    )
+    vocab = words.select(F.col("_word").alias("word")).distinct()
+
+    def encode(batches, _ranks=ranks):
+        import pandas as pd
+
+        for pdf in batches:
+            toks = [
+                _encode_word(list(w) + ["</w>"], _ranks)
+                for w in pdf["word"]
+            ]
+            yield pd.DataFrame({"word": pdf["word"], "_toks": toks})
+
+    encoded = vocab.mapInPandas(
+        encode, schema="word string, _toks array<string>"
+    )
+    joined = words.join(
+        encoded, words["_word"] == encoded["word"], "inner"
+    ).select(id_col, "_pos", "_toks")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_toks"))
+            ).alias("_seq")
+        )
+        .select(
+            id_col,
+            F.flatten(F.expr("transform(_seq, s -> s._toks)")).alias(
+                out_col
+            ),
+        )
+        .withColumn("n_tokens", F.size(out_col).cast("bigint"))
+    )
