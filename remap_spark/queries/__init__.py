@@ -150,10 +150,13 @@ CHECK_WINDOW = 50
 # recorded rounds the moment CORRECTNESS_r06 lands), plus first-time
 # registration of the round-6 operators that found no r6 slot (all
 # shipped with DuckDB-replay pytests; see SCALE.md round-6 sections):
-# weighted_sample_wor, the expectations report, and the continuation
+# weighted_sample_wor, the expectations report, the continuation
 # batch — attribute_conversions, association_rules, resolve_entities,
 # rfm_segments, rolling_zscore_anomalies, time_weighted_avg,
-# pareto_frontier, key_skew_report, ab_test_report.
+# pareto_frontier, key_skew_report, ab_test_report — and the 6c batch
+# (DuckDB replays in tests/test_round6c.py): markov_transitions,
+# kmv_set_ops, shuffle_for_training, winsorize (bpe_encode is
+# pytest-only: not SQL-expressible, rows-only at best).
 _TAIL_QUERIES = [
     # r3-green deferred (due in the r7 window; canary in parens):
     "dq03_wordcount",  # (dq19_buckets tokenize/agg canary, dq18 grouped-UDF)
