@@ -935,3 +935,159 @@ def rrf_fuse(
         )
         .where(F.col("fused_rank") <= topk)
     )
+
+
+def _gemm_cross(a_ids, a_mat, b_ids, b_mat, threshold: float):
+    """Dense cosine GEMM between two DISTINCT corpora; emits every
+    qualifying directed (a_id, b_id) pair — no id-inequality filter,
+    the sides are different relations and ids may legally collide."""
+    import numpy as np
+    import pandas as pd
+
+    a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+    b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+    sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+    ai, bj = np.nonzero(sims >= threshold)
+    return pd.DataFrame(
+        {"a_id": a_ids[ai], "b_id": b_ids[bj], "cosine": sims[ai, bj]}
+    )
+
+
+_CROSS_SCHEMA = "a_id bigint, b_id bigint, cosine double"
+
+
+def embedding_cross_matches(
+    a: DataFrame,
+    b: DataFrame,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks_a: int = 8,
+    n_blocks_b: int = 8,
+) -> DataFrame:
+    """All cross-corpus pairs (a_id, b_id, cosine >= threshold) —
+    EXACT, the A x B twin of embedding_near_dup_pairs' block-pair
+    decomposition. Side A hashes into ``n_blocks_a`` blocks and
+    replicates once per B-block (and vice versa), so every (i, j)
+    block pair is one independent dense-GEMM task: O(|A|·Bb + |B|·Ba)
+    rows shuffled, no driver materialization, no cartesian node.
+    Size the block counts so each side of a task stays executor-sized;
+    the O(|A|·|B|) flops are inherent to the exact tier — the scale
+    tier is embedding_cross_matches_lsh."""
+    import numpy as np
+
+    def tagged(df, n_own, n_other, side):
+        block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_own))
+        partner = F.explode(
+            F.array(*[F.lit(p) for p in range(n_other)])
+        ).alias("_p")
+        out = df.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+            block.alias("_blk"), partner,
+        )
+        bi = F.col("_blk") if side == "a" else F.col("_p")
+        bj = F.col("_p") if side == "a" else F.col("_blk")
+        return out.select(
+            bi.alias("bi"), bj.alias("bj"),
+            F.lit(side).alias("_side"), "_id", "_vec",
+        )
+
+    both = tagged(a, n_blocks_a, n_blocks_b, "a").unionByName(
+        tagged(b, n_blocks_b, n_blocks_a, "b")
+    )
+
+    def gemm_group(pdf):
+        import pandas as pd
+
+        pa = pdf[pdf["_side"] == "a"]
+        pb = pdf[pdf["_side"] == "b"]
+        if not len(pa) or not len(pb):
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+        return _gemm_cross(
+            pa["_id"].to_numpy(dtype=np.int64),
+            np.array(list(pa["_vec"]), dtype=np.float64),
+            pb["_id"].to_numpy(dtype=np.int64),
+            np.array(list(pb["_vec"]), dtype=np.float64),
+            threshold,
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        gemm_group, schema=_CROSS_SCHEMA
+    )
+
+
+def embedding_cross_matches_lsh(
+    a: DataFrame,
+    b: DataFrame,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cross-corpus matches: BOTH corpora bucket under the
+    SAME fixed hyperplanes (identical seed — the property that makes
+    the bucket join meaningful), candidates only from equal buckets,
+    dense A x B GEMM within each. Each cross pair can collide in at
+    most one bucket (full-signature equality), so the output is a
+    deterministic subset of the exact tier with recall
+    (1 - θ/π)^n_planes — the high-threshold decontamination regime.
+    Shuffle volume is one bucket-keyed exchange per side; no
+    replication at all, the reason this is the 100 TB tier."""
+    import numpy as np
+
+    ba = lsh_bucket_signatures(a, vec_col, id_col, n_planes, seed, dim)
+    bb = lsh_bucket_signatures(b, vec_col, id_col, n_planes, seed, dim)
+    both = ba.select(
+        "bucket", F.lit("a").alias("_side"), "vec_id", "vec"
+    ).unionByName(
+        bb.select("bucket", F.lit("b").alias("_side"), "vec_id", "vec")
+    )
+
+    def gemm_bucket(pdf):
+        import pandas as pd
+
+        pa = pdf[pdf["_side"] == "a"]
+        pb = pdf[pdf["_side"] == "b"]
+        if not len(pa) or not len(pb):
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+        return _gemm_cross(
+            pa["vec_id"].to_numpy(dtype=np.int64),
+            np.array(list(pa["vec"]), dtype=np.float64),
+            pb["vec_id"].to_numpy(dtype=np.int64),
+            np.array(list(pb["vec"]), dtype=np.float64),
+            threshold,
+        )
+
+    return both.groupBy("bucket").applyInPandas(
+        gemm_bucket, schema=_CROSS_SCHEMA
+    )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """Drop training rows whose embedding matches ANY eval-set row at
+    cosine >= threshold — the semantic tier of eval-set
+    decontamination (the shingle tier is contamination_hits /
+    decontaminate in operators/dedup.py; paraphrased contamination
+    that shares no n-grams only shows up here). Returns the retained
+    train relation, original schema.
+
+    ``exact=False`` (default) uses the LSH-bucketed matcher — at
+    decontamination thresholds (>= 0.8) its per-pair recall is the
+    (1 - θ/π)^n_planes LSH bound; ``exact=True`` pays the block-pair
+    GEMM for a guarantee. The flagged-id relation is tiny (bounded by
+    |train|); the final filter is one left-anti join that AQE
+    broadcasts in the common small-eval case."""
+    matcher = embedding_cross_matches if exact else embedding_cross_matches_lsh
+    matches = matcher(train, evalset, threshold, vec_col, id_col, **kwargs)
+    flagged = matches.select(F.col("a_id").alias(id_col)).distinct()
+    return train.join(flagged, id_col, "left_anti")
