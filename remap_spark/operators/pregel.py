@@ -748,3 +748,77 @@ def triangle_count(
     return verts.crossJoin(nedges).crossJoin(tri).select(
         "n_vertices", "n_edges", "n_triangles"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 200,
+    max_block: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every vertex keeps degree >= k, computed by parallel peeling —
+    each round drops every vertex whose CURRENT degree is < k (and its
+    edges), until nothing changes. Classic Matula-Beck semantics,
+    evaluated bulk-synchronously; the fixpoint is unique regardless of
+    peel order, which is what makes the parallel rounds correct.
+    Input edges are directed rows (src, dst); the operator symmetrizes
+    and drops self-loops. Returns (vertex_id, degree) for the
+    surviving vertices with their in-core degree.
+
+    Scale shape: per round ONE degree aggregate (combiner-style on the
+    src key the edge relation is already partitioned by) and two
+    semi-joins against the GROUPS-sized survivor list (AQE broadcasts
+    it once peeling shrinks it). Rounds are O(peel depth) — bounded by
+    the degeneracy ordering, typically tens on web-scale graphs.
+    Peeling a converged graph is a no-op (every degree is already
+    >= k), so rounds are block-amortized exactly like _flood_fixpoint:
+    geometric blocks of lazily-checkpointed rounds, ONE edge-count
+    action per block, convergence = monotone edge count unchanged
+    across a whole block."""
+    spark = edges.sparkSession
+    n = num_partitions or min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        max(4, edges.rdd.getNumPartitions()),
+    )
+    und = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(n, "src")
+        .localCheckpoint(eager=False)
+    )
+    n_edges = sym.count()
+    steps = 0
+    block_size = 1
+    while steps < max_iter:
+        block = min(block_size, max_iter - steps)
+        block_size = min(block_size * 2, max_block)
+        cur = sym
+        for _ in range(block):
+            keep = (
+                cur.groupBy("src")
+                .agg(F.count("*").alias("_deg"))
+                .where(F.col("_deg") >= k)
+                .select("src")
+            )
+            cur = (
+                cur.join(keep, "src", "left_semi")
+                .join(
+                    keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+                )
+                .select("src", "dst")
+                .localCheckpoint(eager=False)
+            )
+        steps += block
+        new_edges = cur.count()
+        sym = cur
+        if new_edges == n_edges:
+            break
+        n_edges = new_edges
+    return sym.groupBy(F.col("src").alias("vertex_id")).agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
