@@ -156,7 +156,9 @@ CHECK_WINDOW = 50
 # pareto_frontier, key_skew_report, ab_test_report — and the 6c batch
 # (DuckDB replays in tests/test_round6c.py): markov_transitions,
 # kmv_set_ops, shuffle_for_training, winsorize (bpe_encode is
-# pytest-only: not SQL-expressible, rows-only at best).
+# pytest-only: not SQL-expressible, rows-only at best); and the 6d
+# batch (replays in tests/test_round6d.py): embedding_cross_matches
+# (exact tier) and k_core (recursive-CTE oracle).
 _TAIL_QUERIES = [
     # r3-green deferred (due in the r7 window; canary in parens):
     "dq03_wordcount",  # (dq19_buckets tokenize/agg canary, dq18 grouped-UDF)
