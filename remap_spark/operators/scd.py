@@ -129,3 +129,73 @@ def scd2_apply_batch(
         tiebreak_col=tiebreak_col,
     )
     return keep.unionByName(rebuilt)
+
+
+def table_changes(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level snapshot diff — the change-data-feed generator: given
+    two snapshots of a keyed table, emit one row per changed key with
+    ``op`` in ('insert', 'update', 'delete') and ``changed_cols`` (the
+    NULL-SAFE-unequal compare columns; empty for insert/delete). Value
+    columns carry the NEW image for insert/update and the OLD image
+    for delete, so the output feeds scd2_apply_batch / a MERGE
+    directly. Unchanged keys are dropped. Keys must be unique within
+    each snapshot (the same precondition every CDC consumer assumes).
+
+    Shape: ONE full-outer join on the key columns — bucketed or
+    co-partitioned snapshots make it exchange-free; AQE handles the
+    common skew. The change verdict and column mask are pure codegen
+    projections (eqNullSafe per compare column); nothing but the
+    changed rows leaves the operator, so downstream work is
+    change-sized, not table-sized.
+    """
+    compare_cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys]
+    )
+    o = old.select(
+        *keys, *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *keys, *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    diff_flags = [
+        F.when(
+            ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed = F.filter(
+        F.array(*diff_flags), lambda x: x.isNotNull()
+    ) if compare_cols else F.array().cast("array<string>")
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(F.size(changed) > 0, F.lit("update"))
+    )
+    out_vals = [
+        F.when(
+            F.col("_in_new").isNull(), F.col(f"_o_{c}")
+        ).otherwise(F.col(f"_n_{c}")).alias(c)
+        for c in compare_cols
+    ]
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select(
+            *keys,
+            *out_vals,
+            "op",
+            F.when(F.col("op") == "update", changed)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+    )
