@@ -300,3 +300,110 @@ def kmv_set_ops(
         .cast("bigint")
         .alias("est_intersect"),
     )
+
+
+def segment_overlap_matrix(
+    df: DataFrame, segment_col: str, id_col: str, k: int = 256
+) -> DataFrame:
+    """Pairwise audience overlap between ALL segments at once: one
+    KMV sketch per segment (kmv_state with the segment as the group
+    key), then the Beyer et al. merged-sketch estimator evaluated per
+    unordered segment pair — (segment_a, segment_b, n_a, n_b,
+    est_distinct_a, est_distinct_b, est_union, jaccard_ppm,
+    est_intersect), all bigint ppm arithmetic, exact when both
+    segments hold < k distinct members.
+
+    Shape at 100 TB: the corpus is touched ONCE (the per-segment
+    sketch build — combiner distinct + one window); the pair matrix is
+    a self-join of the <= k-rows-per-segment sketch relation, so its
+    cost is |segments|^2 * k, independent of audience sizes. The same
+    sketches can come straight from a stream_kmv_distinct store,
+    making the matrix a zero-corpus-scan readout."""
+    from pyspark.sql.window import Window
+
+    state = kmv_state(df, [segment_col], id_col, k).select(
+        F.col(segment_col).alias("_seg"), "h"
+    )
+    segs = state.groupBy("_seg").agg(
+        F.count("*").alias("n"), F.max("h").alias("hmax")
+    )
+    pairs = segs.alias("sa").join(
+        segs.alias("sb"), F.col("sa._seg") < F.col("sb._seg")
+    )
+    # merged top-k per pair: union the two sketches, rank, keep k
+    u = (
+        state.alias("xa")
+        .select(F.col("_seg").alias("seg_a"), "h")
+        .join(
+            segs.select(F.col("_seg").alias("seg_b")),
+            F.col("seg_a") < F.col("seg_b"),
+        )
+        .unionByName(
+            state.select(F.col("_seg").alias("seg_b"), "h").join(
+                segs.select(F.col("_seg").alias("seg_a")),
+                F.col("seg_a") < F.col("seg_b"),
+            ).select("seg_a", "h", "seg_b")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("seg_a", "seg_b").orderBy("h")
+    merged = u.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    in_a = state.select(F.col("_seg").alias("seg_a"), "h").withColumn(
+        "_ia", F.lit(1)
+    )
+    in_b = state.select(F.col("_seg").alias("seg_b"), "h").withColumn(
+        "_ib", F.lit(1)
+    )
+    flagged = (
+        merged.join(in_a, ["seg_a", "h"], "left")
+        .join(in_b, ["seg_b", "h"], "left")
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.count("*").alias("m"),
+            F.max("h").alias("hk"),
+            F.sum(
+                (F.col("_ia").isNotNull() & F.col("_ib").isNotNull()).cast(
+                    "int"
+                )
+            ).alias("c"),
+        )
+    )
+    est = lambda n, h: F.when(  # noqa: E731
+        F.col(n) < k, F.col(n).cast("bigint")
+    ).otherwise(
+        F.expr(f"CAST({k - 1} AS BIGINT) * {KMV_DOMAIN} div {h}")
+    )
+    return (
+        flagged.join(
+            pairs.select(
+                F.col("sa._seg").alias("seg_a"),
+                F.col("sb._seg").alias("seg_b"),
+                F.col("sa.n").alias("na"),
+                F.col("sa.hmax").alias("ha"),
+                F.col("sb.n").alias("nb"),
+                F.col("sb.hmax").alias("hb"),
+            ),
+            ["seg_a", "seg_b"],
+        )
+        .select(
+            F.col("seg_a").alias("segment_a"),
+            F.col("seg_b").alias("segment_b"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            est("na", "ha").cast("bigint").alias("est_distinct_a"),
+            est("nb", "hb").cast("bigint").alias("est_distinct_b"),
+            est("m", "hk").cast("bigint").alias("est_union"),
+            F.expr("c * 1000000 div m").cast("bigint").alias("jaccard_ppm"),
+            F.when(F.col("m") < k, F.col("c").cast("bigint"))
+            .otherwise(
+                F.expr(
+                    f"c * (CAST({k - 1} AS BIGINT) * {KMV_DOMAIN} div hk)"
+                    " div m"
+                )
+            )
+            .cast("bigint")
+            .alias("est_intersect"),
+        )
+    )

@@ -200,3 +200,97 @@ def test_coreness_consistent_with_k_core(spark):
     cores = {r.vertex_id: r.core for r in coreness(g).collect()}
     kc = {r.vertex_id for r in k_core(g, k=3).collect()}
     assert kc == {v for v, c in cores.items() if c >= 3}
+
+
+def test_table_changes_roundtrip_property(spark):
+    """Applying the change feed to the old snapshot must reconstruct
+    the new snapshot exactly — on a pseudo-random keyed table with
+    nulls, for several seeds."""
+    import random
+
+    from remap_spark.operators.scd import table_changes
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        keys = list(range(60))
+        def snap():
+            return {
+                k: (
+                    rng.choice(["a", "b", None]),
+                    rng.choice([None] + list(range(5))),
+                )
+                for k in keys
+                if rng.random() < 0.8
+            }
+        old_d, new_d = snap(), snap()
+        old = spark.createDataFrame(
+            [(k, s, v) for k, (s, v) in old_d.items()],
+            "k bigint, s string, v int",
+        )
+        new = spark.createDataFrame(
+            [(k, s, v) for k, (s, v) in new_d.items()],
+            "k bigint, s string, v int",
+        )
+        changes = table_changes(old, new, ["k"]).collect()
+        rebuilt = dict(old_d)
+        for r in changes:
+            if r.op == "delete":
+                rebuilt.pop(r.k)
+            else:
+                rebuilt[r.k] = (r.s, r.v)
+        assert rebuilt == new_d, (seed, sorted(set(rebuilt) ^ set(new_d)))
+
+
+def test_segment_overlap_matrix_exact_below_k(spark):
+    from remap_spark.operators.rollup import segment_overlap_matrix
+
+    rows = (
+        [("s1", i) for i in range(30)]
+        + [("s2", i) for i in range(20, 50)]
+        + [("s3", i) for i in range(45, 55)]
+    )
+    df = spark.createDataFrame(rows, "seg string, uid bigint")
+    got = {
+        (r.segment_a, r.segment_b): (
+            r.est_union, r.est_intersect, r.jaccard_ppm
+        )
+        for r in segment_overlap_matrix(df, "seg", "uid", k=64).collect()
+    }
+    assert got[("s1", "s2")] == (50, 10, 200_000)
+    assert got[("s1", "s3")] == (40, 0, 0)
+    assert got[("s2", "s3")] == (35, 5, 142_857)
+    assert len(got) == 3
+
+
+def test_segment_overlap_matrix_matches_pairwise_setops(spark):
+    """Cross-operator invariant: every matrix row equals kmv_set_ops
+    run on that pair alone (same k) — the matrix is just the batched
+    form of the pairwise estimator."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.rollup import kmv_set_ops, segment_overlap_matrix
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "user_id"
+    )
+    k = 64
+    matrix = {
+        (r.segment_a, r.segment_b): (
+            r.n_a, r.n_b, r.est_distinct_a, r.est_distinct_b,
+            r.est_union, r.jaccard_ppm, r.est_intersect,
+        )
+        for r in segment_overlap_matrix(
+            ev, "event_type", "user_id", k=k
+        ).collect()
+    }
+    assert len(matrix) == 10  # C(5,2) event types
+    for (a, b) in [("click", "purchase"), ("error", "view")]:
+        pair = kmv_set_ops(
+            ev.where(F.col("event_type") == a).select("user_id"),
+            ev.where(F.col("event_type") == b).select("user_id"),
+            "user_id",
+            k=k,
+        ).collect()[0]
+        assert matrix[(a, b)] == (
+            pair.n_a, pair.n_b, pair.est_distinct_a, pair.est_distinct_b,
+            pair.est_union, pair.jaccard_ppm, pair.est_intersect,
+        ), (a, b)
