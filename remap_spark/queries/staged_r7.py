@@ -797,6 +797,75 @@ _TABLE_CHANGES_SQL = """
 """
 
 
+def ext_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs audience overlap between event-type segments (KMV
+    k=64), bit-exact estimator replay."""
+    from ..operators.rollup import segment_overlap_matrix
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    out = segment_overlap_matrix(ev, "event_type", "user_id", k=64)
+    return out.orderBy("segment_a", "segment_b")
+
+
+_SEGMENT_OVERLAP_SQL = f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type AS seg,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+               AS BIGINT) AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT seg, h FROM (
+        SELECT seg, h,
+               row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= 64
+    ),
+    segs AS (SELECT seg, COUNT(*) AS n, MAX(h) AS hmax FROM sk GROUP BY seg),
+    pairs AS (
+      SELECT a.seg AS sa, a.n AS na, a.hmax AS ha,
+             b.seg AS sb, b.n AS nb, b.hmax AS hb
+      FROM segs a JOIN segs b ON a.seg < b.seg
+    ),
+    uni AS (
+      SELECT DISTINCT p.sa, p.sb, s.h
+      FROM pairs p JOIN sk s ON s.seg = p.sa OR s.seg = p.sb
+    ),
+    m AS (
+      SELECT sa, sb, h FROM (
+        SELECT sa, sb, h,
+               row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        FROM uni
+      ) WHERE rn <= 64
+    ),
+    fl AS (
+      SELECT m.sa, m.sb, COUNT(*) AS mm, MAX(m.h) AS hk,
+             count_if(ia.h IS NOT NULL AND ib.h IS NOT NULL) AS c
+      FROM m
+      LEFT JOIN sk ia ON ia.seg = m.sa AND ia.h = m.h
+      LEFT JOIN sk ib ON ib.seg = m.sb AND ib.h = m.h
+      GROUP BY m.sa, m.sb
+    )
+    SELECT f.sa AS segment_a, f.sb AS segment_b,
+      CAST(p.na AS BIGINT) AS n_a, CAST(p.nb AS BIGINT) AS n_b,
+      CAST(CASE WHEN p.na < 64 THEN p.na
+           ELSE CAST(63 AS BIGINT) * {KMV_DOMAIN} // p.ha END AS BIGINT)
+        AS est_distinct_a,
+      CAST(CASE WHEN p.nb < 64 THEN p.nb
+           ELSE CAST(63 AS BIGINT) * {KMV_DOMAIN} // p.hb END AS BIGINT)
+        AS est_distinct_b,
+      CAST(CASE WHEN f.mm < 64 THEN f.mm
+           ELSE CAST(63 AS BIGINT) * {KMV_DOMAIN} // f.hk END AS BIGINT)
+        AS est_union,
+      CAST(f.c * 1000000 // f.mm AS BIGINT) AS jaccard_ppm,
+      CAST(CASE WHEN f.mm < 64 THEN f.c
+           ELSE f.c * (CAST(63 AS BIGINT) * {KMV_DOMAIN} // f.hk) // f.mm
+           END AS BIGINT) AS est_intersect
+    FROM fl f JOIN pairs p ON p.sa = f.sa AND p.sb = f.sb
+    ORDER BY segment_a, segment_b
+"""
+
+
 STAGED_QUERIES = {
     "ext_sample_wor": ext_sample_wor,
     "ext_expectations": ext_expectations,
@@ -819,6 +888,7 @@ STAGED_QUERIES = {
     "ext_cross_matches": ext_cross_matches,
     "ext_k_core": ext_k_core,
     "ext_table_changes": ext_table_changes,
+    "ext_segment_overlap": ext_segment_overlap,
 }
 
 STAGED_ORACLES = {
@@ -843,4 +913,5 @@ STAGED_ORACLES = {
     "ext_cross_matches": _CROSS_MATCHES_SQL,
     "ext_k_core": _K_CORE_SQL,
     "ext_table_changes": _TABLE_CHANGES_SQL,
+    "ext_segment_overlap": _SEGMENT_OVERLAP_SQL,
 }
