@@ -910,3 +910,69 @@ def coreness(
     return state.select(
         F.col("id").alias("vertex_id"), F.col("c").cast("bigint").alias("core")
     )
+
+
+def pagerank_personalized(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: list,
+    supersteps: int = 10,
+    damping: float = 0.85,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank: teleportation (and dangling mass) return
+    to the SEED set instead of the uniform vector — the similarity /
+    recommendation ranking "importance relative to these nodes".
+    p0(v) = 1/|seeds| on seeds, 0 elsewhere; update
+    r' = (1-d)*p0 + d*(inbox + dang*p0), so total rank stays 1 and
+    vertices unreachable from the seeds converge to exactly 0.
+
+    Same per-superstep shape as pagerank_dangling (one inbox shuffle +
+    the in-plan broadcast dangling aggregate); the seed vector is a
+    static vertex column, so personalization costs nothing extra at
+    any scale."""
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    srcs = edges.select("src").distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    edges_deg = edges.join(F.broadcast(outdeg), "src")
+    p0 = F.when(
+        F.col("id").isin(list(seeds)), F.lit(1.0) / F.lit(float(len(seeds)))
+    ).otherwise(F.lit(0.0))
+    init = vertices.join(
+        F.broadcast(srcs), vertices["id"] == srcs["src"], "left"
+    ).select(
+        "id",
+        p0.alias("rank"),
+        p0.alias("_p0"),
+        F.col("src").isNull().alias("_dangling"),
+    )
+
+    def update(v, inbox, step):
+        new_rank = (F.lit(1.0) - F.lit(damping)) * F.col("_p0") + F.lit(
+            damping
+        ) * (
+            F.coalesce(inbox, F.lit(0.0)) + F.col("_dang") * F.col("_p0")
+        )
+        return [v["id"], new_rank.alias("rank"), v["_p0"], v["_dangling"]]
+
+    return (
+        Pregel(
+            vertices=init,
+            edges=edges_deg,
+            msg=F.col("rank") / F.col("_deg"),
+            agg=F.sum,
+            update=update,
+            aggregator=[
+                F.sum(
+                    F.when(F.col("_dangling"), F.col("rank")).otherwise(
+                        F.lit(0.0)
+                    )
+                ).alias("_dang")
+            ],
+            max_supersteps=supersteps - 1,
+            num_partitions=num_partitions,
+        )
+        .run()
+        .select("id", "rank")
+    )

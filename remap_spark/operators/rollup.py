@@ -260,6 +260,20 @@ def kmv_set_ops(
     """
     sa = kmv_state(a.select(F.lit(1).alias("_g"), col), ["_g"], col, k)
     sb = kmv_state(b.select(F.lit(1).alias("_g"), col), ["_g"], col, k)
+    return kmv_set_ops_from_states(sa.select("h"), sb.select("h"), k)
+
+
+def kmv_set_ops_from_states(
+    sa: DataFrame, sb: DataFrame, k: int = 256
+) -> DataFrame:
+    """The kmv_set_ops readout over PRE-BUILT sketch states (single
+    column ``h``, <= k rows each) — e.g. two stream_kmv_distinct
+    stores read with read_kmv_store, or per-partition sketches
+    maintained incrementally. ZERO corpus scans: a cross-corpus
+    overlap readout at 100 TB touches only 2k sketch rows. Same
+    integer estimator, bit-identical to building from raw data."""
+    sa = sa.select("h").withColumn("_g", F.lit(1))
+    sb = sb.select("h").withColumn("_g", F.lit(1))
     merged = merge_kmv_state(sa, sb, ["_g"], k)
     both = sa.select("h").intersect(sb.select("h"))
     m_both = merged.join(both, "h", "left_semi")

@@ -866,6 +866,66 @@ _SEGMENT_OVERLAP_SQL = f"""
 """
 
 
+def ext_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the dangling fixture graph, seeds
+    {1, 7}: teleport AND dangling mass return to the seeds, so
+    unreachable vertices converge to 0 and total rank stays 1."""
+    from ..operators.pregel import pagerank_personalized
+    from .graphs import DANGLING_ADJ, PAGERANK_ADJ, _edges_df
+
+    edges = _edges_df(spark, DANGLING_ADJ)
+    verts = spark.createDataFrame([(v,) for v in PAGERANK_ADJ], "id string")
+    ranks = pagerank_personalized(
+        verts, edges, seeds=["1", "7"], supersteps=10, num_partitions=2
+    )
+    return ranks.select(
+        F.col("id").alias("vertex_id"), F.round("rank", 5).alias("rank")
+    ).orderBy("vertex_id")
+
+
+def _ppr_oracle(steps: int = 10, d: float = 0.85) -> str:
+    """Unrolled per-step MATERIALIZED CTEs (the ext_pagerank_dangling
+    pattern) with the seed teleport vector p0 in place of 1/N."""
+    from .graphs import DANGLING_ADJ, PAGERANK_ADJ, _edge_values, _values_sql
+
+    dd = f"CAST({d} AS DOUBLE)"
+    p0 = ("CASE WHEN id IN ('1','7') THEN CAST(0.5 AS DOUBLE) "
+          "ELSE CAST(0.0 AS DOUBLE) END")
+    ctes = [
+        f"verts(id) AS (VALUES {_values_sql([(v,) for v in PAGERANK_ADJ])})",
+        f"edges(src, dst) AS (VALUES {_edge_values(DANGLING_ADJ)})",
+        "deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT id, {p0} AS p0, {p0} AS rank FROM verts)",
+    ]
+    for k in range(steps):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+          SELECT COALESCE(SUM(rank), CAST(0.0 AS DOUBLE)) AS dang FROM r{k}
+          WHERE id NOT IN (SELECT src FROM edges))"""
+        )
+        ctes.append(
+            f"""r{k + 1} AS MATERIALIZED (
+          SELECT v.id, v.p0,
+                 (1 - {dd}) * v.p0
+                   + {dd} * (COALESCE(inc.s, CAST(0.0 AS DOUBLE))
+                             + d{k}.dang * v.p0) AS rank
+          FROM r0 v
+          LEFT JOIN (
+            SELECT e.dst AS id, SUM(r.rank / deg.dg) AS s
+            FROM r{k} r JOIN edges e ON e.src = r.id
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) inc ON inc.id = v.id
+          CROSS JOIN d{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id AS vertex_id, ROUND(rank, 5) AS rank
+        FROM r{steps} ORDER BY vertex_id"""
+    )
+
+
 STAGED_QUERIES = {
     "ext_sample_wor": ext_sample_wor,
     "ext_expectations": ext_expectations,
@@ -889,6 +949,7 @@ STAGED_QUERIES = {
     "ext_k_core": ext_k_core,
     "ext_table_changes": ext_table_changes,
     "ext_segment_overlap": ext_segment_overlap,
+    "ext_pagerank_personalized": ext_pagerank_personalized,
 }
 
 STAGED_ORACLES = {
@@ -914,4 +975,5 @@ STAGED_ORACLES = {
     "ext_k_core": _K_CORE_SQL,
     "ext_table_changes": _TABLE_CHANGES_SQL,
     "ext_segment_overlap": _SEGMENT_OVERLAP_SQL,
+    "ext_pagerank_personalized": _ppr_oracle(),
 }
