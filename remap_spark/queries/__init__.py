@@ -158,7 +158,13 @@ CHECK_WINDOW = 50
 # kmv_set_ops, shuffle_for_training, winsorize (bpe_encode is
 # pytest-only: not SQL-expressible, rows-only at best); and the 6d
 # batch (replays in tests/test_round6d.py): embedding_cross_matches
-# (exact tier) and k_core (recursive-CTE oracle).
+# (exact tier) and k_core (recursive-CTE oracle). ALL of the above are
+# now STAGED in queries/staged_r7.py (23 driver-shaped queries + exact
+# oracles, replay-verified at sf0.001 AND sf0.01 by
+# tests/test_staged_r7.py, plan-swept by tests/test_plans_r6.py) —
+# r7 registration is: merge STAGED_QUERIES/STAGED_ORACLES at the head
+# of ALL_QUERIES, append the names to NEVER_CHECKED in
+# tests/test_registry.py, and rebalance the window.
 _TAIL_QUERIES = [
     # r3-green deferred (due in the r7 window; canary in parens):
     "dq03_wordcount",  # (dq19_buckets tokenize/agg canary, dq18 grouped-UDF)
