@@ -241,3 +241,99 @@ def winsorize(
         "is_clipped",
         F.when((v < F.col("_lo")) | (v > F.col("_hi")), 1).otherwise(0),
     ).drop("_lo", "_hi")
+
+
+def pca_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_components: int = 2,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit PCA over an embedding column in ONE corpus pass: per-batch
+    numpy partial sums (count, sum vector, X^T X gram) stream out of an
+    Arrow mapInPandas as (pos, val) rows — the only shuffle carries
+    #partitions x (d^2 + d + 1) rows — and the d x d covariance
+    eigendecomposition happens driver-side on the MODEL-sized matrix
+    (the same boundary argument as logistic_train / bpe_train: the
+    driver holds d^2 doubles, never data). Returns (mean, components,
+    explained_variance): components is n_components rows of length d,
+    sign-normalized so the largest-|coordinate| entry is positive —
+    deterministic across runs and BLAS builds.
+
+    The projection stays in the engine: feed the returned literals to
+    ``pca_project`` (pure codegen, zero Python at apply time)."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+
+    d = dim
+
+    def partial(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["_v"]), dtype=np.float64)
+            n = float(len(x))
+            s = x.sum(axis=0)
+            g = x.T @ x
+            flat = np.concatenate(([n], s, g.ravel()))
+            yield pd.DataFrame(
+                {"pos": np.arange(flat.size, dtype=np.int64), "val": flat}
+            )
+
+    sums = (
+        df.select(F.col(vec_col).alias("_v"))
+        .mapInPandas(partial, schema="pos bigint, val double")
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    flat = [0.0] * (1 + d + d * d)
+    for r in sums:
+        flat[r["pos"]] = r["val"]
+    n = flat[0]
+    if n < 2:
+        raise ValueError("pca_train needs at least 2 rows")
+    mean = np.array(flat[1 : 1 + d]) / n
+    gram = np.array(flat[1 + d :]).reshape(d, d)
+    cov = gram / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = []
+    for i in order:
+        v = evecs[:, i]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return (
+        [float(x) for x in mean],
+        comps,
+        [float(max(evals[i], 0.0)) for i in order],
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto trained components — pure whole-stage-
+    codegen arithmetic (the model enters as literals, zero Python,
+    zero shuffle): out[j] = sum_i (x[i] - mean[i]) * W[j][i], evaluated
+    as a fixed left-associated chain so results are bit-reproducible."""
+    outs = []
+    for comp in components:
+        term = None
+        for i, (m, w) in enumerate(zip(mean, comp)):
+            t = (
+                F.element_at(F.col(vec_col), i + 1).cast("double")
+                - F.lit(float(m))
+            ) * F.lit(float(w))
+            term = t if term is None else term + t
+        outs.append(term)
+    return df.withColumn(out_col, F.array(*outs))

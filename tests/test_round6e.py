@@ -294,3 +294,79 @@ def test_segment_overlap_matrix_matches_pairwise_setops(spark):
             pair.n_a, pair.n_b, pair.est_distinct_a, pair.est_distinct_b,
             pair.est_union, pair.jaccard_ppm, pair.est_intersect,
         ), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# PCA
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy_reference(spark):
+    """Components/variances must match numpy PCA on the same data
+    (sign-normalized), and the in-engine projection must match the
+    numpy projection."""
+    import numpy as np
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.ml import pca_project, pca_train
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mean, comps, evs = pca_train(emb, dim=None, n_components=3)
+
+    x = np.array(
+        [r.embedding for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    assert np.allclose(mean, mu, atol=1e-9)
+    for j, i in enumerate(order):
+        v = evecs[:, i]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        assert np.allclose(comps[j], v, atol=1e-7), j
+        assert abs(evs[j] - evals[i]) < 1e-7
+
+    proj = pca_project(emb, mean, comps).select("vec_id", "pca")
+    got = {r.vec_id: np.array(r.pca) for r in proj.collect()}
+    w = np.array(comps)
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    want = (x - mu) @ w.T
+    for rid, row in zip(ids, want):
+        assert np.allclose(got[rid], row, atol=1e-9)
+
+
+def test_pca_variance_concentrates_planted_structure(spark):
+    """Synthetic data with one dominant axis: the first component must
+    recover it and carry almost all variance."""
+    import numpy as np
+
+    from remap_spark.operators.ml import pca_train
+
+    rng = np.random.RandomState(3)
+    t = rng.randn(400) * 10.0
+    noise = rng.randn(400, 4) * 0.1
+    axis = np.array([0.5, 0.5, 0.5, 0.5])
+    x = t[:, None] * axis[None, :] + noise
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<double>",
+    )
+    mean, comps, evs = pca_train(df, dim=4, n_components=2)
+    assert abs(abs(np.dot(comps[0], axis)) - 1.0) < 1e-3
+    assert evs[0] > 50 * evs[1]
+
+
+def test_pca_project_zero_python_zero_shuffle(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.ml import pca_project
+    from remap_spark.plans import plan_report
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mean = [0.0] * 16
+    comps = [[1.0 if i == j else 0.0 for i in range(16)] for j in range(2)]
+    r = plan_report(pca_project(emb, mean, comps))
+    assert r["exchanges"] == 0, r["plan"]
+    assert "MapInPandas" not in r["plan"] and "BatchEvalPython" not in r["plan"]
