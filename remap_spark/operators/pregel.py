@@ -976,3 +976,135 @@ def pagerank_personalized(
         .run()
         .select("id", "rank")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous label propagation for community detection, FIXED
+    round count, fully deterministic: every vertex starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors, ties broken by (count DESC, label ASC); isolated
+    vertices keep their label. Synchronous LPA can oscillate on
+    bipartite structure, so the contract is exactly ``rounds``
+    bulk-synchronous updates — reproducible on any engine (the DuckDB
+    oracle unrolls the identical rounds), which is what a data
+    pipeline needs from a community assignment. Returns
+    (vertex_id, label).
+
+    Shape per round: one neighbor-label count aggregate (combiner on
+    the (vertex, label) key) + one vertex-keyed argmax window — two
+    exchanges per round over the label relation, edges reused from
+    their pre-shuffled checkpoint; lineage cut lazily per round like
+    every fixpoint loop here. Pair with ``graph_modularity`` to score
+    the resulting assignment."""
+    from pyspark.sql.window import Window
+
+    spark = edges.sparkSession
+    n = num_partitions or min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        max(4, edges.rdd.getNumPartitions()),
+    )
+    und = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(n, "src")
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .repartition(n, "id")
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("_c").desc(), F.col("_lbl").asc()
+    )
+    for _ in range(rounds):
+        nb = (
+            labels.select(F.col("id").alias("src"), F.col("label").alias("_lbl"))
+            .join(sym, "src")
+            .groupBy(F.col("dst").alias("id"), "_lbl")
+            .agg(F.count("*").alias("_c"))
+        )
+        best = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("id", F.col("_lbl").alias("_new"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id", F.coalesce(F.col("_new"), F.col("label")).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("id").alias("vertex_id"), "label")
+
+
+def graph_modularity(
+    edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Newman modularity of a community assignment, ppm-EXACT: with m
+    undirected edges, e_c internal edges and deg_c total degree per
+    community, Q = sum_c (4*m*e_c - deg_c^2) / (4*m^2) — evaluated as
+    one integer rational in decimal(38,0) (HUGEINT in the oracle), so
+    the readout replays bit-for-bit. Returns one row
+    (m_edges, n_communities, q_ppm). Labels: (vertex_id, label).
+
+    Shape: symmetrize + two broadcast-or-shuffle label joins onto the
+    edge relation, then combiner aggregates whose output is
+    communities-sized; the final fold is a one-row rational. Self
+    loops excluded, multi-edges deduped — the standard simple-graph
+    convention."""
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    la = labels.select(F.col("vertex_id").alias("a"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("vertex_id").alias("b"), F.col("label").alias("_lb"))
+    tagged = und.join(la, "a").join(lb, "b")
+    internal = (
+        tagged.where(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    deg = (
+        tagged.select(F.col("_la").alias("label"))
+        .unionByName(tagged.select(F.col("_lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count("*").alias("deg_c"))
+    )
+    per_c = deg.join(internal, "label", "left").select(
+        "label",
+        F.coalesce("e_c", F.lit(0)).alias("e_c"),
+        "deg_c",
+    )
+    # edge total rides IN-PLAN as a broadcast 1-row relation (the
+    # tfidf/_doc_shingles idiom) — zero extra driver actions
+    mrel = und.agg(F.count("*").cast("decimal(38,0)").alias("_m"))
+    num = per_c.join(F.broadcast(mrel)).agg(
+        F.sum(
+            F.lit(4).cast("decimal(38,0)") * F.col("_m") * F.col("e_c")
+            - F.col("deg_c").cast("decimal(38,0)") * F.col("deg_c")
+        ).alias("_num"),
+        F.count("*").alias("n_communities"),
+        F.max("_m").alias("_mx"),
+    )
+    return num.select(
+        F.col("_mx").cast("bigint").alias("m_edges"),
+        F.col("n_communities").cast("bigint").alias("n_communities"),
+        F.expr("CAST(_num * 1000000 div (4 * _mx * _mx) AS BIGINT)").alias(
+            "q_ppm"
+        ),
+    )

@@ -370,3 +370,140 @@ def test_pca_project_zero_python_zero_shuffle(spark):
     r = plan_report(pca_project(emb, mean, comps))
     assert r["exchanges"] == 0, r["plan"]
     assert "MapInPandas" not in r["plan"] and "BatchEvalPython" not in r["plan"]
+
+
+# ---------------------------------------------------------------------------
+# label propagation + modularity
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles bridged by one edge resolve into two communities
+    under the deterministic (count DESC, label ASC) tie-break."""
+    from remap_spark.operators.pregel import label_propagation
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.vertex_id: r.label
+        for r in label_propagation(df, rounds=4).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def _py_lpa(edges, rounds):
+    """Independent synchronous reference with the same tie-break."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    lbl = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            counts = Counter(lbl[u] for u in adj[v])
+            best = min(counts, key=lambda x: (-counts[x], x))
+            new[v] = best
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_matches_sync_reference(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.pregel import label_propagation
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    g = li.select(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    )
+    got = {
+        r.vertex_id: r.label
+        for r in label_propagation(g, rounds=3).collect()
+    }
+    edges = [(r.src, r.dst) for r in g.collect()]
+    want = _py_lpa(edges, 3)
+    assert got == want
+    assert len(set(got.values())) > 1  # non-vacuous split
+
+
+def test_modularity_hand_computed(spark):
+    from remap_spark.operators.pregel import graph_modularity
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 3), (5, 3), (6, 3)],
+        "vertex_id bigint, label bigint",
+    )
+    r = graph_modularity(df, labels).collect()[0]
+    # m=7; both communities: e_c=3, deg_c=7 -> Q = 70/196
+    assert (r.m_edges, r.n_communities, r.q_ppm) == (7, 2, 357_142)
+    # single community: Q = (4*7*7 - 196)/196 = 0
+    one = spark.createDataFrame(
+        [(v, 0) for v in range(1, 7)], "vertex_id bigint, label bigint"
+    )
+    assert graph_modularity(df, one).collect()[0].q_ppm == 0
+
+
+def test_modularity_lpa_beats_random_and_matches_duckdb(spark):
+    """LPA communities must score higher modularity than a hash-random
+    assignment, and the readout replays in DuckDB."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.pregel import graph_modularity, label_propagation
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    g = li.select(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    )
+    lpa = label_propagation(g, rounds=3)
+    q_lpa = graph_modularity(g, lpa).collect()[0].q_ppm
+    rand = lpa.select("vertex_id", (F.col("vertex_id") % 7).alias("label"))
+    q_rand = graph_modularity(g, rand).collect()[0].q_ppm
+    assert q_lpa > q_rand
+
+    got = graph_modularity(
+        g, lpa.select("vertex_id", (F.col("vertex_id") % 10).alias("label"))
+    )
+    srows, scols = got.collect(), got.columns
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH und AS (
+              SELECT DISTINCT LEAST(l_orderkey % 400, l_partkey % 400) AS a,
+                     GREATEST(l_orderkey % 400, l_partkey % 400) AS b
+              FROM lineitem
+              WHERE l_orderkey % 400 != l_partkey % 400
+            ),
+            tagged AS (SELECT a, b, a % 10 AS la, b % 10 AS lb FROM und),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS mm FROM und),
+            internal AS (
+              SELECT la AS label, COUNT(*) AS e_c FROM tagged
+              WHERE la = lb GROUP BY la
+            ),
+            deg AS (
+              SELECT label, COUNT(*) AS deg_c FROM (
+                SELECT la AS label FROM tagged
+                UNION ALL SELECT lb FROM tagged
+              ) GROUP BY label
+            ),
+            per_c AS (
+              SELECT d.label, COALESCE(i.e_c, 0) AS e_c, d.deg_c
+              FROM deg d LEFT JOIN internal i USING (label)
+            )
+            SELECT CAST(mm AS BIGINT) AS m_edges,
+                   CAST(COUNT(*) AS BIGINT) AS n_communities,
+                   CAST(SUM(4 * mm * e_c - CAST(deg_c AS HUGEINT) * deg_c)
+                        * 1000000 // (4 * mm * mm) AS BIGINT) AS q_ppm
+            FROM per_c CROSS JOIN m GROUP BY mm
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
