@@ -926,6 +926,102 @@ def _ppr_oracle(steps: int = 10, d: float = 0.85) -> str:
     )
 
 
+def ext_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 synchronous LPA rounds on the lineitem co-occurrence graph
+    folded onto 400 vertices; the oracle unrolls the identical rounds."""
+    from ..operators.pregel import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    )
+    return label_propagation(g, rounds=3).orderBy("vertex_id")
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    ctes = [
+        """und AS (
+      SELECT DISTINCT l_orderkey % 400 AS src, l_partkey % 400 AS dst
+      FROM lineitem WHERE l_orderkey % 400 != l_partkey % 400)""",
+        """sym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und))""",
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""l{k + 1} AS MATERIALIZED (
+      SELECT v.id, COALESCE(b.new_l, v.label) AS label
+      FROM l{k} v
+      LEFT JOIN (
+        SELECT id, lbl AS new_l FROM (
+          SELECT e.dst AS id, l.label AS lbl,
+                 row_number() OVER (PARTITION BY e.dst
+                   ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM l{k} l JOIN sym e ON e.src = l.id
+          GROUP BY e.dst, l.label
+        ) WHERE rn = 1
+      ) b ON b.id = v.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT id AS vertex_id, label FROM l{rounds} ORDER BY vertex_id"""
+    )
+
+
+def ext_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (ppm-exact integer rational) of the
+    vertex%10 partition of the 400-vertex lineitem graph."""
+    from ..operators.pregel import graph_modularity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        (F.col("l_orderkey") % 400).alias("src"),
+        (F.col("l_partkey") % 400).alias("dst"),
+    )
+    verts = (
+        g.select(F.col("src").alias("vertex_id"))
+        .unionByName(g.select(F.col("dst").alias("vertex_id")))
+        .distinct()
+    )
+    labels = verts.select(
+        "vertex_id", (F.col("vertex_id") % 10).alias("label")
+    )
+    return graph_modularity(g, labels)
+
+
+_MODULARITY_SQL = """
+    WITH und AS (
+      SELECT DISTINCT LEAST(l_orderkey % 400, l_partkey % 400) AS a,
+             GREATEST(l_orderkey % 400, l_partkey % 400) AS b
+      FROM lineitem WHERE l_orderkey % 400 != l_partkey % 400
+    ),
+    tagged AS (SELECT a, b, a % 10 AS la, b % 10 AS lb FROM und),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS mm FROM und),
+    internal AS (
+      SELECT la AS label, COUNT(*) AS e_c FROM tagged
+      WHERE la = lb GROUP BY la
+    ),
+    deg AS (
+      SELECT label, COUNT(*) AS deg_c FROM (
+        SELECT la AS label FROM tagged UNION ALL SELECT lb FROM tagged
+      ) GROUP BY label
+    ),
+    per_c AS (
+      SELECT d.label, COALESCE(i.e_c, 0) AS e_c, d.deg_c
+      FROM deg d LEFT JOIN internal i USING (label)
+    )
+    SELECT CAST(mm AS BIGINT) AS m_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(4 * mm * e_c - CAST(deg_c AS HUGEINT) * deg_c)
+                * 1000000 // (4 * mm * mm) AS BIGINT) AS q_ppm
+    FROM per_c CROSS JOIN m GROUP BY mm
+"""
+
+
 STAGED_QUERIES = {
     "ext_sample_wor": ext_sample_wor,
     "ext_expectations": ext_expectations,
@@ -950,6 +1046,8 @@ STAGED_QUERIES = {
     "ext_table_changes": ext_table_changes,
     "ext_segment_overlap": ext_segment_overlap,
     "ext_pagerank_personalized": ext_pagerank_personalized,
+    "ext_label_propagation": ext_label_propagation,
+    "ext_modularity": ext_modularity,
 }
 
 STAGED_ORACLES = {
@@ -976,4 +1074,6 @@ STAGED_ORACLES = {
     "ext_table_changes": _TABLE_CHANGES_SQL,
     "ext_segment_overlap": _SEGMENT_OVERLAP_SQL,
     "ext_pagerank_personalized": _ppr_oracle(),
+    "ext_label_propagation": _lpa_oracle(),
+    "ext_modularity": _MODULARITY_SQL,
 }
