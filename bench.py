@@ -37,6 +37,8 @@ def _fresh_mode(query_names: list[str]) -> None:
         "import sys, time, json; sys.path.insert(0, {root!r});"
         "from remap_spark.engine import build_session;"
         "from remap_spark.queries import ALL_QUERIES;"
+        "from remap_spark.queries.staged_r7 import STAGED_QUERIES;"
+        "ALL_QUERIES = dict(ALL_QUERIES, **STAGED_QUERIES);"
         "spark = build_session(app_name='bench_fresh');"
         "spark.sparkContext.setLogLevel('ERROR');"
         "q = ALL_QUERIES[{name!r}];"
@@ -71,6 +73,16 @@ def _fresh_mode(query_names: list[str]) -> None:
 def main() -> None:
     from remap_spark.engine import build_session
     from remap_spark.queries import ALL_QUERIES
+
+    # round-7 staged queries (queries/staged_r7.py) ride the bench
+    # before registration so their perf record starts a round early;
+    # on promotion the dict merge below becomes a no-op
+    try:
+        from remap_spark.queries.staged_r7 import STAGED_QUERIES
+
+        ALL_QUERIES = {**ALL_QUERIES, **STAGED_QUERIES}
+    except ImportError:
+        pass
 
     fresh = os.environ.get("SPARK_GRAFT_BENCH_FRESH")
     if fresh:
