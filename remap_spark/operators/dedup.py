@@ -1149,3 +1149,61 @@ def soft_dedup_weights(
         .cast("bigint")
         .alias("weight_ppm"),
     )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bits: int = 64,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Generic pigeonhole near-dup join over a fixed-width integer
+    hash column (the simhash_pairs trick, width-parametric): split the
+    ``bits``-bit hash into ``max_hamming + 1`` blocks — any pair
+    within the distance bound shares at least one exact block — so
+    candidates come from block equi-joins (combiner-dedupable,
+    AQE-splittable), never a quadratic scan; verification is
+    bit_count(xor). Returns (id_a, id_b, hamming). Feeds image dHash
+    (operators/multimodal.image_near_dup_pairs) or any external
+    64-bit fingerprint (pHash, audio chromaprints, ssdeep-folded)."""
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    if width == 0:
+        raise ValueError(
+            f"max_hamming={max_hamming} too large for {bits}-bit hashes"
+        )
+    rows = df.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    blocks = None
+    for blk in range(nblocks):
+        shift = blk * width
+        w = width if blk < nblocks - 1 else bits - shift
+        key = F.shiftrightunsigned(F.col("_h"), shift).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+        frame = rows.select(
+            F.lit(blk).alias("blk"), key.alias("key"), "_id", "_h"
+        )
+        blocks = frame if blocks is None else blocks.unionByName(frame)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return cand.select("id_a", "id_b", dist.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -36,11 +36,11 @@ AUDIO_FEATURES_SCHEMA = "media_id bigint, n_samples int, features array<float>"
 FRAME_SAMPLE_SCHEMA = "media_id bigint, frame_idx int, frame binary"
 
 
-def _decode_bmp(blob: bytes):
-    """REAL image decode for uncompressed 24-bit BMP — pure stdlib
-    struct + numpy, no imaging library. Returns (width, height,
-    8-float features): mean R/G/B plus luminance mean/std/min/max and
-    the fraction of above-mean-luminance pixels."""
+def _decode_bmp_px(blob: bytes):
+    """Pixel stage of the BMP decoder: returns (width, height,
+    (h, w, 3) float RGB array). The feature wrapper below keeps the
+    original (w, h, feats) contract; the pixel form feeds perceptual
+    hashing (image_dhash)."""
     import struct
 
     import numpy as np
@@ -60,19 +60,16 @@ def _decode_bmp(blob: bytes):
     )
     if bottom_up:
         px = px[::-1]
-    b, g, r = px[..., 0], px[..., 1], px[..., 2]  # BMP stores BGR
-    lum = 0.299 * r + 0.587 * g + 0.114 * b
-    feats = [
-        float(r.mean()) / 255.0,
-        float(g.mean()) / 255.0,
-        float(b.mean()) / 255.0,
-        float(lum.mean()) / 255.0,
-        float(lum.std()) / 255.0,
-        float(lum.min()) / 255.0,
-        float(lum.max()) / 255.0,
-        float((lum > lum.mean()).mean()),
-    ]
-    return w, h, feats
+    return w, h, px[..., ::-1]  # BMP stores BGR; emit RGB
+
+
+def _decode_bmp(blob: bytes):
+    """REAL image decode for uncompressed 24-bit BMP — pure stdlib
+    struct + numpy, no imaging library. Returns (width, height,
+    8-float features): mean R/G/B plus luminance mean/std/min/max and
+    the fraction of above-mean-luminance pixels."""
+    w, h, px = _decode_bmp_px(blob)
+    return w, h, _rgb_features(px)
 
 
 def _rgb_features(px):
@@ -93,8 +90,8 @@ def _rgb_features(px):
     ]
 
 
-def _decode_png(blob: bytes):
-    """REAL image decode for 8-bit truecolor PNG (color types 2 RGB /
+def _decode_png_px(blob: bytes):
+    """Pixel stage of the PNG decoder (see _decode_png). REAL image decode for 8-bit truecolor PNG (color types 2 RGB /
     6 RGBA, no interlace) — PNG is zlib-deflated filtered scanlines,
     so stdlib ``zlib`` + ``struct`` suffice; no imaging library.
     Implements all five scanline filters (None/Sub/Up/Average/Paeth,
@@ -168,6 +165,13 @@ def _decode_png(blob: bytes):
         out[y] = rec.astype(np.uint8)
         prev = rec
     px = out.reshape(h, w, ch)[:, :, :3].astype(np.float64)
+    return w, h, px
+
+
+def _decode_png(blob: bytes):
+    """Feature wrapper over _decode_png_px — the original (w, h,
+    8-float features) contract (alpha ignored)."""
+    w, h, px = _decode_png_px(blob)
     return w, h, _rgb_features(px)
 
 
@@ -399,8 +403,8 @@ def _jpeg_ac_refine(br, blk, k0, se, al, table, eobrun):
     return eobrun
 
 
-def _decode_jpeg(blob: bytes):
-    """REAL image decode for Huffman JPEG, baseline sequential
+def _decode_jpeg_px(blob: bytes):
+    """Pixel stage of the JPEG decoder (see _decode_jpeg). REAL image decode for Huffman JPEG, baseline sequential
     (SOF0/SOF1) AND progressive (SOF2) — pure stdlib struct + numpy,
     no imaging library. Marker parse (DQT/DHT/SOF/DRI/SOS); every
     scan decodes into per-component zigzag COEFFICIENT stores (the
@@ -542,6 +546,13 @@ def _decode_jpeg(blob: bytes):
         )
     else:
         raise ValueError(f"unsupported component count {len(comps)}")
+    return w, h, px
+
+
+def _decode_jpeg(blob: bytes):
+    """Feature wrapper over _decode_jpeg_px — the original (w, h,
+    8-float features) contract."""
+    w, h, px = _decode_jpeg_px(blob)
     return w, h, _rgb_features(px)
 
 
@@ -587,8 +598,8 @@ def _gif_lzw(data: bytes, min_code: int, npix: int):
     return out
 
 
-def _decode_gif(blob: bytes):
-    """REAL image decode for GIF87a/GIF89a — stdlib + numpy, no
+def _decode_gif_px(blob: bytes):
+    """Pixel stage of the GIF decoder (see _decode_gif). REAL image decode for GIF87a/GIF89a — stdlib + numpy, no
     imaging library: logical screen descriptor, global/local color
     tables, extension skipping, first image descriptor, LZW
     decompress, 4-pass interlace reorder, palette lookup. Returns
@@ -648,12 +659,19 @@ def _decode_gif(blob: bytes):
                 deinter[order] = rows
                 rows = deinter
             px = pal[rows].astype(np.float64)
-            return w, h, _rgb_features(px)
+            return w, h, px
         elif b0 == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
     raise ValueError("no image data in GIF")
+
+
+def _decode_gif(blob: bytes):
+    """Feature wrapper over _decode_gif_px — the original (w, h,
+    8-float features) contract (frame one, like any thumbnailer)."""
+    w, h, px = _decode_gif_px(blob)
+    return w, h, _rgb_features(px)
 
 
 def _decode_wav(blob: bytes):
@@ -1172,3 +1190,114 @@ def repartition_for_media(
         approx_total_rows = max(1, sum(sizes) // max(1, approx_row_bytes))
     n = max(1, approx_total_rows // rows_per_part)
     return df.repartition(n)
+
+
+def _decode_image_px(blob: bytes):
+    """Pixel dispatch (the _decode_image_impl sniffing order, no fake
+    tier — perceptual hashing needs real pixels or nothing): returns
+    (w, h, (h, w, 3) float RGB array) or raises."""
+    if blob[:2] == b"BM" and len(blob) >= 54:
+        try:
+            return _decode_bmp_px(blob)
+        except Exception:
+            pass
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            return _decode_png_px(blob)
+        except Exception:
+            pass
+    if blob[:2] == b"\xff\xd8":
+        try:
+            return _decode_jpeg_px(blob)
+        except Exception:
+            pass
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return _decode_gif_px(blob)
+        except Exception:
+            pass
+    raise ValueError("undecodable image payload (no native codec matched)")
+
+
+def _dhash64(px) -> int:
+    """64-bit difference hash: luminance -> 8x9 area-mean grid ->
+    horizontal gradient sign bits, row-major. Deterministic (pure
+    integer bin edges, float64 means)."""
+    import numpy as np
+
+    lum = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    h, w = lum.shape
+    ys = np.linspace(0, h, 9, dtype=np.int64)
+    xs = np.linspace(0, w, 10, dtype=np.int64)
+    grid = np.empty((8, 9))
+    for i in range(8):
+        for j in range(9):
+            cell = lum[ys[i] : max(ys[i + 1], ys[i] + 1),
+                       xs[j] : max(xs[j + 1], xs[j] + 1)]
+            grid[i, j] = cell.mean()
+    bits = (grid[:, 1:] > grid[:, :-1]).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # map to signed int64 for a BIGINT column
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_dhash(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual difference-hash per image: (media_id, dhash bigint,
+    width, height). Robust to re-encoding, scaling, and mild
+    brightness shifts — the image twin of content_fingerprint. Decode
+    + hash run in one Arrow mapInPandas over the binary column (the
+    documented multimodal Python tier: the work IS pixel math);
+    everything downstream (near-dup blocking) is pure relational.
+    Undecodable payloads yield NULL dhash instead of failing the
+    batch — route them to a quarantine filter."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hs, ws, hts = [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    w, h, px = _decode_image_px(bytes(blob or b""))
+                    hs.append(_dhash64(px))
+                    ws.append(w)
+                    hts.append(h)
+                except Exception:
+                    hs.append(None)
+                    ws.append(None)
+                    hts.append(None)
+                ids.append(mid)
+            yield pd.DataFrame(
+                {"media_id": ids, "dhash": hs, "width": ws, "height": hts}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema="media_id bigint, dhash bigint, width int, height int"
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming distance — decode
+    once, then the generic 64-bit pigeonhole blocking
+    (operators/dedup.hamming_pairs): candidates only from exact-block
+    equi-joins, verified with bit_count(xor). No pixel ever crosses a
+    shuffle; the join works on (id, bigint) rows."""
+    from .dedup import hamming_pairs
+
+    hashes = image_dhash(df, media_col, id_col).where(
+        F.col("dhash").isNotNull()
+    )
+    return hamming_pairs(
+        hashes, "dhash", "media_id", bits=64, max_hamming=max_hamming
+    )
