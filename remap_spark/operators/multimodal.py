@@ -674,11 +674,11 @@ def _decode_gif(blob: bytes):
     return w, h, _rgb_features(px)
 
 
-def _decode_wav(blob: bytes):
-    """REAL audio decode for PCM WAV — stdlib ``wave`` + numpy, no
-    audio library. Returns (n_frames, 8-float features): RMS,
-    zero-crossing rate, peak, mean, std, and duration/rate/channel
-    descriptors."""
+def _decode_wav_pcm(blob: bytes):
+    """Sample stage of the WAV decoder: returns (n_frames, sr, ch,
+    normalized mono float array). The feature wrapper below keeps the
+    original (n, feats) contract; the sample form feeds audio
+    fingerprinting (audio_fingerprint)."""
     import io
     import wave
 
@@ -696,6 +696,15 @@ def _decode_wav(blob: bytes):
         x = x - 128.0
     x = x.reshape(-1, ch).mean(axis=1)
     x = x / float(1 << (8 * sw - 1))
+    return n, sr, ch, x
+
+
+def _decode_wav(blob: bytes):
+    """REAL audio decode for PCM WAV — stdlib ``wave`` + numpy, no
+    audio library. Returns (n_frames, 8-float features): RMS,
+    zero-crossing rate, peak, mean, std, and duration/rate/channel
+    descriptors."""
+    n, sr, ch, x = _decode_wav_pcm(blob)
     return n, _pcm_features(x, sr, n, ch)
 
 
@@ -835,8 +844,9 @@ def _flac_subframe(br: _FlacBits, blocksize: int, bps: int) -> list:
     return out
 
 
-def _decode_flac(blob: bytes):
-    """REAL audio decode for native FLAC — pure stdlib + numpy, no
+def _decode_flac_pcm(blob: bytes):
+    """Sample stage of the FLAC decoder (see _decode_flac). REAL
+    audio decode for native FLAC — pure stdlib + numpy, no
     audio library: metadata/STREAMINFO parse, per-frame bit-level
     decode of all four subframe types (CONSTANT / VERBATIM / FIXED /
     LPC) with Rice-coded residual partitions, wasted-bits, and
@@ -934,6 +944,13 @@ def _decode_flac(blob: bytes):
         pos = br.bytepos + 2  # skip frame CRC-16
     x = np.array(chans, dtype=np.float64).mean(axis=0)
     x = x / float(1 << (bps - 1))
+    return n_frames, sr, ch, x
+
+
+def _decode_flac(blob: bytes):
+    """Feature wrapper over _decode_flac_pcm — the original
+    (n_frames, 8-float features) contract (the _decode_wav twin)."""
+    n_frames, sr, ch, x = _decode_flac_pcm(blob)
     return n_frames, _pcm_features(x, sr, n_frames, ch)
 
 
@@ -1300,4 +1317,104 @@ def image_near_dup_pairs(
     )
     return hamming_pairs(
         hashes, "dhash", "media_id", bits=64, max_hamming=max_hamming
+    )
+
+
+def _decode_audio_pcm(blob: bytes):
+    """Sample dispatch (the _decode_audio_impl sniffing order, no fake
+    tier): returns (n_frames, sr, ch, normalized mono float array)."""
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        try:
+            return _decode_wav_pcm(blob)
+        except Exception:
+            pass
+    if blob[:4] == b"fLaC":
+        try:
+            return _decode_flac_pcm(blob)
+        except Exception:
+            pass
+    raise ValueError("undecodable audio payload (no native codec matched)")
+
+
+def _audio_fp64(x, n_frames: int) -> int:
+    """64-bit audio fingerprint: band-energy spectrogram (9 time
+    windows x 9 frequency bands via numpy rFFT) -> temporal-gradient
+    sign bits over 8 consecutive window pairs x 8 band pairs,
+    row-major — the audio twin of image dHash (robust to gain because
+    only energy DELTAS are signed, deterministic because windows are
+    integer slices)."""
+    import numpy as np
+
+    wins = np.linspace(0, len(x), 10, dtype=np.int64)
+    grid = np.zeros((9, 9))
+    for t in range(9):
+        seg = x[wins[t] : max(wins[t + 1], wins[t] + 1)]
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        bands = np.linspace(0, len(spec), 10, dtype=np.int64)
+        for b in range(9):
+            s = spec[bands[b] : max(bands[b + 1], bands[b] + 1)]
+            grid[t, b] = float(s.sum())
+    bits = (grid[1:, :-1] > grid[:-1, :-1]).ravel()
+    val = 0
+    for bt in bits:
+        val = (val << 1) | int(bt)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual fingerprint per audio payload: (media_id, afp
+    bigint, n_frames, sample_rate). Decode + FFT-band hashing run in
+    one Arrow mapInPandas (the documented multimodal Python tier);
+    downstream near-dup blocking is pure relational via
+    dedup.hamming_pairs — gain-shifted or re-containered (WAV vs
+    FLAC) copies of the same signal collide. Undecodable payloads
+    yield NULL."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps, ns, srs = [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    n, sr, _ch, x = _decode_audio_pcm(bytes(blob or b""))
+                    fps.append(_audio_fp64(x, n))
+                    ns.append(n)
+                    srs.append(sr)
+                except Exception:
+                    fps.append(None)
+                    ns.append(None)
+                    srs.append(None)
+                ids.append(mid)
+            yield pd.DataFrame(
+                {"media_id": ids, "afp": fps, "n_frames": ns,
+                 "sample_rate": srs}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run,
+        schema="media_id bigint, afp bigint, n_frames bigint, "
+        "sample_rate int",
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate audio pairs by fingerprint hamming distance —
+    the image_near_dup_pairs twin over audio payloads."""
+    from .dedup import hamming_pairs
+
+    fps = audio_fingerprint(df, media_col, id_col).where(
+        F.col("afp").isNotNull()
+    )
+    return hamming_pairs(
+        fps, "afp", "media_id", bits=64, max_hamming=max_hamming
     )

@@ -621,3 +621,75 @@ def test_hamming_pairs_generic_losslessness(spark):
                 want[(min(ia, ib), max(ia, ib))] = d
     assert got == want
     assert len(want) >= 20  # the planted clusters
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_invariances(spark):
+    import math
+    import sys
+    sys.path.insert(0, "tests")
+    from test_extensions import _make_flac, _make_wav
+
+    from remap_spark.operators.multimodal import audio_fingerprint
+
+    # a two-tone signal whose band energies move over time
+    sig = [
+        int(8000 * math.sin(2 * math.pi * 440 * t / 8000)
+            * (0.3 + 0.7 * t / 4000))
+        + int(4000 * math.sin(2 * math.pi * 1200 * t / 8000)
+              * (1.0 - t / 4000))
+        for t in range(4000)
+    ]
+    half = [s // 2 for s in sig]
+    rev = list(reversed(sig))
+    short = sig[:256]  # the test FLAC builder writes one <=256 frame
+    df = spark.createDataFrame(
+        [
+            (1, _make_wav(sig)),
+            (2, _make_wav(half)),  # gain-shifted copy
+            (3, _make_wav(short)),
+            (4, _make_flac([short])),  # same signal, FLAC container
+            (5, _make_wav(rev)),  # different temporal structure
+            (6, b"junk"),
+        ],
+        "media_id bigint, media binary",
+    )
+    got = {r.media_id: r.afp for r in audio_fingerprint(df).collect()}
+    assert got[1] == got[2]  # gain invariant (energy-delta signs)
+    assert got[3] == got[4]  # container invariant (WAV == FLAC)
+    d = bin((got[1] ^ got[5]) & ((1 << 64) - 1)).count("1")
+    assert d >= 16  # reversed signal is far
+    assert got[6] is None
+
+
+def test_audio_near_dup_pairs(spark):
+    import math
+    import sys
+    sys.path.insert(0, "tests")
+    from test_extensions import _make_wav
+
+    from remap_spark.operators.multimodal import audio_near_dup_pairs
+
+    def tone(f, gain=8000, n=2000):
+        return [
+            int(gain * math.sin(2 * math.pi * f * t / 8000)
+                * (0.2 + 0.8 * t / n))
+            for t in range(n)
+        ]
+
+    rows = [
+        (1, _make_wav(tone(440))),
+        (2, _make_wav(tone(440, gain=4000))),  # same up to gain
+        (3, _make_wav(tone(2600))),  # different band
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, media binary")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 0
+    assert all(3 not in pair for pair in got)
