@@ -1207,3 +1207,135 @@ def hamming_pairs(
     return cand.select("id_a", "id_b", dist.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# position cap for the winnowing pos/hash integer encoding: 2^20 chars
+# per document keeps hash32 * 2^20 + pos inside 2^52 (exact in both
+# engines' integer and double domains)
+_WINNOW_MAX_POS = 1 << 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): hash every character k-gram, slide a window of
+    ``window`` consecutive grams, and select each window's minimal
+    hash (rightmost on ties — the density guarantee). Guarantees every
+    shared substring of length >= k + window - 1 contributes at least
+    one SHARED selected fingerprint, which is what makes the local
+    fingerprint robust to content shifting where fixed-stride
+    fingerprints break. Returns (doc, fp_hash, pos), distinct.
+
+    Engine-portable selection trick: (hash, rightmost-pos) minima are
+    ordered as ONE integer key hash32 * 2^20 + (2^20 - 1 - pos) — a
+    plain MIN over a ROWS window in any engine; documents are capped
+    at 2^20 characters (longer text is fingerprinted on its prefix;
+    chunk first if full coverage matters). Shape: the k-gram explode
+    every shingle pipeline pays, ONE doc-keyed window, one distinct —
+    no Python anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import portable_hash32
+
+    text = F.substring(F.col(text_col), 1, _WINNOW_MAX_POS)
+    # pos is the 0-based k-gram index (posexplode); char offset = pos+1
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(text) - (k - 1), F.lit(1)),
+                ),
+                lambda i: text.substr(i, F.lit(k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    key = portable_hash32("gram") * F.lit(_WINNOW_MAX_POS) + (
+        F.lit(_WINNOW_MAX_POS - 1) - F.col("pos")
+    )
+    w = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    sel = (
+        grams.select("doc", "pos", key.alias("key"))
+        .withColumn("_sel", F.min("key").over(w))
+        .where(F.col("pos") >= window - 1)  # full windows only
+        .select("doc", F.col("_sel").alias("key"))
+        .distinct()
+    )
+    return sel.select(
+        "doc",
+        F.expr(f"key div {_WINNOW_MAX_POS}").cast("bigint").alias("fp_hash"),
+        (
+            F.lit(_WINNOW_MAX_POS - 1)
+            - F.expr(f"key % {_WINNOW_MAX_POS}")
+        ).cast("int").alias("pos"),
+    )
+
+
+def winnow_similar_pairs(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs ranked by SHARED winnowing fingerprints — the
+    plagiarism/boilerplate detector that survives insertion and
+    reordering: (doc_a, doc_b, shared_fps, similarity_ppm) where
+    similarity = shared / min(|fps_a|, |fps_b|). Candidates come from
+    the fingerprint inverted index (combiner groupBy + posting
+    self-join, output bounded by sum of posting-list^2);
+    ``max_doc_freq`` drops boilerplate grams shared by too many
+    documents BEFORE the join — the same stop-gram economics as the
+    shingle pipelines."""
+    fps = winnow_fingerprints(df, k, window, text_col, id_col)
+    sizes = fps.groupBy("doc").agg(F.count("*").alias("_n"))
+    postings = fps.select("doc", "fp_hash").distinct()
+    if max_doc_freq is not None:
+        dfreq = postings.groupBy("fp_hash").agg(
+            F.count("*").alias("_df")
+        )
+        postings = postings.join(
+            dfreq.where(F.col("_df") <= max_doc_freq).select("fp_hash"),
+            "fp_hash",
+            "left_semi",
+        )
+    a, b = postings.alias("a"), postings.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("_n").alias("_nb"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.expr("shared_fps * 1000000 div least(_na, _nb)")
+            .cast("bigint")
+            .alias("similarity_ppm"),
+        )
+    )

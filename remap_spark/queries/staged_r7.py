@@ -1031,6 +1031,47 @@ _MODULARITY_SQL = """
 """
 
 
+def ext_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003) over a 5% doc
+    slice — the shift-robust local fingerprint; selection encoded as
+    one integer window-min so the oracle replays bit-for-bit."""
+    from ..operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 20 == 0
+    )
+    return winnow_fingerprints(docs, k=10, window=5).orderBy(
+        "doc", "fp_hash", "pos"
+    )
+
+
+_WINNOW_SQL = """
+    WITH t AS (SELECT doc_id AS doc, substr(text, 1, 1048576) AS s
+               FROM documents WHERE doc_id % 20 = 0),
+    idx AS (
+      SELECT doc, s,
+             unnest(generate_series(1, greatest(length(s) - 9, 1))) AS i
+      FROM t
+    ),
+    grams AS (
+      SELECT doc, i - 1 AS pos,
+             CAST('0x' || substr(md5(substr(s, i, 10)), 1, 8) AS BIGINT) AS h
+      FROM idx
+    ),
+    keyed AS (
+      SELECT doc, pos,
+             MIN(h * 1048576 + (1048575 - pos)) OVER (
+               PARTITION BY doc ORDER BY pos
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel
+      FROM grams
+    ),
+    chosen AS (SELECT DISTINCT doc, sel FROM keyed WHERE pos >= 4)
+    SELECT doc, CAST(sel // 1048576 AS BIGINT) AS fp_hash,
+           CAST(1048575 - (sel % 1048576) AS INT) AS pos
+    FROM chosen ORDER BY doc, fp_hash, pos
+"""
+
+
 STAGED_QUERIES = {
     "ext_sample_wor": ext_sample_wor,
     "ext_expectations": ext_expectations,
@@ -1057,6 +1098,7 @@ STAGED_QUERIES = {
     "ext_pagerank_personalized": ext_pagerank_personalized,
     "ext_label_propagation": ext_label_propagation,
     "ext_modularity": ext_modularity,
+    "ext_winnow": ext_winnow,
 }
 
 STAGED_ORACLES = {
@@ -1085,4 +1127,5 @@ STAGED_ORACLES = {
     "ext_pagerank_personalized": _ppr_oracle(),
     "ext_label_propagation": _lpa_oracle(),
     "ext_modularity": _MODULARITY_SQL,
+    "ext_winnow": _WINNOW_SQL,
 }

@@ -693,3 +693,135 @@ def test_audio_near_dup_pairs(spark):
     }
     assert (1, 2) in got and got[(1, 2)] == 0
     assert all(3 not in pair for pair in got)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text, k, w, cap=1 << 20):
+    """Independent winnowing reference: min hash per window, rightmost
+    on ties (Schleimer et al. 2003)."""
+    import hashlib
+
+    text = text[:cap]
+    n = max(len(text) - k + 1, 1)
+    hs = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(n)
+    ]
+    sel = set()
+    for e in range(w - 1, n):
+        h, negj = min((hs[j], -j) for j in range(e - w + 1, e + 1))
+        sel.add((h, -negj))
+    return sel
+
+
+def test_winnow_matches_reference_and_guarantee(spark):
+    from remap_spark.operators.dedup import winnow_fingerprints
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "XXXX the quick brown fox jumps over something else entirely"),
+        (3, "completely unrelated content with no overlap whatsoever!!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=8, window=4).collect():
+        got.setdefault(r.doc, set()).add((r.fp_hash, r.pos))
+    for did, text in docs:
+        assert got[did] == _py_winnow(text, 8, 4), did
+    # guarantee: docs 1 and 2 share 'the quick brown fox jumps over'
+    # (length >= k + window - 1 = 11) -> at least one shared hash
+    h1 = {h for h, _ in got[1]}
+    h2 = {h for h, _ in got[2]}
+    h3 = {h for h, _ in got[3]}
+    assert h1 & h2
+    assert not (h1 & h3)
+
+
+def test_winnow_fingerprints_match_documents_reference(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    got = {}
+    for r in winnow_fingerprints(docs, k=10, window=5).collect():
+        got.setdefault(r.doc, set()).add((r.fp_hash, r.pos))
+    for row in docs.select("doc_id", "text").collect():
+        assert got.get(row.doc_id, set()) == _py_winnow(row.text, 10, 5), (
+            row.doc_id
+        )
+
+
+def test_winnow_similar_pairs_shift_robust(spark):
+    from remap_spark.operators.dedup import winnow_similar_pairs
+
+    base = (
+        "machine learning systems require careful data curation and "
+        "deduplication before any serious training run can begin"
+    )
+    docs = [
+        (1, base),
+        (2, "PREFIX SHIFT >> " + base),  # shifted copy
+        (3, "totally different text about cooking pasta with tomatoes"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.similarity_ppm
+        for r in winnow_similar_pairs(df, k=8, window=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 700_000
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_match_duckdb(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = winnow_fingerprints(docs, k=10, window=5).orderBy(
+        "doc", "fp_hash", "pos"
+    )
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH t AS (SELECT doc_id AS doc, substr(text, 1, 1048576) AS s
+                       FROM documents),
+            idx AS (
+              SELECT doc, s,
+                     unnest(generate_series(1,
+                       greatest(length(s) - 9, 1))) AS i
+              FROM t
+            ),
+            grams AS (
+              SELECT doc, i - 1 AS pos,
+                     CAST('0x' || substr(md5(substr(s, i, 10)), 1, 8)
+                       AS BIGINT) AS h
+              FROM idx
+            ),
+            keyed AS (
+              SELECT doc, pos,
+                     h * 1048576 + (1048575 - pos) AS key,
+                     MIN(h * 1048576 + (1048575 - pos)) OVER (
+                       PARTITION BY doc ORDER BY pos
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sel
+              FROM grams
+            ),
+            chosen AS (
+              SELECT DISTINCT doc, sel FROM keyed WHERE pos >= 4
+            )
+            SELECT doc, CAST(sel // 1048576 AS BIGINT) AS fp_hash,
+                   CAST(1048575 - (sel % 1048576) AS INT) AS pos
+            FROM chosen ORDER BY doc, fp_hash, pos
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+    assert len(srows) == len(drows) > 0
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
