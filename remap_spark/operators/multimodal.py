@@ -1418,3 +1418,96 @@ def audio_near_dup_pairs(
     return hamming_pairs(
         fps, "afp", "media_id", bits=64, max_hamming=max_hamming
     )
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    every_k_frames: int = 1,
+) -> DataFrame:
+    """Per-frame perceptual hashes for video payloads: sample frames
+    (native RIFF-AVI walk; MJPEG frames are complete JPEGs) and dHash
+    each decodable frame — (media_id, frame_idx, dhash). Composes the
+    existing 1->N frame expansion with the image hash in a SECOND
+    Arrow pass over frame-sized (not video-sized) rows; undecodable
+    frames drop out (stub-sliced bytes from non-AVI payloads are
+    never decodable, so opaque fixtures simply yield zero rows)."""
+    frames = sample_frames(
+        df, media_col=media_col, id_col=id_col, every_k_frames=every_k_frames
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for mid, idx, blob in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                try:
+                    _w, _h, px = _decode_image_px(bytes(blob or b""))
+                    hs.append(_dhash64(px))
+                except Exception:
+                    continue
+                ids.append(mid)
+                idxs.append(idx)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "dhash": hs}
+            )
+
+    return frames.mapInPandas(
+        run, schema="media_id bigint, frame_idx int, dhash bigint"
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    min_shared_frames: int = 2,
+    every_k_frames: int = 1,
+) -> DataFrame:
+    """Near-duplicate video pairs: two videos match when they share
+    >= min_shared_frames EXACT frame dHashes (re-encoded/trimmed
+    copies keep most frame hashes; a trimmed copy still shares the
+    surviving frames). Candidates ride the frame-hash inverted index
+    — combiner groupBy on the 64-bit hash, posting self-join — so
+    cost is bounded by posting-list sizes, never |videos|^2, and no
+    frame bytes cross the second exchange. Returns
+    (id_a, id_b, shared_frames, frames_a, frames_b,
+    overlap_ppm = shared * 1e6 div min(frames))."""
+    hashes = video_frame_hashes(
+        df, media_col, id_col, every_k_frames
+    ).select("media_id", "dhash").distinct()
+    sizes = hashes.groupBy("media_id").agg(F.count("*").alias("_n"))
+    a, b = hashes.alias("a"), hashes.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.dhash") == F.col("b.dhash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared_frames)
+    )
+    na = sizes.select(F.col("media_id").alias("id_a"), F.col("_n").alias("frames_a"))
+    nb = sizes.select(F.col("media_id").alias("id_b"), F.col("_n").alias("frames_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_frames",
+            "frames_a",
+            "frames_b",
+            F.expr("shared_frames * 1000000 div least(frames_a, frames_b)")
+            .cast("bigint")
+            .alias("overlap_ppm"),
+        )
+    )

@@ -825,3 +825,61 @@ def test_winnow_match_duckdb(spark):
         con.close()
     assert len(srows) == len(drows) > 0
     assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+# ---------------------------------------------------------------------------
+# video frame-hash dedup
+# ---------------------------------------------------------------------------
+
+
+def test_video_near_dup_pairs_trimmed_copy(spark):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_extensions import _make_bmp, _make_mjpeg_avi
+
+    from remap_spark.operators.multimodal import (
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    def img(kind):
+        rows = []
+        for y in range(16):
+            row = []
+            for x in range(24):
+                if kind == "h":
+                    v = (x * 255) // 23
+                elif kind == "v":
+                    v = (y * 255) // 15
+                else:
+                    v = ((x + y) * 255) // 38
+                row.append((v, v, v))
+            rows.append(row)
+        return _make_bmp(24, 16, rows)
+
+    f1, f2, f3 = img("h"), img("v"), img("d")
+    inv = _make_bmp(
+        24, 16,
+        [[(255 - v, 255 - v, 255 - v) for (v, _, _) in row]
+         for row in _gradient_img(24, 16)],
+    )
+    vids = [
+        (1, _make_mjpeg_avi([f1, f2, f3])),
+        (2, _make_mjpeg_avi([f2, f3])),  # trimmed copy
+        (3, _make_mjpeg_avi([inv, inv])),  # unrelated
+        (4, b"opaque non-avi payload"),  # stub path: zero decodable frames
+    ]
+    df = spark.createDataFrame(vids, "media_id bigint, media binary")
+
+    fh = video_frame_hashes(df)
+    per_vid = {}
+    for r in fh.collect():
+        per_vid.setdefault(r.media_id, []).append((r.frame_idx, r.dhash))
+    assert len(per_vid[1]) == 3 and len(per_vid[2]) == 2
+    assert 4 not in per_vid  # stub slices are not decodable images
+
+    pairs = {
+        (r.id_a, r.id_b): (r.shared_frames, r.overlap_ppm)
+        for r in video_near_dup_pairs(df, min_shared_frames=2).collect()
+    }
+    assert pairs == {(1, 2): (2, 1_000_000)}  # 2 shared / min(3,2)=2
