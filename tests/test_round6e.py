@@ -883,3 +883,50 @@ def test_video_near_dup_pairs_trimmed_copy(spark):
         for r in video_near_dup_pairs(df, min_shared_frames=2).collect()
     }
     assert pairs == {(1, 2): (2, 1_000_000)}  # 2 shared / min(3,2)=2
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood pairs
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    """Blocked rank-band pairs == brute-force global-sort window pairs
+    — including across bucket-prefix boundaries."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.linkage import sorted_neighborhood_pairs
+
+    cust = load_table(spark, SF_DIR, "customer")
+    w = 4
+    got = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            cust, "c_name", "c_custkey", window=w, bucket_len=12
+        ).collect()
+    }
+    rows = sorted(
+        (r.c_name, r.c_custkey)
+        for r in cust.select("c_name", "c_custkey").collect()
+    )
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, min(i + w, len(rows))):
+            want.add((rows[i][1], rows[j][1]))
+    assert got == want
+    assert len(want) > 100
+
+
+def test_sorted_neighborhood_cross_bucket_boundary(spark):
+    from remap_spark.operators.linkage import sorted_neighborhood_pairs
+
+    # keys straddling the 4-char bucket prefix boundary: 'aaaz' sorts
+    # right before 'aabA' but their buckets differ
+    rows = [(1, "aaay"), (2, "aaaz"), (3, "aabA"), (4, "aabB"), (5, "zzzz")]
+    df = spark.createDataFrame(rows, "rid bigint, k string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "k", "rid", window=2, bucket_len=4
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 3), (3, 4), (4, 5)}
