@@ -930,3 +930,80 @@ def test_sorted_neighborhood_cross_bucket_boundary(spark):
         ).collect()
     }
     assert got == {(1, 2), (2, 3), (3, 4), (4, 5)}
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_merge_equals_full(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.rollup import (
+        cms_query,
+        cms_state,
+        merge_cms_state,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_partkey").alias("v")
+    )
+    state = cms_state(li, "v", width=512, depth=4)
+    values = li.distinct()
+    est = {
+        r.value: r.est_count
+        for r in cms_query(state, values, "v", width=512, depth=4).collect()
+    }
+    true = {
+        str(r.v): r.c
+        for r in li.groupBy("v").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(true.values())
+    over = 0
+    for v, t in true.items():
+        assert est[v] >= t, v  # CMS never undercounts
+        over += est[v] - t
+    # average overcount well inside the 2N/width bound
+    assert over / len(true) <= 2 * n / 512
+
+    # merge(state(half1), state(half2)) == state(full), row-identical
+    h1 = li.where(F.col("v") % 2 == 0)
+    h2 = li.where(F.col("v") % 2 != 0)
+    merged = merge_cms_state(
+        cms_state(h1, "v", width=512, depth=4),
+        cms_state(h2, "v", width=512, depth=4),
+    )
+    a = {(r.d, r.w): r.cnt for r in merged.collect()}
+    b = {(r.d, r.w): r.cnt for r in state.collect()}
+    assert a == b
+
+
+def test_cms_match_duckdb(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.rollup import cms_state
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_partkey").alias("v")
+    )
+    got = cms_state(li, "v", width=256, depth=3).orderBy("d", "w")
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH probes AS (
+              SELECT d,
+                CAST(CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)
+                  || '|cms' || d), 1, 13) AS BIGINT) % 256 AS INT) AS w
+              FROM lineitem, (VALUES (0), (1), (2)) dd(d)
+            )
+            SELECT d, w, COUNT(*) AS cnt FROM probes
+            GROUP BY d, w ORDER BY d, w
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+    assert len(srows) == len(drows) > 0
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
