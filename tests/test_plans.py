@@ -158,8 +158,10 @@ def test_no_unbounded_driver_actions_in_operator_sources():
         # is the algorithm's sequential part
         "text.py": {".collect()"},
         # logistic_train: d+1 gradient floats per round — the model is
-        # driver-sized by definition; the data never moves
-        "ml.py": {".first()"},
+        # driver-sized by definition; the data never moves.
+        # pca_train: the collected partial-sum relation is d^2+d+1 rows
+        # (the d x d gram matrix) — model-sized by construction
+        "ml.py": {".first()", ".collect()"},
         # assert_expectations: the report relation is rule-count-sized
         # by construction (one row per declared expectation)
         "expectations.py": {".collect()"},

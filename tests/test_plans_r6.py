@@ -24,6 +24,8 @@ def test_no_staged_query_plans_a_cartesian_product(spark):
         "ext_skew_report",  # 1-row totals relation
         "ext_crosstab_chi2",  # 1-row grand-total relation
         "ext_kmv_set_ops",  # <=3k-row sketch-stat relations
+        "ext_segment_overlap",  # |segments|-row sketch-stat pair join
+        "ext_modularity",  # 1-row in-plan edge-total broadcast
     }
     bad = []
     for name, fn in STAGED_QUERIES.items():
