@@ -623,3 +623,41 @@ def test_rollup_merge_equals_full_property(spark, hist, batch):
     m = sorted(tuple(r) for r in merged.collect())
     f = sorted(tuple(r) for r in full.collect())
     assert m == f
+
+
+_winnow_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll",), max_codepoint=0x024F
+        ),
+        min_size=12,
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_winnow_texts, kw=st.sampled_from([(4, 3), (6, 4), (8, 5)]))
+def test_winnow_matches_reference_property(spark, texts, kw):
+    """Winnowing selection == the independent Python reference on
+    arbitrary unicode text and (k, window) choices — including the
+    rightmost-on-ties rule and short-text edge cases."""
+    from test_round6e import _py_winnow
+
+    from remap_spark.operators.dedup import winnow_fingerprints
+
+    k, w = kw
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=k, window=w).collect():
+        got.setdefault(r.doc, set()).add((r.fp_hash, r.pos))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _py_winnow(t, k, w), (i, t)
