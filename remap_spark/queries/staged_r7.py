@@ -1072,6 +1072,50 @@ _WINNOW_SQL = """
 """
 
 
+# fixed literal PCA model for the projection query: the operator under
+# test is the codegen projection (pca_train's eigensolve is pytest-only,
+# not SQL-expressible); mean/components are arbitrary but non-trivial
+_PCA_MEAN = [round(0.01 * i, 2) for i in range(16)]
+_PCA_COMPS = [
+    [1.0 if i == 0 else 0.0 for i in range(16)],
+    [round((0.25 if i % 2 == 0 else -0.25), 2) for i in range(16)],
+]
+
+
+def ext_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codegen PCA projection under a fixed literal model — zero
+    Python, zero shuffle (plan-pinned in tests/test_round6e.py); the
+    oracle evaluates the identical left-associated term chain."""
+    from ..operators.ml import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_project(emb, _PCA_MEAN, _PCA_COMPS, "embedding")
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pca", 1), 5).alias("pc1"),
+        F.round(F.element_at("pca", 2), 5).alias("pc2"),
+    ).orderBy("vec_id")
+
+
+def _pca_project_oracle() -> str:
+    def chain(comp):
+        terms = [
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {m!r}) * {w!r}"
+            for i, (m, w) in enumerate(zip(_PCA_MEAN, comp))
+        ]
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = f"({expr} + {t})"
+        return expr
+
+    return f"""
+        SELECT vec_id,
+               ROUND({chain(_PCA_COMPS[0])}, 5) AS pc1,
+               ROUND({chain(_PCA_COMPS[1])}, 5) AS pc2
+        FROM embeddings ORDER BY vec_id
+    """
+
+
 STAGED_QUERIES = {
     "ext_sample_wor": ext_sample_wor,
     "ext_expectations": ext_expectations,
@@ -1099,6 +1143,7 @@ STAGED_QUERIES = {
     "ext_label_propagation": ext_label_propagation,
     "ext_modularity": ext_modularity,
     "ext_winnow": ext_winnow,
+    "ext_pca_project": ext_pca_project,
 }
 
 STAGED_ORACLES = {
@@ -1128,4 +1173,5 @@ STAGED_ORACLES = {
     "ext_label_propagation": _lpa_oracle(),
     "ext_modularity": _MODULARITY_SQL,
     "ext_winnow": _WINNOW_SQL,
+    "ext_pca_project": _pca_project_oracle(),
 }
