@@ -302,3 +302,102 @@ def period_over_period(
             ),
         )
     )
+
+
+def ewma_forecast(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    n: int = 8,
+    horizon: int = 1,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    forecast_col: str = "forecast",
+) -> DataFrame:
+    """Holt-style linear forecast from trailing windows: level =
+    trailing EWMA of the value (weight alpha), trend = trailing EWMA of
+    the first difference (weight beta), forecast = level + horizon *
+    trend — the whole model is TWO literal-weight lag chains inside one
+    window spec (the ewma_trailing construction), so it is one
+    group-keyed shuffle, codegen arithmetic, and bit-reproducible
+    against a SQL oracle evaluating the same left-associated chains.
+    The window must be presorted-unique on ``order_col`` per group
+    (fill_date_gaps output). Rows whose trailing window holds no
+    difference yet (each group's first row) forecast level only."""
+    out = ewma_trailing(
+        df, group_cols, order_col, value_col, alpha, n, level_col
+    )
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    out = out.withColumn(
+        "_diff", F.col(value_col) - F.lag(value_col, 1).over(w)
+    )
+    ws = ewma_weights(beta, n)
+    terms_n, terms_d = [], []
+    for j, wj in enumerate(ws):
+        lj = F.lag(F.col("_diff"), j).over(w) if j else F.col("_diff")
+        terms_n.append(F.coalesce(lj * F.lit(wj), F.lit(0.0)))
+        terms_d.append(
+            F.when(lj.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        )
+    num, den = terms_n[0], terms_d[0]
+    for tn, td in zip(terms_n[1:], terms_d[1:]):
+        num = num + tn
+        den = den + td
+    trend = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    return (
+        out.withColumn(trend_col, trend)
+        .withColumn(
+            forecast_col,
+            F.col(level_col) + F.lit(float(horizon)) * F.col(trend_col),
+        )
+        .drop("_diff")
+    )
+
+
+def seasonal_indices(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal index per (group, phase): phase = day-of-epoch mod
+    ``period`` (period=7 -> weekly seasonality), index_ppm =
+    mean(value | phase) / mean(value) as an exact integer rational —
+    sum_phase * n_total * 1e6 DIV (n_phase * sum_total) in
+    decimal(38,0), so the readout replays bit-for-bit (HUGEINT in the
+    oracle). Values must be integral (fixed-point your floats first —
+    the rolling_zscore contract). Returns (group..., phase, n_obs,
+    sum_value, index_ppm).
+
+    Shape: ONE combiner aggregate to (group, phase) — at most
+    |groups| x period rows — then the group totals fold back over a
+    tiny window; the corpus is scanned once."""
+    _require_integral(df, value_col, "seasonal_indices")
+    gcols = list(group_cols)
+    phase = F.pmod(F.datediff(F.col(date_col), F.lit("1970-01-01")), period)
+    per_phase = (
+        df.select(*gcols, phase.alias("phase"), F.col(value_col).alias("_v"))
+        .groupBy(*gcols, "phase")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum("_v").cast("decimal(38,0)").alias("_s"),
+        )
+    )
+    w = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    return (
+        per_phase.withColumn("_nt", F.sum("n_obs").over(w))
+        .withColumn("_st", F.sum("_s").over(w))
+        .select(
+            *gcols,
+            "phase",
+            "n_obs",
+            F.col("_s").cast("bigint").alias("sum_value"),
+            F.expr(
+                "CAST(_s * _nt * 1000000 div (n_obs * _st) AS BIGINT)"
+            ).alias("index_ppm"),
+        )
+    )

@@ -1007,3 +1007,156 @@ def test_cms_match_duckdb(spark):
         con.close()
     assert len(srows) == len(drows) > 0
     assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+# ---------------------------------------------------------------------------
+# ewma forecast + seasonal indices
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_forecast_hand_computed(spark):
+    from remap_spark.operators.timeseries import ewma_forecast
+
+    # linear series: trend EWMA of constant diffs == the slope, so the
+    # 1-step forecast overshoots level by exactly the slope
+    rows = [("g", i, 10.0 + 3.0 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = {
+        r.t: (r.level, r.trend, r.forecast)
+        for r in ewma_forecast(
+            df, ["g"], "t", "v", alpha=0.5, beta=0.5, n=4, horizon=2
+        ).collect()
+    }
+    lvl, trend, fc = out[9]
+    # trailing level with weights 1,.5,.25,.125 over 37,34,31,28
+    want_lvl = (37 + 34 * 0.5 + 31 * 0.25 + 28 * 0.125) / 1.875
+    assert abs(lvl - want_lvl) < 1e-12
+    assert abs(trend - 3.0) < 1e-12  # constant diffs
+    assert abs(fc - (want_lvl + 2 * 3.0)) < 1e-12
+    # first row: no diff yet -> trend 0, forecast == level == value
+    assert out[0] == (10.0, 0.0, 10.0)
+
+
+def test_ewma_forecast_match_duckdb(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.timeseries import ewma_forecast
+
+    ev = load_table(spark, SF_DIR, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    got = ewma_forecast(
+        daily, ["event_type"], "day", "n", alpha=0.5, beta=0.5, n=4
+    ).select(
+        "event_type", "day",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+    srows, scols = got.collect(), got.columns
+
+    # the oracle evaluates the identical left-associated chains
+    def chain(col, w0):
+        ws, wgt = [], 1.0
+        for _ in range(4):
+            ws.append(wgt)
+            wgt *= 1.0 - w0
+        num = f"COALESCE({col} * {ws[0]!r}, 0.0)"
+        den = f"CASE WHEN {col} IS NOT NULL THEN {ws[0]!r} ELSE 0.0 END"
+        for j, wj in enumerate(ws[1:], 1):
+            lj = f"LAG({col}, {j}) OVER win"
+            num = f"({num} + COALESCE({lj} * {wj!r}, 0.0))"
+            den = f"({den} + CASE WHEN {lj} IS NOT NULL THEN {wj!r} ELSE 0.0 END)"
+        return num, den
+
+    ln, ld = chain("n", 0.5)
+    tn, td = chain("d", 0.5)
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            f"""
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS DOUBLE) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            lvl AS (
+              SELECT event_type, day, n, {ln} / {ld} AS level,
+                     n - LAG(n, 1) OVER win AS d
+              FROM daily
+              WINDOW win AS (PARTITION BY event_type ORDER BY day)
+            ),
+            tr AS (
+              SELECT event_type, day, level,
+                     CASE WHEN {td} > 0 THEN {tn} / {td} ELSE 0.0 END
+                       AS trend
+              FROM lvl
+              WINDOW win AS (PARTITION BY event_type ORDER BY day)
+            )
+            SELECT event_type, day, ROUND(level, 6) AS level,
+                   ROUND(trend, 6) AS trend,
+                   ROUND(level + 1.0 * trend, 6) AS forecast
+            FROM tr
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+    assert len(srows) == len(drows) > 0
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+def test_seasonal_indices_hand_and_duckdb(spark):
+    import datetime
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.timeseries import seasonal_indices
+
+    # hand case: weekdays get 2x the weekend volume
+    d0 = datetime.date(2024, 1, 1)  # a Monday; epoch phase of Monday=?
+    rows = []
+    for i in range(28):
+        day = d0 + datetime.timedelta(days=i)
+        rows.append(("g", day, 200 if day.weekday() < 5 else 100))
+    df = spark.createDataFrame(rows, "g string, day date, v long")
+    got = {r.phase: r.index_ppm for r in
+           seasonal_indices(df, ["g"], "day", "v", period=7).collect()}
+    # mean = (5*200 + 2*100)/7 = 1200/7; weekday index = 200*7e6/1200
+    weekday_idx = 200 * 7 * 1_000_000 * 4 * 7 // (4 * 7 * 1200)
+    assert sum(1 for v in got.values() if v > 1_000_000) == 5
+    assert sum(1 for v in got.values() if v < 1_000_000) == 2
+
+    ev = load_table(spark, SF_DIR, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    got2 = seasonal_indices(daily, ["event_type"], "day", "n", period=7)
+    srows, scols = got2.collect(), got2.columns
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            pp AS (
+              SELECT event_type,
+                     ((CAST(day AS DATE) - DATE '1970-01-01') % 7 + 7) % 7
+                       AS phase,
+                     COUNT(*) AS n_obs,
+                     CAST(SUM(n) AS HUGEINT) AS s
+              FROM daily GROUP BY 1, 2
+            )
+            SELECT event_type, phase, n_obs,
+                   CAST(s AS BIGINT) AS sum_value,
+                   CAST(s * SUM(n_obs) OVER w * 1000000
+                        // (n_obs * SUM(s) OVER w) AS BIGINT) AS index_ppm
+            FROM pp WINDOW w AS (PARTITION BY event_type)
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+    assert len(srows) == len(drows) > 0
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
