@@ -1116,6 +1116,130 @@ def _pca_project_oracle() -> str:
     """
 
 
+def _ewma_chain_sql(col: str, w0: float, n: int = 4):
+    ws, wgt = [], 1.0
+    for _ in range(n):
+        ws.append(wgt)
+        wgt *= 1.0 - w0
+    num = f"COALESCE({col} * {ws[0]!r}, 0.0)"
+    den = f"CASE WHEN {col} IS NOT NULL THEN {ws[0]!r} ELSE 0.0 END"
+    for j, wj in enumerate(ws[1:], 1):
+        lj = f"LAG({col}, {j}) OVER win"
+        num = f"({num} + COALESCE({lj} * {wj!r}, 0.0))"
+        den = (
+            f"({den} + CASE WHEN {lj} IS NOT NULL"
+            f" THEN {wj!r} ELSE 0.0 END)"
+        )
+    return num, den
+
+
+def ext_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-style level+trend forecast over daily event counts; the
+    oracle evaluates the identical left-associated literal chains."""
+    from ..operators.timeseries import ewma_forecast
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    out = ewma_forecast(
+        daily, ["event_type"], "day", "n", alpha=0.5, beta=0.5, n=4
+    )
+    return out.select(
+        "event_type",
+        "day",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    ).orderBy("event_type", "day")
+
+
+def _ewma_forecast_oracle() -> str:
+    ln, ld = _ewma_chain_sql("n", 0.5)
+    tn, td = _ewma_chain_sql("d", 0.5)
+    return f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS DOUBLE) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        lvl AS (
+          SELECT event_type, day, n, {ln} / {ld} AS level,
+                 n - LAG(n, 1) OVER win AS d
+          FROM daily WINDOW win AS (PARTITION BY event_type ORDER BY day)
+        ),
+        tr AS (
+          SELECT event_type, day, level,
+                 CASE WHEN {td} > 0 THEN {tn} / {td} ELSE 0.0 END AS trend
+          FROM lvl WINDOW win AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, day, ROUND(level, 6) AS level,
+               ROUND(trend, 6) AS trend,
+               ROUND(level + 1.0 * trend, 6) AS forecast
+        FROM tr ORDER BY event_type, day
+    """
+
+
+def ext_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal indices of daily event counts, ppm-exact
+    integer rational."""
+    from ..operators.timeseries import seasonal_indices
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return seasonal_indices(
+        daily, ["event_type"], "day", "n", period=7
+    ).orderBy("event_type", "phase")
+
+
+_SEASONAL_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pp AS (
+      SELECT event_type,
+             ((CAST(day AS DATE) - DATE '1970-01-01') % 7 + 7) % 7 AS phase,
+             COUNT(*) AS n_obs, CAST(SUM(n) AS HUGEINT) AS s
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT event_type, phase, n_obs, CAST(s AS BIGINT) AS sum_value,
+           CAST(s * SUM(n_obs) OVER w * 1000000
+                // (n_obs * SUM(s) OVER w) AS BIGINT) AS index_ppm
+    FROM pp WINDOW w AS (PARTITION BY event_type)
+    ORDER BY event_type, phase
+"""
+
+
+def ext_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retained train ids after exact-tier semantic decontamination
+    (train = vec_id >= 100 vs eval = vec_id < 100, cosine >= 0.4)."""
+    from ..operators.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = semantic_decontaminate(
+        emb.where(F.col("vec_id") >= 100),
+        emb.where(F.col("vec_id") < 100),
+        threshold=0.4,
+        exact=True,
+    )
+    return kept.select("vec_id", "label").orderBy("vec_id")
+
+
+_SEMANTIC_DECON_SQL = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id, a.label FROM e a
+    WHERE a.vec_id >= 100 AND NOT EXISTS (
+      SELECT 1 FROM e b WHERE b.vec_id < 100
+        AND {_CROSS_COS.format(a='a.v', b='b.v')} >= 0.4
+    )
+    ORDER BY a.vec_id
+"""
+
+
 STAGED_QUERIES = {
     "ext_sample_wor": ext_sample_wor,
     "ext_expectations": ext_expectations,
@@ -1144,6 +1268,9 @@ STAGED_QUERIES = {
     "ext_modularity": ext_modularity,
     "ext_winnow": ext_winnow,
     "ext_pca_project": ext_pca_project,
+    "ext_ewma_forecast": ext_ewma_forecast,
+    "ext_seasonal": ext_seasonal,
+    "ext_semantic_decontaminate": ext_semantic_decontaminate,
 }
 
 STAGED_ORACLES = {
@@ -1174,4 +1301,7 @@ STAGED_ORACLES = {
     "ext_modularity": _MODULARITY_SQL,
     "ext_winnow": _WINNOW_SQL,
     "ext_pca_project": _pca_project_oracle(),
+    "ext_ewma_forecast": _ewma_forecast_oracle(),
+    "ext_seasonal": _SEASONAL_SQL,
+    "ext_semantic_decontaminate": _SEMANTIC_DECON_SQL,
 }
