@@ -1,3 +1,9 @@
+from .cms import (
+    cms_apply_stream_batch,
+    compact_cms_store,
+    read_cms_store,
+    stream_cms_counts,
+)
 from .dedup import dedup_events
 from .joins import stream_static_enrich, stream_stream_interval_join
 from .scd import read_dim, scd2_apply_stream_batch, stream_scd2_apply
@@ -38,6 +44,10 @@ __all__ = [
     "stream_scd2_apply",
     "scd2_apply_stream_batch",
     "read_dim",
+    "cms_apply_stream_batch",
+    "read_cms_store",
+    "compact_cms_store",
+    "stream_cms_counts",
     "stream_kmv_distinct",
     "kmv_apply_stream_batch",
     "read_kmv_store",

@@ -1160,3 +1160,63 @@ def test_seasonal_indices_hand_and_duckdb(spark):
         con.close()
     assert len(srows) == len(drows) > 0
     assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+# ---------------------------------------------------------------------------
+# streaming CMS store
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cms_replay_idempotent_and_equals_batch(
+    spark, tmp_path_factory
+):
+    from remap_spark.operators.rollup import cms_query, cms_state
+    from remap_spark.streaming.cms import (
+        cms_apply_stream_batch,
+        compact_cms_store,
+        read_cms_store,
+    )
+
+    store = str(tmp_path_factory.mktemp("cms_store")) + "/grid"
+    b1 = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(50)], "v string"
+    )
+    b2 = spark.createDataFrame(
+        [(f"k{i % 11}",) for i in range(70)], "v string"
+    )
+    cms_apply_stream_batch(b1, store, "v", 0, width=64, depth=3)
+    cms_apply_stream_batch(b2, store, "v", 1, width=64, depth=3)
+    combined = read_cms_store(spark, store)
+
+    full = cms_state(b1.unionByName(b2), "v", width=64, depth=3)
+    a = {(r.d, r.w): r.cnt for r in combined.collect()}
+    b = {(r.d, r.w): r.cnt for r in full.collect()}
+    assert a == b  # merge == full across the store
+
+    # estimates from the store never undercount the true frequencies
+    values = b1.unionByName(b2).distinct()
+    est = {
+        r.value: r.est_count
+        for r in cms_query(
+            combined, values, "v", width=64, depth=3
+        ).collect()
+    }
+    true = {
+        r.v: r.c
+        for r in b1.unionByName(b2).groupBy("v").agg(
+            F.count("*").alias("c")
+        ).collect()
+    }
+    assert all(est[v] >= c for v, c in true.items())
+
+    # replaying batch 1 rewrites an identical partition: no change
+    # (re-read the store after the overwrite — the old DataFrame's
+    # file listing is stale by design)
+    cms_apply_stream_batch(b2, store, "v", 1, width=64, depth=3)
+    a2 = {(r.d, r.w): r.cnt for r in read_cms_store(spark, store).collect()}
+    assert a2 == a
+
+    # compaction folds retired grids; read is unchanged
+    compact_cms_store(spark, store, upto_batch_id=0)
+    a3 = {(r.d, r.w): r.cnt for r in read_cms_store(spark, store).collect()}
+    assert a3 == a
