@@ -1257,3 +1257,19 @@ def test_write_training_shards_manifest(spark, tmp_path_factory):
         for r in write_training_shards(docs, p3, "doc_id", 8, "s2").collect()
     }
     assert {d for _, d in m1.values()} != {d for _, d in m3.values()}
+
+
+def test_schema_changes(spark):
+    from remap_spark.operators.scd import schema_changes
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "k bigint, s string, v double")
+    new = spark.createDataFrame([(1, "a", 1, True)],
+                                "k bigint, s string, v int, extra boolean")
+    got = {(r.column): (r.op, r.old_type, r.new_type)
+           for r in schema_changes(old, new).collect()}
+    assert got == {
+        "v": ("type_change", "double", "int"),
+        "extra": ("add", None, "boolean"),
+    }
+    # identical schemas: empty drift relation
+    assert schema_changes(old, old).count() == 0
