@@ -221,3 +221,46 @@ def schema_changes(old: DataFrame, new: DataFrame) -> DataFrame:
     return old.sparkSession.createDataFrame(
         rows, "column string, op string, old_type string, new_type string"
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    fact_ts_col: str,
+    attr_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """AS-OF enrichment against a Type-2 dimension — the READ side of
+    the SCD2 family: each fact joins the dimension version whose
+    validity interval contains the fact's timestamp
+    (valid_from <= ts < valid_to, open current version = NULL
+    valid_to). Facts earlier than the key's first version (or with no
+    dimension key at all) keep NULL attributes under ``how='left'``.
+
+    Shape: ONE equi-join on the key with the interval predicate as a
+    post-join filter — never a nested loop (the key IS the equi
+    condition; plan-pinned in tests) — and at most one version
+    interval can contain any timestamp (intervals tile by
+    construction), so no dedup pass is needed. Bucket both sides on
+    the key for an exchange-free join at 100 TB; version fan-out is
+    bounded by the key's change count, the same skew envelope as any
+    dimension join."""
+    fa = facts.alias("f")
+    d = dim.select(
+        F.col(key_col).alias("_dk"),
+        *[F.col(a).alias(a) for a in attr_cols],
+        "valid_from",
+        "valid_to",
+    ).alias("d")
+    cond = (
+        (F.col(f"f.{key_col}") == F.col("d._dk"))
+        & (F.col(f"f.{fact_ts_col}") >= F.col("d.valid_from"))
+        & (
+            F.col("d.valid_to").isNull()
+            | (F.col(f"f.{fact_ts_col}") < F.col("d.valid_to"))
+        )
+    )
+    return fa.join(d, cond, how).select(
+        "f.*", *[F.col(f"d.{a}").alias(a) for a in attr_cols]
+    )

@@ -1240,6 +1240,64 @@ _SEMANTIC_DECON_SQL = f"""
 """
 
 
+def ext_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF enrichment: every order joined to the customer-priority
+    SCD2 version valid at its own order date."""
+    from ..operators.scd import scd2_history, scd2_lookup
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = scd2_history(
+        orders.select(
+            "o_custkey",
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderpriority").alias("prio"),
+            "o_orderkey",
+        ),
+        "o_custkey", "ts", ["prio"], "o_orderkey",
+    )
+    facts = orders.select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").alias("fts")
+    )
+    return scd2_lookup(facts, dim, "o_custkey", "fts", ["prio"]).select(
+        "o_orderkey", "prio"
+    ).orderBy("o_orderkey")
+
+
+_SCD2_LOOKUP_SQL = """
+    WITH src AS (
+      SELECT o_custkey, o_orderdate AS ts, o_orderpriority AS prio,
+             o_orderkey
+      FROM orders
+    ),
+    marked AS (
+      SELECT *,
+        CASE WHEN LAG(o_orderkey) OVER w IS NULL
+               OR prio IS DISTINCT FROM LAG(prio) OVER w
+             THEN 1 ELSE 0 END AS chg
+      FROM src WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, o_orderkey)
+    ),
+    versioned AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+        ORDER BY ts, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM marked
+    ),
+    dim AS (
+      SELECT o_custkey, v, prio, MIN(ts) AS valid_from,
+             LEAD(MIN(ts)) OVER (PARTITION BY o_custkey ORDER BY v)
+               AS valid_to
+      FROM versioned GROUP BY o_custkey, v, prio
+    )
+    SELECT f.o_orderkey, d.prio
+    FROM orders f
+    LEFT JOIN dim d
+      ON d.o_custkey = f.o_custkey
+     AND f.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)
+    ORDER BY f.o_orderkey
+"""
+
+
 STAGED_QUERIES = {
     "ext_sample_wor": ext_sample_wor,
     "ext_expectations": ext_expectations,
@@ -1271,6 +1329,7 @@ STAGED_QUERIES = {
     "ext_ewma_forecast": ext_ewma_forecast,
     "ext_seasonal": ext_seasonal,
     "ext_semantic_decontaminate": ext_semantic_decontaminate,
+    "ext_scd2_lookup": ext_scd2_lookup,
 }
 
 STAGED_ORACLES = {
@@ -1304,4 +1363,5 @@ STAGED_ORACLES = {
     "ext_ewma_forecast": _ewma_forecast_oracle(),
     "ext_seasonal": _SEASONAL_SQL,
     "ext_semantic_decontaminate": _SEMANTIC_DECON_SQL,
+    "ext_scd2_lookup": _SCD2_LOOKUP_SQL,
 }

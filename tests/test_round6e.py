@@ -1273,3 +1273,113 @@ def test_schema_changes(spark):
     }
     # identical schemas: empty drift relation
     assert schema_changes(old, old).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# scd2_lookup (as-of read side)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_lookup_hand_computed(spark):
+    from remap_spark.operators.scd import scd2_history, scd2_lookup
+
+    changes = [
+        (1, 10, "bronze", 100),
+        (1, 20, "silver", 101),
+        (1, 30, "gold", 102),
+        (2, 15, "bronze", 103),
+    ]
+    dim = scd2_history(
+        spark.createDataFrame(
+            changes, "cust bigint, ts bigint, tier string, evt bigint"
+        ),
+        "cust", "ts", ["tier"], "evt",
+    )
+    facts = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 10), (3, 1, 25), (4, 1, 30), (5, 1, 99),
+         (6, 2, 20), (7, 9, 50)],
+        "fid bigint, cust bigint, fts bigint",
+    )
+    got = {
+        r.fid: r.tier
+        for r in scd2_lookup(facts, dim, "cust", "fts", ["tier"]).collect()
+    }
+    assert got == {
+        1: None,        # before first version
+        2: "bronze",    # inclusive valid_from
+        3: "silver",
+        4: "gold",      # exclusive valid_to boundary
+        5: "gold",      # open current version
+        6: "bronze",
+        7: None,        # unknown key survives under left join
+    }
+
+
+def test_scd2_lookup_match_duckdb_and_plan(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.scd import scd2_history, scd2_lookup
+    from remap_spark.plans import plan_report
+
+    orders = load_table(spark, SF_DIR, "orders")
+    # change stream: customer's priority over time (orderdate order)
+    dim = scd2_history(
+        orders.select(
+            "o_custkey",
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderpriority").alias("prio"),
+            "o_orderkey",
+        ),
+        "o_custkey", "ts", ["prio"], "o_orderkey",
+    )
+    facts = orders.select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").alias("fts")
+    )
+    got = scd2_lookup(facts, dim, "o_custkey", "fts", ["prio"]).select(
+        "o_orderkey", "prio"
+    )
+    r = plan_report(got)
+    assert not r["cartesian"], "as-of lookup must stay an equi join"
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH src AS (
+              SELECT o_custkey, o_orderdate AS ts,
+                     o_orderpriority AS prio, o_orderkey
+              FROM orders
+            ),
+            marked AS (
+              SELECT *,
+                CASE WHEN LAG(o_orderkey) OVER w IS NULL
+                       OR prio IS DISTINCT FROM LAG(prio) OVER w
+                     THEN 1 ELSE 0 END AS chg
+              FROM src WINDOW w AS (PARTITION BY o_custkey
+                                    ORDER BY ts, o_orderkey)
+            ),
+            versioned AS (
+              SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                ORDER BY ts, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+              FROM marked
+            ),
+            dim AS (
+              SELECT o_custkey, v, prio, MIN(ts) AS valid_from,
+                     LEAD(MIN(ts)) OVER (PARTITION BY o_custkey
+                                         ORDER BY v) AS valid_to
+              FROM versioned GROUP BY o_custkey, v, prio
+            )
+            SELECT f.o_orderkey, d.prio
+            FROM orders f
+            LEFT JOIN dim d
+              ON d.o_custkey = f.o_custkey
+             AND f.o_orderdate >= d.valid_from
+             AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+    assert len(srows) == len(drows) > 0
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
