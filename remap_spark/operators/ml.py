@@ -337,3 +337,53 @@ def pca_project(
             term = t if term is None else term + t
         outs.append(term)
     return df.withColumn(out_col, F.array(*outs))
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Equi-depth binning: assign each row its quantile bucket
+    1..n_bins (decile by default), optionally per group — the
+    stratification / monotone-feature-discretization primitive (the
+    rfm_segments quintile scoring generalized to any bin count and
+    column). Adds ``out_col`` (default ``<value_col>_bin``).
+
+    Same shape as winsorize: ONE array-literal percentile aggregate
+    produces the groups-sized interior-cut relation (n_bins - 1 cuts),
+    broadcast back; the bin is 1 + count(value > cut_i) as a fixed
+    codegen comparison chain, so ties at a cut boundary land
+    deterministically in the lower bin and the result replays
+    bit-for-bit against quantile_cont. ``exact=False`` swaps in the
+    mergeable t-digest for corpus-sized groups."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from pyspark.sql.functions import broadcast
+
+    out_col = out_col or f"{value_col}_bin"
+    gcols = list(group_cols or [])
+    qs = [i / n_bins for i in range(1, n_bins)]
+    pcts = F.array(*[F.lit(float(q)) for q in qs])
+    agg = (
+        F.percentile(value_col, pcts)
+        if exact
+        else F.percentile_approx(value_col, pcts, 10_000)
+    )
+    cuts = (df.groupBy(*gcols) if gcols else df.groupBy()).agg(
+        agg.alias("_cuts")
+    )
+    joined = (
+        df.join(broadcast(cuts), gcols, "left")
+        if gcols
+        else df.crossJoin(broadcast(cuts))
+    )
+    b = F.lit(1)
+    for i in range(n_bins - 1):
+        b = b + (
+            F.col(value_col) > F.element_at("_cuts", i + 1)
+        ).cast("int")
+    return joined.withColumn(out_col, b).drop("_cuts")

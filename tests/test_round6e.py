@@ -1383,3 +1383,56 @@ def test_scd2_lookup_match_duckdb_and_plan(spark):
         con.close()
     assert len(srows) == len(drows) > 0
     assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+def test_quantile_bins_hand_and_duckdb(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.ml import quantile_bins
+
+    # 1..10 into quartiles: cuts at 3.25/5.5/7.75
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "v double")
+    got = sorted(
+        (r.v, r.v_bin) for r in quantile_bins(df, "v", n_bins=4).collect()
+    )
+    want = [(float(i), 1 + (i > 3.25) + (i > 5.5) + (i > 7.75))
+            for i in range(1, 11)]
+    assert got == [(v, int(b)) for v, b in want]
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = quantile_bins(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_extendedprice"),
+        "l_extendedprice",
+        n_bins=10,
+        group_cols=["l_returnflag"],
+    ).select("l_orderkey", "l_linenumber",
+             F.col("l_extendedprice_bin").alias("bin"))
+    srows, scols = out.collect(), out.columns
+    # bins are equi-depth within each group (within rounding)
+    from collections import Counter
+    sizes = Counter(r.bin for r in srows)
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) < 1.25 * min(sizes.values())
+
+    con = duck_con(SF_DIR)
+    try:
+        cuts = ", ".join(
+            f"quantile_cont(l_extendedprice, {i / 10}) AS c{i}"
+            for i in range(1, 10)
+        )
+        cmp = " + ".join(
+            f"(l_extendedprice > c{i})::INT" for i in range(1, 10)
+        )
+        want = con.sql(f"""
+            WITH cuts AS (
+              SELECT l_returnflag, {cuts}
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_orderkey, l_linenumber, 1 + {cmp} AS bin
+            FROM lineitem JOIN cuts USING (l_returnflag)
+        """)
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+    assert len(srows) == len(drows) > 0
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
