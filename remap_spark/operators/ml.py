@@ -387,3 +387,62 @@ def quantile_bins(
             F.col(value_col) > F.element_at("_cuts", i + 1)
         ).cast("int")
     return joined.withColumn(out_col, b).drop("_cuts")
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.5,
+    consistency: float = 1.4826,
+    exact: bool = True,
+) -> DataFrame:
+    """Robust outlier flags via median absolute deviation: a row is an
+    outlier when |x - median| > k * consistency * MAD — the
+    median-based detector that survives the contaminated baselines
+    that wreck mean/stddev z-scores (a single 100x spike inflates
+    sigma but barely moves the MAD). ``consistency`` = 1.4826 scales
+    MAD to sigma under normality (set 1.0 for raw MAD units). Adds
+    ``median``, ``mad`` and ``is_outlier``.
+
+    Shape: TWO percentile aggregates (medians cannot fold into one
+    pass: the deviation needs the median first) — each a groups-sized
+    relation broadcast back, never a corpus shuffle; with a constant
+    MAD of zero (>= half the group identical) only exact mismatches
+    flag, the standard degenerate-case convention. Linear-interp
+    percentile matches quantile_cont, so the oracle replays
+    bit-for-bit; ``exact=False`` swaps in the t-digest tier."""
+    from pyspark.sql.functions import broadcast
+
+    gcols = list(group_cols or [])
+    med_agg = (
+        F.percentile(value_col, F.lit(0.5))
+        if exact
+        else F.percentile_approx(value_col, F.lit(0.5), 10_000)
+    )
+    med = (df.groupBy(*gcols) if gcols else df.groupBy()).agg(
+        med_agg.alias("median")
+    )
+    j1 = (
+        df.join(broadcast(med), gcols, "left")
+        if gcols
+        else df.crossJoin(broadcast(med))
+    )
+    dev = j1.withColumn("_ad", F.abs(F.col(value_col) - F.col("median")))
+    mad_agg = (
+        F.percentile("_ad", F.lit(0.5))
+        if exact
+        else F.percentile_approx("_ad", F.lit(0.5), 10_000)
+    )
+    mad = (dev.groupBy(*gcols) if gcols else dev.groupBy()).agg(
+        mad_agg.alias("mad")
+    )
+    j2 = (
+        dev.join(broadcast(mad), gcols, "left")
+        if gcols
+        else dev.crossJoin(broadcast(mad))
+    )
+    return j2.withColumn(
+        "is_outlier",
+        F.col("_ad") > F.lit(float(k)) * F.lit(float(consistency)) * F.col("mad"),
+    ).drop("_ad")

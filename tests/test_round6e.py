@@ -1436,3 +1436,69 @@ def test_quantile_bins_hand_and_duckdb(spark):
         con.close()
     assert len(srows) == len(drows) > 0
     assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    from remap_spark.operators.ml import mad_outliers
+
+    # stable series + one huge spike: MAD flags the spike; a stddev
+    # z-score at the same k would NOT (sigma inflated by the spike)
+    import statistics
+
+    vals = [100.0, 102.0, 98.0, 101.0, 99.0, 100.0, 103.0, 97.0, 10000.0]
+    mu, sd = statistics.mean(vals), statistics.pstdev(vals)
+    assert abs(10000.0 - mu) < 3.5 * sd  # classic z-score misses it
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.v: bool(r.is_outlier) for r in mad_outliers(df, "v").collect()}
+    assert got[10000.0] is True
+    assert all(not o for v, o in got.items() if v != 10000.0)
+
+
+def test_mad_outliers_grouped_match_duckdb(spark):
+    from remap_spark.engine import load_table
+    from remap_spark.operators.ml import mad_outliers
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    got = mad_outliers(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_extendedprice"),
+        "l_extendedprice",
+        group_cols=["l_returnflag"],
+    ).select(
+        "l_orderkey", "l_linenumber",
+        F.round("median", 4).alias("median"),
+        F.round("mad", 4).alias("mad"),
+        "is_outlier",
+    )
+    srows, scols = got.collect(), got.columns
+
+    con = duck_con(SF_DIR)
+    try:
+        want = con.sql(
+            """
+            WITH med AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.5) AS median
+              FROM lineitem GROUP BY l_returnflag
+            ),
+            dev AS (
+              SELECT l.*, m.median,
+                     abs(l_extendedprice - m.median) AS ad
+              FROM lineitem l JOIN med m USING (l_returnflag)
+            ),
+            mad AS (
+              SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad
+              FROM dev GROUP BY l_returnflag
+            )
+            SELECT d.l_orderkey, d.l_linenumber,
+                   ROUND(d.median, 4) AS median,
+                   ROUND(x.mad, 4) AS mad,
+                   d.ad > 3.5 * 1.4826 * x.mad AS is_outlier
+            FROM dev d JOIN mad x USING (l_returnflag)
+            """
+        )
+        dcols, drows = want.columns, want.fetchall()
+    finally:
+        con.close()
+    assert len(srows) == len(drows) > 0
+    assert canon([tuple(r) for r in srows], scols) == canon(drows, dcols)
