@@ -1298,6 +1298,82 @@ _SCD2_LOOKUP_SQL = """
 """
 
 
+def ext_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group decile assignment of line prices (equi-depth bins)."""
+    from ..operators.ml import quantile_bins
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = quantile_bins(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_extendedprice"),
+        "l_extendedprice",
+        n_bins=10,
+        group_cols=["l_returnflag"],
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice_bin").alias("bin"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+_QUANTILE_BINS_SQL = """
+    WITH cuts AS (
+      SELECT l_returnflag,
+             {cuts}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, 1 + {cmp} AS bin
+    FROM lineitem JOIN cuts USING (l_returnflag)
+    ORDER BY l_orderkey, l_linenumber
+""".format(
+    cuts=", ".join(
+        f"quantile_cont(l_extendedprice, {i / 10}) AS c{i}"
+        for i in range(1, 10)
+    ),
+    cmp=" + ".join(f"(l_extendedprice > c{i})::INT" for i in range(1, 10)),
+)
+
+
+def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier flags per return-flag group."""
+    from ..operators.ml import mad_outliers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = mad_outliers(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_extendedprice"),
+        "l_extendedprice",
+        group_cols=["l_returnflag"],
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("median", 4).alias("median"),
+        F.round("mad", 4).alias("mad"),
+        "is_outlier",
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+_MAD_OUTLIERS_SQL = """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.*, m.median, abs(l_extendedprice - m.median) AS ad
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ),
+    mad AS (
+      SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_orderkey, d.l_linenumber, ROUND(d.median, 4) AS median,
+           ROUND(x.mad, 4) AS mad,
+           d.ad > 3.5 * 1.4826 * x.mad AS is_outlier
+    FROM dev d JOIN mad x USING (l_returnflag)
+    ORDER BY d.l_orderkey, d.l_linenumber
+"""
+
+
 STAGED_QUERIES = {
     "ext_sample_wor": ext_sample_wor,
     "ext_expectations": ext_expectations,
@@ -1330,6 +1406,8 @@ STAGED_QUERIES = {
     "ext_seasonal": ext_seasonal,
     "ext_semantic_decontaminate": ext_semantic_decontaminate,
     "ext_scd2_lookup": ext_scd2_lookup,
+    "ext_quantile_bins": ext_quantile_bins,
+    "ext_mad_outliers": ext_mad_outliers,
 }
 
 STAGED_ORACLES = {
@@ -1364,4 +1442,6 @@ STAGED_ORACLES = {
     "ext_seasonal": _SEASONAL_SQL,
     "ext_semantic_decontaminate": _SEMANTIC_DECON_SQL,
     "ext_scd2_lookup": _SCD2_LOOKUP_SQL,
+    "ext_quantile_bins": _QUANTILE_BINS_SQL,
+    "ext_mad_outliers": _MAD_OUTLIERS_SQL,
 }
