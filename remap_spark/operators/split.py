@@ -426,9 +426,15 @@ def write_training_shards(
     end: same data + seed => byte-identical shards and manifest."""
     p_mod = (1 << 31) - 1  # Mersenne prime; products stay < 2^62
     out = shuffle_for_training(df, key, n_shards, seed)
+    # Tiebreak by the KEY VALUE, not the shard id: shard is derived from
+    # the same 32-bit hash as shard_order, so distinct keys that collide
+    # on the hash would stay fully tied (and their file order
+    # nondeterministic) under a (shard_order, shard) sort — diverging
+    # from the manifest's (shard_order, _k) rank order past ~65k keys.
+    sort_key = (F.col(key) if isinstance(key, str) else key).cast("string")
     (
         out.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard_order", "shard")
+        .sortWithinPartitions(F.col("shard_order"), sort_key)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

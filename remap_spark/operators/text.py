@@ -819,7 +819,10 @@ def url_duplicates(
 
 
 def bigram_lm_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_model_bigrams: int | None = None,
 ) -> DataFrame:
     """Bigram language-model scoring with add-one smoothing — one rung
     up the CCNet/KenLM ladder from unigram_lm_scores: documents whose
@@ -835,11 +838,16 @@ def bigram_lm_scores(
     doc-keyed layout (no extra exchange); the bigram model and its
     context marginal are combiner-style aggregates whose shuffle
     volume is model-sized, not corpus-sized; V rides in as a
-    broadcast single-row relation (same idiom as bm25_topk's consts)
-    and the model joins back via broadcast. At 100 TB cap the model
-    at top-M bigrams with an OOV floor (same policy as
-    unigram_lm_scores' vocabulary note); the aggregates themselves
-    never materialize on the driver."""
+    broadcast single-row relation (same idiom as bm25_topk's consts).
+    Join strategy for the model is SIZE-AWARE: with
+    ``max_model_bigrams`` set, the model is truncated to the top-M
+    most frequent bigrams (out-of-model pairs fall back to the
+    add-one floor c=0 via the left join) and the now-bounded relation
+    is broadcast; with no cap the model is vocabulary-pair-sized and
+    the joins are left to AQE — a forced broadcast of an uncapped
+    web-corpus model would OOM the driver. ``max_model_bigrams`` is
+    the 100 TB path; the aggregates never materialize on the
+    driver either way."""
     from pyspark.sql.window import Window
 
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -852,14 +860,25 @@ def bigram_lm_scores(
         "doc_id", "w1", F.lead("w1").over(wd).alias("w2")
     ).where(F.col("w2").isNotNull())
     model = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+    if max_model_bigrams is not None:
+        # deterministic top-M truncation (count desc, pair asc ties);
+        # the resulting relation is bounded by M, safe to broadcast
+        model = F.broadcast(
+            model.orderBy(F.col("_c12").desc(), "w1", "w2").limit(
+                max_model_bigrams
+            )
+        )
     ctx = bigrams.groupBy("w1").agg(F.count("*").alias("_c1"))
     vocab = toks.agg(F.countDistinct("w1").alias("_v"))
     nll = -F.log(
         (F.col("_c12") + 1).cast("double") / (F.col("_c1") + F.col("_v"))
     )
     return (
-        bigrams.join(F.broadcast(model), ["w1", "w2"])
-        .join(F.broadcast(ctx), "w1")
+        bigrams.join(model, ["w1", "w2"], "left")
+        # out-of-model pairs (possible only under the top-M cap) take
+        # the add-one smoothing floor c(w1,w2) = 0
+        .withColumn("_c12", F.coalesce(F.col("_c12"), F.lit(0)))
+        .join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

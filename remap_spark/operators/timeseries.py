@@ -396,8 +396,11 @@ def seasonal_indices(
             "phase",
             "n_obs",
             F.col("_s").cast("bigint").alias("sum_value"),
+            # NULLIF guards the all-zero-series group (_st = 0), which
+            # would raise DIVIDE_BY_ZERO under ANSI mode — degenerate
+            # groups yield NULL, the period_over_period convention.
             F.expr(
-                "CAST(_s * _nt * 1000000 div (n_obs * _st) AS BIGINT)"
+                "CAST(_s * _nt * 1000000 div NULLIF(n_obs * _st, 0) AS BIGINT)"
             ).alias("index_ppm"),
         )
     )

@@ -114,6 +114,17 @@ def register_extensions() -> None:
         ALL_ORACLES.update(multimodal_q.MM_ORACLES)
     except ImportError:
         pass
+    try:
+        # Round-7 promotion: the 33 queries staged through round 6
+        # (replay-verified at sf0.001 AND sf0.01 by tests/test_staged_r7.py,
+        # plan-swept by tests/test_plans_r6.py) enter the registry and the
+        # driver window this round.
+        from . import staged_r7  # noqa: F401
+
+        ALL_QUERIES.update(staged_r7.STAGED_QUERIES)
+        ALL_ORACLES.update(staged_r7.STAGED_ORACLES)
+    except ImportError:
+        pass
 
 
 register_extensions()
@@ -130,68 +141,88 @@ register_extensions()
 # sibling (plus their own recorded round-1 pass) fill the tail.
 CHECK_WINDOW = 50
 
-# Green in a prior round's driver gate, unchanged since, and redundant
-# with an in-window sibling. Round-6 rotation policy: the round-5
-# driver record (CORRECTNESS_r05.json) NEVER LANDED — the r5 head-50
-# received no driver evidence, so the recorded history is still
-# r01–r04. The r5 window therefore HOLDS for r6: (1) the 18
-# never-driver-checked round-5 queries stay put, (2) the 20 queries
-# whose latest green row is r2 stay put (they are now the most stale
-# on record), (3) the four r5-changed queries (dq33 percentile buffer,
-# cohort period-aligned key, paragraph-dedup separator fix, multi-probe
-# ext_ann_lsh) stay put. Freed this round: the r3-green fillers that
-# rode the r5 window as ballast (dq11_except, dq18, dq24, dq41, dq43,
-# dq44, ext_profile_columns, ext_approx_distinct,
-# ext_quality_classifier) move to the tail — under the 3-recorded-round
-# staleness bound (see tests/test_registry.py) their r03 rows still
-# cover them — funding slots for the round-6 queries, which must enter
-# the window the same commit they are registered. Due FIRST in the r7
-# window: every r3-green tail row below (they fall outside the last two
-# recorded rounds the moment CORRECTNESS_r06 lands), plus first-time
-# registration of the round-6 operators that found no r6 slot (all
-# shipped with DuckDB-replay pytests; see SCALE.md round-6 sections):
-# weighted_sample_wor, the expectations report, the continuation
-# batch — attribute_conversions, association_rules, resolve_entities,
-# rfm_segments, rolling_zscore_anomalies, time_weighted_avg,
-# pareto_frontier, key_skew_report, ab_test_report — and the 6c batch
-# (DuckDB replays in tests/test_round6c.py): markov_transitions,
-# kmv_set_ops, shuffle_for_training, winsorize (bpe_encode is
-# pytest-only: not SQL-expressible, rows-only at best); and the 6d
-# batch (replays in tests/test_round6d.py): embedding_cross_matches
-# (exact tier) and k_core (recursive-CTE oracle). ALL of the above are
-# now STAGED in queries/staged_r7.py (23 driver-shaped queries + exact
-# oracles, replay-verified at sf0.001 AND sf0.01 by
-# tests/test_staged_r7.py, plan-swept by tests/test_plans_r6.py) —
-# r7 registration is: merge STAGED_QUERIES/STAGED_ORACLES at the head
-# of ALL_QUERIES, append the names to NEVER_CHECKED in
-# tests/test_registry.py, and rebalance the window.
-_TAIL_QUERIES = [
-    # r3-green deferred (due in the r7 window; canary in parens):
-    "dq03_wordcount",  # (dq19_buckets tokenize/agg canary, dq18 grouped-UDF)
-    "ext_salted_agg",  # (dq05_agg; salted≡plain equivalence pytest)
-    "ext_pack_sequences",  # (prefix-sum window family: dq39/dq43 in tail are r4)
-    "ext_text_line_dedup",  # (text family canaries ext_text_stats/quality in window)
-    "ext_text_repetition",  # (text family)
-    "ext_text_boilerplate",  # (text family)
-    "ext_text_clean",  # (text family)
-    "ext_text_chunk",  # (text family)
-    "ext_text_lm_score",  # (broadcast-model family: ext_quality_classifier in window)
-    "ext_text_tfidf",  # (in-plan count idiom family)
-    "ext_sample_weighted",  # (sampler family: ext_sample_det/stratified in window)
-    "ext_sample_quality_mix",  # (sampler family)
-    "ext_source_cap",  # (sampler family)
-    "ext_corpus_report",  # (profiler family: ext_profile_columns in window)
-    "ext_corpus_diff",  # (profiler family)
-    "ext_text_vocab",  # (vocab family: sketch-twin pytest + text canaries)
-    "ext_dedup_bloom",  # (broadcast-probe family: decontaminate in window)
-    "ext_ann_hard_negatives",  # (ANN family: topk/lsh/ivf/pq/ivf_pq in window)
-    "ext_mix_temperature",  # (mixture family: sample_det/stratified in window)
-    "ext_range_join_binned",  # (range family: dq20 r4-green, plan test pinned)
+# Round-7 window arithmetic. The registry now holds 169 queries against a
+# 50-slot window, so a full re-verification cycle needs ceil(169/50) = 4
+# recorded correctness rounds (the former 3-round bound was only
+# satisfiable below 151 queries; the staleness test in
+# tests/test_registry.py moved with this promotion). The r7 window is
+# exactly: the 33 staged round-7 queries (never driver-checked — they MUST
+# be in-window the commit they register) + the 17 most-stale r3-green
+# rows, taken in the priority order the r6 rotation comment documented.
+# The 119 non-window queries are then exactly covered by the last four
+# recorded rounds: r03 (the 22 remaining r3 rows), r04 (47), r06 (50).
+#
+# REGISTRY-GROWTH FREEZE (r7): 169 against the 50×4 = 200 staleness
+# ceiling leaves 31 slots of rotation headroom; operators added this round
+# ship STAGED with oracle replays (queries/staged_r8.py, the r6 pattern)
+# and queue for the r8 window rather than registering immediately, so the
+# rotation math stays satisfiable.
+_WINDOW_R7 = [
+    # -- the 33 promoted staged queries (first driver check this round) --
+    "ext_sample_wor",
+    "ext_expectations",
+    "ext_attribution",
+    "ext_basket_rules",
+    "ext_entity_resolution",
+    "ext_rfm_segments",
+    "ext_ts_zscore",
+    "ext_ts_twap",
+    "ext_skyline",
+    "ext_skew_report",
+    "ext_ab_test",
+    "ext_crosstab_chi2",
+    "ext_period_over_period",
+    "ext_inverted_index",
+    "ext_markov_transitions",
+    "ext_kmv_set_ops",
+    "ext_shuffle_shards",
+    "ext_winsorize",
+    "ext_cross_matches",
+    "ext_k_core",
+    "ext_table_changes",
+    "ext_segment_overlap",
+    "ext_pagerank_personalized",
+    "ext_label_propagation",
+    "ext_modularity",
+    "ext_winnow",
+    "ext_pca_project",
+    "ext_ewma_forecast",
+    "ext_seasonal",
+    "ext_semantic_decontaminate",
+    "ext_scd2_lookup",
+    "ext_quantile_bins",
+    "ext_mad_outliers",
+    # -- the 17 most-stale r3-green rows (latest green row: r03) --
+    "dq03_wordcount",
+    "ext_salted_agg",
+    "ext_pack_sequences",
+    "ext_text_line_dedup",
+    "ext_text_repetition",
+    "ext_text_boilerplate",
+    "ext_text_clean",
+    "ext_text_chunk",
+    "ext_text_lm_score",
+    "ext_text_tfidf",
+    "ext_sample_weighted",
+    "ext_sample_quality_mix",
+    "ext_source_cap",
+    "ext_corpus_report",
+    "ext_corpus_diff",
+    "ext_text_vocab",
+    "ext_dedup_bloom",
+]
+
+# The 22 remaining r3-green rows: OUTSIDE the r7 window (covered by their
+# r03 record under the 4-recorded-round bound) and due FIRST in the r8
+# window — they fall outside the last-4-records set the moment the r8
+# verify lands a new CORRECTNESS file, so the r8 rotation must promote
+# them exactly as this round promoted the 17 above.
+_DUE_FIRST_R8 = [
+    "ext_ann_hard_negatives",  # (ANN family: topk/lsh/pq/ivf_pq canaries)
+    "ext_mix_temperature",  # (mixture family: sample_det/stratified)
+    "ext_range_join_binned",  # (range family: dq20 r4-green, plan-pinned)
     "dq28_exists",  # (subquery family: dq29 scalar-subquery r4-green)
     "dq30_grouping_sets",  # (grouping family: dq12/dq23/dq31 r4-green)
-    # r3-green demoted at r6 start to fund the round-6 query slots
-    # (the r5 driver record never landed, so their r03 rows are still
-    # the freshest evidence; covered by the 3-recorded-round bound):
     "dq11_except",  # (set-op family: dq11_intersect/dq22 r4-green)
     "dq18_grouped_udf",  # (UDF family: dq19 canary; mapreduce pytest)
     "dq24_asof_join",  # (join family: dq20 range r4-green, plan-pinned)
@@ -199,77 +230,35 @@ _TAIL_QUERIES = [
     "dq43_rolling_range",  # (window family: dq39/dq25 r4-green)
     "dq44_merge_upsert",  # (outer-join family: dq21 variants r4-green)
     "ext_profile_columns",  # (profiler family: corpus_report sibling)
-    "ext_approx_distinct",  # (sketch family: ext_active_users_approx in window)
+    "ext_approx_distinct",  # (sketch family: ext_active_users_approx)
     "ext_quality_classifier",  # (broadcast-model family: lm_score sibling)
-    # r3-green demoted mid-r5 to fund the three NEW queries' window
-    # slots (bm25 / scd2 / zorder); due in the r7 window with the rest:
-    "ext_dedup_exact",  # (dedup family: ngram/minhash/simhash/... in window)
-    "ext_ann_ivf",  # (ANN family: topk/lsh/pq/ivf_pq in window)
-    "ext_text_pii",  # (text family: tokens/quality/stats/langid in window)
-    "ext_dedup_incremental",  # (incremental family: dedup_incremental_fuzzy in window)
-    "ext_kmeans_embed",  # (quantized-Lloyd family: ext_ann_pq training in window)
-    "ext_pipeline_curate",  # (pipeline family: pipeline_pretokenize/analytics in window)
-    "ext_text_decontaminate",  # (text family: tokens/quality/stats/langid in window)
-    "ext_approx_percentiles",  # (percentile family: dq33 + ext_percentile_state in window)
-    # r4-green, code unchanged since:
-    "dq01_project",
-    "dq02_filter",
-    "dq04_collation",
-    "dq05_agg",
-    "dq06_secondary_sort",
-    "dq07_topk",
-    "dq08_join_agg",
-    "dq09_multiway_join",
-    "dq10_anti",
-    "dq10_semi",
-    "dq11_intersect",
-    "dq12_rollup",
-    "dq13_tumbling",
-    "dq14_sessionize",
-    "dq15_json",
-    "dq15_year",
-    "dq16_flood_max",
-    "dq17_pagerank",
-    "dq19_buckets",
-    "dq20_range_join",
-    "dq21_full_outer",
-    "dq21_left_outer",
-    "dq21_right_outer",
-    "dq22_union",
-    "dq23_cube",
-    "dq25_window_funcs",
-    "dq26_distinct_agg",
-    "dq27_sliding",
-    "dq29_scalar_subquery",
-    "dq31_pivot",
-    "dq32_session_window",
-    # dq33_percentiles: NOT in tail — rewritten r5 (single array-literal
-    # percentile buffer), needs a fresh driver row
-    "dq34_array_funcs",
-    "dq35_regexp",
-    "dq39_running_total",
-    "dq40_pointer_jump",
-    "dq42_star_components",
-    "ext_active_users",
-    "ext_dedup_canonical",
-    "ext_dedup_components",
-    "ext_dedup_semantic",
-    "ext_dedup_span",
-    "ext_dedup_span_removal",
-    "ext_funnel",
-    "ext_funnel_conversion",
-    "ext_pagerank_dangling",
-    "ext_split_leakage_safe",
-    "ext_text_bpe_pairs",
+    "ext_dedup_exact",  # (dedup family: ngram/minhash/simhash siblings)
+    "ext_ann_ivf",  # (ANN family)
+    "ext_text_pii",  # (text family)
+    "ext_dedup_incremental",  # (incremental family: incremental_fuzzy r6)
+    "ext_kmeans_embed",  # (quantized-Lloyd family: ext_ann_pq training)
+    "ext_pipeline_curate",  # (pipeline family: pretokenize/analytics r6)
+    "ext_text_decontaminate",  # (text family)
+    "ext_approx_percentiles",  # (percentile family: dq33/percentile_state)
 ]
 
-
 def _apply_check_priority() -> None:
-    tail = {k: ALL_QUERIES[k] for k in _TAIL_QUERIES if k in ALL_QUERIES}
-    head = {k: v for k, v in ALL_QUERIES.items() if k not in tail}
+    """Reorder ALL_QUERIES so the driver's 50-slot check window holds
+    exactly ``_WINDOW_R7`` (in that order), immediately followed by the
+    ``_DUE_FIRST_R8`` rows (outside the window this round, first in line
+    next round), then every other registered query in registration
+    order (all r4/r6-green, code unchanged since their latest row)."""
+    window = {k: ALL_QUERIES[k] for k in _WINDOW_R7}
+    due_r8 = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R8}
+    rest = {
+        k: v
+        for k, v in ALL_QUERIES.items()
+        if k not in window and k not in due_r8
+    }
     ALL_QUERIES.clear()
-    ALL_QUERIES.update(head)
-    ALL_QUERIES.update(tail)
+    ALL_QUERIES.update(window)
+    ALL_QUERIES.update(due_r8)
+    ALL_QUERIES.update(rest)
 
 
 _apply_check_priority()

@@ -345,10 +345,12 @@ _TS_TWAP_SQL = """
       FROM t WINDOW win AS (PARTITION BY o_custkey ORDER BY ots)
     )
     SELECT o_custkey,
-      CASE WHEN SUM(dt) > 0 THEN SUM(cents * dt) // SUM(dt)
-           ELSE SUM(cents) // COUNT(*) END AS twap,
+      -- DuckDB SUM(BIGINT) is HUGEINT; the driver's typed hash
+      -- distinguishes i128 from Spark's bigint — cast it away
+      CAST(CASE WHEN SUM(dt) > 0 THEN SUM(cents * dt) // SUM(dt)
+                ELSE SUM(cents) // COUNT(*) END AS BIGINT) AS twap,
       COUNT(*) AS n_obs,
-      SUM(dt) AS span_seconds
+      CAST(SUM(dt) AS BIGINT) AS span_seconds
     FROM d GROUP BY o_custkey ORDER BY o_custkey
 """
 
@@ -451,11 +453,15 @@ _AB_TEST_SQL = f"""
       FROM events GROUP BY user_id
     ),
     a AS (
+      -- count_if returns HUGEINT in DuckDB; the driver's typed-value
+      -- hash distinguishes i128 from Spark's bigint (dq15_json lesson)
       SELECT
-        count_if(variant = 'even') AS n_control,
-        count_if(variant = 'even' AND conv = 1) AS conv_control,
-        count_if(variant = 'odd') AS n_treatment,
-        count_if(variant = 'odd' AND conv = 1) AS conv_treatment
+        CAST(count_if(variant = 'even') AS BIGINT) AS n_control,
+        CAST(count_if(variant = 'even' AND conv = 1) AS BIGINT)
+          AS conv_control,
+        CAST(count_if(variant = 'odd') AS BIGINT) AS n_treatment,
+        CAST(count_if(variant = 'odd' AND conv = 1) AS BIGINT)
+          AS conv_treatment
       FROM u
     )
     SELECT n_control, conv_control, n_treatment, conv_treatment,
@@ -736,7 +742,18 @@ _K_CORE_SQL = """
       ) WHERE iter < 30 AND dsrc >= 3 AND ddst >= 3
     )
     SELECT src AS vertex_id, COUNT(*) AS degree
-    FROM alive WHERE iter = 30 GROUP BY src ORDER BY vertex_id
+    FROM alive WHERE iter = 30 GROUP BY src
+    UNION ALL
+    -- convergence assertion: the alive edge set only ever shrinks, so
+    -- equal counts at iter 29 and 30 <=> the peel reached fixpoint
+    -- inside the unroll bound. A graph whose peel depth exceeds 30
+    -- (possible above the tested sf0.001/sf0.01) emits this sentinel
+    -- row and fails the replay LOUDLY instead of comparing the Spark
+    -- fixpoint against a not-yet-converged oracle edge set.
+    SELECT -1 AS vertex_id, -1 AS degree
+    WHERE (SELECT COUNT(*) FROM alive WHERE iter = 30)
+       != (SELECT COUNT(*) FROM alive WHERE iter = 29)
+    ORDER BY vertex_id
 """
 
 

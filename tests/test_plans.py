@@ -417,6 +417,15 @@ def test_no_query_plans_a_cartesian_product(spark):
         # vocabulary size V: a single-row broadcast into the per-bigram
         # scoring join (same in-plan-constant contract as bm25/tfidf)
         "ext_text_bigram_lm",
+        # -- r7-promoted staged queries: audited bounded-relation BNLJ
+        # (same entries as the staged sweep in test_plans_r6.py) --
+        "ext_basket_rules",  # 1-row basket-count relation
+        "ext_rfm_segments",  # 1-row quintile-cuts relation
+        "ext_skew_report",  # 1-row totals relation
+        "ext_crosstab_chi2",  # 1-row grand-total relation
+        "ext_kmv_set_ops",  # <=3k-row sketch-stat relations
+        "ext_segment_overlap",  # |segments|-row sketch-stat pair join
+        "ext_modularity",  # 1-row in-plan edge-total broadcast
     }
     bad = []
     for name, fn in ALL_QUERIES.items():

@@ -14,59 +14,70 @@ import glob
 import json
 import os
 
-from remap_spark.queries import ALL_ORACLES, ALL_QUERIES, CHECK_WINDOW, _TAIL_QUERIES
+from remap_spark.queries import (
+    _DUE_FIRST_R8,
+    _WINDOW_R7,
+    ALL_ORACLES,
+    ALL_QUERIES,
+    CHECK_WINDOW,
+)
 
 WINDOW = list(ALL_QUERIES)[:CHECK_WINDOW]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries that have never had a full green driver row — every one must
-# sit inside the checked window until a green row is recorded. The
-# round-5 driver record (CORRECTNESS_r05.json) never landed, so every
-# round-5 addition is still unchecked; each new queries() entry is
-# appended here the same commit it is registered.
+# sit inside the checked window until a green row is recorded. Round-7
+# promotion: the 33 staged queries (queries/staged_r7.py) registered
+# this round; each was replay-verified against its DuckDB oracle at
+# sf0.001 AND sf0.01 by tests/test_staged_r7.py before promotion, but
+# none has a driver-gate row yet. Each new queries() entry is appended
+# here the same commit it is registered.
 NEVER_CHECKED: list[str] = [
-    "ext_dedup_incremental_fuzzy",  # new in round 5
-    "ext_dedup_span_lengths",  # new in round 5
-    "ext_pipeline_analytics",  # new in round 5
-    "ext_active_users_approx",  # new in round 5
-    "ext_ann_pq",  # new in round 5
-    "ext_ann_ivf_pq",  # new in round 5
-    "ext_pipeline_pretokenize",  # new in round 5
-    "ext_dedup_lsh_verified",  # new in round 5
-    "ext_graph_triangles",  # new in round 5
-    "ext_graph_sssp",  # new in round 5
-    "ext_text_bm25",  # new in round 5 (late)
-    "ext_scd2_history",  # new in round 5 (late)
-    "ext_scd2_incremental",  # new in round 5 (late)
-    "ext_layout_zorder",  # new in round 5 (late)
-    "ext_layout_hilbert",  # new in round 5 (late)
-    "ext_rollup_incremental",  # new in round 5 (late)
-    "ext_dedup_prefix_filter",  # new in round 5 (late)
-    "ext_percentile_state",  # new in round 5 (late)
-    "dq45_rank_funcs",  # new in round 6
-    "ext_retrieval_rrf",  # new in round 6
-    "ext_ts_gapfill",  # new in round 6
-    "ext_ts_ewma",  # new in round 6
-    "ext_user_paths",  # new in round 6
-    "ext_text_bigram_lm",  # new in round 6
-    "ext_kmv_distinct",  # new in round 6
-    "ext_dedup_soft_weights",  # new in round 6
-    "ext_recipe_token_budget",  # new in round 6
+    "ext_sample_wor",
+    "ext_expectations",
+    "ext_attribution",
+    "ext_basket_rules",
+    "ext_entity_resolution",
+    "ext_rfm_segments",
+    "ext_ts_zscore",
+    "ext_ts_twap",
+    "ext_skyline",
+    "ext_skew_report",
+    "ext_ab_test",
+    "ext_crosstab_chi2",
+    "ext_period_over_period",
+    "ext_inverted_index",
+    "ext_markov_transitions",
+    "ext_kmv_set_ops",
+    "ext_shuffle_shards",
+    "ext_winsorize",
+    "ext_cross_matches",
+    "ext_k_core",
+    "ext_table_changes",
+    "ext_segment_overlap",
+    "ext_pagerank_personalized",
+    "ext_label_propagation",
+    "ext_modularity",
+    "ext_winnow",
+    "ext_pca_project",
+    "ext_ewma_forecast",
+    "ext_seasonal",
+    "ext_semantic_decontaminate",
+    "ext_scd2_lookup",
+    "ext_quantile_bins",
+    "ext_mad_outliers",
 ]
 
-# Queries whose implementation changed in round 5 (paragraph-dedup
-# separator regex fix, cohort-retention period-aligned cohort key) —
-# they still need a fresh driver row because the r5 record never landed.
-CHANGED_R5 = [
-    "ext_dedup_paragraph_global",
-    "ext_cohort_retention",
-    "dq33_percentiles",  # single array-literal percentile buffer
-    "ext_ann_lsh",  # multi-probe (Hamming-1) bucket expansion
-]
+# Queries whose implementation changed since their latest recorded green
+# driver row. Empty at r7 start: all four round-5-changed queries
+# received green CORRECTNESS_r06 rows. Any semantic change to a
+# registered query this round must add its name here (forcing it into
+# the window) the same commit.
+CHANGED_SINCE_LAST_ROW: list[str] = []
 
 
-def _recent_checked(n: int = 3) -> set[str]:
+def _recent_checked(n: int) -> set[str]:
     """Union of query names green-checked in the last ``n`` RECORDED
     correctness rounds (the driver writes CORRECTNESS_r{N}.json when a
     round's verify step completes — round 5's record never landed, so
@@ -85,22 +96,39 @@ def test_never_checked_families_inside_window():
 
 
 def test_changed_queries_inside_window():
-    missing = [q for q in CHANGED_R5 if q not in WINDOW]
+    missing = [q for q in CHANGED_SINCE_LAST_ROW if q not in WINDOW]
     assert not missing, f"changed queries outside driver window: {missing}"
 
 
-def test_max_staleness_three_recorded_rounds():
+def test_max_staleness_four_recorded_rounds():
     """Every registered query is either in the upcoming driver window
-    or has a green row within the last THREE recorded correctness
-    rounds. Three is the tightest sustainable bound: the registry holds
-    127 queries against a 50-slot window, so a full re-verification
-    cycle needs ceil(127/50) = 3 records (the former two-round bound
-    was only sustainable below 100 queries, and the lost round-5 record
-    consumed any slack). The rotation comment in queries/__init__.py
-    names which tail rows are due first in the next window."""
-    recent = _recent_checked(3)
+    or has a green row within the last FOUR recorded correctness
+    rounds. Four is the tightest sustainable bound: the registry holds
+    169 queries against a 50-slot window, so a full re-verification
+    cycle needs ceil(169/50) = 4 records (the former 3-round bound was
+    arithmetically unsatisfiable the moment the 33 staged r7 queries
+    registered: 169 − 50 = 119 > 97 = |r04 ∪ r06|). The 119 non-window
+    queries are exactly covered by r03 (22) + r04 (47) + r06 (50); the
+    50×4 = 200 ceiling leaves 31 slots of registry-growth headroom,
+    which is why r7 additions ship staged (see the rotation comment in
+    queries/__init__.py)."""
+    recent = _recent_checked(4)
     stale = [q for q in ALL_QUERIES if q not in WINDOW and q not in recent]
-    assert not stale, f"queries >3 recorded rounds stale and outside window: {stale}"
+    assert not stale, f"queries >4 recorded rounds stale and outside window: {stale}"
+
+
+def test_window_is_exactly_the_r7_plan():
+    # The r7 window is pinned name-by-name: 33 staged + the 17
+    # most-stale r3 rows, in documented priority order.
+    assert WINDOW == _WINDOW_R7
+    assert len(_WINDOW_R7) == CHECK_WINDOW
+
+
+def test_due_first_r8_rows_follow_window():
+    # The 22 remaining r3-green rows sit immediately after the window:
+    # outside it this round (their r03 record covers them under the
+    # 4-round bound) and first in line for the r8 rotation.
+    assert list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R8)] == _DUE_FIRST_R8
 
 
 def test_window_queries_all_have_oracles():
@@ -108,14 +136,6 @@ def test_window_queries_all_have_oracles():
     # check; a no-oracle query there wastes a slot on a rows-only row.
     no_oracle = [q for q in WINDOW if q not in ALL_ORACLES]
     assert not no_oracle, f"window queries without oracles: {no_oracle}"
-
-
-def test_tail_queries_exist_and_registered_last():
-    # Every demoted name must still be a real registered query (a typo
-    # here would silently shrink coverage), and the tail must actually
-    # be at the end so the head fills the window.
-    assert set(_TAIL_QUERIES) <= set(ALL_QUERIES)
-    assert list(ALL_QUERIES)[-len(_TAIL_QUERIES):] == _TAIL_QUERIES
 
 
 def test_oracles_reference_registered_queries():
