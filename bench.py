@@ -37,8 +37,8 @@ def _fresh_mode(query_names: list[str]) -> None:
         "import sys, time, json; sys.path.insert(0, {root!r});"
         "from remap_spark.engine import build_session;"
         "from remap_spark.queries import ALL_QUERIES;"
-        "from remap_spark.queries.staged_r7 import STAGED_QUERIES;"
-        "ALL_QUERIES = dict(ALL_QUERIES, **STAGED_QUERIES);"
+        "from remap_spark.queries.staged_r8 import STAGED_R8_QUERIES;"
+        "ALL_QUERIES = dict(ALL_QUERIES, **STAGED_R8_QUERIES);"
         "spark = build_session(app_name='bench_fresh');"
         "spark.sparkContext.setLogLevel('ERROR');"
         "q = ALL_QUERIES[{name!r}];"
@@ -74,13 +74,18 @@ def main() -> None:
     from remap_spark.engine import build_session
     from remap_spark.queries import ALL_QUERIES
 
-    # round-7 staged queries (queries/staged_r7.py) ride the bench
-    # before registration so their perf record starts a round early;
-    # on promotion the dict merge below becomes a no-op
+    # staged queries ride the bench before registration so their perf
+    # record starts a round early; post-promotion merges are no-ops
     try:
         from remap_spark.queries.staged_r7 import STAGED_QUERIES
 
         ALL_QUERIES = {**ALL_QUERIES, **STAGED_QUERIES}
+    except ImportError:
+        pass
+    try:
+        from remap_spark.queries.staged_r8 import STAGED_R8_QUERIES
+
+        ALL_QUERIES = {**ALL_QUERIES, **STAGED_R8_QUERIES}
     except ImportError:
         pass
 

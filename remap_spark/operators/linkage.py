@@ -119,6 +119,112 @@ def resolve_entities(
     )
 
 
+def blocked_match_pairs_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[Column | str],
+    max_distance: int = 2,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Multi-key blocking (production MDM hardening): candidate pairs
+    from the UNION of several blocking keys — e.g. name prefix +
+    soundex + (length-bucket, suffix) — so a typo in the character(s)
+    one key hashes on is caught by another key. A single prefix block
+    misses 'Xustomer#001' ~ 'Customer#001' (first-char typo changes
+    the block); a suffix or soundex key still collides them.
+
+    Shape: the records relation is exploded once per key with a key
+    INDEX column, so all keys share ONE self-join co-partitioned on
+    (key_idx, block_value) — the exchange carries |keys| x corpus
+    rows (small constant), never corpus². ``max_block_size`` applies
+    PER (key, block) group before the join — one oversized soundex
+    bucket ('UNKNOWN' pathology) is dropped for that key only while
+    its members remain matchable under their other keys. Duplicate
+    pairs found under several keys collapse via groupBy (id_a, id_b)
+    — distance is key-independent, so min() == the value — keeping
+    the closure input pair-distinct.
+    """
+    recs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        *[
+            (F.col(c) if isinstance(c, str) else c).alias(f"_k{i}")
+            for i, c in enumerate(block_cols)
+        ],
+    ).where(F.col("_txt").isNotNull())
+    keyed = recs.select(
+        "_id",
+        "_txt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("kidx"),
+                        F.col(f"_k{i}").cast("string").alias("blk"),
+                    )
+                    for i in range(len(block_cols))
+                ]
+            )
+        ).alias("_kb"),
+    ).select(
+        "_id", "_txt", F.col("_kb.kidx").alias("_kidx"),
+        F.col("_kb.blk").alias("_blk"),
+    ).where(F.col("_blk").isNotNull())
+    if max_block_size is not None:
+        sizes = keyed.groupBy("_kidx", "_blk").agg(
+            F.count(F.lit(1)).alias("_bs")
+        )
+        keyed = (
+            keyed.join(sizes, ["_kidx", "_blk"])
+            .where(F.col("_bs") <= max_block_size)
+            .drop("_bs")
+        )
+    a = keyed.select(
+        "_kidx", "_blk",
+        F.col("_id").alias("id_a"), F.col("_txt").alias("_txt_a"),
+    )
+    b = keyed.select(
+        "_kidx", "_blk",
+        F.col("_id").alias("id_b"), F.col("_txt").alias("_txt_b"),
+    )
+    return (
+        a.join(b, ["_kidx", "_blk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("_txt_a", "_txt_b"))
+        .where(F.col("distance") <= max_distance)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("distance").alias("distance"))
+    )
+
+
+def resolve_entities_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[Column | str],
+    max_distance: int = 2,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """:func:`resolve_entities` over the multi-key candidate union —
+    same closure and output contract, higher recall on records whose
+    typo falls in the characters a single blocking key depends on."""
+    from .pregel import connected_components_star
+
+    pairs = blocked_match_pairs_multi(
+        df, id_col, text_col, block_cols,
+        max_distance=max_distance, max_block_size=max_block_size,
+    )
+    comp = connected_components_star(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias(id_col), F.col("component").alias("_ent")
+    )
+    return (
+        df.join(comp, id_col, "left")
+        .withColumn("entity_id", F.coalesce(F.col("_ent"), F.col(id_col)))
+        .drop("_ent")
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     sort_col: str,

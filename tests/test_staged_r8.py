@@ -1,0 +1,52 @@
+"""Full oracle replay of every round-8 staged driver query at BOTH
+test scale factors — the same rows+schema+hash gate the driver
+applies (conftest.assert-style typed compare), run now so the r8
+promotion is a pure dict merge with zero new correctness risk. Also
+sweeps the staged plans for unbounded joins (the registered-set
+cartesian audit, applied pre-registration)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR, SF_DIR_T2, canon, duck_con
+
+from remap_spark.queries.staged_r8 import STAGED_R8_ORACLES, STAGED_R8_QUERIES
+
+
+def test_staged_sets_aligned():
+    assert set(STAGED_R8_QUERIES) == set(STAGED_R8_ORACLES)
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_T2])
+@pytest.mark.parametrize("name", sorted(STAGED_R8_QUERIES))
+def test_staged_r8_query_matches_oracle(spark, name, sf_dir):
+    sdf = STAGED_R8_QUERIES[name](spark, sf_dir)
+    srows, scols = sdf.collect(), sdf.columns
+
+    con = duck_con(sf_dir)
+    try:
+        res = con.sql(STAGED_R8_ORACLES[name])
+        dcols, drows = res.columns, res.fetchall()
+    finally:
+        con.close()
+
+    assert sorted(scols) == sorted(dcols), (name, scols, dcols)
+    assert len(srows) == len(drows) > 0, (name, len(srows), len(drows))
+    s, d = canon(srows, scols), canon(drows, dcols)
+    mismatch = [(a, b) for a, b in zip(s, d) if a != b][:3]
+    assert not mismatch, (name, mismatch)
+
+
+def test_no_staged_r8_query_plans_a_cartesian_product(spark):
+    from remap_spark.plans import explain_str
+
+    bnlj_ok: set[str] = set()
+    bad = []
+    for name, fn in STAGED_R8_QUERIES.items():
+        p = explain_str(fn(spark, SF_DIR), "formatted")
+        if "CartesianProduct" in p:
+            bad.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in p and name not in bnlj_ok:
+            bad.append((name, "bnlj"))
+    assert not bad, bad
