@@ -597,6 +597,224 @@ def duplicate_span_lengths(
     )
 
 
+def _positional_grams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_gram_docs: int | None,
+):
+    """Positional k-gram stream (doc, i, g) with g = portable 60-bit
+    gram hash, eagerly checkpointed (it feeds both sides of the
+    occurrence self-join in maximal_match_spans). ``max_gram_docs``
+    drops grams present in more than that many distinct documents
+    BEFORE any pairing — the stop-gram pathology bound (a gram in 1M
+    docs would otherwise pair 10^12 occurrence rows); dropped grams
+    are exactly the ones whose matches are boilerplate noise, and the
+    cap is deterministic so the DuckDB oracle replays it."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("i", "w"),
+    )
+    w = Window.partitionBy("doc").orderBy("i")
+    gram = F.concat_ws(
+        " ", F.col("w"), *[F.lead("w", j).over(w) for j in range(1, k)]
+    )
+    n_parts_expr = sum(
+        F.when(F.lead("w", j).over(w).isNotNull(), 1).otherwise(0)
+        for j in range(1, k)
+    )
+    grams = (
+        toks.select("doc", "i", gram.alias("gram"), n_parts_expr.alias("_np"))
+        .where(F.col("_np") == k - 1)
+        .select("doc", "i", portable_hash60("gram").alias("g"))
+    )
+    if max_gram_docs is not None:
+        hot = (
+            grams.select("doc", "g")
+            .distinct()
+            .groupBy("g")
+            .agg(F.count("*").alias("_nd"))
+            .where(F.col("_nd") > max_gram_docs)
+            .select("g")
+        )
+        grams = grams.join(hot, "g", "left_anti")
+    return grams.localCheckpoint(eager=True)
+
+
+def maximal_match_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """TRUE maximal duplicated spans — the suffix-array-faithful
+    fidelity step beyond ``duplicate_span_lengths``'s island merge:
+    every output row (doc, span_start, span_len) is an EXACT
+    contiguous match of length >= k with a specific occurrence in
+    another document, maximal in the stringology sense (extending one
+    token left or right breaks THAT match). The island merge cannot
+    make this distinction: when doc A's tokens [0,10) match doc B and
+    [5,15) match doc C, the k-window tiling unions them into one
+    [0,15) run that occurs contiguously NOWHERE else;
+    maximal_match_spans reports the two real repeats (Lee et al.
+    2022's suffix-array formulation lists duplicated substrings, not
+    coverage unions — this recovers that list distributedly).
+
+    Method — diagonal runs over window-anchor pairs: two positional
+    k-windows (a, i) ~ (b, j) with equal gram hashes witness a length-k
+    match; matches between the same document pair lying on the same
+    alignment DIAGONAL (i - j constant) at consecutive start positions
+    are one longer match. Anchor-pair equality is EXACTLY extendability
+    (starts (i-1, j-1) match iff tokens a[i-1] == b[j-1] given the
+    following k-1 already match), so gaps-and-islands along each
+    (doc_a, doc_b, diagonal) recovers maximal matches of length
+    run_len + k - 1 with no relaxation. Cross-document only
+    (doc_a < doc_b); a span is listed once per distinct (start, len)
+    even when several partners witness it.
+
+    Shape: one gram self-join keyed on the 60-bit hash (occurrence
+    pairs — sum over grams of occ_a x occ_b rows, bounded by
+    ``max_gram_docs`` exactly as the blocked-join operators bound
+    their worst block), one (doc_a, doc_b, diag)-keyed window, one
+    aggregate. This is the exact tier; the k-window coverage path
+    (remove_duplicate_spans) remains the removal workhorse — its
+    covered-position set provably equals the union of all >= k
+    duplicated substrings, so removal loses nothing by tiling."""
+    from pyspark.sql.window import Window
+
+    grams = _positional_grams(df, text_col, id_col, k, max_gram_docs)
+    a = grams.select(
+        "g", F.col("doc").alias("doc_a"), F.col("i").alias("i_a")
+    )
+    b = grams.select(
+        "g", F.col("doc").alias("doc_b"), F.col("i").alias("i_b")
+    )
+    anchors = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "i_a", "doc_b", "i_b")
+    )
+    wd = Window.partitionBy(
+        "doc_a", "doc_b", F.col("i_a") - F.col("i_b")
+    ).orderBy("i_a")
+    runs = anchors.withColumn(
+        "_grp", F.col("i_a") - F.row_number().over(wd)
+    )
+    matches = runs.groupBy(
+        "doc_a", "doc_b", (F.col("i_a") - F.col("i_b")).alias("_diag"), "_grp"
+    ).agg(
+        F.min("i_a").alias("_sa"),
+        F.min("i_b").alias("_sb"),
+        (F.count("*") + F.lit(k - 1)).alias("span_len"),
+    )
+    return (
+        matches.select(
+            F.col("doc_a").alias("doc"),
+            F.col("_sa").alias("span_start"),
+            "span_len",
+        )
+        .unionByName(
+            matches.select(
+                F.col("doc_b").alias("doc"),
+                F.col("_sb").alias("span_start"),
+                "span_len",
+            )
+        )
+        .distinct()
+    )
+
+
+def remove_duplicate_spans_keep_one(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_len: int | None = None,
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """Survivor-preserving exact-substring dedup: each maximal
+    cross-document duplicated span (>= ``min_len`` tokens, default k)
+    is removed from the LATER occurrence of every witnessing pair and
+    kept at the earlier one — so a span duplicated across two
+    documents is removed exactly once, and an N-way duplicate keeps
+    exactly its first (minimum doc id) copy (every pair (first, other)
+    marks the other side). ``remove_duplicate_spans`` removes ALL
+    copies (the Lee et al. EXACTSUBSTR action); this variant is the
+    keep-one policy the paper discusses — boilerplate disappears from
+    the corpus without the canonical document losing content.
+
+    Shape: maximal matches as in :func:`maximal_match_spans` (same
+    bounds), then only the doc_b side explodes to covered positions
+    (span-length-fold on duplicated material only) and the rebuild is
+    the per-doc aggregate of remove_duplicate_spans. Returns
+    (doc, text, n_tokens, n_removed)."""
+    from pyspark.sql.window import Window
+
+    if min_len is None:
+        min_len = k
+    grams = _positional_grams(df, text_col, id_col, k, max_gram_docs)
+    a = grams.select(
+        "g", F.col("doc").alias("doc_a"), F.col("i").alias("i_a")
+    )
+    b = grams.select(
+        "g", F.col("doc").alias("doc_b"), F.col("i").alias("i_b")
+    )
+    anchors = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "i_a", "doc_b", "i_b")
+    )
+    wd = Window.partitionBy(
+        "doc_a", "doc_b", F.col("i_a") - F.col("i_b")
+    ).orderBy("i_a")
+    runs = anchors.withColumn(
+        "_grp", F.col("i_a") - F.row_number().over(wd)
+    )
+    matches = runs.groupBy(
+        "doc_a", "doc_b", (F.col("i_a") - F.col("i_b")).alias("_diag"), "_grp"
+    ).agg(
+        F.min("i_b").alias("_sb"),
+        (F.count("*") + F.lit(k - 1)).alias("_len"),
+    )
+    covered = (
+        matches.where(F.col("_len") >= min_len)
+        .select(
+            F.col("doc_b").alias("doc"),
+            F.explode(
+                F.sequence(F.col("_sb"), F.col("_sb") + F.col("_len") - 1)
+            ).alias("i"),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(1))
+    )
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("i", "w"),
+    )
+    marked = toks.join(covered, ["doc", "i"], "left")
+    kept_words = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_cov").isNull(), F.struct("i", "w"))
+            )
+        ),
+        lambda s: s["w"],
+    )
+    return marked.groupBy("doc").agg(
+        F.concat_ws(" ", kept_words).alias("text"),
+        F.count("*").alias("n_tokens"),
+        F.coalesce(F.sum("_cov"), F.lit(0)).alias("n_removed"),
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import load_table
+from ..operators.dedup import (
+    maximal_match_spans,
+    remove_duplicate_spans_keep_one,
+)
 from ..operators.linkage import resolve_entities_multi
+from .extensions import _SPAN_GRAM, _TOKS
 
 
 def ext_entity_resolution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,10 +71,122 @@ _ENTITY_RESOLUTION_MULTI_SQL = """
 """
 
 
+_MAX_GRAM_DOCS = 30
+
+
+def ext_dedup_span_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-faithful maximal duplicated spans
+    (operators/dedup.maximal_match_spans): every row is an exact
+    contiguous cross-document match with a specific partner
+    occurrence, maximal in the stringology sense — unlike
+    ext_dedup_span_lengths' island merge, overlapping repeats with
+    different partners stay separate rows with their true lengths.
+    Stop-grams in more than 30 documents are dropped (the documented
+    pair-blowup bound); the oracle replays the identical cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = maximal_match_spans(docs, k=5, max_gram_docs=_MAX_GRAM_DOCS)
+    return out.select(
+        F.col("doc").alias("doc_id"), "span_start", "span_len"
+    ).orderBy("doc_id", "span_start", "span_len")
+
+
+_SPAN_PAIR_CTES = f"""
+    WITH {_TOKS},
+    t AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+      FROM toks
+    ),
+    g5 AS (
+      SELECT doc_id, pos, {_SPAN_GRAM} AS gram
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (SELECT doc_id, pos, gram FROM g5 WHERE gram IS NOT NULL),
+    hot AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM sh)
+      GROUP BY gram HAVING COUNT(*) > {_MAX_GRAM_DOCS}
+    ),
+    shc AS (
+      SELECT * FROM sh WHERE gram NOT IN (SELECT gram FROM hot)
+    ),
+    anch AS (
+      SELECT a.doc_id AS da, a.pos AS ia, b.doc_id AS db, b.pos AS ib
+      FROM shc a JOIN shc b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, ia, ib,
+             ia - ROW_NUMBER() OVER (
+               PARTITION BY da, db, ia - ib ORDER BY ia) AS grp
+      FROM anch
+    ),
+    m AS (
+      SELECT da, db, MIN(ia) AS sa, MIN(ib) AS sb,
+             COUNT(*) + 4 AS span_len
+      FROM runs GROUP BY da, db, ia - ib, grp
+    )
+"""
+
+_SPAN_MAXIMAL_SQL = (
+    _SPAN_PAIR_CTES
+    + """
+    SELECT DISTINCT doc_id, span_start, CAST(span_len AS BIGINT) AS span_len
+    FROM (
+      SELECT da AS doc_id, sa AS span_start, span_len FROM m
+      UNION ALL
+      SELECT db AS doc_id, sb AS span_start, span_len FROM m
+    )
+    ORDER BY doc_id, span_start, span_len
+"""
+)
+
+
+def ext_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-preserving exact-substring dedup (operators/dedup.
+    remove_duplicate_spans_keep_one): each maximal cross-document
+    duplicated span is removed from the later occurrence of every
+    witnessing pair and kept at its first — a 2-way duplicate is
+    removed exactly once, an N-way duplicate keeps exactly its first
+    copy (vs ext_dedup_span_removal, which removes ALL copies)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_duplicate_spans_keep_one(
+        docs, k=5, max_gram_docs=_MAX_GRAM_DOCS
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"), "text", "n_tokens", "n_removed"
+    ).orderBy("doc_id")
+
+
+_KEEP_ONE_SQL = (
+    _SPAN_PAIR_CTES
+    + """,
+    cov AS (
+      SELECT DISTINCT db AS doc_id, unnest(range(sb, sb + span_len)) AS pos
+      FROM m WHERE span_len >= 5
+    ),
+    marked AS (
+      SELECT t.doc_id, t.pos, t.word, c.pos IS NOT NULL AS covered
+      FROM t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT covered THEN word END,
+                               ' ' ORDER BY pos), '') AS text,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+)
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
+    "ext_dedup_span_maximal": ext_dedup_span_maximal,
+    "ext_dedup_keep_one": ext_dedup_keep_one,
 }
 
 STAGED_R8_ORACLES = {
     "ext_entity_resolution_multi": _ENTITY_RESOLUTION_MULTI_SQL,
+    "ext_dedup_span_maximal": _SPAN_MAXIMAL_SQL,
+    "ext_dedup_keep_one": _KEEP_ONE_SQL,
 }

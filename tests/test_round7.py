@@ -143,3 +143,117 @@ def test_resolve_entities_multi_closure_and_self_entities(spark):
     expect = {i: find(i) for i, _ in rows}
     got = {r["id"]: r["entity_id"] for r in out}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Maximal-match exact-substring dedup (suffix-array-faithful tier)
+
+
+def _span_docs(spark):
+    # vocabulary of unique filler words keeps accidental 5-gram
+    # duplicates impossible; the constructed spans are the only repeats
+    filler = lambda tag, n: " ".join(f"{tag}{j}w" for j in range(n))
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    # dup = 11 tokens = 2k+1 for k=5
+    rows = [
+        (0, f"{filler('a', 6)} {dup} {filler('b', 6)}"),
+        (1, f"{filler('c', 4)} {dup} {filler('d', 8)}"),
+        (2, filler("e", 20)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), dup
+
+
+def test_maximal_match_spans_exact_length_single_row(spark):
+    from remap_spark.operators.dedup import maximal_match_spans
+
+    df, dup = _span_docs(spark)
+    out = maximal_match_spans(df, k=5).collect()
+    spans = {(r["doc"], r["span_start"], r["span_len"]) for r in out}
+    # one maximal span per document copy, exactly 11 tokens long —
+    # not k-tiled fragments, not an over-merged run
+    assert spans == {(0, 6, 11), (1, 4, 11)}
+
+
+def test_keep_one_removes_2kplus1_duplicate_exactly_once(spark):
+    from remap_spark.operators.dedup import remove_duplicate_spans_keep_one
+
+    df, dup = _span_docs(spark)
+    out = {
+        r["doc"]: r
+        for r in remove_duplicate_spans_keep_one(df, k=5).collect()
+    }
+    # doc 0 (earlier occurrence) keeps the span; doc 1 loses exactly
+    # the 11 duplicated tokens; doc 2 untouched
+    assert out[0]["n_removed"] == 0 and dup in out[0]["text"]
+    assert out[1]["n_removed"] == 11 and dup not in out[1]["text"]
+    assert out[1]["text"].split() == (
+        [f"c{j}w" for j in range(4)] + [f"d{j}w" for j in range(8)]
+    )
+    assert out[2]["n_removed"] == 0
+
+
+def test_keep_one_nway_duplicate_keeps_exactly_first_copy(spark):
+    from remap_spark.operators.dedup import remove_duplicate_spans_keep_one
+
+    dup = "alpha beta gamma delta epsilon zeta eta"
+    rows = [(i, f"x{i}a x{i}b {dup} y{i}a y{i}b") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc"]: r
+        for r in remove_duplicate_spans_keep_one(df, k=5).collect()
+    }
+    assert out[0]["n_removed"] == 0 and dup in out[0]["text"]
+    for i in (1, 2, 3):
+        assert out[i]["n_removed"] == 7 and dup not in out[i]["text"]
+
+
+def test_maximal_spans_split_where_island_merge_overmerges(spark):
+    """Doc 0 carries two overlapping repeats with DIFFERENT partners:
+    tokens [0,10) duplicated with doc 1, tokens [5,15) with doc 2.
+    The island merge (duplicate_span_lengths) reports one [0,15) run
+    that occurs contiguously nowhere else; the maximal-match tier
+    must report the two real repeats with their true lengths."""
+    from remap_spark.operators.dedup import (
+        duplicate_span_lengths,
+        maximal_match_spans,
+    )
+
+    w = [f"s{j}w" for j in range(15)]  # doc 0: 15 unique tokens
+    rows = [
+        (0, " ".join(w)),
+        (1, " ".join(["p1a", "p1b"] + w[:10] + ["q1a", "q1b"])),
+        (2, " ".join(["p2a", "p2b"] + w[5:15] + ["q2a", "q2b"])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc"], r["span_start"], r["span_len"])
+        for r in maximal_match_spans(df, k=5).collect()
+    }
+    assert got == {
+        (0, 0, 10), (0, 5, 10),  # the two true repeats, separately
+        (1, 2, 10), (2, 2, 10),
+        # docs 1 and 2 ALSO share the 5-token overlap w[5:10] as a
+        # maximal match of their own pair — the exact tier lists it
+        (1, 7, 5), (2, 2, 5),
+    }
+    merged = {
+        (r["doc"], r["span_start"], r["span_len"])
+        for r in duplicate_span_lengths(df, k=5).collect()
+    }
+    # the documented relaxation: coverage union merges them
+    assert (0, 0, 15) in merged
+
+
+def test_maximal_spans_max_gram_docs_drops_stop_gram_matches(spark):
+    from remap_spark.operators.dedup import maximal_match_spans
+
+    boiler = "the quick brown fox jumps"
+    rows = [(i, f"u{i}a {boiler} v{i}b") for i in range(10)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = maximal_match_spans(df, k=5, max_gram_docs=5).collect()
+    # boilerplate gram in 10 docs is dropped by the cap; the rare
+    # 2-doc duplicate survives
+    docs = {r["doc"] for r in got}
+    assert docs == {100, 101}

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import SF_DIR, SF_DIR_T2, canon, duck_con
+from conftest import SF_DIR, SF_DIR_T2, _dtype_class, canon, duck_con
 
 from remap_spark.queries.staged_r8 import STAGED_R8_ORACLES, STAGED_R8_QUERIES
 
@@ -27,9 +27,23 @@ def test_staged_r8_query_matches_oracle(spark, name, sf_dir):
     con = duck_con(sf_dir)
     try:
         res = con.sql(STAGED_R8_ORACLES[name])
-        dcols, drows = res.columns, res.fetchall()
+        dcols = res.columns
+        dtypes = [str(t) for t in res.types]
+        drows = res.fetchall()
     finally:
         con.close()
+
+    # dtype-class gate (the round-7 promotion lesson: staged_r7's
+    # replay skipped this and two oracles shipped HUGEINT aggregates
+    # the driver's typed hash would have rejected)
+    stypemap = {c: _dtype_class(t) for c, t in sdf.dtypes}
+    dtypemap = {c: _dtype_class(t) for c, t in zip(dcols, dtypes)}
+    diffs = {
+        c: (stypemap.get(c), dtypemap.get(c))
+        for c in set(stypemap) | set(dtypemap)
+        if stypemap.get(c) != dtypemap.get(c)
+    }
+    assert not diffs, (name, diffs)
 
     assert sorted(scols) == sorted(dcols), (name, scols, dcols)
     assert len(srows) == len(drows) > 0, (name, len(srows), len(drows))
