@@ -1006,20 +1006,122 @@ def _decode_image_impl(blob: bytes, fake: bool):
     return width, height, feats
 
 
+# MPEG-1 Layer III header tables — these ARE spec-exact (ISO 11172-3
+# §2.4.2.3): 4-bit bitrate index -> kbit/s, 2-bit samplerate index.
+_MP3_BITRATES_V1L3 = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+    None,
+)
+_MP3_BITRATES_V2L3 = (
+    None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, None,
+)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def parse_mp3_frames(blob: bytes):
+    """NATIVE MPEG audio container parse — pure spec arithmetic, no
+    codec library: skips an ID3v2 prefix (synchsafe size) and ID3v1
+    tail, walks the frame-sync chain, and returns
+    (n_frames, sample_rate, channels, total_samples, bitrate_sum_kbps,
+    is_vbr) for MPEG-1/2 Layer III streams. Frame length is the §2.4.3.1
+    formula 144 * bitrate / samplerate + padding (72 * for MPEG-2's
+    576-sample granule); the walk resynchronizes only at exact
+    header-aligned offsets, so random byte soup never parses (>= 2
+    chained frames required). This is the verifiable half of MP3
+    support; see _decode_audio_impl for why sample reconstruction
+    stays behind the seam."""
+    pos = 0
+    end = len(blob)
+    if blob[:3] == b"ID3" and end >= 10:
+        sz = (
+            (blob[6] & 0x7F) << 21 | (blob[7] & 0x7F) << 14
+            | (blob[8] & 0x7F) << 7 | (blob[9] & 0x7F)
+        )
+        pos = 10 + sz
+    if end >= 128 and blob[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    n_frames = 0
+    sr = ch = 0
+    total_samples = 0
+    bitrate_sum = 0
+    br_min = br_max = 0
+    while pos + 4 <= end:
+        b0, b1, b2, b3 = blob[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x3  # 1 = Layer III
+        if layer != 1 or version == 1:
+            break
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        mode = (b3 >> 6) & 0x3
+        table = _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+        if table[br_idx] is None or sr_idx == 3:
+            break
+        bitrate = table[br_idx] * 1000
+        rate = _MP3_RATES[version][sr_idx]
+        spf = 1152 if version == 3 else 576  # samples per frame
+        flen = (spf // 8) * bitrate // rate + padding
+        if flen <= 4 or pos + flen > end:
+            break
+        n_frames += 1
+        sr = rate
+        ch = 1 if mode == 3 else 2
+        total_samples += spf
+        bitrate_sum += table[br_idx]
+        br_min = table[br_idx] if n_frames == 1 else min(br_min, table[br_idx])
+        br_max = max(br_max, table[br_idx])
+        pos += flen
+    if n_frames < 2:
+        raise ValueError("not an MPEG Layer III frame chain")
+    return n_frames, sr, ch, total_samples, bitrate_sum, br_min != br_max
+
+
+def _decode_mp3_meta(blob: bytes):
+    """Container-level MP3 features from the REAL frame chain (no
+    sample reconstruction): the 8-float vector mirrors the PCM
+    features' last three slots (duration / rate / channels, identical
+    semantics) and fills the waveform-statistic slots with frame-chain
+    descriptors (mean bitrate, frame count, VBR flag) — deterministic,
+    spec-derived, and enough for the corpus-curation uses of
+    audio_features (duration/bitrate filters, codec census)."""
+    n_frames, sr, ch, total_samples, br_sum, vbr = parse_mp3_frames(blob)
+    mean_br = br_sum / n_frames
+    return total_samples, [
+        round(mean_br / 320.0, 6),  # mean bitrate vs Layer III max
+        min(n_frames / 10000.0, 1.0),
+        1.0 if vbr else 0.0,
+        0.0,
+        0.0,
+        min(total_samples / sr, 1.0) if sr else 0.0,
+        sr / 96000.0,
+        float(ch),
+    ]
+
+
 def _decode_audio_impl(blob: bytes, fake: bool):
     """Audio decode with container sniffing: PCM WAV (RIFF/WAVE magic)
-    and native FLAC ('fLaC' magic — all four subframe types, Rice
-    residuals, stereo decorrelation) both decode NATIVELY (stdlib +
-    numpy); only MP3 and other lossy codecs fall to the deterministic
-    fake or raise.
+    and FLAC ('fLaC' magic — all four subframe types, Rice residuals,
+    stereo decorrelation) decode NATIVELY (stdlib + numpy); MP3 frame
+    chains parse natively down to the container level (frame walk,
+    duration, bitrate, channel mode — parse_mp3_frames), with only
+    SAMPLE reconstruction behind the fake/raise seam; unknown codecs
+    fall to the deterministic fake or raise.
 
-    Why MP3 stays stubbed when FLAC/JPEG decode natively: Layer III's
-    polyphase synthesis filterbank is defined over a 512-coefficient
-    prototype window that exists ONLY as a quantized table in ISO
-    11172-3 Annex B (no closed form to derive it from), and this
-    container has neither that table data nor any audio codec to
-    validate a re-entry against — so a from-scratch decoder could not
-    be proven correct here. The seam is this dispatch alone."""
+    Why Layer III samples stay behind the seam when FLAC/JPEG/GIF
+    decode natively: every natively-decoded format here is either
+    parametric (FLAC's Rice codes, GIF's LZW), carries its entropy
+    tables IN the file (JPEG's DHT segments), or is covered by the
+    stdlib (PNG's zlib). Layer III is the one format whose decode
+    constants — 32 big-value Huffman code tables, scalefactor band
+    partitions, and the 512-coefficient synthesis window — exist ONLY
+    as quantized tables in ISO 11172-3 Annex B, with no closed form
+    to derive them from and no codec in this container to validate a
+    re-keyed copy against; an unvalidatable table transcription would
+    be fabrication, not a decoder. The seam is this dispatch alone."""
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         try:
             return _decode_wav(blob)
@@ -1030,11 +1132,20 @@ def _decode_audio_impl(blob: bytes, fake: bool):
             return _decode_flac(blob)
         except Exception:
             pass  # corrupt/reserved-feature stream falls through
+    if blob[:3] == b"ID3" or (
+        len(blob) > 4 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
+    ):
+        try:
+            return _decode_mp3_meta(blob)
+        except Exception:
+            pass  # not a real frame chain — fall through
     if not fake:
         raise NotImplementedError(
-            "lossy audio decode (MP3) requires an audio library not "
-            "present in this environment; pass fake=True for the "
-            "deterministic stub (PCM WAV and FLAC decode natively)"
+            "audio SAMPLE decode for lossy codecs requires an audio "
+            "library not present in this environment; MP3 container "
+            "metadata parses natively (parse_mp3_frames), PCM WAV and "
+            "FLAC decode natively; pass fake=True for the "
+            "deterministic stub on unknown codecs"
         )
     import hashlib
 

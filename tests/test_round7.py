@@ -257,3 +257,94 @@ def test_maximal_spans_max_gram_docs_drops_stop_gram_matches(spark):
     # 2-doc duplicate survives
     docs = {r["doc"] for r in got}
     assert docs == {100, 101}
+
+
+# ---------------------------------------------------------------------------
+# Native MP3 container parse (spec-arithmetic verification)
+
+
+def _mp3_frame(bitrate_kbps, sr_idx=0, version=3, padding=0, mode=1):
+    """One spec-valid MPEG Layer III frame: 4-byte header + payload of
+    the exact §2.4.3.1 frame length. sr_idx 0 -> 44100 (MPEG1)."""
+    br_v1 = [None, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+             160, 192, 224, 256, 320, None]
+    br_v2 = [None, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+             96, 112, 128, 144, 160, None]
+    rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000)}
+    table = br_v1 if version == 3 else br_v2
+    br_idx = table.index(bitrate_kbps)
+    rate = rates[version][sr_idx]
+    spf = 1152 if version == 3 else 576
+    flen = (spf // 8) * (bitrate_kbps * 1000) // rate + padding
+    h = bytes([
+        0xFF,
+        0xE0 | (version << 3) | (1 << 1),  # layer III
+        (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+        mode << 6,
+    ])
+    return h + bytes((flen - 4) * [0xAB])
+
+
+def test_mp3_frame_walk_cbr_exact_counts():
+    from remap_spark.operators.multimodal import parse_mp3_frames
+
+    blob = b"".join(_mp3_frame(128) for _ in range(10))
+    n, sr, ch, samples, br_sum, vbr = parse_mp3_frames(blob)
+    assert (n, sr, ch, samples) == (10, 44100, 2, 11520)
+    assert br_sum == 1280 and not vbr
+
+
+def test_mp3_frame_walk_padding_and_vbr():
+    from remap_spark.operators.multimodal import parse_mp3_frames
+
+    # 44100 Hz 128 kbps alternates padded/unpadded in real encoders;
+    # the walk must use the per-frame padding bit to find the next sync
+    frames = [
+        _mp3_frame(128, padding=i % 2) for i in range(6)
+    ] + [_mp3_frame(192), _mp3_frame(64)]
+    n, sr, ch, samples, br_sum, vbr = parse_mp3_frames(b"".join(frames))
+    assert n == 8 and vbr
+    assert br_sum == 128 * 6 + 192 + 64
+
+
+def test_mp3_id3v2_prefix_and_id3v1_tail_skipped():
+    from remap_spark.operators.multimodal import parse_mp3_frames
+
+    # ID3v2 synchsafe size 0x0101 = 129 payload bytes
+    id3v2 = b"ID3\x04\x00\x00\x00\x00\x01\x01" + bytes(129)
+    id3v1 = b"TAG" + bytes(125)
+    body = b"".join(_mp3_frame(64, sr_idx=1) for _ in range(4))
+    n, sr, ch, samples, br_sum, vbr = parse_mp3_frames(
+        id3v2 + body + id3v1
+    )
+    assert (n, sr, samples) == (4, 48000, 4608)
+
+
+def test_mp3_mpeg2_halved_frame_size():
+    from remap_spark.operators.multimodal import parse_mp3_frames
+
+    blob = b"".join(_mp3_frame(64, version=2, mode=3) for _ in range(5))
+    n, sr, ch, samples, br_sum, vbr = parse_mp3_frames(blob)
+    assert (n, sr, ch, samples) == (5, 22050, 1, 2880)
+
+
+def test_mp3_garbage_rejected_and_feature_contract():
+    import pytest as _pytest
+
+    from remap_spark.operators.multimodal import (
+        _decode_audio_impl,
+        parse_mp3_frames,
+    )
+
+    with _pytest.raises(ValueError):
+        parse_mp3_frames(b"\xff\xfb" + bytes(100))  # one header, no chain
+
+    blob = b"".join(_mp3_frame(128) for _ in range(3))
+    n, feats = _decode_audio_impl(blob, fake=False)
+    assert n == 3456  # total samples, real spec arithmetic
+    assert feats[7] == 2.0 and feats[6] == 44100 / 96000.0
+    assert feats[0] == round(128 / 320.0, 6)
+
+    # unknown codec still raises on fake=False (the honest seam)
+    with _pytest.raises(NotImplementedError):
+        _decode_audio_impl(b"\x00\x01\x02\x03" + bytes(64), fake=False)
