@@ -179,14 +179,121 @@ _KEEP_ONE_SQL = (
 )
 
 
+def _mp3_fixture_blob(i: int) -> bytes:
+    """Deterministic spec-valid MPEG-1 Layer III frame chain for
+    doc_id ``i`` (pure header arithmetic — payload bytes are filler;
+    the PARSER under test never needs codec data): 2 + i%9 frames,
+    sample rate by i%3, stereo on even ids, per-frame padding bit
+    alternating, a VBR 64/128 alternation on i%4==0 (else CBR by
+    i%3), an ID3v2 prefix on i%5==0 and an ID3v1 tail on i%7==0 so
+    the tag-skip paths are exercised in-query."""
+    rates = (44100, 48000, 32000)
+    br_table = [
+        None, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320, None,
+    ]
+    n = 2 + i % 9
+    sr_idx = i % 3
+    rate = rates[sr_idx]
+    mode = 1 if i % 2 == 0 else 3  # joint stereo / mono
+    out = []
+    if i % 5 == 0:
+        out.append(b"ID3\x04\x00\x00\x00\x00\x00\x10" + bytes(16))
+    for j in range(n):
+        if i % 4 == 0:
+            kbps = 64 if j % 2 == 0 else 128
+        else:
+            kbps = (64, 128, 192)[i % 3]
+        padding = j % 2
+        flen = 144 * (kbps * 1000) // rate + padding
+        hdr = bytes(
+            [
+                0xFF,
+                0xE0 | (3 << 3) | (1 << 1),
+                (br_table.index(kbps) << 4) | (sr_idx << 2) | (padding << 1),
+                mode << 6,
+            ]
+        )
+        out.append(hdr + bytes([0x5A]) * (flen - 4))
+    if i % 7 == 0:
+        out.append(b"TAG" + bytes(125))
+    return b"".join(out)
+
+
+def ext_mm_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE MP3 container parse, driver-checkable: each document id
+    becomes a deterministic spec-valid Layer III frame chain (built in
+    the same Arrow batch — the construction is fixture synthesis, the
+    PARSE is the operator under test: operators/multimodal.
+    parse_mp3_frames), and the query emits the raw integer parse
+    results so the oracle is pure modular arithmetic over doc_id —
+    no float rounding seam. Exercises the frame-sync walk, the
+    §2.4.3.1 length formula with per-frame padding, VBR detection,
+    and both ID3 tag-skip paths, on real bytes."""
+    from ..operators.multimodal import parse_mp3_frames
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 500)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                i = int(d)
+                nf, sr, ch, tot, brs, vbr = parse_mp3_frames(
+                    _mp3_fixture_blob(i)
+                )
+                rows.append((i, nf, sr, ch, tot, brs, bool(vbr)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "sample_rate", "channels",
+                    "total_samples", "bitrate_sum", "is_vbr",
+                ],
+            )
+
+    schema = (
+        "media_id bigint, n_frames bigint, sample_rate bigint, "
+        "channels bigint, total_samples bigint, bitrate_sum bigint, "
+        "is_vbr boolean"
+    )
+    return docs.mapInPandas(run, schema).orderBy("media_id")
+
+
+_MP3_META_SQL = """
+    SELECT doc_id AS media_id,
+      2 + doc_id % 9 AS n_frames,
+      CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      ELSE 32000 END AS sample_rate,
+      CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS channels,
+      1152 * (2 + doc_id % 9) AS total_samples,
+      CASE WHEN doc_id % 4 = 0
+           THEN 64 * ((2 + doc_id % 9 + 1) // 2)
+              + 128 * ((2 + doc_id % 9) // 2)
+           ELSE (CASE doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 128
+                 ELSE 192 END) * (2 + doc_id % 9)
+      END AS bitrate_sum,
+      doc_id % 4 = 0 AS is_vbr
+    FROM documents WHERE doc_id < 500
+    ORDER BY media_id
+"""
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
     "ext_dedup_keep_one": ext_dedup_keep_one,
+    "ext_mm_audio_mp3_meta": ext_mm_audio_mp3_meta,
 }
 
 STAGED_R8_ORACLES = {
     "ext_entity_resolution_multi": _ENTITY_RESOLUTION_MULTI_SQL,
     "ext_dedup_span_maximal": _SPAN_MAXIMAL_SQL,
     "ext_dedup_keep_one": _KEEP_ONE_SQL,
+    "ext_mm_audio_mp3_meta": _MP3_META_SQL,
 }
