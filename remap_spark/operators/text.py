@@ -889,6 +889,100 @@ def bigram_lm_scores(
     )
 
 
+def trigram_backoff_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    max_model_trigrams: int | None = None,
+    max_model_bigrams: int | None = None,
+) -> DataFrame:
+    """Trigram Stupid Backoff scoring (Brants et al. 2007) — the next
+    rung of the CCNet ladder above bigram_lm_scores: each token is
+    scored by its trigram relative frequency when the trigram is in
+    the model, backing off to alpha x the bigram score, then to
+    alpha² x the unigram frequency. With UNCAPPED models every
+    corpus trigram is its own evidence (score = c3/c2, no backoff);
+    the production shape caps the trigram and bigram models at top-M
+    (deterministic count-desc, ngram-asc ties), which is where Stupid
+    Backoff earns its keep — rare trigrams fall back to denser
+    statistics instead of carrying vocabulary³-sized state. Returns
+    (doc_id, n_trigrams, score_log_mean, ppl_proxy) with the log-mean
+    rounded to 5 decimals for engine parity.
+
+    Shape: the token stream is one posexplode over an id-hash
+    repartition; trigrams/bigrams come from lead() windows INSIDE
+    that layout (no extra exchange); the five model relations are
+    combiner aggregates whose shuffle is model-sized; capped models
+    broadcast (bounded by M), uncapped joins are AQE's call; corpus
+    totals ride as a single-row broadcast. Nothing touches the
+    driver."""
+    from pyspark.sql.window import Window
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "w1"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        "doc_id",
+        "w1",
+        F.lead("w1", 1).over(wd).alias("w2"),
+        F.lead("w1", 2).over(wd).alias("w3"),
+    ).where(F.col("w2").isNotNull() & F.col("w3").isNotNull())
+
+    m3 = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("_c3"))
+    if max_model_trigrams is not None:
+        m3 = F.broadcast(
+            m3.orderBy(F.col("_c3").desc(), "w1", "w2", "w3").limit(
+                max_model_trigrams
+            )
+        )
+    ctx3 = tri.groupBy("w1", "w2").agg(F.count("*").alias("_cx3"))
+    m2 = tri.groupBy("w2", "w3").agg(F.count("*").alias("_c2"))
+    if max_model_bigrams is not None:
+        m2 = F.broadcast(
+            m2.orderBy(F.col("_c2").desc(), "w2", "w3").limit(
+                max_model_bigrams
+            )
+        )
+    ctx2 = tri.groupBy("w2").agg(F.count("*").alias("_cx2"))
+    uni = tri.groupBy("w3").agg(F.count("*").alias("_c1"))
+    tot = tri.agg(F.count("*").alias("_n"))
+
+    score = (
+        F.when(
+            F.col("_c3").isNotNull(),
+            F.col("_c3").cast("double") / F.col("_cx3"),
+        )
+        .when(
+            F.col("_c2").isNotNull(),
+            F.lit(alpha) * F.col("_c2") / F.col("_cx2"),
+        )
+        .otherwise(
+            F.lit(alpha * alpha)
+            * F.coalesce(F.col("_c1"), F.lit(0))
+            / F.col("_n")
+        )
+    )
+    logmean = F.avg(F.log(score))
+    return (
+        tri.join(m3, ["w1", "w2", "w3"], "left")
+        .join(ctx3, ["w1", "w2"])
+        .join(m2, ["w2", "w3"], "left")
+        .join(ctx2, "w2")
+        .join(uni, "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(logmean, 5).alias("score_log_mean"),
+            F.round(F.exp(-logmean), 4).alias("ppl_proxy"),
+        )
+    )
+
+
 def build_inverted_index(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -284,11 +284,76 @@ _MP3_META_SQL = """
 """
 
 
+_TRI_M3, _TRI_M2 = 500, 300
+
+
+def ext_text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram Stupid Backoff scoring (operators/text.
+    trigram_backoff_scores) with the models CAPPED at top-500
+    trigrams / top-300 bigrams so the backoff chain is non-vacuous at
+    every test SF: in-model trigrams score c3/ctx3, capped-out ones
+    fall to 0.4 x bigram, then 0.4² x unigram. The oracle replays the
+    identical deterministic truncation (count desc, ngram asc)."""
+    from ..operators.text import trigram_backoff_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = trigram_backoff_scores(
+        docs, max_model_trigrams=_TRI_M3, max_model_bigrams=_TRI_M2
+    )
+    return out.orderBy("doc_id")
+
+
+_TRIGRAM_BACKOFF_SQL = f"""
+    WITH {_TOKS},
+    t AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+      FROM toks
+    ),
+    tri AS (
+      SELECT doc_id, word AS w1,
+             LEAD(word, 1) OVER w AS w2, LEAD(word, 2) OVER w AS w3
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY w2 IS NOT NULL AND w3 IS NOT NULL
+    ),
+    m3 AS (
+      SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3
+      ORDER BY c3 DESC, w1, w2, w3 LIMIT {_TRI_M3}
+    ),
+    cx3 AS (SELECT w1, w2, COUNT(*) AS cx3 FROM tri GROUP BY 1, 2),
+    m2 AS (
+      SELECT w2, w3, COUNT(*) AS c2 FROM tri GROUP BY 1, 2
+      ORDER BY c2 DESC, w2, w3 LIMIT {_TRI_M2}
+    ),
+    cx2 AS (SELECT w2, COUNT(*) AS cx2 FROM tri GROUP BY 1),
+    uni AS (SELECT w3, COUNT(*) AS c1 FROM tri GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nn FROM tri),
+    sc AS (
+      SELECT tri.doc_id,
+        CASE WHEN m3.c3 IS NOT NULL THEN m3.c3 * 1.0 / cx3.cx3
+             WHEN m2.c2 IS NOT NULL THEN 0.4 * m2.c2 / cx2.cx2
+             ELSE 0.4 * 0.4 * uni.c1 / n.nn END AS s
+      FROM tri
+      LEFT JOIN m3 USING (w1, w2, w3)
+      JOIN cx3 USING (w1, w2)
+      LEFT JOIN m2 USING (w2, w3)
+      JOIN cx2 USING (w2)
+      JOIN uni USING (w3)
+      CROSS JOIN n
+    )
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+           ROUND(AVG(ln(s)), 5) AS score_log_mean,
+           ROUND(exp(-AVG(ln(s))), 4) AS ppl_proxy
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
     "ext_dedup_keep_one": ext_dedup_keep_one,
     "ext_mm_audio_mp3_meta": ext_mm_audio_mp3_meta,
+    "ext_text_trigram_backoff": ext_text_trigram_backoff,
 }
 
 STAGED_R8_ORACLES = {
@@ -296,4 +361,5 @@ STAGED_R8_ORACLES = {
     "ext_dedup_span_maximal": _SPAN_MAXIMAL_SQL,
     "ext_dedup_keep_one": _KEEP_ONE_SQL,
     "ext_mm_audio_mp3_meta": _MP3_META_SQL,
+    "ext_text_trigram_backoff": _TRIGRAM_BACKOFF_SQL,
 }

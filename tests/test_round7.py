@@ -348,3 +348,63 @@ def test_mp3_garbage_rejected_and_feature_contract():
     # unknown codec still raises on fake=False (the honest seam)
     with _pytest.raises(NotImplementedError):
         _decode_audio_impl(b"\x00\x01\x02\x03" + bytes(64), fake=False)
+
+
+# ---------------------------------------------------------------------------
+# Trigram Stupid Backoff
+
+
+def test_trigram_backoff_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from remap_spark.operators.text import trigram_backoff_scores
+
+    # (b, c) is the dominant bigram with four distinct left contexts:
+    # top-3 trigram model keeps three of the count-1 trigrams, so the
+    # fourth (x b c) hits tier 2 via the in-model (b, c) bigram; rare
+    # trigrams elsewhere fall through to tier 1
+    rows = [
+        (0, "p b c q b c r b c s b c"),
+        (1, "m n o m n o"),
+        (2, "u v w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    M3, M2 = 3, 2  # tight caps so every backoff tier fires
+    got = {
+        r["doc_id"]: r
+        for r in trigram_backoff_scores(
+            df, max_model_trigrams=M3, max_model_bigrams=M2
+        ).collect()
+    }
+
+    tris = []
+    for did, text in rows:
+        w = text.split()
+        tris += [(did, w[i], w[i + 1], w[i + 2]) for i in range(len(w) - 2)]
+    c3 = Counter(t[1:] for t in tris)
+    cx3 = Counter(t[1:3] for t in tris)
+    c2 = Counter(t[2:] for t in tris)
+    cx2 = Counter(t[2:3] for t in tris)
+    c1 = Counter(t[3:] for t in tris)
+    n = len(tris)
+    m3 = dict(sorted(c3.items(), key=lambda kv: (-kv[1], kv[0]))[:M3])
+    m2 = dict(sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[:M2])
+    backoff_tiers = set()
+    by_doc = {}
+    for did, w1, w2, w3 in tris:
+        if (w1, w2, w3) in m3:
+            s = m3[(w1, w2, w3)] / cx3[(w1, w2)]
+            backoff_tiers.add(3)
+        elif (w2, w3) in m2:
+            s = 0.4 * m2[(w2, w3)] / cx2[(w2,)]
+            backoff_tiers.add(2)
+        else:
+            s = 0.4 * 0.4 * c1[(w3,)] / n
+            backoff_tiers.add(1)
+        by_doc.setdefault(did, []).append(math.log(s))
+    assert backoff_tiers == {3, 2, 1}, "caps must exercise every tier"
+    for did, logs in by_doc.items():
+        r = got[did]
+        assert r["n_trigrams"] == len(logs)
+        assert abs(r["score_log_mean"] - round(sum(logs) / len(logs), 5)) <= 1e-5

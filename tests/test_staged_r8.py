@@ -55,7 +55,12 @@ def test_staged_r8_query_matches_oracle(spark, name, sf_dir):
 def test_no_staged_r8_query_plans_a_cartesian_product(spark):
     from remap_spark.plans import explain_str
 
-    bnlj_ok: set[str] = set()
+    bnlj_ok: set[str] = {
+        # corpus trigram total N: a single-row broadcast into the
+        # per-trigram scoring join (same in-plan-constant contract as
+        # ext_text_bm25 / ext_text_bigram_lm in test_plans.py)
+        "ext_text_trigram_backoff",
+    }
     bad = []
     for name, fn in STAGED_R8_QUERIES.items():
         p = explain_str(fn(spark, SF_DIR), "formatted")
