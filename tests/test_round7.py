@@ -408,3 +408,64 @@ def test_trigram_backoff_matches_python_reference(spark):
         r = got[did]
         assert r["n_trigrams"] == len(logs)
         assert abs(r["score_log_mean"] - round(sum(logs) / len(logs), 5)) <= 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Property: maximal_match_spans == brute-force pairwise maximal matches
+
+
+def _brute_maximal_spans(docs, k):
+    """O(n² m²) reference: for every doc pair and every alignment
+    diagonal, scan token-equality runs; runs >= k are maximal matches
+    (cannot extend either direction by construction of the run)."""
+    out = set()
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = docs[ids[ai]], docs[ids[bi]]
+            for diag in range(-(len(b) - 1), len(a)):
+                i = max(0, diag)
+                j = i - diag
+                run = 0
+                while i <= len(a) and j <= len(b):
+                    same = (
+                        i < len(a) and j < len(b) and a[i] == b[j]
+                    )
+                    if same:
+                        run += 1
+                    else:
+                        if run >= k:
+                            out.add((ids[ai], i - run, run))
+                            out.add((ids[bi], j - run, run))
+                        run = 0
+                    i += 1
+                    j += 1
+    return out
+
+
+def test_maximal_spans_property_vs_brute_force(spark):
+    import random
+
+    from remap_spark.operators.dedup import maximal_match_spans
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> dense repeats
+    for trial in range(3):
+        docs = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(8, 30))]
+            for d in range(6)
+        }
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc"], r["span_start"], r["span_len"])
+            for r in maximal_match_spans(df, k=4).collect()
+        }
+        want = _brute_maximal_spans(docs, k=4)
+        assert got == want, (
+            trial,
+            sorted(got - want)[:5],
+            sorted(want - got)[:5],
+        )
