@@ -712,7 +712,10 @@ def maximal_match_spans(
         F.min("i_a").alias("_sa"),
         F.min("i_b").alias("_sb"),
         (F.count("*") + F.lit(k - 1)).alias("span_len"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the union below scans matches TWICE (a-side + b-side); the cut
+    # makes the anchor join + diagonal window run once — the relation
+    # is match-sized, so the checkpoint is cheap
     return (
         matches.select(
             F.col("doc_a").alias("doc"),
