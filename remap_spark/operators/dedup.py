@@ -652,6 +652,7 @@ def maximal_match_spans(
     id_col: str = "doc_id",
     k: int = 5,
     max_gram_docs: int | None = None,
+    include_intra: bool = False,
 ) -> DataFrame:
     """TRUE maximal duplicated spans — the suffix-array-faithful
     fidelity step beyond ``duplicate_span_lengths``'s island merge:
@@ -674,8 +675,13 @@ def maximal_match_spans(
     (starts (i-1, j-1) match iff tokens a[i-1] == b[j-1] given the
     following k-1 already match), so gaps-and-islands along each
     (doc_a, doc_b, diagonal) recovers maximal matches of length
-    run_len + k - 1 with no relaxation. Cross-document only
-    (doc_a < doc_b); a span is listed once per distinct (start, len)
+    run_len + k - 1 with no relaxation. Cross-document by default
+    (doc_a < doc_b); ``include_intra=True`` additionally pairs a
+    document with ITSELF on the off-zero diagonals (i_a < i_b), so
+    within-document repeats — Lee et al. treat those as duplicates
+    too — surface with the same maximality guarantee (a periodic
+    string reports its self-overlapping repeat once per distinct
+    (start, len)). A span is listed once per distinct (start, len)
     even when several partners witness it.
 
     Shape: one gram self-join keyed on the 60-bit hash (occurrence
@@ -695,9 +701,15 @@ def maximal_match_spans(
     b = grams.select(
         "g", F.col("doc").alias("doc_b"), F.col("i").alias("i_b")
     )
+    pair_cond = F.col("doc_a") < F.col("doc_b")
+    if include_intra:
+        pair_cond = pair_cond | (
+            (F.col("doc_a") == F.col("doc_b"))
+            & (F.col("i_a") < F.col("i_b"))
+        )
     anchors = (
         a.join(b, "g")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(pair_cond)
         .select("doc_a", "i_a", "doc_b", "i_b")
     )
     wd = Window.partitionBy(
@@ -740,6 +752,7 @@ def remove_duplicate_spans_keep_one(
     k: int = 5,
     min_len: int | None = None,
     max_gram_docs: int | None = None,
+    include_intra: bool = False,
 ) -> DataFrame:
     """Survivor-preserving exact-substring dedup: each maximal
     cross-document duplicated span (>= ``min_len`` tokens, default k)
@@ -751,6 +764,9 @@ def remove_duplicate_spans_keep_one(
     copies (the Lee et al. EXACTSUBSTR action); this variant is the
     keep-one policy the paper discusses — boilerplate disappears from
     the corpus without the canonical document losing content.
+    ``include_intra=True`` extends the same policy to WITHIN-document
+    repeats: the later (higher-start) occurrence of a self-repeat is
+    removed, the first kept.
 
     Shape: maximal matches as in :func:`maximal_match_spans` (same
     bounds), then only the doc_b side explodes to covered positions
@@ -768,9 +784,15 @@ def remove_duplicate_spans_keep_one(
     b = grams.select(
         "g", F.col("doc").alias("doc_b"), F.col("i").alias("i_b")
     )
+    pair_cond = F.col("doc_a") < F.col("doc_b")
+    if include_intra:
+        pair_cond = pair_cond | (
+            (F.col("doc_a") == F.col("doc_b"))
+            & (F.col("i_a") < F.col("i_b"))
+        )
     anchors = (
         a.join(b, "g")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(pair_cond)
         .select("doc_a", "i_a", "doc_b", "i_b")
     )
     wd = Window.partitionBy(

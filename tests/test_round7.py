@@ -469,3 +469,53 @@ def test_maximal_spans_property_vs_brute_force(spark):
             sorted(got - want)[:5],
             sorted(want - got)[:5],
         )
+
+
+def test_maximal_spans_include_intra_self_repeat(spark):
+    from remap_spark.operators.dedup import (
+        maximal_match_spans,
+        remove_duplicate_spans_keep_one,
+    )
+
+    # doc 0 repeats a 7-token phrase twice with unique filler between;
+    # cross-doc mode must see nothing, intra mode exactly the repeat
+    dup = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (0, f"{dup} f0a f0b f0c {dup}"),
+        (1, "u0 u1 u2 u3 u4 u5 u6 u7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert maximal_match_spans(df, k=5).count() == 0
+    got = {
+        (r["doc"], r["span_start"], r["span_len"])
+        for r in maximal_match_spans(df, k=5, include_intra=True).collect()
+    }
+    assert got == {(0, 0, 7), (0, 10, 7)}
+
+    out = {
+        r["doc"]: r
+        for r in remove_duplicate_spans_keep_one(
+            df, k=5, include_intra=True
+        ).collect()
+    }
+    # the LATER self-occurrence is removed, the first kept
+    assert out[0]["n_removed"] == 7
+    assert out[0]["text"].split() == dup.split() + ["f0a", "f0b", "f0c"]
+    assert out[1]["n_removed"] == 0
+
+
+def test_maximal_spans_intra_periodic_string(spark):
+    from remap_spark.operators.dedup import maximal_match_spans
+
+    # 'ab' * 6: the self-overlapping repeat on diagonal -2 is tokens
+    # [0,10) vs [2,12) — one maximal match per distinct diagonal
+    rows = [(0, " ".join(["a", "b"] * 6))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc"], r["span_start"], r["span_len"])
+        for r in maximal_match_spans(df, k=4, include_intra=True).collect()
+    }
+    # diagonals -2,-4,...: match lengths 10, 8, 6, 4 starting at 0,
+    # partner starts at 2, 4, 6, 8
+    assert (0, 0, 10) in got and (0, 2, 10) in got
+    assert (0, 0, 4) in got and (0, 8, 4) in got
