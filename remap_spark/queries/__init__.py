@@ -147,10 +147,15 @@ CHECK_WINDOW = 50
 # satisfiable below 151 queries; the staleness test in
 # tests/test_registry.py moved with this promotion). The r7 window is
 # exactly: the 33 staged round-7 queries (never driver-checked — they MUST
-# be in-window the commit they register) + the 17 most-stale r3-green
-# rows, taken in the priority order the r6 rotation comment documented.
-# The 119 non-window queries are then exactly covered by the last four
-# recorded rounds: r03 (the 22 remaining r3 rows), r04 (47), r06 (50).
+# be in-window the commit they register) + 16 of the 17 most-stale
+# r3-green rows in the priority order the r6 rotation comment documented
+# + ext_text_bigram_lm (r6-green but CHANGED this round: the model join
+# was rewritten left+coalesce with the forced broadcast dropped for the
+# uncapped path — results bit-identical under local replay, but the
+# changed-query-inside-window invariant is the stronger contract, so it
+# takes the 17th slot and ext_dedup_bloom waits for r8). The 119
+# non-window queries are all covered by the last four recorded rounds:
+# every r3-latest row by r03, the rest by r04 (47) / r06 (50).
 #
 # REGISTRY-GROWTH FREEZE (r7): 169 against the 50×4 = 200 staleness
 # ceiling leaves 31 slots of rotation headroom; operators added this round
@@ -209,7 +214,7 @@ _WINDOW_R7 = [
     "ext_corpus_report",
     "ext_corpus_diff",
     "ext_text_vocab",
-    "ext_dedup_bloom",
+    "ext_text_bigram_lm",  # CHANGED r7 (see rotation comment above)
 ]
 
 # The 22 remaining r3-green rows: OUTSIDE the r7 window (covered by their
@@ -218,6 +223,7 @@ _WINDOW_R7 = [
 # verify lands a new CORRECTNESS file, so the r8 rotation must promote
 # them exactly as this round promoted the 17 above.
 _DUE_FIRST_R8 = [
+    "ext_dedup_bloom",  # (broadcast-probe family; ceded its r7 slot to the changed bigram-LM)
     "ext_ann_hard_negatives",  # (ANN family: topk/lsh/pq/ivf_pq canaries)
     "ext_mix_temperature",  # (mixture family: sample_det/stratified)
     "ext_range_join_binned",  # (range family: dq20 r4-green, plan-pinned)

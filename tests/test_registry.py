@@ -74,7 +74,13 @@ NEVER_CHECKED: list[str] = [
 # received green CORRECTNESS_r06 rows. Any semantic change to a
 # registered query this round must add its name here (forcing it into
 # the window) the same commit.
-CHANGED_SINCE_LAST_ROW: list[str] = []
+CHANGED_SINCE_LAST_ROW: list[str] = [
+    # r7: bigram-LM model join rewritten (left + coalesce floor, forced
+    # broadcast dropped for the uncapped path per ADVICE; top-M cap
+    # param added). Results bit-identical under the full local replay,
+    # but a changed registered query belongs inside the window.
+    "ext_text_bigram_lm",
+]
 
 
 def _recent_checked(n: int) -> set[str]:
@@ -108,7 +114,7 @@ def test_max_staleness_four_recorded_rounds():
     cycle needs ceil(169/50) = 4 records (the former 3-round bound was
     arithmetically unsatisfiable the moment the 33 staged r7 queries
     registered: 169 − 50 = 119 > 97 = |r04 ∪ r06|). The 119 non-window
-    queries are exactly covered by r03 (22) + r04 (47) + r06 (50); the
+    queries are covered by r03 (23) + r04 (46) + r06 (50); the
     50×4 = 200 ceiling leaves 31 slots of registry-growth headroom,
     which is why r7 additions ship staged (see the rotation comment in
     queries/__init__.py)."""
