@@ -840,6 +840,95 @@ def remove_duplicate_spans_keep_one(
     )
 
 
+def span_gram_store_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Distinct positional k-gram hashes of an indexed corpus — the
+    persistent store for incremental exact-substring dedup (one
+    ``g bigint`` row per distinct gram). Write it bucketed on ``g``
+    (sources.write_bucketed_table) and every future ingest probe
+    co-locates with zero store-side exchange, the same contract as
+    the fuzzy signature store. Update after a batch = union of the
+    batch's grams, distinct — O(batch), never a corpus rescan."""
+    return (
+        _positional_grams(df, text_col, id_col, k, None)
+        .select("g")
+        .distinct()
+    )
+
+
+def incremental_remove_spans(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    dedup_within_batch: bool = True,
+) -> DataFrame:
+    """Exact-substring dedup AT INGEST TIME — the Lee et al. action
+    step against an already-indexed corpus, without recomputing
+    corpus-wide spans per batch: every token of a NEW document that
+    sits inside a k-window whose gram exists in the ``store`` (or,
+    with ``dedup_within_batch``, in >= 2 documents of the incoming
+    batch itself) is dropped and the text rebuilt. Completes the
+    incremental family (exact doc / fuzzy doc / Bloom / decontaminate
+    — now sub-document spans). Returns (doc, text, n_tokens,
+    n_removed).
+
+    Shape: the batch's positional grams probe the store with ONE
+    equi join on the 60-bit hash — batch-sized left side, and with
+    the store bucketed on ``g`` ZERO store-side exchange
+    (plan-pinned); the within-batch tier reuses the batch gram
+    relation for a partial-aggregated distinct-doc count exactly like
+    remove_duplicate_spans. Coverage explodes duplicated starts only;
+    the rebuild is one per-doc aggregate on the id-hash layout."""
+    grams = _positional_grams(new_docs, text_col, id_col, k, None)
+    hits = grams.join(store.select("g"), "g", "left_semi")
+    if dedup_within_batch:
+        dup_in_batch = (
+            grams.select("doc", "g")
+            .distinct()
+            .groupBy("g")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") >= 2)
+            .select("g")
+        )
+        hits = hits.unionByName(grams.join(dup_in_batch, "g", "left_semi"))
+    covered = (
+        hits.select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))
+            ).alias("i"),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(1))
+    )
+    spark = new_docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = new_docs.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("i", "w"),
+    )
+    marked = toks.join(covered, ["doc", "i"], "left")
+    kept_words = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_cov").isNull(), F.struct("i", "w"))
+            )
+        ),
+        lambda s: s["w"],
+    )
+    return marked.groupBy("doc").agg(
+        F.concat_ws(" ", kept_words).alias("text"),
+        F.count("*").alias("n_tokens"),
+        F.coalesce(F.sum("_cov"), F.lit(0)).alias("n_removed"),
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -284,6 +284,72 @@ _MP3_META_SQL = """
 """
 
 
+def ext_dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact-substring dedup (operators/dedup.
+    incremental_remove_spans): the even-doc half of the corpus plays
+    the ALREADY-INDEXED gram store, the odd-doc half the incoming
+    batch — tokens inside any 5-window whose gram exists in the store
+    or in >= 2 batch documents are dropped and texts rebuilt.
+    tests/test_round7 pins the equivalence to the union-corpus full
+    recompute and the zero-store-exchange bucketed probe plan."""
+    from ..operators.dedup import (
+        incremental_remove_spans,
+        span_gram_store_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = span_gram_store_rows(docs.where(F.col("doc_id") % 2 == 0), k=5)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    out = incremental_remove_spans(new, store, k=5)
+    return out.select(
+        F.col("doc").alias("doc_id"), "text", "n_tokens", "n_removed"
+    ).orderBy("doc_id")
+
+
+_INCREMENTAL_SPANS_SQL = f"""
+    WITH {_TOKS},
+    t AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+      FROM toks
+    ),
+    g5 AS (
+      SELECT doc_id, pos, {_SPAN_GRAM} AS gram
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (SELECT doc_id, pos, gram FROM g5 WHERE gram IS NOT NULL),
+    store AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+    dupb AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM batch)
+      GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM batch
+      WHERE gram IN (SELECT gram FROM store)
+      UNION
+      SELECT doc_id, pos FROM batch
+      WHERE gram IN (SELECT gram FROM dupb)
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + r.u AS pos
+      FROM hits CROSS JOIN range(5) AS r(u)
+    ),
+    marked AS (
+      SELECT t.doc_id, t.pos, t.word, c.pos IS NOT NULL AS covered
+      FROM t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE t.doc_id % 2 = 1
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT covered THEN word END,
+                               ' ' ORDER BY pos), '') AS text,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _TRI_M3, _TRI_M2 = 500, 300
 
 
@@ -354,6 +420,7 @@ STAGED_R8_QUERIES = {
     "ext_dedup_keep_one": ext_dedup_keep_one,
     "ext_mm_audio_mp3_meta": ext_mm_audio_mp3_meta,
     "ext_text_trigram_backoff": ext_text_trigram_backoff,
+    "ext_dedup_incremental_spans": ext_dedup_incremental_spans,
 }
 
 STAGED_R8_ORACLES = {
@@ -362,4 +429,5 @@ STAGED_R8_ORACLES = {
     "ext_dedup_keep_one": _KEEP_ONE_SQL,
     "ext_mm_audio_mp3_meta": _MP3_META_SQL,
     "ext_text_trigram_backoff": _TRIGRAM_BACKOFF_SQL,
+    "ext_dedup_incremental_spans": _INCREMENTAL_SPANS_SQL,
 }

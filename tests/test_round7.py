@@ -519,3 +519,134 @@ def test_maximal_spans_intra_periodic_string(spark):
     # partner starts at 2, 4, 6, 8
     assert (0, 0, 10) in got and (0, 2, 10) in got
     assert (0, 0, 4) in got and (0, 8, 4) in got
+
+
+# ---------------------------------------------------------------------------
+# Incremental span dedup (ingest-time exact-substring removal)
+
+
+def test_incremental_spans_equals_full_recompute_on_new_docs(spark):
+    import random
+
+    from remap_spark.operators.dedup import (
+        incremental_remove_spans,
+        remove_duplicate_spans,
+        span_gram_store_rows,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(4)]  # tiny vocab -> shared 4-grams
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(12, 30)))
+        for d in range(10)
+    }
+    old = spark.createDataFrame(
+        [(d, t) for d, t in docs.items() if d % 2 == 0],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(d, t) for d, t in docs.items() if d % 2 == 1],
+        "doc_id long, text string",
+    )
+    store = span_gram_store_rows(old, k=4)
+    inc = {
+        r["doc"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in incremental_remove_spans(new, store, k=4).collect()
+    }
+    # equivalence: the union-corpus recompute, restricted to new docs
+    full = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    want = {
+        r["doc"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(full, k=4).collect()
+        if r["doc"] % 2 == 1
+    }
+    assert inc == want
+    assert any(v[2] > 0 for v in inc.values()), "fixture must remove spans"
+
+
+def test_incremental_spans_store_hit_and_batch_dup(spark):
+    from remap_spark.operators.dedup import (
+        incremental_remove_spans,
+        span_gram_store_rows,
+    )
+
+    boiler = "alpha beta gamma delta epsilon"
+    batch_dup = "one two three four five six"
+    old = spark.createDataFrame(
+        [(0, f"p0a p0b {boiler} p0c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, f"n0a {boiler} n0b"),          # hits the store
+            (11, f"m0a {batch_dup} m0b"),       # within-batch pair
+            (12, f"q0a {batch_dup} q0b"),
+            (13, "z0a z0b z0c z0d z0e z0f"),    # untouched
+        ],
+        "doc_id long, text string",
+    )
+    store = span_gram_store_rows(old, k=5)
+    out = {
+        r["doc"]: r for r in incremental_remove_spans(new, store, k=5).collect()
+    }
+    assert out[10]["n_removed"] == 5 and boiler not in out[10]["text"]
+    assert out[11]["n_removed"] == 6 and out[12]["n_removed"] == 6
+    assert out[13]["n_removed"] == 0
+    # store-only mode leaves the within-batch pair alone
+    out2 = {
+        r["doc"]: r
+        for r in incremental_remove_spans(
+            new, store, k=5, dedup_within_batch=False
+        ).collect()
+    }
+    assert out2[11]["n_removed"] == 0 and out2[12]["n_removed"] == 0
+    assert out2[10]["n_removed"] == 5
+
+
+def test_incremental_spans_bucketed_store_no_store_exchange(spark):
+    """The gram-store probe must co-locate when the store is bucketed
+    on g: the bucketed plan carries fewer Exchanges than the same
+    probe against an unbucketed store (same contract as the fuzzy
+    signature store)."""
+    import shutil
+
+    from conftest import SF_DIR
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.dedup import (
+        incremental_remove_spans,
+        span_gram_store_rows,
+    )
+    from remap_spark.plans import explain_str
+    from remap_spark.sources import write_bucketed_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    store = span_gram_store_rows(old, k=5)
+    for tbl in ("gram_store_b", "gram_store_flat"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
+    write_bucketed_table(store, "gram_store_b", ["g"], 8)
+    store.write.mode("overwrite").saveAsTable("gram_store_flat")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        n_bucketed = explain_str(
+            incremental_remove_spans(
+                new, spark.table("gram_store_b"), k=5,
+                dedup_within_batch=False,
+            ),
+            "simple",
+        ).count("Exchange")
+        n_flat = explain_str(
+            incremental_remove_spans(
+                new, spark.table("gram_store_flat"), k=5,
+                dedup_within_batch=False,
+            ),
+            "simple",
+        ).count("Exchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert n_bucketed == n_flat - 1, (n_bucketed, n_flat)
