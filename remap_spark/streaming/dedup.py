@@ -261,3 +261,103 @@ def ingest_dedup_fuzzy_batch(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def stream_ingest_span_dedup(
+    stream_df: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> object:
+    """Continuous SUB-DOCUMENT dedup — the streaming twin of
+    operators/dedup.incremental_remove_spans, completing the
+    ingestion-dedup ladder (exact doc / fuzzy doc / now spans): every
+    micro-batch drops tokens covered by a k-window whose gram exists
+    in the persistent gram store OR in >= 2 documents of the batch,
+    writes the REBUILT texts, and appends the batch's ORIGINAL grams
+    to the store — original, not post-removal, so a span that entered
+    the corpus once keeps matching every future occurrence. Same
+    exactly-once protocol as the doc-level tiers (per-batch dynamic
+    partition overwrite; store read excludes the current batch id)."""
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_span_dedup_batch(
+            batch_df, batch_id, out_path, store_path, text_col, id_col, k
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def ingest_span_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> None:
+    """One micro-batch of the span-dedup protocol (the foreachBatch
+    body of ``stream_ingest_span_dedup``, exposed for direct
+    replay-idempotence testing). Replay-idempotent including a batch
+    re-running after later batches committed: the store read keeps
+    STRICTLY-EARLIER gram partitions only, so the replay sees exactly
+    the inputs the original run saw and overwrites identical output.
+    Scale: the store holds one 8-byte row per distinct corpus gram;
+    the probe shuffles gram hashes, never text (bucketize the store
+    on ``g`` for a zero-store-exchange probe, the plan-pinned
+    contract of incremental_remove_spans)."""
+    spark = batch_df.sparkSession
+    from ..operators.dedup import (
+        incremental_remove_spans,
+        span_gram_store_rows,
+    )
+
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    if fs.exists(jpath) and len(fs.listStatus(jpath)) > 0:
+        # STRICTLY-EARLIER partitions only (`<`, not `!=`): the span
+        # store carries grams for ALL batch content (unlike the doc
+        # tiers' survivor-only fingerprints), so a replayed batch
+        # would otherwise see LATER batches' overlapping grams and
+        # remove spans its original run kept — `<` restores exactly
+        # the original run's inputs. (For the doc tiers `!=` and `<`
+        # coincide: a fingerprint a batch kept exists only in its own
+        # partition, later copies were dropped unwritten.)
+        store = (
+            spark.read.parquet(store_path)
+            .where(F.col("_batch_id") < batch_id)
+            .select("g")
+        )
+    else:  # first batch: no store yet — only the within-batch tier acts
+        store = spark.createDataFrame([], "g bigint")
+    cleaned = incremental_remove_spans(
+        batch_df, store, text_col, id_col, k=k, dedup_within_batch=True
+    ).withColumnRenamed("doc", id_col)
+    grams = span_gram_store_rows(batch_df, text_col, id_col, k)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            cleaned.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
+        (
+            grams.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(store_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -650,3 +650,54 @@ def test_incremental_spans_bucketed_store_no_store_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert n_bucketed == n_flat - 1, (n_bucketed, n_flat)
+
+
+def test_ingest_span_dedup_batches_and_replay(spark, tmp_path_factory):
+    """Streaming span-dedup protocol: store hits remove spans from a
+    LATER batch, within-batch duplicates are cleaned, fresh text
+    passes; replaying batch 0 AFTER batch 1 committed reproduces
+    byte-identical output (the store read excludes the replayed
+    batch's own gram partition)."""
+    from remap_spark.streaming.dedup import ingest_span_dedup_batch
+
+    root = str(tmp_path_factory.mktemp("span_ingest"))
+    out, store = f"{root}/out", f"{root}/store"
+    s1 = "alpha beta gamma delta epsilon"
+    s2 = "one two three four five six"
+    b0 = spark.createDataFrame(
+        [(0, f"a0 {s1} a1"), (1, "b0 b1 b2 b3 b4 b5")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, f"c0 {s1} c1"),       # store hit from batch 0
+            (11, f"d0 {s2} d1"),       # within-batch pair
+            (12, f"e0 {s2} e1"),
+            (13, "f0 f1 f2 f3 f4 f5"),  # fresh
+        ],
+        "doc_id long, text string",
+    )
+    ingest_span_dedup_batch(b0, 0, out, store)
+    ingest_span_dedup_batch(b1, 1, out, store)
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[0]["n_removed"] == 0 and s1 in rows[0]["text"]
+    assert rows[10]["n_removed"] == 5 and s1 not in rows[10]["text"]
+    assert rows[11]["n_removed"] == 6 and rows[12]["n_removed"] == 6
+    assert rows[13]["n_removed"] == 0
+
+    snapshot = sorted(
+        (r["doc_id"], r["text"], r["n_tokens"], r["n_removed"], r["_batch_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # replay batch 0 AFTER batch 1 committed: the store read keeps
+    # strictly-earlier partitions only, so the replay sees the empty
+    # store its original run saw — doc 0 keeps its span (batch 1's
+    # overlapping grams are invisible to it) and every row of the
+    # final state is byte-identical to the pre-replay snapshot
+    ingest_span_dedup_batch(b0, 0, out, store)
+    replay_snapshot = sorted(
+        (r["doc_id"], r["text"], r["n_tokens"], r["n_removed"], r["_batch_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert replay_snapshot == snapshot
