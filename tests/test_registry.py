@@ -114,7 +114,7 @@ def test_max_staleness_four_recorded_rounds():
     cycle needs ceil(169/50) = 4 records (the former 3-round bound was
     arithmetically unsatisfiable the moment the 33 staged r7 queries
     registered: 169 − 50 = 119 > 97 = |r04 ∪ r06|). The 119 non-window
-    queries are covered by r03 (23) + r04 (46) + r06 (50); the
+    queries are covered by r03 (23) + r04 (47) + r06 (49); the
     50×4 = 200 ceiling leaves 31 slots of registry-growth headroom,
     which is why r7 additions ship staged (see the rotation comment in
     queries/__init__.py)."""
@@ -131,7 +131,7 @@ def test_window_is_exactly_the_r7_plan():
 
 
 def test_due_first_r8_rows_follow_window():
-    # The 22 remaining r3-green rows sit immediately after the window:
+    # The 23 remaining r3-green rows sit immediately after the window:
     # outside it this round (their r03 record covers them under the
     # 4-round bound) and first in line for the r8 rotation.
     assert list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R8)] == _DUE_FIRST_R8

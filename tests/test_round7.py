@@ -701,3 +701,44 @@ def test_ingest_span_dedup_batches_and_replay(spark, tmp_path_factory):
         for r in spark.read.parquet(out).collect()
     )
     assert replay_snapshot == snapshot
+
+
+def test_mp3_id3v24_footer_flag_skipped():
+    from remap_spark.operators.multimodal import parse_mp3_frames
+
+    # footer flag 0x10: tag = 10-byte header + 32-byte body (synchsafe
+    # size 32) + 10-byte footer, then the frame chain
+    tag = b"ID3\x04\x00\x10\x00\x00\x00\x20" + bytes(32)
+    footer = b"3DI\x04\x00\x10\x00\x00\x00\x20"
+    body = b"".join(_mp3_frame(128) for _ in range(3))
+    n, sr, ch, samples, br_sum, vbr = parse_mp3_frames(tag + footer + body)
+    assert (n, sr, samples) == (3, 44100, 3456)
+
+
+def test_pca_train_symmetric_ragged_widths_raise(spark):
+    import pytest as _pytest
+
+    from remap_spark.operators.ml import pca_train
+
+    # widths 3 and 5 in equal batch counts: the MEAN width is the
+    # integer 4 — the variance marker must still reject it with the
+    # ragged-width diagnostic, not an IndexError
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(8)]
+    rows += [(100 + i, [1.0, 2.0, 3.0, 4.0, 5.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    # range partitioning splits at the id median, so each Arrow batch
+    # is width-uniform and the DRIVER-side variance marker must fire
+    df = df.repartitionByRange(2, "id")
+    with _pytest.raises(Exception, match="ragged vector widths"):
+        pca_train(df, vec_col="embedding", n_components=2)
+
+    # widths mixed INSIDE one batch get the clean worker-side raise
+    # (surfaced through Spark as a PythonException carrying the text)
+    with _pytest.raises(Exception, match="ragged vector widths"):
+        pca_train(
+            spark.createDataFrame(
+                [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0, 4.0, 5.0])],
+                "id long, embedding array<double>",
+            ).coalesce(1),
+            vec_col="embedding",
+        )
