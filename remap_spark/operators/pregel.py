@@ -1108,3 +1108,91 @@ def graph_modularity(
             "q_ppm"
         ),
     )
+
+
+def hits(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iters: int = 8,
+    num_partitions: int | None = None,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """HITS (Kleinberg 1999) hubs and authorities, L1-normalized.
+
+    Per iteration: authority(v) = sum of hub over IN-edges, divided by
+    the global authority sum; hub(v) = sum of the NEW authority over
+    OUT-edges, same normalization. L1 (sum) normalization replaces the
+    classical L2: the ranking and the fixpoint direction are identical
+    (normalization only rescales the power iteration on A^T.A) and the
+    normalizer rides IN-PLAN as a broadcast single-row relation — no
+    sqrt for the replay oracle to reproduce bit-for-bit, no driver
+    action in the loop (the pagerank_dangling lesson,
+    pregel.py:260-265).
+
+    Shape per iteration: two key shuffles (inbox ``groupBy(dst)`` then
+    ``groupBy(src)``) plus two single-row broadcast normalizers —
+    identical to pagerank's per-superstep profile, so the 100 TB story
+    is the same: the edge relation is the big side, pre-partitioned by
+    its join key once up front; vertex state (id, hub, auth) never
+    leaves the executors; lineage is cut every ``checkpoint_interval``
+    iterations with a lazy localCheckpoint. A vertex with no in-edges
+    (resp. out-edges) holds authority 0 (resp. hub 0), the textbook
+    convention.
+
+    vertices: (id); edges: (src, dst). Returns (id, hub, auth).
+    """
+    spark = vertices.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = (
+        edges.select("src", "dst")
+        .repartition(n, "src")
+        .localCheckpoint(eager=False)
+    )
+    ids = vertices.select("id").localCheckpoint(eager=False)
+    state = ids.select("id", F.lit(1.0).alias("hub"))
+    auth = ids.select("id", F.lit(0.0).alias("auth"))
+    for it in range(iters):
+        araw = (
+            e.join(state.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_s"))
+        )
+        asum = araw.agg(F.sum("_s").alias("_t"))
+        auth = (
+            ids.join(araw.withColumnRenamed("dst", "id"), "id", "left")
+            .join(F.broadcast(asum))
+            .select(
+                "id",
+                F.when(
+                    F.col("_t") > 0,
+                    F.coalesce("_s", F.lit(0.0)) / F.col("_t"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("auth"),
+            )
+        )
+        hraw = (
+            e.join(auth.select(F.col("id").alias("dst"), "auth"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("_s"))
+        )
+        hsum = hraw.agg(F.sum("_s").alias("_t"))
+        state = (
+            ids.join(hraw.withColumnRenamed("src", "id"), "id", "left")
+            .join(F.broadcast(hsum))
+            .select(
+                "id",
+                F.when(
+                    F.col("_t") > 0,
+                    F.coalesce("_s", F.lit(0.0)) / F.col("_t"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("hub"),
+            )
+        )
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < iters:
+            state = state.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
+    return state.join(auth, "id").select("id", "hub", "auth")

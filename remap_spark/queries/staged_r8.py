@@ -414,6 +414,92 @@ _TRIGRAM_BACKOFF_SQL = f"""
 """
 
 
+def ext_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the reference pagerank fixture graph
+    (graph1+graph2 adjacency, FIXTURES.md A2): 8 L1-normalized
+    iterations, scores rounded to 5 decimals. The classical L2 norm
+    only rescales the power iteration on A^T.A, so the L1 variant
+    ranks identically while keeping the normalizer a broadcast
+    single-row SUM both engines replay exactly (see operators/pregel
+    ``hits`` — two key shuffles + two in-plan normalizers per
+    iteration, the pagerank per-superstep profile)."""
+    from ..operators.pregel import hits
+    from .graphs import PAGERANK_ADJ, _edges_df
+
+    edges = _edges_df(spark, PAGERANK_ADJ)
+    verts = spark.createDataFrame([(v,) for v in PAGERANK_ADJ], "id string")
+    scores = hits(verts, edges, iters=8, num_partitions=2)
+    return scores.select(
+        F.col("id").alias("vertex_id"),
+        F.round("hub", 5).alias("hub"),
+        F.round("auth", 5).alias("auth"),
+    ).orderBy("vertex_id")
+
+
+def _hits_oracle(iters: int = 8) -> str:
+    """Unrolled per-iteration MATERIALIZED CTEs (the ext_pagerank_*
+    pattern): auth from the CURRENT hub vector, hub from the NEW auth
+    vector, each L1-normalized by a scalar CROSS JOIN — the exact
+    computation ``operators/pregel.hits`` runs, double arithmetic,
+    ROUND(,5) absorbing summation-order ulps."""
+    from .graphs import PAGERANK_ADJ, _edge_values, _values_sql
+
+    ctes = [
+        f"verts(id) AS (VALUES {_values_sql([(v,) for v in PAGERANK_ADJ])})",
+        f"edges(src, dst) AS (VALUES {_edge_values(PAGERANK_ADJ)})",
+        "h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM verts)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""ar{k} AS MATERIALIZED (
+          SELECT e.dst AS id, SUM(h.hub) AS s
+          FROM h{k} h JOIN edges e ON e.src = h.id GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"at{k} AS MATERIALIZED (SELECT SUM(s) AS t FROM ar{k})"
+        )
+        ctes.append(
+            f"""a{k} AS MATERIALIZED (
+          SELECT v.id,
+                 CASE WHEN t.t > 0
+                      THEN COALESCE(ar.s, CAST(0.0 AS DOUBLE)) / t.t
+                      ELSE CAST(0.0 AS DOUBLE) END AS auth
+          FROM verts v
+          LEFT JOIN ar{k} ar ON ar.id = v.id
+          CROSS JOIN at{k} t)"""
+        )
+        ctes.append(
+            f"""hr{k} AS MATERIALIZED (
+          SELECT e.src AS id, SUM(a.auth) AS s
+          FROM a{k} a JOIN edges e ON e.dst = a.id GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"ht{k} AS MATERIALIZED (SELECT SUM(s) AS t FROM hr{k})"
+        )
+        ctes.append(
+            f"""h{k + 1} AS MATERIALIZED (
+          SELECT v.id,
+                 CASE WHEN t.t > 0
+                      THEN COALESCE(hr.s, CAST(0.0 AS DOUBLE)) / t.t
+                      ELSE CAST(0.0 AS DOUBLE) END AS hub
+          FROM verts v
+          LEFT JOIN hr{k} hr ON hr.id = v.id
+          CROSS JOIN ht{k} t)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT h.id AS vertex_id, ROUND(h.hub, 5) AS hub,
+               ROUND(a.auth, 5) AS auth
+        FROM h{iters} h JOIN a{iters - 1} a ON a.id = h.id
+        ORDER BY vertex_id"""
+    )
+
+
+_HITS_SQL = _hits_oracle()
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -421,6 +507,7 @@ STAGED_R8_QUERIES = {
     "ext_mm_audio_mp3_meta": ext_mm_audio_mp3_meta,
     "ext_text_trigram_backoff": ext_text_trigram_backoff,
     "ext_dedup_incremental_spans": ext_dedup_incremental_spans,
+    "ext_graph_hits": ext_graph_hits,
 }
 
 STAGED_R8_ORACLES = {
@@ -430,4 +517,5 @@ STAGED_R8_ORACLES = {
     "ext_mm_audio_mp3_meta": _MP3_META_SQL,
     "ext_text_trigram_backoff": _TRIGRAM_BACKOFF_SQL,
     "ext_dedup_incremental_spans": _INCREMENTAL_SPANS_SQL,
+    "ext_graph_hits": _HITS_SQL,
 }

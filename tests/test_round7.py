@@ -742,3 +742,67 @@ def test_pca_train_symmetric_ragged_widths_raise(spark):
             ).coalesce(1),
             vec_col="embedding",
         )
+
+
+# ---------------------------------------------------------------------------
+# HITS (staged r8): operator vs an independent numpy power iteration
+# ---------------------------------------------------------------------------
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """operators/pregel.hits == an independent dense numpy HITS with
+    the same L1 normalization, to 1e-9 — then sanity: vertex '0' (in
+    PAGERANK_ADJ the most-linked-to sink feeder) tops authorities and
+    vertex '1' (fans out to all nine others) tops hubs."""
+    import numpy as np
+
+    from remap_spark.operators.pregel import hits
+    from remap_spark.queries.graphs import PAGERANK_ADJ, _edges_df
+
+    ids = sorted(PAGERANK_ADJ)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for s, dsts in PAGERANK_ADJ.items():
+        for d in dsts:
+            A[idx[s], idx[d]] = 1.0
+    h = np.ones(n)
+    for _ in range(8):
+        a = A.T @ h
+        a = a / a.sum() if a.sum() > 0 else a
+        h = A @ a
+        h = h / h.sum() if h.sum() > 0 else h
+
+    edges = _edges_df(spark, PAGERANK_ADJ)
+    verts = spark.createDataFrame([(v,) for v in PAGERANK_ADJ], "id string")
+    got = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in hits(verts, edges, iters=8, num_partitions=2).collect()
+    }
+    assert set(got) == set(ids)
+    for v in ids:
+        assert abs(got[v][0] - h[idx[v]]) < 1e-9, (v, got[v][0], h[idx[v]])
+        assert abs(got[v][1] - a[idx[v]]) < 1e-9, (v, got[v][1], a[idx[v]])
+    assert max(got, key=lambda v: got[v][1]) == "0"
+    assert max(got, key=lambda v: got[v][0]) == "1"
+
+
+def test_hits_zero_degree_vertices(spark):
+    """A vertex with no in-edges holds authority 0; no out-edges ->
+    hub 0; an isolated vertex holds both zeros (the L1 guard never
+    divides by zero)."""
+    from remap_spark.operators.pregel import hits
+
+    edges = spark.createDataFrame(
+        [("s", "t")], "src string, dst string"
+    )
+    verts = spark.createDataFrame(
+        [("s",), ("t",), ("iso",)], "id string"
+    )
+    got = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in hits(verts, edges, iters=3, num_partitions=2).collect()
+    }
+    assert got["iso"] == (0.0, 0.0)
+    assert got["s"][1] == 0.0 and got["t"][0] == 0.0
+    assert got["s"][0] == 1.0 and got["t"][1] == 1.0
