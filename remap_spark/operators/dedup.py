@@ -676,6 +676,18 @@ def _diagonal_matches(grams, k: int, include_intra: bool):
         .where(pair_cond)
         .select("doc_a", "i_a", "doc_b", "i_b")
     )
+    return _runs_from_anchors(anchors, k)
+
+
+def _runs_from_anchors(anchors: DataFrame, k: int) -> DataFrame:
+    """Merge consecutive window anchors along each (doc_a, doc_b,
+    diagonal) into maximal runs — the gaps-and-islands core shared by
+    the intra-corpus (``maximal_match_spans``) and cross-corpus
+    (``cross_corpus_match_spans``) tiers. anchors: (doc_a, i_a,
+    doc_b, i_b); returns (doc_a, doc_b, _diag, _grp, _sa, _sb,
+    span_len)."""
+    from pyspark.sql.window import Window
+
     wd = Window.partitionBy(
         "doc_a", "doc_b", F.col("i_a") - F.col("i_b")
     ).orderBy("i_a")
@@ -689,6 +701,73 @@ def _diagonal_matches(grams, k: int, include_intra: bool):
         F.min("i_b").alias("_sb"),
         (F.count("*") + F.lit(k - 1)).alias("span_len"),
     )
+
+
+def cross_corpus_match_spans(
+    corpus_df: DataFrame,
+    probe_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """Decontamination with SPAN EVIDENCE: every maximal contiguous
+    token run of length >= k in a corpus (training) document that
+    appears verbatim in at least one probe (evaluation) document —
+    the maximal-match fidelity tier of ``contamination_hits``, which
+    only reports that SOME n-gram overlapped. Each output row
+    (doc, span_start, span_len, n_probe_docs) is an exact match with
+    a specific probe occurrence, maximal in the stringology sense
+    (extending one token in either direction breaks that match), with
+    the count of distinct probe documents witnessing it.
+
+    The hot-gram cap is JOINT: a gram present in more than
+    ``max_gram_docs`` distinct documents across corpus AND probe is
+    dropped before pairing (callers must pass relations with disjoint
+    document ids — the split-one-table decontamination setting).
+
+    Shape: one equi-join keyed on the 60-bit gram hash whose build
+    side is probe-sized (the eval corpus is orders of magnitude
+    smaller than the training corpus in every real decontamination
+    run, so at 100 TB the join broadcasts or shuffles a tiny
+    relation), one (doc_a, doc_b, diagonal)-keyed window, one
+    aggregate. No train x train pairing ever happens — the blowup
+    bound is sum over grams of occ_corpus x occ_probe."""
+    cg = _positional_grams(
+        corpus_df, text_col, id_col, k, None, checkpoint=False
+    )
+    pg = _positional_grams(
+        probe_df, text_col, id_col, k, None, checkpoint=False
+    )
+    if max_gram_docs is not None:
+        hot = (
+            cg.select("doc", "g")
+            .distinct()
+            .unionByName(pg.select("doc", "g").distinct())
+            .groupBy("g")
+            .agg(F.count("*").alias("_nd"))
+            .where(F.col("_nd") > max_gram_docs)
+            .select("g")
+        )
+        cg = cg.join(hot, "g", "left_anti")
+        pg = pg.join(hot, "g", "left_anti")
+    anchors = (
+        cg.select(
+            "g", F.col("doc").alias("doc_a"), F.col("i").alias("i_a")
+        )
+        .join(
+            pg.select(
+                "g", F.col("doc").alias("doc_b"), F.col("i").alias("i_b")
+            ),
+            "g",
+        )
+        .select("doc_a", "i_a", "doc_b", "i_b")
+    )
+    return _runs_from_anchors(anchors, k).groupBy(
+        F.col("doc_a").alias("doc"),
+        F.col("_sa").alias("span_start"),
+        "span_len",
+    ).agg(F.countDistinct("doc_b").alias("n_probe_docs"))
 
 
 def maximal_match_spans(

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..engine import load_table
 from ..operators.dedup import (
+    cross_corpus_match_spans,
     maximal_match_spans,
     remove_duplicate_spans_keep_one,
 )
@@ -500,6 +501,53 @@ def _hits_oracle(iters: int = 8) -> str:
 _HITS_SQL = _hits_oracle()
 
 
+def ext_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with span evidence (operators/dedup.
+    cross_corpus_match_spans): documents with doc_id % 19 == 3 play
+    the EVAL benchmark, the rest the TRAINING corpus; every maximal
+    verbatim token run of length >= 5 a training document shares with
+    any eval document is reported with its exact start/length and the
+    count of witnessing eval docs — the maximal-match fidelity tier
+    above ext_text_decontaminate's n-gram membership flag. The
+    hot-gram cap (> 30 docs, joint across both corpora) replays in
+    the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 19 != 3)
+    evald = docs.where(F.col("doc_id") % 19 == 3)
+    out = cross_corpus_match_spans(
+        train, evald, k=5, max_gram_docs=_MAX_GRAM_DOCS
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "span_start",
+        "span_len",
+        F.col("n_probe_docs").alias("n_eval_docs"),
+    ).orderBy("doc_id", "span_start", "span_len")
+
+
+_DECONTAM_SPANS_SQL = (
+    _SPAN_PAIR_CTES.replace(
+        """anch AS (
+      SELECT a.doc_id AS da, a.pos AS ia, b.doc_id AS db, b.pos AS ib
+      FROM shc a JOIN shc b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),""",
+        """anch AS (
+      SELECT a.doc_id AS da, a.pos AS ia, b.doc_id AS db, b.pos AS ib
+      FROM shc a JOIN shc b ON a.gram = b.gram
+      WHERE a.doc_id % 19 <> 3 AND b.doc_id % 19 = 3
+    ),""",
+    )
+    + """
+    SELECT da AS doc_id, sa AS span_start,
+           CAST(span_len AS BIGINT) AS span_len,
+           CAST(COUNT(DISTINCT db) AS BIGINT) AS n_eval_docs
+    FROM m GROUP BY da, sa, span_len
+    ORDER BY doc_id, span_start, span_len
+"""
+)
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -508,6 +556,7 @@ STAGED_R8_QUERIES = {
     "ext_text_trigram_backoff": ext_text_trigram_backoff,
     "ext_dedup_incremental_spans": ext_dedup_incremental_spans,
     "ext_graph_hits": ext_graph_hits,
+    "ext_decontaminate_spans": ext_decontaminate_spans,
 }
 
 STAGED_R8_ORACLES = {
@@ -518,4 +567,5 @@ STAGED_R8_ORACLES = {
     "ext_text_trigram_backoff": _TRIGRAM_BACKOFF_SQL,
     "ext_dedup_incremental_spans": _INCREMENTAL_SPANS_SQL,
     "ext_graph_hits": _HITS_SQL,
+    "ext_decontaminate_spans": _DECONTAM_SPANS_SQL,
 }

@@ -806,3 +806,34 @@ def test_hits_zero_degree_vertices(spark):
     assert got["iso"] == (0.0, 0.0)
     assert got["s"][1] == 0.0 and got["t"][0] == 0.0
     assert got["s"][0] == 1.0 and got["t"][1] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus decontamination spans (staged r8)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_corpus_spans_semantics(spark):
+    """A 7-token run shared train->eval reports exactly (start, 7) with
+    one witness; a duplicate shared only train->train reports NOTHING
+    (no intra-corpus pairing); a run in two eval docs counts both."""
+    from remap_spark.operators.dedup import cross_corpus_match_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    train = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {shared} y1 y2"),
+            (2, "t1 t2 t3 dup1 dup2 dup3 dup4 dup5"),
+            (3, "s1 s2 s3 dup1 dup2 dup3 dup4 dup5"),
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [(100, f"e1 {shared} e2"), (101, f"{shared} f1 f2")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc"], r["span_start"], r["span_len"]): r["n_probe_docs"]
+        for r in cross_corpus_match_spans(train, evald, k=5).collect()
+    }
+    assert got == {(1, 2, 7): 2}
