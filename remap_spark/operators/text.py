@@ -1126,3 +1126,89 @@ def bpe_encode(
         )
         .withColumn("n_tokens", F.size(out_col).cast("bigint"))
     )
+
+
+RAKE_STOPWORDS: list[str] = [
+    "the", "a", "an", "and", "of", "to", "is", "in", "on", "at",
+    "for", "with", "as", "by", "be", "are", "was", "it", "that",
+    "this",
+]
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+    top_n: int = 20,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens; each word scores
+    degree/frequency where frequency counts the word's occurrences in
+    candidate phrases and degree sums the lengths of the phrases it
+    occurs in (self-co-occurrence included, the paper's convention);
+    a phrase scores the sum of its words' scores, per occurrence.
+    Scoring is ppm-INTEGER (score_ppm = degree * 1e6 div freq, summed
+    exactly) so the replay oracle reproduces it bit-for-bit — the
+    engine-wide exactness convention (modularity/seasonal).
+
+    Returns the corpus-level top ``top_n``:
+    (phrase, score_ppm, n_occurrences), ordered by score then phrase
+    (a TOTAL order, so the cut at top_n is deterministic).
+
+    Shape: one posexplode + one doc-keyed window for the phrase
+    islands (single shuffle), two vocabulary-sized word aggregates,
+    word-score joins left to AQE — NOT force-broadcast, the
+    bigram-LM lesson: vocabulary-sized relations only broadcast when
+    a cap bounds them — then one phrase aggregate and a TakeOrdered
+    top-k. No Python in the plan at any point."""
+    from pyspark.sql.window import Window
+
+    sw = stopwords if stopwords is not None else RAKE_STOPWORDS
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    df = _parallel(df)
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("i", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("i")
+    content = toks.where(~F.array_contains(sw_arr, F.col("w"))).withColumn(
+        "_grp", F.col("i") - F.row_number().over(win)
+    )
+    plen = content.groupBy("doc", "_grp").agg(F.count("*").alias("_plen"))
+    wp = content.join(plen, ["doc", "_grp"])
+    wscore = (
+        wp.groupBy("w")
+        .agg(F.count("*").alias("_freq"), F.sum("_plen").alias("_deg"))
+        .select(
+            "w",
+            F.expr(
+                "CAST((_deg * CAST(1000000 AS BIGINT)) div _freq AS BIGINT)"
+            ).alias("_wscore"),
+        )
+    )
+    phrases = (
+        wp.join(wscore, "w")
+        .groupBy("doc", "_grp")
+        .agg(
+            F.sum("_wscore").alias("score_ppm"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda x: x["w"],
+                ),
+            ).alias("phrase"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            # identical phrases have identical word multisets, hence
+            # identical scores — max is just the deterministic pick
+            F.max("score_ppm").alias("score_ppm"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("score_ppm"), "phrase")
+        .limit(top_n)
+    )

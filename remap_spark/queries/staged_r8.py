@@ -548,6 +548,66 @@ _DECONTAM_SPANS_SQL = (
 )
 
 
+def ext_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (operators/text.rake_keywords) over
+    the documents corpus: candidate phrases between stopwords,
+    degree/frequency word scores, ppm-exact integer scoring, corpus
+    top-20 under a total (score, phrase) order."""
+    from ..operators.text import rake_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rake_keywords(docs, top_n=20)
+
+
+_RAKE_STOP_IN = ", ".join(
+    repr(w)
+    for w in [
+        "the", "a", "an", "and", "of", "to", "is", "in", "on", "at",
+        "for", "with", "as", "by", "be", "are", "was", "it", "that",
+        "this",
+    ]
+)
+
+_RAKE_SQL = f"""
+    WITH {_TOKS},
+    t AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+      FROM toks
+    ),
+    c AS (
+      SELECT doc_id, word, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM t WHERE word NOT IN ({_RAKE_STOP_IN})
+    ),
+    pl AS (
+      SELECT doc_id, grp, COUNT(*) AS plen FROM c GROUP BY doc_id, grp
+    ),
+    wp AS (
+      SELECT c.doc_id, c.grp, c.word, c.pos, pl.plen
+      FROM c JOIN pl USING (doc_id, grp)
+    ),
+    ws AS (
+      SELECT word,
+             CAST((SUM(plen) * 1000000) // COUNT(*) AS BIGINT)
+               AS wscore
+      FROM wp GROUP BY word
+    ),
+    ps AS (
+      SELECT wp.doc_id, wp.grp,
+             CAST(SUM(ws.wscore) AS BIGINT) AS score_ppm,
+             string_agg(wp.word, ' ' ORDER BY wp.pos) AS phrase
+      FROM wp JOIN ws USING (word)
+      GROUP BY wp.doc_id, wp.grp
+    )
+    SELECT phrase, MAX(score_ppm) AS score_ppm,
+           COUNT(*) AS n_occurrences
+    FROM ps GROUP BY phrase
+    ORDER BY score_ppm DESC, phrase LIMIT 20
+"""
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -557,6 +617,7 @@ STAGED_R8_QUERIES = {
     "ext_dedup_incremental_spans": ext_dedup_incremental_spans,
     "ext_graph_hits": ext_graph_hits,
     "ext_decontaminate_spans": ext_decontaminate_spans,
+    "ext_text_rake": ext_text_rake,
 }
 
 STAGED_R8_ORACLES = {
@@ -568,4 +629,5 @@ STAGED_R8_ORACLES = {
     "ext_dedup_incremental_spans": _INCREMENTAL_SPANS_SQL,
     "ext_graph_hits": _HITS_SQL,
     "ext_decontaminate_spans": _DECONTAM_SPANS_SQL,
+    "ext_text_rake": _RAKE_SQL,
 }

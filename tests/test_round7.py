@@ -837,3 +837,27 @@ def test_cross_corpus_spans_semantics(spark):
         for r in cross_corpus_match_spans(train, evald, k=5).collect()
     }
     assert got == {(1, 2, 7): 2}
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (staged r8)
+# ---------------------------------------------------------------------------
+
+
+def test_rake_hand_computed(spark):
+    """Hand-worked RAKE: freq/degree/score on a two-doc corpus with a
+    repeated phrase — deep: freq 3, degree 6; learning: freq 2,
+    degree 4; net: freq 1, degree 2 — every word scores 2.0 (ppm
+    2,000,000), both phrases score 4,000,000, and 'deep learning'
+    counts two occurrences."""
+    from remap_spark.operators.text import rake_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "deep learning of the deep net"), (2, "deep learning")],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in rake_keywords(docs, top_n=10).collect()]
+    assert rows == [
+        ("deep learning", 4000000, 2),
+        ("deep net", 4000000, 1),
+    ]
