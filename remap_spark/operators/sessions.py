@@ -521,3 +521,85 @@ def markov_transitions(
         "from_total",
         F.expr("_num div from_total").cast("bigint").alias("prob_ppm"),
     )
+
+
+def match_pattern(
+    df: DataFrame,
+    first: str,
+    middle: str,
+    last: str,
+    within_us: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CEP-style sequence pattern matching with STRICT contiguity and
+    a Kleene plus — the Flink-CEP shape ``first middle+ last`` where
+    no other event may interleave (the funnel operator's ordered
+    SUBSEQUENCE semantics deliberately ignore interleaving; this is
+    the complementary contract). A match anchors at the LAST
+    ``first``-event immediately preceding a maximal run of
+    ``middle``-events whose very next event is a ``last``; with
+    ``within_us`` set, the last event must fall within that many
+    microseconds of the anchor. The three types must be distinct —
+    that makes the greedy maximal-run decomposition the unique parse,
+    so results are deterministic and SQL-replayable.
+
+    Returns one row per match: (user, first_us, last_us, n_middle,
+    duration_us), timestamps as epoch microseconds.
+
+    Shape: run-length encode each user's timeline (one user-keyed
+    window + one (user, run)-keyed aggregate), then lag/lead over the
+    RUNS relation — which is at most events-sized and typically far
+    smaller, so the second user-keyed exchange moves the compressed
+    timeline only. All codegen; no Python, no driver action."""
+    if len({first, middle, last}) != 3:
+        raise ValueError("pattern types must be pairwise distinct")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_t = F.lag(type_col).over(w)
+    ev = df.select(user_col, ts_col, id_col, type_col).withColumn(
+        "_chg",
+        F.when(
+            prev_t.isNull() | (prev_t != F.col(type_col)), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    ev = ev.withColumn("_rg", F.sum("_chg").over(w))
+    runs = ev.groupBy(user_col, "_rg").agg(
+        F.max(type_col).alias("_t"),  # runs are single-type
+        F.min(ts_col).alias("_start_ts"),
+        F.max(ts_col).alias("_end_ts"),
+        F.count("*").alias("_len"),
+    )
+    wr = Window.partitionBy(user_col).orderBy("_rg")
+    m = (
+        runs.select(
+            user_col,
+            "_t",
+            "_len",
+            F.lag("_t").over(wr).alias("_pt"),
+            F.lag("_end_ts").over(wr).alias("_p_end"),
+            F.lead("_t").over(wr).alias("_nt"),
+            F.lead("_start_ts").over(wr).alias("_n_start"),
+        )
+        .where(
+            (F.col("_t") == middle)
+            & (F.col("_pt") == first)
+            & (F.col("_nt") == last)
+        )
+    )
+    from ..functions import epoch_us
+
+    if within_us is not None:
+        m = m.where(
+            epoch_us("_n_start") - epoch_us("_p_end") <= F.lit(within_us)
+        )
+    return m.select(
+        F.col(user_col),
+        epoch_us("_p_end").alias("first_us"),
+        epoch_us("_n_start").alias("last_us"),
+        F.col("_len").alias("n_middle"),
+        (epoch_us("_n_start") - epoch_us("_p_end")).alias("duration_us"),
+    )

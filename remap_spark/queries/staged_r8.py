@@ -608,6 +608,59 @@ _RAKE_SQL = f"""
 """
 
 
+def ext_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP strict-contiguity pattern match (operators/sessions.
+    match_pattern): every ``signup click+ purchase`` run in a user's
+    timeline with NO interleaving event — the Flink-CEP contract the
+    funnel's ordered-subsequence walk deliberately relaxes. One row
+    per match with epoch-us anchors, middle-run length, and
+    duration."""
+    from ..operators.sessions import match_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    return match_pattern(
+        ev, first="signup", middle="click", last="purchase"
+    ).orderBy("user_id", "first_us")
+
+
+_CEP_PATTERN_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS seq
+      FROM events
+    ),
+    chg AS (
+      SELECT *, CASE WHEN LAG(event_type) OVER (
+                        PARTITION BY user_id ORDER BY seq)
+                     IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS c
+      FROM e
+    ),
+    r0 AS (
+      SELECT *, SUM(c) OVER (PARTITION BY user_id ORDER BY seq) AS rg
+      FROM chg
+    ),
+    runs AS (
+      SELECT user_id, rg, MAX(event_type) AS t, MIN(ts) AS start_ts,
+             MAX(ts) AS end_ts, COUNT(*) AS rlen
+      FROM r0 GROUP BY user_id, rg
+    ),
+    m AS (
+      SELECT user_id, t, rlen,
+             LAG(t) OVER w AS pt, LAG(end_ts) OVER w AS p_end,
+             LEAD(t) OVER w AS nt, LEAD(start_ts) OVER w AS n_start
+      FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY rg)
+    )
+    SELECT user_id, epoch_us(p_end) AS first_us,
+           epoch_us(n_start) AS last_us,
+           CAST(rlen AS BIGINT) AS n_middle,
+           epoch_us(n_start) - epoch_us(p_end) AS duration_us
+    FROM m
+    WHERE t = 'click' AND pt = 'signup' AND nt = 'purchase'
+    ORDER BY user_id, first_us
+"""
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -618,6 +671,7 @@ STAGED_R8_QUERIES = {
     "ext_graph_hits": ext_graph_hits,
     "ext_decontaminate_spans": ext_decontaminate_spans,
     "ext_text_rake": ext_text_rake,
+    "ext_cep_pattern": ext_cep_pattern,
 }
 
 STAGED_R8_ORACLES = {
@@ -630,4 +684,5 @@ STAGED_R8_ORACLES = {
     "ext_graph_hits": _HITS_SQL,
     "ext_decontaminate_spans": _DECONTAM_SPANS_SQL,
     "ext_text_rake": _RAKE_SQL,
+    "ext_cep_pattern": _CEP_PATTERN_SQL,
 }

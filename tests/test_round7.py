@@ -861,3 +861,46 @@ def test_rake_hand_computed(spark):
         ("deep learning", 4000000, 2),
         ("deep net", 4000000, 1),
     ]
+
+
+# ---------------------------------------------------------------------------
+# CEP strict-contiguity pattern match (staged r8)
+# ---------------------------------------------------------------------------
+
+
+def test_match_pattern_strict_contiguity(spark):
+    """a c+ b with strict contiguity: an interleaved 'x' kills the
+    match the funnel would still count; a doubled first-run anchors
+    at its LAST event; within_us prunes slow matches."""
+    from remap_spark.operators.sessions import match_pattern
+
+    rows = [
+        # u1: a c c b  -> one match, n_middle=2, anchor at t=10
+        (1, 10, 1, "a"), (1, 20, 2, "c"), (1, 30, 3, "c"), (1, 40, 4, "b"),
+        # u2: a c x b  -> interleaved x breaks contiguity: no match
+        (2, 10, 5, "a"), (2, 20, 6, "c"), (2, 30, 7, "x"), (2, 40, 8, "b"),
+        # u3: a a c b  -> anchor at the LAST 'a' (t=20)
+        (3, 10, 9, "a"), (3, 20, 10, "a"), (3, 30, 11, "c"), (3, 40, 12, "b"),
+        # u4: a b -> no middle run: no match
+        (4, 10, 13, "a"), (4, 20, 14, "b"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t * 1000, i, ty) for (u, t, i, ty) in rows],
+        "user_id long, us long, event_id long, event_type string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    got = sorted(
+        (r["user_id"], r["first_us"], r["last_us"], r["n_middle"])
+        for r in match_pattern(ev, "a", "c", "b").collect()
+    )
+    assert got == [(1, 10000, 40000, 2), (3, 20000, 40000, 1)]
+    # within bound: u1 duration 30000us; bound 25000 keeps only u3
+    tight = sorted(
+        r["user_id"]
+        for r in match_pattern(ev, "a", "c", "b", within_us=25000).collect()
+    )
+    assert tight == [3]

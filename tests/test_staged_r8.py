@@ -60,6 +60,10 @@ def test_no_staged_r8_query_plans_a_cartesian_product(spark):
         # per-trigram scoring join (same in-plan-constant contract as
         # ext_text_bm25 / ext_text_bigram_lm in test_plans.py)
         "ext_text_trigram_backoff",
+        # HITS L1 normalizers: two single-row SUM relations broadcast
+        # back per iteration (operators/pregel.hits) — the in-plan
+        # global-aggregate contract, bounded by construction
+        "ext_graph_hits",
     }
     bad = []
     for name, fn in STAGED_R8_QUERIES.items():
