@@ -506,3 +506,42 @@ def cms_query(
     return joined.groupBy(*gkeys, "value").agg(
         F.min("cnt").cast("bigint").alias("est_count")
     )
+
+
+def join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str] | str,
+    broadcast_deltas: bool = False,
+) -> DataFrame:
+    """Incremental view maintenance for an INNER equi-join: given the
+    stored snapshots A, B and insert batches dA, dB, the join's delta
+    is exactly
+
+        dR = dA >< (B ∪ dB)  ∪  A >< dB
+
+    (the dA><dB cross term rides in the first leg once, never twice),
+    so the maintained result R ∪ dR equals a full recompute of
+    (A ∪ dA) >< (B ∪ dB) — the algebraic identity the property test
+    pins on random data. This is the join twin of the mergeable
+    rollup: the expensive A >< B never re-runs when batches land.
+
+    Scale shape: both legs are equi-joins whose ONE side is
+    batch-sized. With ``broadcast_deltas=True`` the delta sides are
+    hint-broadcast, so maintaining the view costs two map-side joins
+    over A and B with ZERO shuffle of the big relations — the right
+    call when batches are bounded (the usual ingest contract). Left
+    False, AQE picks the strategy from runtime sizes (the bigram-LM
+    lesson: never force a broadcast nothing bounds).
+
+    Insert-only by design — deletes/updates belong to the CDC tier
+    (scd.table_changes + scd2_apply_batch), whose outputs can feed
+    this as (negative) batches under the usual multiset semantics."""
+    da = F.broadcast(a_delta) if broadcast_deltas else a_delta
+    db = F.broadcast(b_delta) if broadcast_deltas else b_delta
+    b_full = b_old.unionByName(b_delta)
+    return da.join(b_full, on).unionByName(
+        a_old.join(db, on), allowMissingColumns=False
+    )

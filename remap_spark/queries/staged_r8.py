@@ -661,6 +661,53 @@ _CEP_PATTERN_SQL = """
 """
 
 
+def ext_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join maintenance (operators/rollup.join_delta):
+    orders/lineitem each split into snapshot + insert batch by a key
+    hash; the query returns the JOIN DELTA — exactly the joined pairs
+    at least one of whose sides is new, aggregated per
+    (returnflag, priority). The oracle is the closed form
+    ``WHERE a.is_new OR b.is_new`` over the full join, which the
+    dA><(B∪dB) ∪ A><dB decomposition provably equals."""
+    from ..operators.rollup import join_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    a_new = F.col("o_orderkey") % 10 == 7
+    b_new = (F.col("l_orderkey") + F.col("l_linenumber")) % 10 == 4
+    delta = join_delta(
+        orders.where(~a_new).withColumnRenamed("o_orderkey", "k"),
+        orders.where(a_new).withColumnRenamed("o_orderkey", "k"),
+        li.where(~b_new).withColumnRenamed("l_orderkey", "k"),
+        li.where(b_new).withColumnRenamed("l_orderkey", "k"),
+        on="k",
+        broadcast_deltas=True,
+    )
+    return (
+        delta.groupBy("l_returnflag", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "o_orderpriority")
+    )
+
+
+_IVM_JOIN_DELTA_SQL = """
+    SELECT l_returnflag, o_orderpriority, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 10 = 7
+       OR (l_orderkey + l_linenumber) % 10 = 4
+    GROUP BY l_returnflag, o_orderpriority
+    ORDER BY l_returnflag, o_orderpriority
+"""
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -672,6 +719,7 @@ STAGED_R8_QUERIES = {
     "ext_decontaminate_spans": ext_decontaminate_spans,
     "ext_text_rake": ext_text_rake,
     "ext_cep_pattern": ext_cep_pattern,
+    "ext_ivm_join_delta": ext_ivm_join_delta,
 }
 
 STAGED_R8_ORACLES = {
@@ -685,4 +733,5 @@ STAGED_R8_ORACLES = {
     "ext_decontaminate_spans": _DECONTAM_SPANS_SQL,
     "ext_text_rake": _RAKE_SQL,
     "ext_cep_pattern": _CEP_PATTERN_SQL,
+    "ext_ivm_join_delta": _IVM_JOIN_DELTA_SQL,
 }

@@ -904,3 +904,45 @@ def test_match_pattern_strict_contiguity(spark):
         for r in match_pattern(ev, "a", "c", "b", within_us=25000).collect()
     )
     assert tight == [3]
+
+
+# ---------------------------------------------------------------------------
+# Incremental join maintenance (staged r8)
+# ---------------------------------------------------------------------------
+
+
+def test_join_delta_equals_full_recompute(spark):
+    """R_old ∪ dR == (A∪dA) >< (B∪dB) as a MULTISET, on random splits
+    of random data — the IVM identity, including the dA><dB cross
+    term exactly once."""
+    import random
+
+    rng = random.Random(7)
+    a_rows = [(rng.randrange(12), f"a{i}") for i in range(80)]
+    b_rows = [(rng.randrange(12), f"b{i}") for i in range(90)]
+    a_new = set(rng.sample(range(80), 25))
+    b_new = set(rng.sample(range(90), 30))
+
+    from collections import Counter
+
+    from remap_spark.operators.rollup import join_delta
+
+    mk = lambda rows, cols: spark.createDataFrame(rows, cols)
+    A = [r for i, r in enumerate(a_rows) if i not in a_new]
+    dA = [r for i, r in enumerate(a_rows) if i in a_new]
+    B = [r for i, r in enumerate(b_rows) if i not in b_new]
+    dB = [r for i, r in enumerate(b_rows) if i in b_new]
+    schema_a, schema_b = "k long, av string", "k long, bv string"
+    d_r = join_delta(
+        mk(A, schema_a), mk(dA, schema_a),
+        mk(B, schema_b), mk(dB, schema_b), on="k",
+    )
+    r_old = mk(A, schema_a).join(mk(B, schema_b), "k")
+    maintained = Counter(
+        tuple(r) for r in r_old.unionByName(d_r).collect()
+    )
+    full = Counter(
+        tuple(r)
+        for r in mk(a_rows, schema_a).join(mk(b_rows, schema_b), "k").collect()
+    )
+    assert maintained == full and sum(full.values()) > 0
