@@ -251,3 +251,34 @@ def compact_parquet(
         "files_after": n_after,
         "bytes_after": bytes_after,
     }
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize a relation BUCKETED by its join/aggregation key —
+    the co-located-join layout: every subsequent equi-join or groupBy
+    on ``key`` between tables bucketed with the SAME bucket count
+    reads pre-shuffled data, so the exchange that dominates a 100 TB
+    fact-to-fact join (or repeated same-key aggregation) happens ONCE
+    at write time and never again (plan-pinned: the zero-Exchange
+    join assertion in tests/test_round7.py). ``sort=True`` additionally
+    sorts within buckets, letting the sort-merge join skip or shrink
+    its per-task sort when files align.
+
+    Bucketing requires a catalog table (``saveAsTable``); ``path``
+    makes it external. Returns the re-read table handle, whose scans
+    carry the bucket spec (``SelectedBucketsCount`` in explain)."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return df.sparkSession.table(table)

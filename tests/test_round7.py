@@ -946,3 +946,57 @@ def test_join_delta_equals_full_recompute(spark):
         for r in mk(a_rows, schema_a).join(mk(b_rows, schema_b), "k").collect()
     )
     assert maintained == full and sum(full.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the write-once-shuffle-never layout
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_plans_zero_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    sort-merge-join with NO Exchange anywhere in the physical plan —
+    the shuffle moved to write time. A same-key groupBy on the
+    bucketed table is exchange-free too. Results stay identical to
+    the plain join."""
+    from remap_spark.engine import load_table
+    from remap_spark.operators.layout import write_bucketed
+    from remap_spark.plans import explain_str
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+
+    bo = write_bucketed(
+        orders, "t_bkt_orders", "o_orderkey", 4,
+        path=str(tmp_path / "bo"),
+    )
+    bl = write_bucketed(
+        li, "t_bkt_lineitem", "o_orderkey", 4,
+        path=str(tmp_path / "bl"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, "o_orderkey")
+        plan = explain_str(joined, "formatted")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+
+        agg = bl.groupBy("o_orderkey").count()
+        aplan = explain_str(agg, "formatted")
+        assert "Exchange" not in aplan, aplan
+
+        # identical results to the unbucketed join
+        expect = sorted(tuple(r) for r in orders.join(li, "o_orderkey").collect())
+        got = sorted(tuple(r) for r in joined.collect())
+        assert got == expect and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
