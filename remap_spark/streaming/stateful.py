@@ -231,3 +231,106 @@ def _make_funnel_update(
         )
 
     return update
+
+
+def streaming_match_pattern(
+    events: DataFrame,
+    first: str,
+    middle: str,
+    last: str,
+    within_us: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/sessions.match_pattern (CEP
+    ``first middle+ last`` with STRICT contiguity): a three-field
+    automaton per active user — (status, anchor_us, n_middle) —
+    advances event by event and emits each completed match EXACTLY
+    once, with the same row shape as the batch operator. Equality
+    with the batch run holds when each user's events arrive in
+    (ts, event_id) order across micro-batches (per-batch slices are
+    sorted before applying — the funnel twin's documented
+    out-of-orderness contract, asserted stream ≡ batch in tests).
+
+    Scale: state is O(1) per active user — THREE scalars, regardless
+    of timeline length (the batch op's run-length encoding never
+    materializes here); co-located by the same user-key shuffle as
+    any groupBy. ``timeout_ms`` evicts abandoned automatons WITHOUT
+    emission — an incomplete pattern is not a match, unlike the
+    funnel's reached-prefix which is a result in itself."""
+    if len({first, middle, last}) != 3:
+        raise ValueError("pattern types must be pairwise distinct")
+    user_field = events.schema[user_col]
+    out_schema = StructType(
+        [
+            StructField(user_col, user_field.dataType),
+            StructField("first_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n_middle", LongType()),
+            StructField("duration_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("status", IntegerType()),
+            StructField("anchor_us", LongType()),
+            StructField("n_middle", LongType()),
+        ]
+    )
+
+    def update(key: tuple, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        st, anchor, n = state.get if state.exists else (0, 0, 0)
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.iterrows():
+                rows.append(
+                    (int(r[ts_col].value) // 1000, r[id_col], r[type_col])
+                )
+        rows.sort(key=lambda t: (t[0], t[1]))
+        matches = []
+        for ts_us, _eid, etype in rows:
+            if st == 2 and etype == last:
+                if within_us is None or ts_us - anchor <= within_us:
+                    matches.append((anchor, ts_us, n, ts_us - anchor))
+                st, anchor, n = 0, 0, 0
+                continue
+            if etype == first:
+                st, anchor, n = 1, ts_us, 0
+            elif st >= 1 and etype == middle:
+                st, n = 2, n + 1
+            else:
+                st, anchor, n = 0, 0, 0
+        state.update((st, anchor, n))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if matches:
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]] * len(matches),
+                    "first_us": [m[0] for m in matches],
+                    "last_us": [m[1] for m in matches],
+                    "n_middle": [m[2] for m in matches],
+                    "duration_us": [m[3] for m in matches],
+                }
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -1092,3 +1092,59 @@ def test_stream_topk_replay_and_compact(spark, tmp_path_factory):
         topk_apply_stream_batch(
             spark.createDataFrame(batches[0], schema), store, ["k"], -3
         )
+
+
+def test_streaming_match_pattern_equals_batch(spark, tmp_path_factory):
+    """Streaming CEP automaton (applyInPandasWithState) emits exactly
+    the batch match_pattern rows when events arrive in (ts, event_id)
+    order across micro-batches: the events fixture is split into
+    three order-respecting chunks, streamed one file per trigger, and
+    the union of emitted matches must equal the batch run as a
+    multiset — each match exactly once, never duplicated across
+    batch boundaries even when a pattern STRADDLES two batches."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from remap_spark.engine import load_table
+    from remap_spark.operators.sessions import match_pattern
+    from remap_spark.streaming.stateful import streaming_match_pattern
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ranked = ev.withColumn(
+        "_tile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    src = str(tmp_path_factory.mktemp("cep_src"))
+    for i in (1, 2, 3):
+        ranked.where(F.col("_tile") == i).drop("_tile").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/chunk{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = streaming_match_pattern(stream, "signup", "click", "purchase")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = Counter(
+        tuple(r) for r in spark.sql("SELECT * FROM cep_stream").collect()
+    )
+    want = Counter(
+        tuple(r)
+        for r in match_pattern(ev, "signup", "click", "purchase").collect()
+    )
+    assert got == want and sum(want.values()) > 0
