@@ -112,3 +112,62 @@ def assert_expectations(report: DataFrame) -> None:
     ]
     if bad:
         raise AssertionError(f"data-quality expectations failed: {bad}")
+
+
+# Benford expected first-digit mass, ppm-rounded literals of
+# log10(1 + 1/d) — identical constants on both engines by
+# construction (the oracle embeds the same table).
+BENFORD_PPM: dict[int, int] = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_deviation(
+    df: DataFrame, col: str, min_value: float = 1.0
+) -> DataFrame:
+    """Benford's-law first-digit screen — the forensic data-quality
+    check for fabricated or truncated numeric columns (amounts,
+    populations, file sizes): naturally-occurring multiplicative data
+    puts digit d first with probability log10(1 + 1/d); uniform or
+    hand-entered data does not. Returns 9 rows
+    (digit, n, observed_ppm, expected_ppm, deviation_ppm).
+
+    The first digit is taken from the INTEGER part (values below
+    ``min_value`` are excluded — sub-1 magnitudes need log-domain
+    handling that differs per column semantics): floor() on a double
+    is exact on both engines, and bigint-to-string is locale-free, so
+    the digit extraction replays bit-for-bit — no float log10 at a
+    power-of-10 boundary, no double*100 cents rounding hazard (the
+    dq44 lesson).
+
+    Shape: one filtered scan -> one 9-group aggregate; the total
+    rides back as a broadcast single-row relation (in-plan, the
+    modularity idiom). Expression-only, codegen throughout."""
+    digits = df.where(F.col(col) >= F.lit(min_value)).select(
+        F.substring(
+            F.floor(F.col(col)).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_t"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST(n * 1000000 div _t AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            expected[F.col("digit")].cast("bigint").alias("expected_ppm"),
+        )
+        .withColumn(
+            "deviation_ppm", F.col("observed_ppm") - F.col("expected_ppm")
+        )
+        .orderBy("digit")
+    )

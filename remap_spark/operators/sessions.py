@@ -603,3 +603,39 @@ def match_pattern(
         F.col("_len").alias("n_middle"),
         (epoch_us("_n_start") - epoch_us("_p_end")).alias("duration_us"),
     )
+
+
+def cumulative_distinct_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Exact distinct-users-to-date per day — the growth-curve metric
+    COUNT(DISTINCT) OVER (ORDER BY day) that SQL engines reject on
+    unbounded frames: decomposed as first-seen-day per user (one
+    user-keyed aggregate), new-user counts per day, and a running sum
+    over the DAYS relation. Days with activity but no new users keep
+    their row (new_users = 0), so the curve is dense over active
+    days.
+
+    Shape: one user-keyed agg + one day agg (both combiner-style)
+    and a running sum over a days-sized relation — the single
+    unpartitioned window is |days|, thousands of rows at any corpus
+    scale, never data-sized."""
+    from pyspark.sql.window import Window
+
+    day = F.to_date(ts_col).alias("day")
+    first_seen = (
+        df.groupBy(user_col)
+        .agg(F.min(F.to_date(ts_col)).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    active_days = df.select(day).distinct()
+    daily = active_days.join(first_seen, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )

@@ -708,6 +708,68 @@ _IVM_JOIN_DELTA_SQL = """
 """
 
 
+def ext_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (operators/expectations.
+    benford_deviation) over order totals: 9 rows of observed vs
+    expected ppm mass. TPC-H-ish uniform prices are exactly the kind
+    of column Benford flags — the query demonstrates the detector,
+    not conformance."""
+    from ..operators.expectations import benford_deviation
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_deviation(orders, "o_totalprice")
+
+
+_BENFORD_SQL = """
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS tt FROM c),
+    e(digit, expected_ppm) AS (VALUES
+      (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+      (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+    SELECT c.digit, c.n,
+           CAST(c.n * 1000000 // t.tt AS BIGINT) AS observed_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           CAST(c.n * 1000000 // t.tt - e.expected_ppm AS BIGINT)
+             AS deviation_ppm
+    FROM c JOIN e USING (digit) CROSS JOIN t
+    ORDER BY digit
+"""
+
+
+def ext_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-users-to-date per active day (operators/
+    sessions.cumulative_distinct_users) — the COUNT(DISTINCT) OVER
+    unbounded frame SQL engines reject, decomposed via first-seen
+    days; dense over active days."""
+    from ..operators.sessions import cumulative_distinct_users
+
+    ev = load_table(spark, sf_dir, "events")
+    return cumulative_distinct_users(ev).orderBy("day")
+
+
+_CUMULATIVE_USERS_SQL = """
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY user_id
+    ),
+    nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day),
+    ad AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    d AS (
+      SELECT ad.day, COALESCE(nu.new_users, 0) AS new_users
+      FROM ad LEFT JOIN nu USING (day)
+    )
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM d ORDER BY day
+"""
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -720,6 +782,8 @@ STAGED_R8_QUERIES = {
     "ext_text_rake": ext_text_rake,
     "ext_cep_pattern": ext_cep_pattern,
     "ext_ivm_join_delta": ext_ivm_join_delta,
+    "ext_benford": ext_benford,
+    "ext_cumulative_users": ext_cumulative_users,
 }
 
 STAGED_R8_ORACLES = {
@@ -734,4 +798,6 @@ STAGED_R8_ORACLES = {
     "ext_text_rake": _RAKE_SQL,
     "ext_cep_pattern": _CEP_PATTERN_SQL,
     "ext_ivm_join_delta": _IVM_JOIN_DELTA_SQL,
+    "ext_benford": _BENFORD_SQL,
+    "ext_cumulative_users": _CUMULATIVE_USERS_SQL,
 }

@@ -64,6 +64,8 @@ def test_no_staged_r8_query_plans_a_cartesian_product(spark):
         # back per iteration (operators/pregel.hits) — the in-plan
         # global-aggregate contract, bounded by construction
         "ext_graph_hits",
+        # Benford total: one 9-row relation x one single-row broadcast
+        "ext_benford",
     }
     bad = []
     for name, fn in STAGED_R8_QUERIES.items():
