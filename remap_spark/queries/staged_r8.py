@@ -770,6 +770,78 @@ _CUMULATIVE_USERS_SQL = """
 """
 
 
+def ext_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the lineitem order-part co-occurrence graph folded
+    onto 1500 vertices (operators/pregel.k_truss): every surviving
+    edge closes >= 2 triangles within the truss — the edge-level
+    community backbone above ext_k_core's vertex-level peel."""
+    from ..operators.pregel import k_truss
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        (F.col("l_orderkey") % 1500).alias("src"),
+        (F.col("l_partkey") % 1500).alias("dst"),
+    )
+    return k_truss(g, k=4).orderBy("src", "dst")
+
+
+def _ktruss_oracle(rounds: int = 10, fold: int = 1500, k: int = 4) -> str:
+    """Unrolled MATERIALIZED peel rounds (recursive CTEs allow only
+    ONE reference to the recursive relation — triangle support needs
+    three, so the ext_pagerank_* unroll pattern applies), with the
+    ext_k_core convergence sentinel: a not-yet-converged edge set at
+    the unroll bound emits (-1,-1,-1) and fails the replay loudly."""
+    tri = (
+        "SELECT e1.a AS a, e1.b AS b, e2.b AS c "
+        "FROM t{i} e1 JOIN t{i} e2 ON e1.b = e2.a "
+        "JOIN t{i} e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    sup = (
+        "SELECT a, b, COUNT(*) AS s FROM ("
+        "SELECT a, b FROM tri{i} "
+        "UNION ALL SELECT b AS a, c AS b FROM tri{i} "
+        "UNION ALL SELECT a, c AS b FROM tri{i}) GROUP BY a, b"
+    )
+    ctes = [
+        f"""t0 AS MATERIALIZED (
+          SELECT DISTINCT
+            LEAST(l_orderkey % {fold}, l_partkey % {fold}) AS a,
+            GREATEST(l_orderkey % {fold}, l_partkey % {fold}) AS b
+          FROM lineitem
+          WHERE l_orderkey % {fold} != l_partkey % {fold})"""
+    ]
+    for i in range(rounds):
+        ctes.append(f"tri{i} AS MATERIALIZED ({tri.format(i=i)})")
+        ctes.append(f"sup{i} AS MATERIALIZED ({sup.format(i=i)})")
+        ctes.append(
+            f"""t{i + 1} AS MATERIALIZED (
+          SELECT t.a, t.b FROM t{i} t JOIN sup{i} s
+            ON s.a = t.a AND s.b = t.b
+          WHERE s.s >= {k - 2})"""
+        )
+    ctes.append(f"trif AS MATERIALIZED ({tri.format(i=rounds)})")
+    ctes.append(
+        "supf AS MATERIALIZED ("
+        + sup.format(i="f").replace("trif{i}", "trif")
+        + ")"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT t.a AS src, t.b AS dst, CAST(s.s AS BIGINT) AS support
+        FROM t{rounds} t JOIN supf s ON s.a = t.a AND s.b = t.b
+        UNION ALL
+        SELECT -1 AS src, -1 AS dst, CAST(-1 AS BIGINT) AS support
+        WHERE (SELECT COUNT(*) FROM t{rounds})
+           != (SELECT COUNT(*) FROM t{rounds - 1})
+        ORDER BY src, dst"""
+    )
+
+
+_K_TRUSS_SQL = _ktruss_oracle()
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -784,6 +856,7 @@ STAGED_R8_QUERIES = {
     "ext_ivm_join_delta": ext_ivm_join_delta,
     "ext_benford": ext_benford,
     "ext_cumulative_users": ext_cumulative_users,
+    "ext_k_truss": ext_k_truss,
 }
 
 STAGED_R8_ORACLES = {
@@ -800,4 +873,5 @@ STAGED_R8_ORACLES = {
     "ext_ivm_join_delta": _IVM_JOIN_DELTA_SQL,
     "ext_benford": _BENFORD_SQL,
     "ext_cumulative_users": _CUMULATIVE_USERS_SQL,
+    "ext_k_truss": _K_TRUSS_SQL,
 }

@@ -1000,3 +1000,41 @@ def test_bucketed_join_plans_zero_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
         spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
+
+
+# ---------------------------------------------------------------------------
+# k-truss (staged r8)
+# ---------------------------------------------------------------------------
+
+
+def test_k_truss_strips_pendant_triangle(spark):
+    """K4 ∪ pendant triangle: the 4-truss is exactly the K4 (each
+    edge closes 2 triangles); the pendant triangle's edges close only
+    1 and peel away — including the shared vertex's edges. Direction
+    and duplicates in the input are normalized away."""
+    from remap_spark.operators.pregel import k_truss
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pendant = [(3, 4), (4, 5), (3, 5)]
+    # feed some edges reversed and duplicated
+    raw = k4 + pendant + [(b, a) for a, b in k4[:3]] + [(0, 1)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = sorted(
+        (r["src"], r["dst"], r["support"])
+        for r in k_truss(edges, k=4).collect()
+    )
+    assert got == [(a, b, 2) for a, b in k4]
+
+
+def test_k_truss_k3_keeps_all_triangle_edges(spark):
+    """k=3 (support >= 1) keeps every edge that closes any triangle
+    and drops bridges."""
+    from remap_spark.operators.pregel import k_truss
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 9)], "src long, dst long"
+    )
+    got = sorted(
+        (r["src"], r["dst"]) for r in k_truss(edges, k=3).collect()
+    )
+    assert got == [(0, 1), (0, 2), (1, 2)]
