@@ -1627,3 +1627,102 @@ def video_near_dup_pairs(
             .alias("overlap_ppm"),
         )
     )
+
+
+def parse_exif(data: bytes):
+    """NATIVE EXIF metadata parse — the JPEG APP1 segment's embedded
+    TIFF structure (TIFF 6.0 + EXIF 2.3 layout, both byte orders):
+    walk the JPEG marker stream to APP1/"Exif\\0\\0", validate the
+    TIFF header (II/MM + 42), read IFD0's 12-byte entries, resolve
+    in-line vs offset-stored values (values <= 4 bytes are
+    left-justified IN the value field regardless of byte order — the
+    classic TIFF gotcha), and follow the EXIF sub-IFD pointer
+    (0x8769). Returns
+
+        (byte_order, n_ifd0_entries, make, model, orientation,
+         datetime_str, n_exif_entries)
+
+    or None when the blob is not a JPEG or carries no EXIF APP1
+    (JFIF-only files). Pure bytes -> Python scalars: the per-blob
+    worker for a mapInPandas batch, same contract as
+    parse_mp3_frames."""
+    import struct
+
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS: metadata ended
+            break
+        seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if seglen < 2:
+            break
+        if (
+            marker == 0xE1
+            and data[pos + 4 : pos + 10] == b"Exif\x00\x00"
+        ):
+            tiff = data[pos + 10 : pos + 2 + seglen]
+            break
+        pos += 2 + seglen
+    if tiff is None or len(tiff) < 8:
+        return None
+    bo = tiff[0:2]
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+    else:
+        return None
+    if struct.unpack(e + "H", tiff[2:4])[0] != 42:
+        return None
+    ifd0_off = struct.unpack(e + "I", tiff[4:8])[0]
+
+    def read_ifd(off):
+        if off + 2 > len(tiff):
+            return 0, {}
+        n = struct.unpack(e + "H", tiff[off : off + 2])[0]
+        entries = {}
+        for j in range(n):
+            base = off + 2 + 12 * j
+            if base + 12 > len(tiff):
+                break
+            tag, typ, cnt = struct.unpack(
+                e + "HHI", tiff[base : base + 8]
+            )
+            entries[tag] = (typ, cnt, tiff[base + 8 : base + 12])
+        return n, entries
+
+    def ascii_val(ent):
+        typ, cnt, raw = ent
+        if typ != 2:
+            return None
+        if cnt <= 4:
+            buf = raw[:cnt]
+        else:
+            off = struct.unpack(e + "I", raw)[0]
+            buf = tiff[off : off + cnt]
+        return buf.rstrip(b"\x00").decode("ascii", "replace")
+
+    def int_val(ent):
+        typ, _cnt, raw = ent
+        if typ == 3:  # SHORT: left-justified in the value field
+            return struct.unpack(e + "H", raw[:2])[0]
+        if typ == 4:  # LONG
+            return struct.unpack(e + "I", raw)[0]
+        return None
+
+    n0, ent = read_ifd(ifd0_off)
+    make = ascii_val(ent[0x010F]) if 0x010F in ent else None
+    model = ascii_val(ent[0x0110]) if 0x0110 in ent else None
+    orientation = int_val(ent[0x0112]) if 0x0112 in ent else None
+    dt = ascii_val(ent[0x0132]) if 0x0132 in ent else None
+    n_exif = 0
+    if 0x8769 in ent:
+        sub = int_val(ent[0x8769])
+        if sub is not None:
+            n_exif = read_ifd(sub)[0]
+    return (bo.decode("ascii"), n0, make, model, orientation, dt, n_exif)

@@ -842,6 +842,115 @@ def _ktruss_oracle(rounds: int = 10, fold: int = 1500, k: int = 4) -> str:
 _K_TRUSS_SQL = _ktruss_oracle()
 
 
+def _exif_fixture_blob(i: int) -> bytes:
+    """Deterministic spec-valid JPEG+EXIF blob for doc_id ``i``:
+    little-endian TIFF on even ids, big-endian on odd; IFD0 holds
+    Make/Model/Orientation/DateTime/ExifIFD (5 entries, ASCII values
+    offset-stored, SHORTs in-line left-justified); the EXIF sub-IFD
+    holds 1 + i%4 dummy SHORT entries; a JFIF APP0 precedes the APP1
+    on i%3==0 so the marker walk skips a segment."""
+    import struct
+
+    e = "<" if i % 2 == 0 else ">"
+    bo = b"II" if i % 2 == 0 else b"MM"
+    make = f"Make{i % 5}".encode() + b"\x00"
+    model = f"Cam{i % 7}".encode() + b"\x00"
+    dt = f"2023:01:{1 + i % 28:02d} 10:00:00".encode() + b"\x00"
+    n_sub = 1 + i % 4
+    ifd0_off = 8
+    ifd0_size = 2 + 5 * 12 + 4
+    sub_off = ifd0_off + ifd0_size
+    sub_size = 2 + n_sub * 12 + 4
+    data_off = sub_off + sub_size
+    off_make = data_off
+    off_model = off_make + len(make)
+    off_dt = off_model + len(model)
+
+    def entry(tag, typ, cnt, raw4):
+        return struct.pack(e + "HHI", tag, typ, cnt) + raw4
+
+    short_raw = lambda v: struct.pack(e + "H", v) + b"\x00\x00"
+    long_raw = lambda v: struct.pack(e + "I", v)
+    ifd0 = struct.pack(e + "H", 5)
+    ifd0 += entry(0x010F, 2, len(make), long_raw(off_make))
+    ifd0 += entry(0x0110, 2, len(model), long_raw(off_model))
+    ifd0 += entry(0x0112, 3, 1, short_raw(1 + i % 8))
+    ifd0 += entry(0x0132, 2, len(dt), long_raw(off_dt))
+    ifd0 += entry(0x8769, 4, 1, long_raw(sub_off))
+    ifd0 += long_raw(0)
+    sub = struct.pack(e + "H", n_sub)
+    for t in range(n_sub):
+        sub += entry(0x9000 + t, 3, 1, short_raw(t + 1))
+    sub += long_raw(0)
+    tiff = bo + struct.pack(e + "H", 42) + long_raw(ifd0_off)
+    tiff += ifd0 + sub + make + model + dt
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(app1_body) + 2).to_bytes(2, "big") + app1_body
+    out = b"\xff\xd8"
+    if i % 3 == 0:
+        jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + (len(jfif) + 2).to_bytes(2, "big") + jfif
+    return out + app1 + b"\xff\xd9"
+
+
+def ext_mm_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE EXIF parse, driver-checkable (operators/multimodal.
+    parse_exif): deterministic JPEG+EXIF blobs per document id —
+    both TIFF byte orders, offset-stored ASCII vs in-line SHORT
+    values, a skipped JFIF segment, and the EXIF sub-IFD pointer —
+    with a pure modular-arithmetic oracle over doc_id (the MP3-meta
+    contract: fixture synthesis in the Arrow batch, the PARSE is the
+    operator under test, on real bytes)."""
+    from ..operators.multimodal import parse_exif
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 500)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                i = int(d)
+                bo, n0, make, model, orient, dt, n_exif = parse_exif(
+                    _exif_fixture_blob(i)
+                )
+                rows.append((i, bo, n0, make, model, orient, dt, n_exif))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "byte_order", "n_ifd0", "make", "model",
+                    "orientation", "taken_at", "n_exif",
+                ],
+            )
+
+    schema = (
+        "media_id bigint, byte_order string, n_ifd0 bigint, "
+        "make string, model string, orientation bigint, "
+        "taken_at string, n_exif bigint"
+    )
+    return docs.mapInPandas(run, schema).orderBy("media_id")
+
+
+_EXIF_SQL = """
+    SELECT doc_id AS media_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      5 AS n_ifd0,
+      'Make' || CAST(doc_id % 5 AS VARCHAR) AS make,
+      'Cam' || CAST(doc_id % 7 AS VARCHAR) AS model,
+      1 + doc_id % 8 AS orientation,
+      '2023:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        || ' 10:00:00' AS taken_at,
+      1 + doc_id % 4 AS n_exif
+    FROM documents WHERE doc_id < 500
+    ORDER BY media_id
+"""
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -857,6 +966,7 @@ STAGED_R8_QUERIES = {
     "ext_benford": ext_benford,
     "ext_cumulative_users": ext_cumulative_users,
     "ext_k_truss": ext_k_truss,
+    "ext_mm_exif": ext_mm_exif,
 }
 
 STAGED_R8_ORACLES = {
@@ -874,4 +984,5 @@ STAGED_R8_ORACLES = {
     "ext_benford": _BENFORD_SQL,
     "ext_cumulative_users": _CUMULATIVE_USERS_SQL,
     "ext_k_truss": _K_TRUSS_SQL,
+    "ext_mm_exif": _EXIF_SQL,
 }

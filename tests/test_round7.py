@@ -1038,3 +1038,40 @@ def test_k_truss_k3_keeps_all_triangle_edges(spark):
         (r["src"], r["dst"]) for r in k_truss(edges, k=3).collect()
     )
     assert got == [(0, 1), (0, 2), (1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# EXIF parse (staged r8)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_exif_real_bytes_both_endians():
+    """Hand-checked parse of constructed spec-valid EXIF JPEGs: both
+    TIFF byte orders, offset-stored ASCII, in-line left-justified
+    SHORT, a skipped JFIF APP0, and the 0x8769 sub-IFD pointer; a
+    JFIF-only JPEG and a non-JPEG return None."""
+    from remap_spark.operators.multimodal import parse_exif
+    from remap_spark.queries.staged_r8 import _exif_fixture_blob
+
+    for i in range(60):
+        got = parse_exif(_exif_fixture_blob(i))
+        assert got == (
+            "II" if i % 2 == 0 else "MM",
+            5,
+            f"Make{i % 5}",
+            f"Cam{i % 7}",
+            1 + i % 8,
+            f"2023:01:{1 + i % 28:02d} 10:00:00",
+            1 + i % 4,
+        ), (i, got)
+    assert parse_exif(b"\xff\xd8\xff\xd9") is None
+    assert parse_exif(b"\x89PNG\r\n\x1a\n") is None
+    # JFIF-only (no APP1): None
+    jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    blob = (
+        b"\xff\xd8\xff\xe0"
+        + (len(jfif) + 2).to_bytes(2, "big")
+        + jfif
+        + b"\xff\xd9"
+    )
+    assert parse_exif(blob) is None
