@@ -494,3 +494,55 @@ def mad_outliers(
         "is_outlier",
         F.col("_ad") > F.lit(float(k)) * F.lit(float(consistency)) * F.col("mad"),
     ).drop("_ad")
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    qs: dict[str, int],
+) -> DataFrame:
+    """EXACT weighted percentiles per group — the estimator behind
+    duration-weighted latency SLOs and size-weighted document stats
+    that plain percentile_approx cannot express: the q-percentile is
+    the smallest value whose cumulative WEIGHT reaches q of the
+    group's total weight (the left-continuous inverse-CDF
+    convention). ``qs`` maps output column name -> q in ppm
+    (e.g. {"wp50": 500000}); the threshold test is pure integer
+    arithmetic (cw * 1e6 >= q_ppm * tw) so both engines replay it
+    bit-for-bit — weights must be integral.
+
+    Shape: ONE group-keyed window (RANGE frame, so ties in the value
+    column accumulate together and row order never matters), the
+    group totals ride the same partitioning as a co-partitioned
+    join, and every requested percentile folds into a SINGLE
+    conditional-min aggregate pass — adding percentiles costs
+    expression width, never extra shuffles (the expectations
+    contract)."""
+    from pyspark.sql.window import Window
+
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    weight = F.col(weight_col).cast("bigint")
+    cum = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.sum(weight).over(wcum).alias("_cw"),
+    )
+    tot = df.groupBy(*group_cols).agg(F.sum(weight).alias("_tw"))
+    joined = cum.join(tot, group_cols)
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cw") * F.lit(1000000)
+                >= F.lit(q_ppm) * F.col("_tw"),
+                F.col("_v"),
+            )
+        ).alias(name)
+        for name, q_ppm in qs.items()
+    ]
+    return joined.groupBy(*group_cols).agg(*aggs)

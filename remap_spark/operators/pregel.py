@@ -1283,3 +1283,68 @@ def k_truss(
             F.col("support").cast("bigint").alias("support"),
         )
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Local clustering coefficient per vertex, ppm-EXACT:
+    lcc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)) on the
+    simple undirected graph (self-loops dropped, multi-edges
+    deduped), evaluated as one integer rational so the replay is
+    bit-for-bit; vertices with degree < 2 report 0. Returns
+    (vertex_id, degree, triangles, lcc_ppm).
+
+    Shape: ONE oriented triangle enumeration (the a<b<c wedge-check
+    plan shared with triangle_count / k_truss), exploded to its three
+    corners for a combiner-style per-vertex count, plus one degree
+    aggregate and a left join — no iteration, no driver action."""
+    spark = edges.sparkSession
+    n = num_partitions or min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        max(4, edges.rdd.getNumPartitions()),
+    )
+    und = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    canon = (
+        und.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .repartition(n, "a")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = (
+        canon.join(
+            canon.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+        )
+        .join(
+            canon.select(F.col("a"), F.col("b").alias("c")),
+            ["a", "c"],
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    tri_v = (
+        tri.select(F.col("a").alias("v"))
+        .unionByName(tri.select(F.col("b").alias("v")))
+        .unionByName(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return deg.join(tri_v, "v", "left").select(
+        F.col("v").alias("vertex_id"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+        F.expr(
+            "CASE WHEN degree >= 2 THEN CAST(2 * COALESCE(triangles, 0) "
+            "* CAST(1000000 AS BIGINT) div (degree * (degree - 1)) "
+            "AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ).alias("lcc_ppm"),
+    )

@@ -951,6 +951,89 @@ _EXIF_SQL = """
 """
 
 
+def ext_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted price percentiles per returnflag
+    (operators/ml.weighted_percentiles): the left-continuous
+    inverse-CDF with integer ppm threshold arithmetic — the
+    size-weighted stat percentile_approx cannot express."""
+    from ..operators.ml import weighted_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_percentiles(
+        li,
+        value_col="l_extendedprice",
+        weight_col="l_quantity",
+        group_cols=["l_returnflag"],
+        qs={"wp50": 500000, "wp90": 900000},
+    ).orderBy("l_returnflag")
+
+
+_WEIGHTED_PCT_SQL = """
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN cw * 1000000 >= 500000 * tw THEN v END) AS wp50,
+           MIN(CASE WHEN cw * 1000000 >= 900000 * tw THEN v END) AS wp90
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def ext_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (operators/pregel.
+    clustering_coefficient) on the folded order-part co-occurrence
+    graph: per-vertex degree, triangle count, and ppm-exact
+    2T/d(d-1)."""
+    from ..operators.pregel import clustering_coefficient
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        (F.col("l_orderkey") % 1500).alias("src"),
+        (F.col("l_partkey") % 1500).alias("dst"),
+    )
+    return clustering_coefficient(g).orderBy("vertex_id")
+
+
+_CLUSTERING_SQL = """
+    WITH und AS (
+      SELECT DISTINCT
+        LEAST(l_orderkey % 1500, l_partkey % 1500) AS a,
+        GREATEST(l_orderkey % 1500, l_partkey % 1500) AS b
+      FROM lineitem
+      WHERE l_orderkey % 1500 != l_partkey % 1500
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM und e1 JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tv AS (
+      SELECT v, COUNT(*) AS triangles FROM (
+        SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+        UNION ALL SELECT c AS v FROM tri
+      ) GROUP BY v
+    )
+    SELECT deg.v AS vertex_id, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(COALESCE(tv.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN CAST(2 * COALESCE(tv.triangles, 0) * 1000000
+                          // (deg.degree * (deg.degree - 1)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS lcc_ppm
+    FROM deg LEFT JOIN tv ON tv.v = deg.v
+    ORDER BY vertex_id
+"""
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -967,6 +1050,8 @@ STAGED_R8_QUERIES = {
     "ext_cumulative_users": ext_cumulative_users,
     "ext_k_truss": ext_k_truss,
     "ext_mm_exif": ext_mm_exif,
+    "ext_weighted_percentiles": ext_weighted_percentiles,
+    "ext_clustering_coeff": ext_clustering_coeff,
 }
 
 STAGED_R8_ORACLES = {
@@ -985,4 +1070,6 @@ STAGED_R8_ORACLES = {
     "ext_cumulative_users": _CUMULATIVE_USERS_SQL,
     "ext_k_truss": _K_TRUSS_SQL,
     "ext_mm_exif": _EXIF_SQL,
+    "ext_weighted_percentiles": _WEIGHTED_PCT_SQL,
+    "ext_clustering_coeff": _CLUSTERING_SQL,
 }

@@ -1075,3 +1075,51 @@ def test_parse_exif_real_bytes_both_endians():
         + b"\xff\xd9"
     )
     assert parse_exif(blob) is None
+
+
+# ---------------------------------------------------------------------------
+# Weighted percentiles + clustering coefficient (staged r8)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_percentiles_hand_computed(spark):
+    """Weights move the percentile where row counts would not: values
+    1..4 with weights (1,1,1,7) put wp50 at 4 (cumweight 3 < 5 until
+    the heavy value) while the unweighted median is 2; ties
+    accumulate together under the RANGE frame."""
+    from remap_spark.operators.ml import weighted_percentiles
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 1), ("g", 4.0, 7),
+         ("h", 10.0, 5), ("h", 20.0, 5)],
+        "grp string, v double, w long",
+    )
+    got = {
+        r["grp"]: (r["wp50"], r["wp90"])
+        for r in weighted_percentiles(
+            df, "v", "w", ["grp"], {"wp50": 500000, "wp90": 900000}
+        ).collect()
+    }
+    # g: total 10; cum 1,2,3,10 -> wp50 = first v with cum>=5 -> 4.0
+    assert got["g"] == (4.0, 4.0)
+    # h: total 10; cum 5,10 -> wp50: 5*1e6 >= 5e5*10 -> 10.0; wp90 -> 20.0
+    assert got["h"] == (10.0, 20.0)
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    """Bowtie graph (two triangles sharing vertex 0): the hinge has
+    degree 4 and 2 triangles -> lcc = 2*2/(4*3) = 1/3; the wing
+    vertices have degree 2, 1 triangle -> lcc = 1."""
+    from remap_spark.operators.pregel import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0)],
+        "src long, dst long",
+    )
+    got = {
+        r["vertex_id"]: (r["degree"], r["triangles"], r["lcc_ppm"])
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert got[0] == (4, 2, 333333)
+    for v in (1, 2, 3, 4):
+        assert got[v] == (2, 1, 1000000)
