@@ -75,3 +75,22 @@ def test_no_staged_r8_query_plans_a_cartesian_product(spark):
         if "BroadcastNestedLoopJoin" in p and name not in bnlj_ok:
             bad.append((name, "bnlj"))
     assert not bad, bad
+
+
+def test_staged_r8_queries_stay_jvm_side(spark):
+    """No staged-r8 query crosses the Python boundary in its plan —
+    codegen end-to-end — EXCEPT the two multimodal fixture queries,
+    whose mapInPandas IS the operator surface (parse_mp3_frames /
+    parse_exif are per-blob byte parsers; fixture synthesis rides the
+    same Arrow batch)."""
+    from remap_spark.plans import explain_str
+
+    python_ok = {"ext_mm_audio_mp3_meta", "ext_mm_exif"}
+    bad = []
+    for name, fn in STAGED_R8_QUERIES.items():
+        if name in python_ok:
+            continue
+        p = explain_str(fn(spark, SF_DIR), "formatted")
+        if "EvalPython" in p or "MapInPandas" in p or "FlatMapGroupsInPandas" in p:
+            bad.append(name)
+    assert not bad, bad
