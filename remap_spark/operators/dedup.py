@@ -1738,3 +1738,48 @@ def winnow_similar_pairs(
             .alias("similarity_ppm"),
         )
     )
+
+
+def dedup_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Canonical-representative selection — the PRODUCTION keep/drop
+    policy on top of pair-emitting dedup: candidate pairs close into
+    clusters (connected components), and each cluster keeps its
+    HIGHEST-QUALITY document (ties broken by smallest id) instead of
+    the arbitrary first occurrence — the curation policy that
+    preserves the best copy of boilerplate-heavy near-dup families.
+    Documents in no pair are their own singleton clusters and always
+    survive. Returns one row per input document:
+    (id, cluster, keep).
+
+    Shape: the component closure runs on the PAIR graph only (tiny
+    next to the corpus — near-clique blobs, O(diameter) rounds); the
+    corpus joins the membership relation once (left join on the id,
+    AQE broadcasts the component map when it is small), and the
+    keep flag is one cluster-keyed window rank. Quality never crosses
+    an exchange except inside that window."""
+    from pyspark.sql.window import Window
+
+    from .pregel import connected_components
+
+    cc = connected_components(
+        pairs, src="doc_a", dst="doc_b", num_partitions=num_partitions
+    ).select(F.col("id").alias(id_col), "component")
+    tagged = df.select(id_col, quality_col).join(cc, id_col, "left").select(
+        id_col,
+        quality_col,
+        F.coalesce("component", F.col(id_col)).alias("cluster"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return tagged.select(
+        id_col,
+        "cluster",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -1034,6 +1034,58 @@ _CLUSTERING_SQL = """
 """
 
 
+def ext_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative dedup policy (operators/dedup.
+    dedup_canonical): MinHash-LSH candidate pairs close into clusters
+    and each cluster keeps its highest-n_chars document (ties by min
+    id) — the keep-the-best-copy production policy above
+    ext_dedup_components' min-id convention. Singletons survive."""
+    from ..operators.dedup import dedup_canonical, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    n_parts = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        max(4, docs.rdd.getNumPartitions()),
+    )
+    return dedup_canonical(
+        docs, pairs, quality_col="n_chars", num_partitions=n_parts
+    ).orderBy("doc_id")
+
+
+def _canonical_oracle() -> str:
+    from .extensions import _minhash_pairs_ctes
+
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    cedges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM cedges
+      UNION
+      SELECT reach.s, cedges.d FROM reach JOIN cedges ON reach.d = cedges.s
+    ),
+    comp AS (
+      SELECT s AS node, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
+    ),
+    tagged AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY n_chars DESC, doc_id) = 1 AS keep
+    FROM tagged ORDER BY doc_id
+"""
+
+
+_DEDUP_CANONICAL_SQL = _canonical_oracle()
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -1052,6 +1104,7 @@ STAGED_R8_QUERIES = {
     "ext_mm_exif": ext_mm_exif,
     "ext_weighted_percentiles": ext_weighted_percentiles,
     "ext_clustering_coeff": ext_clustering_coeff,
+    "ext_dedup_canonical": ext_dedup_canonical,
 }
 
 STAGED_R8_ORACLES = {
@@ -1072,4 +1125,5 @@ STAGED_R8_ORACLES = {
     "ext_mm_exif": _EXIF_SQL,
     "ext_weighted_percentiles": _WEIGHTED_PCT_SQL,
     "ext_clustering_coeff": _CLUSTERING_SQL,
+    "ext_dedup_canonical": _DEDUP_CANONICAL_SQL,
 }

@@ -1123,3 +1123,28 @@ def test_clustering_coefficient_hand_computed(spark):
     assert got[0] == (4, 2, 333333)
     for v in (1, 2, 3, 4):
         assert got[v] == (2, 1, 1000000)
+
+
+def test_dedup_canonical_keeps_best_copy(spark):
+    """Chain A~B, B~C collapses to one cluster that keeps the
+    HIGHEST-quality member (not the min id); a quality tie keeps the
+    smaller id; unpaired docs survive as singletons."""
+    from remap_spark.operators.dedup import dedup_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in dedup_canonical(docs, pairs, "quality").collect()
+    }
+    assert got == {
+        1: (1, False),
+        2: (1, True),   # quality 99, tie with 3 -> smaller id wins
+        3: (1, False),
+        7: (7, True),   # singleton
+    }
