@@ -163,6 +163,15 @@ CHECK_WINDOW = 50
 # ship STAGED with oracle replays (queries/staged_r8.py, the r6 pattern)
 # and queue for the r8 window rather than registering immediately, so the
 # rotation math stays satisfiable.
+#
+# r8 PROMOTION ARITHMETIC (verified at r7 end): staged_r8 holds 18
+# queries, so the r8 registry is 169 + 18 = 187 <= 200 — the 4-recorded-
+# round bound survives the promotion. The r8 window must hold the 18
+# never-driver-checked staged names plus the 23 _DUE_FIRST_R8 rows
+# (their r03 record leaves the last-4 set when CORRECTNESS_r08 lands),
+# leaving 9 slots for the next-stale r4 tail; the 137 non-window
+# queries are then covered by r04 (47) + r06 (up to 50) + r07 (50),
+# 147 >= 137 with 10 rows of slack.
 _WINDOW_R7 = [
     # -- the 33 promoted staged queries (first driver check this round) --
     "ext_sample_wor",
