@@ -774,13 +774,22 @@ def ext_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the lineitem order-part co-occurrence graph folded
     onto 1500 vertices (operators/pregel.k_truss): every surviving
     edge closes >= 2 triangles within the truss — the edge-level
-    community backbone above ext_k_core's vertex-level peel."""
+    community backbone above ext_k_core's vertex-level peel.
+
+    FIXTURE SIZING: the fold modulus is data-adaptive (one planning
+    count, documented) — 1500 keeps a real multi-round peel at the
+    driver scale factors, but at sf0.1 the same fold would densify
+    the folded graph toward K1500 (~1.7e9 wedge rows per peel round);
+    above 100k lineitems the fold widens to 60000, keeping the wedge
+    volume bounded. The oracle always runs at driver SFs, where the
+    branch pins fold = 1500."""
     from ..operators.pregel import k_truss
 
     li = load_table(spark, sf_dir, "lineitem")
+    fold = 1500 if li.count() <= 100_000 else 60_000
     g = li.select(
-        (F.col("l_orderkey") % 1500).alias("src"),
-        (F.col("l_partkey") % 1500).alias("dst"),
+        (F.col("l_orderkey") % fold).alias("src"),
+        (F.col("l_partkey") % fold).alias("dst"),
     )
     return k_truss(g, k=4).orderBy("src", "dst")
 
@@ -992,9 +1001,12 @@ def ext_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pregel import clustering_coefficient
 
     li = load_table(spark, sf_dir, "lineitem")
+    # same data-adaptive fold as ext_k_truss: 1500 densifies toward
+    # K1500 at sf0.1 (~5.6e8 triangles in one wedge pass)
+    fold = 1500 if li.count() <= 100_000 else 60_000
     g = li.select(
-        (F.col("l_orderkey") % 1500).alias("src"),
-        (F.col("l_partkey") % 1500).alias("dst"),
+        (F.col("l_orderkey") % fold).alias("src"),
+        (F.col("l_partkey") % fold).alias("dst"),
     )
     return clustering_coefficient(g).orderBy("vertex_id")
 
