@@ -733,11 +733,16 @@ def cross_corpus_match_spans(
     relation), one (doc_a, doc_b, diagonal)-keyed window, one
     aggregate. No train x train pairing ever happens — the blowup
     bound is sum over grams of occ_corpus x occ_probe."""
+    # with a hot-gram cap each gram stream feeds TWO consumers (the
+    # joint hot aggregate and the anchor join), so the expensive
+    # tokenize/window/hash subtree is checkpointed exactly then;
+    # uncapped, each stream has one consumer and stays lazy
+    ckpt = max_gram_docs is not None
     cg = _positional_grams(
-        corpus_df, text_col, id_col, k, None, checkpoint=False
+        corpus_df, text_col, id_col, k, None, checkpoint=ckpt
     )
     pg = _positional_grams(
-        probe_df, text_col, id_col, k, None, checkpoint=False
+        probe_df, text_col, id_col, k, None, checkpoint=ckpt
     )
     if max_gram_docs is not None:
         hot = (

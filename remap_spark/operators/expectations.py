@@ -141,9 +141,10 @@ def benford_deviation(
     power-of-10 boundary, no double*100 cents rounding hazard (the
     dq44 lesson).
 
-    Shape: one filtered scan -> one 9-group aggregate; the total
-    rides back as a broadcast single-row relation (in-plan, the
-    modularity idiom). Expression-only, codegen throughout."""
+    Shape: one filtered scan -> one 9-group aggregate, left-joined
+    onto the 9-row expected table (so unobserved digits still emit);
+    the total rides back as a broadcast single-row relation (in-plan,
+    the modularity idiom)."""
     digits = df.where(F.col(col) >= F.lit(min_value)).select(
         F.substring(
             F.floor(F.col(col)).cast("bigint").cast("string"), 1, 1
@@ -151,20 +152,25 @@ def benford_deviation(
         .cast("int")
         .alias("digit")
     )
-    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
-    total = counts.agg(F.sum("n").alias("_t"))
-    expected = F.create_map(
-        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    counts = digits.groupBy("digit").agg(F.count("*").alias("_n"))
+    total = counts.agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("_t"))
+    # ALL NINE digit rows always emit — a digit with zero observations
+    # is the loudest Benford anomaly there is (deviation = -expected),
+    # so the report is built FROM the expected table and counts join in
+    expected = df.sparkSession.createDataFrame(
+        sorted(BENFORD_PPM.items()), "digit int, expected_ppm bigint"
     )
     return (
-        counts.join(F.broadcast(total))
+        expected.join(counts, "digit", "left")
+        .join(F.broadcast(total))
         .select(
             "digit",
-            "n",
-            F.expr("CAST(n * 1000000 div _t AS BIGINT)").alias(
-                "observed_ppm"
-            ),
-            expected[F.col("digit")].cast("bigint").alias("expected_ppm"),
+            F.coalesce("_n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr(
+                "CASE WHEN _t > 0 THEN CAST(COALESCE(_n, 0) * 1000000 "
+                "div _t AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ).alias("observed_ppm"),
+            "expected_ppm",
         )
         .withColumn(
             "deviation_ppm", F.col("observed_ppm") - F.col("expected_ppm")

@@ -1652,12 +1652,21 @@ def parse_exif(data: bytes):
         return None
     pos = 2
     tiff = None
-    while pos + 4 <= len(data):
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
+            break
+        # JPEG B.1.1.2: any marker may be preceded by extra 0xFF fill
+        # bytes — the marker id is the first non-FF byte of the run
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
             break
         marker = data[pos + 1]
         if marker in (0xD9, 0xDA):  # EOI / SOS: metadata ended
             break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # standalone markers carry no length field
+            continue
         seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
         if seglen < 2:
             break

@@ -1150,6 +1150,11 @@ def hits(
         .repartition(n, "src")
         .localCheckpoint(eager=False)
     )
+    # second copy pre-partitioned by dst: the auth->hub gather joins
+    # on dst, and without it Catalyst re-exchanges the FULL edge
+    # relation every iteration — one materialization up front buys
+    # iters shuffle-free probe sides
+    e_by_dst = e.repartition(n, "dst").localCheckpoint(eager=False)
     ids = vertices.select("id").localCheckpoint(eager=False)
     state = ids.select("id", F.lit(1.0).alias("hub"))
     auth = ids.select("id", F.lit(0.0).alias("auth"))
@@ -1174,7 +1179,9 @@ def hits(
             )
         )
         hraw = (
-            e.join(auth.select(F.col("id").alias("dst"), "auth"), "dst")
+            e_by_dst.join(
+                auth.select(F.col("id").alias("dst"), "auth"), "dst"
+            )
             .groupBy("src")
             .agg(F.sum("auth").alias("_s"))
         )
@@ -1196,6 +1203,25 @@ def hits(
             state = state.localCheckpoint(eager=False)
             auth = auth.localCheckpoint(eager=False)
     return state.join(auth, "id").select("id", "hub", "auth")
+
+
+def _oriented_triangles(e: DataFrame) -> DataFrame:
+    """Oriented triangle enumeration over CANONICAL (a < b) edges:
+    join on the pivot vertex for a<b<c wedges, then a closing-edge
+    semi-join — each triangle emitted exactly once as (a, b, c).
+    Shared by k_truss and clustering_coefficient; triangle_count
+    (r3-green registered query) keeps its own structurally identical
+    copy until its next rotation-window slot — the changed-query-
+    inside-window contract outranks the dedup."""
+    return (
+        e.join(e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b")
+        .join(
+            e.select(F.col("a"), F.col("b").alias("c")),
+            ["a", "c"],
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
 
 
 def k_truss(
@@ -1245,17 +1271,7 @@ def k_truss(
     n_edges = cur.count()
 
     def _support(e: DataFrame) -> DataFrame:
-        tri = (
-            e.join(
-                e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
-            )
-            .join(
-                e.select(F.col("a"), F.col("b").alias("c")),
-                ["a", "c"],
-                "left_semi",
-            )
-            .select("a", "b", "c")
-        )
+        tri = _oriented_triangles(e)
         return (
             tri.select("a", "b")
             .unionByName(
@@ -1266,6 +1282,7 @@ def k_truss(
             .agg(F.count("*").alias("support"))
         )
 
+    converged = False
     for _ in range(max_iter):
         keep = _support(cur).where(F.col("support") >= k - 2).select("a", "b")
         cur = cur.join(keep, ["a", "b"], "left_semi").localCheckpoint(
@@ -1273,8 +1290,18 @@ def k_truss(
         )
         new_edges = cur.count()
         if new_edges == n_edges:
+            converged = True
             break
         n_edges = new_edges
+    if not converged:
+        # the oracle fails LOUDLY at its unroll bound; the operator
+        # must too — an unconverged cur still holds sub-threshold
+        # edges and the final support join would mask them silently
+        raise RuntimeError(
+            f"k_truss did not converge within max_iter={max_iter} "
+            f"peel rounds ({n_edges} edges still shrinking); raise "
+            "max_iter for this graph's peel depth"
+        )
     return (
         cur.join(_support(cur), ["a", "b"])
         .select(
@@ -1320,17 +1347,7 @@ def clustering_coefficient(
         .groupBy("v")
         .agg(F.count("*").alias("degree"))
     )
-    tri = (
-        canon.join(
-            canon.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
-        )
-        .join(
-            canon.select(F.col("a"), F.col("b").alias("c")),
-            ["a", "c"],
-            "left_semi",
-        )
-        .select("a", "b", "c")
-    )
+    tri = _oriented_triangles(canon)
     tri_v = (
         tri.select(F.col("a").alias("v"))
         .unionByName(tri.select(F.col("b").alias("v")))

@@ -560,10 +560,14 @@ def match_pattern(
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev_t = F.lag(type_col).over(w)
+    # null-SAFE change test (IS DISTINCT FROM): a NULL event type must
+    # open its own run — and therefore BREAK strict contiguity — the
+    # same way the oracle's IS DISTINCT FROM does; a bare != would
+    # evaluate NULL and silently merge the row into the previous run
     ev = df.select(user_col, ts_col, id_col, type_col).withColumn(
         "_chg",
         F.when(
-            prev_t.isNull() | (prev_t != F.col(type_col)), F.lit(1)
+            ~prev_t.eqNullSafe(F.col(type_col)), F.lit(1)
         ).otherwise(F.lit(0)),
     )
     ev = ev.withColumn("_rg", F.sum("_chg").over(w))

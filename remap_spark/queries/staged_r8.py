@@ -547,6 +547,15 @@ _DECONTAM_SPANS_SQL = (
 """
 )
 
+# the .replace() surgery above silently no-ops if _SPAN_PAIR_CTES
+# drifts — fail at import time instead of with a confusing replay
+# mismatch far from the cause
+if "b.doc_id % 19 = 3" not in _DECONTAM_SPANS_SQL:
+    raise RuntimeError(
+        "_DECONTAM_SPANS_SQL anchor-CTE surgery no longer matches "
+        "_SPAN_PAIR_CTES — re-derive the cross-corpus anchor predicate"
+    )
+
 
 def ext_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyword extraction (operators/text.rake_keywords) over
@@ -559,14 +568,15 @@ def ext_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keywords(docs, top_n=20)
 
 
-_RAKE_STOP_IN = ", ".join(
-    repr(w)
-    for w in [
-        "the", "a", "an", "and", "of", "to", "is", "in", "on", "at",
-        "for", "with", "as", "by", "be", "are", "was", "it", "that",
-        "this",
-    ]
-)
+def _rake_stop_in() -> str:
+    # the ONE stopword list: the operator default, rendered for SQL —
+    # a second literal copy here would silently drift from the query
+    from ..operators.text import RAKE_STOPWORDS
+
+    return ", ".join(repr(w) for w in RAKE_STOPWORDS)
+
+
+_RAKE_STOP_IN = _rake_stop_in()
 
 _RAKE_SQL = f"""
     WITH {_TOKS},
@@ -727,17 +737,24 @@ _BENFORD_SQL = """
       FROM orders WHERE o_totalprice >= 1.0
     ),
     c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
-    t AS (SELECT SUM(n) AS tt FROM c),
+    t AS (SELECT COALESCE(SUM(n), 0) AS tt FROM c),
     e(digit, expected_ppm) AS (VALUES
       (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
-      (6, 66947), (7, 57992), (8, 51153), (9, 45757))
-    SELECT c.digit, c.n,
-           CAST(c.n * 1000000 // t.tt AS BIGINT) AS observed_ppm,
-           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
-           CAST(c.n * 1000000 // t.tt - e.expected_ppm AS BIGINT)
-             AS deviation_ppm
-    FROM c JOIN e USING (digit) CROSS JOIN t
-    ORDER BY digit
+      (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+    -- all nine digit rows always emit: an unobserved digit is the
+    -- loudest anomaly (deviation = -expected), never a missing row
+    o AS (
+      SELECT e.digit, COALESCE(c.n, 0) AS n, e.expected_ppm,
+             CASE WHEN t.tt > 0
+                  THEN COALESCE(c.n, 0) * 1000000 // t.tt
+                  ELSE 0 END AS obs
+      FROM e LEFT JOIN c USING (digit) CROSS JOIN t
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST(obs AS BIGINT) AS observed_ppm,
+           CAST(expected_ppm AS BIGINT) AS expected_ppm,
+           CAST(obs - expected_ppm AS BIGINT) AS deviation_ppm
+    FROM o ORDER BY digit
 """
 
 
@@ -829,11 +846,7 @@ def _ktruss_oracle(rounds: int = 10, fold: int = 1500, k: int = 4) -> str:
           WHERE s.s >= {k - 2})"""
         )
     ctes.append(f"trif AS MATERIALIZED ({tri.format(i=rounds)})")
-    ctes.append(
-        "supf AS MATERIALIZED ("
-        + sup.format(i="f").replace("trif{i}", "trif")
-        + ")"
-    )
+    ctes.append("supf AS MATERIALIZED (" + sup.format(i="f") + ")")
     return (
         "WITH "
         + ",\n".join(ctes)

@@ -1148,3 +1148,65 @@ def test_dedup_canonical_keeps_best_copy(spark):
         3: (1, False),
         7: (7, True),   # singleton
     }
+
+
+# ---------------------------------------------------------------------------
+# Review-pass regressions (round-7 wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_benford_unobserved_digit_still_emits(spark):
+    """A column with NO value starting with 1 must still emit the
+    digit-1 row — deviation -301030 is the loudest possible Benford
+    flag, not a missing row."""
+    from remap_spark.operators.expectations import benford_deviation
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (2, 25, 3, 42, 9, 87, 55, 63, 7, 31)],
+        "x double",
+    )
+    rows = {r["digit"]: r for r in benford_deviation(df, "x").collect()}
+    assert sorted(rows) == list(range(1, 10))
+    assert rows[1]["n"] == 0
+    assert rows[1]["observed_ppm"] == 0
+    assert rows[1]["deviation_ppm"] == -301030
+
+
+def test_match_pattern_null_event_type_breaks_contiguity(spark):
+    """A NULL-typed event between stages is still an interleaving
+    event: IS-DISTINCT-FROM run splitting (a bare != would merge it
+    into the previous run and emit a phantom match)."""
+    from remap_spark.operators.sessions import match_pattern
+
+    rows = [
+        (1, 10, 1, "a"), (1, 20, 2, None), (1, 30, 3, "c"), (1, 40, 4, "b"),
+        (2, 10, 5, "a"), (2, 20, 6, "c"), (2, 30, 7, "b"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t * 1000, i, ty) for (u, t, i, ty) in rows],
+        "user_id long, us long, event_id long, event_type string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    got = sorted(
+        r["user_id"] for r in match_pattern(ev, "a", "c", "b").collect()
+    )
+    assert got == [2]
+
+
+def test_parse_exif_fill_bytes_and_restart_markers():
+    """JPEG B.1.1.2 fill bytes (extra 0xFFs before a marker) and
+    standalone RST/TEM markers must not desynchronize the APP1
+    walk."""
+    from remap_spark.operators.multimodal import parse_exif
+    from remap_spark.queries.staged_r8 import _exif_fixture_blob
+
+    base = _exif_fixture_blob(4)
+    assert base[0:2] == b"\xff\xd8"
+    # inject two fill bytes + a standalone TEM marker before APP1
+    patched = base[0:2] + b"\xff\xff" + b"\xff\x01" + base[2:]
+    got = parse_exif(patched)
+    assert got is not None and got[2] == "Make4" and got[4] == 5
