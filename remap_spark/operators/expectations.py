@@ -177,3 +177,44 @@ def benford_deviation(
         )
         .orderBy("digit")
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant: Sequence[str] | str,
+    dependent: str,
+) -> DataFrame:
+    """Functional-dependency violation profile for a claimed FD
+    ``determinant -> dependent`` (the Deequ/HoloClean-style dependency
+    check a warehouse runs before trusting a key): one row per
+    determinant group that maps to MORE than one dependent value,
+    with the group size, the number of distinct dependent values, and
+    ``repair_rows`` — the minimum rows whose dependent value must
+    change for the FD to hold on that group (group size minus the
+    modal dependent value's count, the standard FD repair cost).
+
+    Scale shape: ONE combiner groupBy (determinant, dependent) for the
+    per-value counts, then ONE groupBy (determinant) folding count /
+    distinct / modal-max in the same pass — two key shuffles total,
+    both partial-aggregated map-side, no window, no join, no Python.
+    Violating groups are typically a tiny fraction of keys, so the
+    output is report-sized however large the input.
+
+    Returns (determinant columns..., n_rows, n_distinct, repair_rows)
+    ordered by repair_rows desc then the determinant, so the worst
+    violations surface first.
+    """
+    dets = [determinant] if isinstance(determinant, str) else list(determinant)
+    per_value = df.groupBy(*dets, dependent).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per_value.groupBy(*dets)
+        .agg(
+            F.sum("_n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (F.sum("_n") - F.max("_n")).alias("repair_rows"),
+        )
+        .where(F.col("n_distinct") > 1)
+        .orderBy(F.desc("repair_rows"), *dets)
+    )

@@ -7,6 +7,8 @@ Each has a matching DuckDB oracle in queries/extensions.py.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1212,3 +1214,159 @@ def rake_keywords(
         .orderBy(F.desc("score_ppm"), "phrase")
         .limit(top_n)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional phrase search: exact n-word phrase matching over the
+    engine's standard tokenization (functions.tokenize) — the query
+    side of a POSITIONAL inverted index, answering "which documents
+    contain this exact word sequence, and how many times".
+
+    Single-shuffle shape instead of the textbook (n-1)-way postings
+    self-join: each phrase is unrolled driver-side into a tiny
+    (phrase, offset, word) relation — query-sized, never data-sized —
+    broadcast against the positional postings filtered to the phrase
+    vocabulary (the ``word IN (...)`` filter lands right after the
+    tokenizer, so the big relation collapses before any shuffle). A
+    token at position p matching offset o anchors candidate start
+    p - o; a start where the count of DISTINCT matched offsets equals
+    the phrase length is a full match (a repeated word in the phrase
+    matches several offsets of the same anchor — distinct-offsets, not
+    row counts, is what makes that correct). ONE groupBy (doc, phrase,
+    anchor) + ONE combiner rollup to (phrase, doc) ends it.
+
+    Returns (phrase, doc_id, n_matches) with one row per document that
+    contains the phrase at least once, ordered by phrase then doc.
+    """
+    spark = docs.sparkSession
+    rows = []
+    for ph in phrases:
+        ws = [w for w in ph.lower().split() if w]
+        for off, w in enumerate(ws):
+            rows.append((ph, off, w, len(ws)))
+    terms = spark.createDataFrame(
+        rows, "phrase string, off int, word string, plen int"
+    )
+    vocab = sorted({r[2] for r in rows})
+    postings = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(tokenize(text_col)).alias("pos", "word"),
+    ).where(F.col("word").isin(vocab))
+    anchored = postings.join(F.broadcast(terms), "word").select(
+        "_doc",
+        "phrase",
+        "plen",
+        (F.col("pos") - F.col("off")).alias("anchor"),
+        "off",
+    )
+    full = (
+        anchored.groupBy("_doc", "phrase", "plen", "anchor")
+        .agg(F.count_distinct("off").alias("_k"))
+        .where(F.col("_k") == F.col("plen"))
+    )
+    return (
+        full.groupBy("phrase", F.col("_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("phrase", "doc_id")
+    )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    window: int = 2,
+    damping_ppm: int = 850_000,
+    iters: int = 8,
+    top_k: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): build the
+    word co-occurrence graph (an undirected edge between every pair of
+    words within ``window`` positions, weighted by corpus co-occurrence
+    count) and rank words with the weighted PageRank recurrence
+
+        WS(v) = (1-d) + d * sum_{u in adj(v)} w(u,v)/wdeg(u) * WS(u)
+
+    run for a FIXED ``iters`` power iterations in exact ppm integer
+    arithmetic — every contribution is ``score * w div wdeg`` and the
+    damping fold is ``(sum * d_ppm) div 1e6``, all positive, so
+    truncating and flooring division agree and a SQL replay (recursive
+    CTE, the _hits_oracle pattern) reproduces the scores bit-for-bit.
+
+    Scale shape: one posexplode + a self-join bounded to ``window``
+    offsets builds the edge multiset with ONE combiner groupBy; the
+    graph is VOCABULARY-sized (the module's standard Python-free
+    boundary — a web corpus's co-occurrence graph is ~1e6 nodes, an
+    executor-trivial relation however big the corpus). Each iteration
+    is one equi-join + one combiner groupBy on the vocab-sized graph —
+    no normalizer broadcast needed (TextRank's recurrence is local),
+    no driver action in the loop. Returns the ``top_k`` (word,
+    score_ppm) rows, score desc then word.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(tokenize(text_col)).alias("pos", "word"),
+    )
+    right = toks.select(
+        F.col("_doc").alias("_doc2"),
+        F.col("pos").alias("pos2"),
+        F.col("word").alias("word2"),
+    )
+    pairs = toks.join(
+        right,
+        (F.col("_doc") == F.col("_doc2"))
+        & (F.col("pos2") > F.col("pos"))
+        & (F.col("pos2") <= F.col("pos") + window),
+    ).where(F.col("word") != F.col("word2"))
+    edges = (
+        pairs.select(
+            F.least("word", "word2").alias("a"),
+            F.greatest("word", "word2").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # undirected adjacency: both directions, then the weighted degree
+    adj = edges.select("a", "b", "w").unionByName(
+        edges.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "w"
+        )
+    )
+    adj = adj.join(
+        adj.groupBy("a").agg(F.sum("w").alias("wdeg")), "a"
+    ).localCheckpoint(eager=False)
+    nodes = adj.select(F.col("a").alias("word")).distinct()
+    state = nodes.select("word", F.lit(1_000_000).alias("score_ppm"))
+    base_ppm = 1_000_000 - damping_ppm
+    for _ in range(iters):
+        contrib = (
+            adj.join(
+                state.select(
+                    F.col("word").alias("a"), "score_ppm"
+                ),
+                "a",
+            )
+            .select(
+                F.col("b").alias("word"),
+                F.expr("score_ppm * w div wdeg").alias("_c"),
+            )
+            .groupBy("word")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        state = nodes.join(contrib, "word", "left").select(
+            "word",
+            (
+                F.lit(base_ppm)
+                + F.expr(
+                    f"coalesce(_s, 0) * {damping_ppm} div 1000000"
+                )
+            )
+            .cast("bigint")
+            .alias("score_ppm"),
+        )
+    return state.orderBy(F.desc("score_ppm"), "word").limit(top_k)

@@ -404,3 +404,183 @@ def seasonal_indices(
             ).alias("index_ppm"),
         )
     )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line maximum concurrency per group: the largest number of
+    intervals ``[start, end)`` alive at any instant, plus the earliest
+    instant where that peak is reached — the classic "max concurrent
+    sessions / calls / reservations" question, answered WITHOUT the
+    interval self-join (which is quadratic in overlap depth).
+
+    Sweep: unpivot each interval into a +1 event at start and a -1
+    event at end, pre-aggregate the net delta per (group, instant,
+    sign) so the running-sum order is unique and deterministic, then
+    one running sum per group ordered by (instant, delta) — ends sort
+    before starts at the same instant, the half-open [start, end)
+    convention where touching intervals never overlap. The peak is the
+    max of the running sum; ``peak_at`` is the first instant reaching
+    it.
+
+    Scale shape: one union (map-side, no shuffle), ONE combiner
+    groupBy (group, t, delta), one group-keyed window, one final
+    combiner aggregate — a single logical shuffle key (the group)
+    end-to-end, arbitrarily many intervals per group, no join, no
+    Python. Returns (group..., max_concurrent, peak_at).
+    """
+    gcols = list(group_cols)
+    starts = df.select(
+        *gcols, F.col(start_col).alias("_t"), F.lit(1).alias("_d")
+    )
+    ends = df.select(
+        *gcols, F.col(end_col).alias("_t"), F.lit(-1).alias("_d")
+    )
+    events = (
+        starts.unionByName(ends)
+        .groupBy(*gcols, "_t", "_d")
+        .agg(F.sum("_d").alias("_net"))
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        if gcols
+        else Window.partitionBy(F.lit(1))
+    ).orderBy("_t", "_d")
+    running = events.withColumn(
+        "_alive", F.sum("_net").over(w).cast("bigint")
+    )
+    wmax = (
+        Window.partitionBy(*gcols)
+        if gcols
+        else Window.partitionBy(F.lit(1))
+    )
+    return (
+        running.withColumn("_peak", F.max("_alive").over(wmax))
+        .where(F.col("_alive") == F.col("_peak"))
+        .groupBy(*gcols)
+        .agg(
+            F.max("_alive").alias("max_concurrent"),
+            F.min("_t").alias("peak_at"),
+        )
+        .orderBy(*gcols)
+    )
+
+
+# Shift making every integer-division numerator in decompose_additive
+# strictly positive, so Spark's truncating ``div`` and the oracle's
+# flooring ``//`` agree bit-for-bit. Bounded by design: |detrended|
+# never exceeds max(value, trend) in ppm units, which at the largest
+# daily-revenue fixture is ~1e15; period * SHIFT = 7 * 2e16 = 1.4e17
+# stays far inside int64. At 100 TB the exact-integer tier is the
+# auditable oracle path; the production seam swaps doubles in.
+_DECOMP_SHIFT = 20_000_000_000_000_000
+
+
+def decompose_additive(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal-trend decomposition of a regular
+    daily series: value = trend + seasonal + residual (the textbook
+    decompose() every monitoring stack runs before alerting on a
+    deseasonalized metric).
+
+    * trend_ppm — centered moving average over ``period`` ROWS
+      (period must be odd so the window is symmetric); NULL on the
+      first/last half-window rows where the average is undefined.
+    * seasonal_ppm — mean detrended value per phase (day-of-epoch mod
+      period), re-centered so the period's seasonal components sum to
+      ~0 (mean-of-phase-means subtracted) — constant per phase, the
+      classical-decomposition convention.
+    * resid_ppm — value*1e6 - trend_ppm - seasonal_ppm; NULL where
+      trend is NULL.
+
+    All arithmetic is exact int64 ppm: divisions are positive-shifted
+    (``_DECOMP_SHIFT``) so truncation == floor in every engine and
+    the DuckDB replay matches bit-for-bit. Values must be integral
+    (fixed-point first). One row per input day, ordered by day.
+
+    Scale shape: one ROWS window over the ordered series (single
+    range-partitioned sort — a daily series is calendar-sized, tiny
+    next to the event data that produced it), one period-sized phase
+    aggregate broadcast back on phase, one single-row global mean
+    broadcast. No corpus-sized join, no Python.
+    """
+    if period % 2 == 0:
+        raise ValueError("decompose_additive: period must be odd")
+    _require_integral(df, value_col, "decompose_additive")
+    half = period // 2
+    s = _DECOMP_SHIFT
+    base = df.select(
+        F.col(date_col).alias("day"),
+        F.col(value_col).cast("bigint").alias("value"),
+        F.pmod(
+            F.datediff(F.col(date_col), F.lit("1970-01-01")), period
+        ).alias("_phase"),
+    )
+    wtrend = Window.orderBy("day").rowsBetween(-half, half)
+    trended = (
+        base.withColumn("_wsum", F.sum("value").over(wtrend))
+        .withColumn("_wcnt", F.count("value").over(wtrend))
+        .select(
+            "day",
+            "value",
+            "_phase",
+            F.when(
+                F.col("_wcnt") == period,
+                F.expr(f"_wsum * 1000000 div {period}"),
+            )
+            .cast("bigint")
+            .alias("trend_ppm"),
+        )
+        .withColumn(
+            "_detr", F.col("value") * 1000000 - F.col("trend_ppm")
+        )
+    )
+    per_phase = (
+        trended.where(F.col("_detr").isNotNull())
+        .groupBy("_phase")
+        .agg(
+            F.sum("_detr").alias("_ds"),
+            F.count(F.lit(1)).alias("_dn"),
+        )
+        .select(
+            "_phase",
+            F.expr(f"(_ds + _dn * {s}) div _dn - {s}")
+            .cast("bigint")
+            .alias("_raw"),
+        )
+    )
+    center = per_phase.agg(
+        F.expr(
+            f"(sum(_raw) + count(*) * {s}) div count(*) - {s}"
+        )
+        .cast("bigint")
+        .alias("_m")
+    )
+    seasonal = per_phase.join(F.broadcast(center)).select(
+        "_phase", (F.col("_raw") - F.col("_m")).alias("seasonal_ppm")
+    )
+    return (
+        trended.join(F.broadcast(seasonal), "_phase", "left")
+        .select(
+            "day",
+            "value",
+            "trend_ppm",
+            F.col("seasonal_ppm").cast("bigint").alias("seasonal_ppm"),
+            (
+                F.col("value") * 1000000
+                - F.col("trend_ppm")
+                - F.col("seasonal_ppm")
+            )
+            .cast("bigint")
+            .alias("resid_ppm"),
+        )
+        .orderBy("day")
+    )

@@ -22,6 +22,7 @@ from ..operators.dedup import (
     remove_duplicate_spans_keep_one,
 )
 from ..operators.linkage import resolve_entities_multi
+from ..operators.timeseries import _DECOMP_SHIFT
 from .extensions import _SPAN_GRAM, _TOKS
 
 
@@ -1111,6 +1112,290 @@ def _canonical_oracle() -> str:
 _DEDUP_CANONICAL_SQL = _canonical_oracle()
 
 
+def ext_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violation profile (operators/expectations.
+    fd_violations) for the claimed FD l_partkey -> l_suppkey on
+    lineitem — false by construction (TPC-H gives each part several
+    suppliers), so every multi-supplier part reports its group size,
+    distinct suppliers, and minimum repair rows. Two combiner
+    aggregates, no join, no window."""
+    from ..operators.expectations import fd_violations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return fd_violations(li, "l_partkey", "l_suppkey")
+
+
+_FD_VIOLATIONS_SQL = """
+    SELECT l_partkey, n_rows, n_distinct, repair_rows FROM (
+      SELECT l_partkey,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_distinct,
+             CAST(SUM(n) - MAX(n) AS BIGINT) AS repair_rows
+      FROM (
+        SELECT l_partkey, l_suppkey, COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+      ) GROUP BY l_partkey
+    ) WHERE n_distinct > 1
+    ORDER BY repair_rows DESC, l_partkey
+"""
+
+
+# fixed query phrases: chosen once from the corpus vocabulary so both
+# test scale factors return at least one match (probed at staging time)
+_PHRASES = (
+    "data row column",
+    "join sort agg",
+    "merge data row",
+    "small part order",
+    "table scan merge",
+)
+
+
+def ext_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (operators/text.phrase_search): exact
+    n-word phrase matches over the positional postings, five fixed
+    query phrases, one broadcast of the query-sized (phrase, offset,
+    word) relation + one distinct-offset anchor aggregate — never the
+    (n-1)-way postings self-join."""
+    from ..operators.text import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, list(_PHRASES))
+
+
+def _phrase_values() -> str:
+    rows = []
+    for ph in _PHRASES:
+        ws = ph.split()
+        for off, w in enumerate(ws):
+            rows.append(f"('{ph}', {off}, '{w}', {len(ws)})")
+    return ", ".join(rows)
+
+
+_PHRASE_SEARCH_SQL = f"""
+    WITH {_TOKS},
+    t AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+      FROM toks
+    ),
+    ph(phrase, wofs, word, plen) AS (VALUES {_phrase_values()}),
+    anch AS (
+      SELECT t.doc_id, ph.phrase, ph.plen,
+             t.pos - ph.wofs AS anchor, ph.wofs
+      FROM t JOIN ph USING (word)
+    ),
+    full_m AS (
+      SELECT doc_id, phrase, anchor
+      FROM anch
+      GROUP BY doc_id, phrase, plen, anchor
+      HAVING COUNT(DISTINCT wofs) = plen
+    )
+    SELECT phrase, doc_id, COUNT(*) AS n_matches
+    FROM full_m GROUP BY phrase, doc_id
+    ORDER BY phrase, doc_id
+"""
+
+
+def ext_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum concurrency (operators/timeseries.
+    interval_concurrency): orders as half-open day intervals
+    [orderdate, orderdate + (orderkey mod 30 + 1) days), per-priority
+    peak simultaneous open orders and the first day the peak is
+    reached — the +1/-1 event running sum, never the quadratic
+    interval self-join."""
+    from ..operators.timeseries import interval_concurrency
+
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.col("o_orderkey") % 30 + 1).cast("int"),
+        ).alias("e"),
+    )
+    return interval_concurrency(iv, ["o_orderpriority"], "s", "e")
+
+
+_INTERVAL_CONCURRENCY_SQL = """
+    WITH iv AS (
+      SELECT o_orderpriority,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 30 + 1 AS INT) AS e
+      FROM orders
+    ),
+    ev AS (
+      SELECT o_orderpriority, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT o_orderpriority, e, -1 FROM iv
+    ),
+    net AS (
+      SELECT o_orderpriority, t, d, SUM(d) AS net
+      FROM ev GROUP BY o_orderpriority, t, d
+    ),
+    run AS (
+      SELECT o_orderpriority, t,
+             SUM(net) OVER (
+               PARTITION BY o_orderpriority ORDER BY t, d
+             ) AS alive
+      FROM net
+    ),
+    pk AS (
+      SELECT o_orderpriority, MAX(alive) AS mx
+      FROM run GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderpriority,
+           CAST(p.mx AS BIGINT) AS max_concurrent,
+           MIN(r.t) AS peak_at
+    FROM run r
+    JOIN pk p ON p.o_orderpriority = r.o_orderpriority
+             AND r.alive = p.mx
+    GROUP BY r.o_orderpriority, p.mx
+    ORDER BY r.o_orderpriority
+"""
+
+
+def ext_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal-trend decomposition
+    (operators/timeseries.decompose_additive) of daily order revenue
+    in exact integer cents: 7-row centered-moving-average trend,
+    re-centered weekly seasonal component, residual — every division
+    positive-shifted so truncating and flooring integer division
+    agree and the replay is bit-exact."""
+    from ..operators.timeseries import decompose_additive
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    out = decompose_additive(daily, "day", "cents", period=7)
+    return out.select(
+        "day",
+        F.col("value").alias("cents"),
+        "trend_ppm",
+        "seasonal_ppm",
+        "resid_ppm",
+    )
+
+
+def _ts_decompose_oracle(shift: int) -> str:
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT day, cents,
+             date_diff('day', DATE '1970-01-01', day) % 7 AS phase,
+             CAST(SUM(cents) OVER w AS BIGINT) AS wsum,
+             COUNT(cents) OVER w AS wcnt
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT day, cents, phase,
+             CASE WHEN wcnt = 7
+                  THEN CAST(wsum * 1000000 // 7 AS BIGINT) END AS trend_ppm,
+             CASE WHEN wcnt = 7
+                  THEN cents * 1000000 - wsum * 1000000 // 7 END AS detr
+      FROM t
+    ),
+    pp AS (
+      SELECT phase,
+             CAST((SUM(detr) + COUNT(detr) * {shift}) // COUNT(detr)
+                  - {shift} AS BIGINT) AS raw
+      FROM det WHERE detr IS NOT NULL GROUP BY phase
+    ),
+    c AS (
+      SELECT CAST((SUM(raw) + COUNT(*) * {shift}) // COUNT(*)
+                  - {shift} AS BIGINT) AS m
+      FROM pp
+    )
+    SELECT d.day, d.cents, d.trend_ppm,
+           CAST(p.raw - (SELECT m FROM c) AS BIGINT) AS seasonal_ppm,
+           CAST(d.cents * 1000000 - d.trend_ppm
+                - (p.raw - (SELECT m FROM c)) AS BIGINT) AS resid_ppm
+    FROM det d LEFT JOIN pp p USING (phase)
+    ORDER BY d.day
+"""
+
+
+_TS_DECOMPOSE_SQL = _ts_decompose_oracle(_DECOMP_SHIFT)
+
+
+def ext_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (operators/text.textrank_keywords): window-2
+    co-occurrence graph over the corpus vocabulary, 8 weighted-PageRank
+    power iterations in exact ppm integer arithmetic, top 15 words.
+    The oracle unrolls the identical iterations as MATERIALIZED CTEs
+    (the _hits_oracle pattern) in the same integer arithmetic."""
+    from ..operators.text import textrank_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textrank_keywords(
+        docs, window=2, iters=8, top_k=15
+    )
+
+
+def _textrank_oracle(iters: int = 8) -> str:
+    ctes = [
+        _TOKS.strip(),
+        """t AS (
+      SELECT doc_id, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+      FROM toks)""",
+        """pairs AS (
+      SELECT least(a.word, b.word) AS a, greatest(a.word, b.word) AS b
+      FROM t a JOIN t b
+        ON a.doc_id = b.doc_id AND b.pos > a.pos
+       AND b.pos <= a.pos + 2 AND a.word <> b.word)""",
+        """edges AS MATERIALIZED (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM pairs GROUP BY a, b)""",
+        """adj AS MATERIALIZED (
+      SELECT a, b, w FROM edges UNION ALL SELECT b, a, w FROM edges)""",
+        """deg AS MATERIALIZED (
+      SELECT a, CAST(SUM(w) AS BIGINT) AS wdeg FROM adj GROUP BY a)""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT a AS word FROM adj)",
+        "s0 AS (SELECT word, CAST(1000000 AS BIGINT) AS score FROM nodes)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+      SELECT adj.b AS word, SUM(s.score * adj.w // d.wdeg) AS s
+      FROM s{k} s
+      JOIN adj ON adj.a = s.word
+      JOIN deg d ON d.a = adj.a
+      GROUP BY adj.b)"""
+        )
+        ctes.append(
+            f"""s{k + 1} AS MATERIALIZED (
+      SELECT n.word,
+             CAST(150000 + COALESCE(c.s, 0) * 850000 // 1000000
+                  AS BIGINT) AS score
+      FROM nodes n LEFT JOIN c{k} c ON c.word = n.word)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT word, score AS score_ppm
+    FROM s{iters}
+    ORDER BY score_ppm DESC, word
+    LIMIT 15"""
+    )
+
+
+_TEXTRANK_SQL = _textrank_oracle()
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -1130,6 +1415,11 @@ STAGED_R8_QUERIES = {
     "ext_weighted_percentiles": ext_weighted_percentiles,
     "ext_clustering_coeff": ext_clustering_coeff,
     "ext_dedup_canonical": ext_dedup_canonical,
+    "ext_fd_violations": ext_fd_violations,
+    "ext_phrase_search": ext_phrase_search,
+    "ext_interval_concurrency": ext_interval_concurrency,
+    "ext_ts_decompose": ext_ts_decompose,
+    "ext_text_textrank": ext_text_textrank,
 }
 
 STAGED_R8_ORACLES = {
@@ -1151,4 +1441,9 @@ STAGED_R8_ORACLES = {
     "ext_weighted_percentiles": _WEIGHTED_PCT_SQL,
     "ext_clustering_coeff": _CLUSTERING_SQL,
     "ext_dedup_canonical": _DEDUP_CANONICAL_SQL,
+    "ext_fd_violations": _FD_VIOLATIONS_SQL,
+    "ext_phrase_search": _PHRASE_SEARCH_SQL,
+    "ext_interval_concurrency": _INTERVAL_CONCURRENCY_SQL,
+    "ext_ts_decompose": _TS_DECOMPOSE_SQL,
+    "ext_text_textrank": _TEXTRANK_SQL,
 }

@@ -1210,3 +1210,124 @@ def test_parse_exif_fill_bytes_and_restart_markers():
     patched = base[0:2] + b"\xff\xff" + b"\xff\x01" + base[2:]
     got = parse_exif(patched)
     assert got is not None and got[2] == "Make4" and got[4] == 5
+
+
+# ---------------------------------------------------------------- wave 3
+
+
+def test_fd_violations_repair_rows_hand_computed(spark):
+    """FD k -> v: key 1 maps to {a: 3, b: 1} (repair 1 of 4 rows),
+    key 2 holds (no violation row), key 3 maps to {a:1, b:1, c:1}
+    (repair 2 of 3). Worst repair first."""
+    from remap_spark.operators.expectations import fd_violations
+
+    rows = (
+        [(1, "a")] * 3
+        + [(1, "b")]
+        + [(2, "z")] * 5
+        + [(3, "a"), (3, "b"), (3, "c")]
+    )
+    df = spark.createDataFrame(rows, "k int, v string")
+    got = [
+        tuple(r)
+        for r in fd_violations(df, "k", "v").collect()
+    ]
+    assert got == [(3, 3, 3, 2), (1, 4, 2, 1)]
+
+
+def test_interval_concurrency_touching_intervals_do_not_overlap(spark):
+    """[1,5) [5,9) touch but never overlap (max 1); [1,5) [3,7) [4,6)
+    stack to 3 starting at t=4. Peak reported at its FIRST instant."""
+    from remap_spark.operators.timeseries import interval_concurrency
+
+    df = spark.createDataFrame(
+        [("touch", 1, 5), ("touch", 5, 9),
+         ("stack", 1, 5), ("stack", 3, 7), ("stack", 4, 6)],
+        "g string, s int, e int",
+    )
+    got = {
+        r["g"]: (r["max_concurrent"], r["peak_at"])
+        for r in interval_concurrency(df, ["g"], "s", "e").collect()
+    }
+    assert got == {"touch": (1, 1), "stack": (3, 4)}
+
+
+def test_phrase_search_repeated_word_phrase(spark):
+    """A phrase with a REPEATED word must still require full cover:
+    'go go stop' matches doc 1 once; doc 2 has 'go stop' and 'go go'
+    but never the full trigram; doc 3 has it twice (overlapping
+    occurrences counted at distinct anchors)."""
+    from remap_spark.operators.text import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "x go go stop y"),
+            (2, "go stop x go go y"),
+            (3, "go go stop go go stop"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["phrase"], r["doc_id"]): r["n_matches"]
+        for r in phrase_search(df, ["go go stop"]).collect()
+    }
+    assert got == {("go go stop", 1): 1, ("go go stop", 3): 2}
+
+
+def test_decompose_additive_recovers_constant_plus_seasonal(spark):
+    """A pure 'constant + weekly pattern' series decomposes exactly:
+    trend = the constant (the 7-row average of one full period),
+    seasonal = the zero-centered pattern, residual = 0 on every row
+    where the trend is defined."""
+    import datetime
+
+    from remap_spark.operators.timeseries import decompose_additive
+
+    pattern = [700, 0, 140, 280, 420, 560, 630]  # mean 390
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=i), 10_000 + pattern[
+            (base + datetime.timedelta(days=i)).toordinal() % 7
+        ])
+        for i in range(28)
+    ]
+    # phase convention is day-of-epoch mod 7; recompute per-day phase
+    # the operator's way so the expected seasonal aligns
+    df = spark.createDataFrame(rows, "day date, v long")
+    out = decompose_additive(df, "day", "v", period=7).collect()
+    assert len(out) == 28
+    defined = [r for r in out if r["trend_ppm"] is not None]
+    assert len(defined) == 28 - 6
+    for r in defined:
+        # constant-plus-pattern: trend is the constant + pattern mean
+        assert r["trend_ppm"] == (10_000 + 390) * 1_000_000
+        assert r["resid_ppm"] == 0
+        assert (
+            r["value"] * 1_000_000
+            == r["trend_ppm"] + r["seasonal_ppm"]
+        )
+    # seasonal components of one period sum to ~0 (exactly 0 here:
+    # the pattern mean 390 is integral)
+    seas = {r["seasonal_ppm"] for r in defined}
+    assert sum(sorted(seas)) == 0 and len(seas) == 7
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    """A word co-occurring with every other word (the hub) must take
+    the top TextRank score; scores are positive and vocabulary-sized
+    output."""
+    from remap_spark.operators.text import textrank_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "hub alpha hub beta hub gamma hub delta"),
+            (2, "alpha hub beta hub gamma hub delta hub"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(df, top_k=10).collect()
+    assert out[0]["word"] == "hub"
+    assert all(r["score_ppm"] > 0 for r in out)
+    assert {r["word"] for r in out} == {
+        "hub", "alpha", "beta", "gamma", "delta"
+    }

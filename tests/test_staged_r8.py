@@ -66,6 +66,11 @@ def test_no_staged_r8_query_plans_a_cartesian_product(spark):
         "ext_graph_hits",
         # Benford total: one 9-row relation x one single-row broadcast
         "ext_benford",
+        # seasonal re-centering: the mean-of-phase-means is ONE row
+        # broadcast into the period-sized phase relation
+        # (operators/timeseries.decompose_additive) — the same
+        # in-plan-constant contract as the normalizers above
+        "ext_ts_decompose",
     }
     bad = []
     for name, fn in STAGED_R8_QUERIES.items():
