@@ -164,14 +164,15 @@ CHECK_WINDOW = 50
 # and queue for the r8 window rather than registering immediately, so the
 # rotation math stays satisfiable.
 #
-# r8 PROMOTION ARITHMETIC (verified at r7 end): staged_r8 holds 18
-# queries, so the r8 registry is 169 + 18 = 187 <= 200 — the 4-recorded-
-# round bound survives the promotion. The r8 window must hold the 18
+# r8 PROMOTION ARITHMETIC (verified at r7 end): staged_r8 holds 23
+# queries, so the r8 registry is 169 + 23 = 192 <= 200 — the 4-recorded-
+# round bound survives the promotion. The r8 window must hold the 23
 # never-driver-checked staged names plus the 23 _DUE_FIRST_R8 rows
 # (their r03 record leaves the last-4 set when CORRECTNESS_r08 lands),
-# leaving 9 slots for the next-stale r4 tail; the 137 non-window
+# leaving 4 slots for the next-stale r4 tail; the 142 non-window
 # queries are then covered by r04 (47) + r06 (up to 50) + r07 (50),
-# 147 >= 137 with 10 rows of slack.
+# 147 >= 142 with 5 rows of slack. 192 also means r8 must stage (not
+# register) anything beyond 8 more new queries.
 _WINDOW_R7 = [
     # -- the 33 promoted staged queries (first driver check this round) --
     "ext_sample_wor",
