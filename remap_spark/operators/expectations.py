@@ -218,3 +218,62 @@ def fd_violations(
         .where(F.col("n_distinct") > 1)
         .orderBy(F.desc("repair_rows"), *dets)
     )
+
+
+def inclusion_profile(
+    columns: Sequence[tuple[str, "DataFrame", str]],
+    min_containment_ppm: int = 0,
+) -> DataFrame:
+    """Inclusion-dependency discovery (the SPIDER/Binder-style FK
+    hunt): for every ordered pair of candidate columns, how much of
+    column A's distinct-value set is contained in column B's —
+    containment 1e6 ppm means A ⊆ B, the signature of a foreign key
+    pointing at B. ``columns`` is a list of (name, dataframe, column)
+    candidates; values compare as strings (bigint keys render
+    identically in every engine).
+
+    Scale shape: one DISTINCT combiner aggregate per candidate column
+    (each map-side-reduced before its shuffle), one union, then ONE
+    self-equi-join on the value — a value appears at most once per
+    column, so join fanout is bounded by the candidate count squared,
+    never by data volume — and one pair-keyed count. The report is
+    (candidate-pairs)-sized. No Python, no broadcast of anything
+    data-sized.
+
+    Returns (col_a, col_b, n_shared, n_a_distinct, containment_ppm)
+    for pairs with n_shared > 0 and containment >= the threshold,
+    ordered by containment desc then the pair.
+    """
+    dists = [
+        df.select(
+            F.lit(name).alias("col_name"),
+            F.col(c).cast("string").alias("val"),
+        )
+        .where(F.col("val").isNotNull())
+        .distinct()
+        for name, df, c in columns
+    ]
+    allv = dists[0]
+    for d in dists[1:]:
+        allv = allv.unionByName(d)
+    counts = allv.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_a_distinct")
+    )
+    right = allv.select(F.col("col_name").alias("col_b"), "val")
+    shared = (
+        allv.join(right, "val")
+        .where(F.col("col_name") != F.col("col_b"))
+        .groupBy(F.col("col_name").alias("col_a"), "col_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            counts.withColumnRenamed("col_name", "col_a"), "col_a"
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("n_shared * 1000000 div n_a_distinct").cast("bigint"),
+        )
+        .where(F.col("containment_ppm") >= min_containment_ppm)
+        .orderBy(F.desc("containment_ppm"), "col_a", "col_b")
+    )

@@ -584,3 +584,158 @@ def decompose_additive(
         )
         .orderBy("day")
     )
+
+
+def interpolate_gaps(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    date_col: str = "day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear-interpolation gap repair for a per-group daily series —
+    the gauge-metric complement of ``fill_date_gaps``'s forward-fill:
+    every missing day inside a group's observed span gets the value on
+    the straight line between its nearest observed neighbors, in exact
+    ppm integers: ``prev*1e6 + ((next - prev) * 1e6 * offset) div
+    gap``. Both engines' integer division truncates toward zero
+    (probed: DuckDB ``//`` and Spark ``div`` agree on negatives), so a
+    falling segment replays bit-for-bit too. Values must be integral.
+
+    The grid spans [min(day), max(day)] per group, so every gap row
+    has BOTH neighbors by construction — no edge case, no
+    extrapolation. Returns (group..., day, value_ppm, src) with src
+    'obs' | 'interp'.
+
+    Scale shape: the in-plan calendar grid of ``fill_date_gaps``
+    (#groups x span-days, independent of event volume), one (group,
+    day)-keyed left join, and two ignore-nulls windows over the SAME
+    group-keyed sort — one shuffle for the join key, one for the
+    window, nothing corpus-sized, no Python.
+    """
+    _require_integral(df, value_col, "interpolate_gaps")
+    gcols = list(group_cols)
+    extent = df.groupBy(*gcols).agg(
+        F.min(date_col).alias("_d0"), F.max(date_col).alias("_d1")
+    )
+    grid = extent.select(
+        *gcols,
+        F.explode(
+            F.sequence("_d0", "_d1", F.expr("interval 1 day"))
+        ).alias(date_col),
+    )
+    obs = df.select(
+        *gcols,
+        F.col(date_col).alias(date_col),
+        F.col(value_col).cast("bigint").alias("_v"),
+    )
+    joined = grid.join(obs, gcols + [date_col], "left")
+    wprev = (
+        Window.partitionBy(*gcols)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy(*gcols)
+        .orderBy(date_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("_v", ignorenulls=True).over(wprev)
+    prev_d = F.last(
+        F.when(F.col("_v").isNotNull(), F.col(date_col)), ignorenulls=True
+    ).over(wprev)
+    next_v = F.first("_v", ignorenulls=True).over(wnext)
+    next_d = F.first(
+        F.when(F.col("_v").isNotNull(), F.col(date_col)), ignorenulls=True
+    ).over(wnext)
+    return (
+        joined.withColumn("_pv", prev_v)
+        .withColumn("_pd", prev_d)
+        .withColumn("_nv", next_v)
+        .withColumn("_nd", next_d)
+        .select(
+            *gcols,
+            date_col,
+            F.when(
+                F.col("_v").isNotNull(), F.col("_v") * 1_000_000
+            )
+            .otherwise(
+                F.col("_pv") * 1_000_000
+                + F.expr(
+                    f"(_nv - _pv) * 1000000"
+                    f" * datediff({date_col}, _pd)"
+                    f" div datediff(_nd, _pd)"
+                )
+            )
+            .cast("bigint")
+            .alias("value_ppm"),
+            F.when(F.col("_v").isNotNull(), F.lit("obs"))
+            .otherwise(F.lit("interp"))
+            .alias("src"),
+        )
+        .orderBy(*gcols, date_col)
+    )
+
+
+def trend_slopes(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line in exact integer
+    arithmetic — the metric-drift detector a warehouse runs over every
+    entity's history: x = 0-based position in ``order_col`` order,
+    y = the integral value, and
+
+        slope_ppm     = (n*Sxy - Sx*Sy) * 1e6 div (n*Sxx - Sx*Sx)
+        intercept_ppm = (Sy * 1e6 - slope_ppm * Sx) div n
+
+    with the moment sums held in decimal(38,0) (HUGEINT in the
+    replay), so there is no double summation-order ulp and the oracle
+    matches bit-for-bit; both engines' integer division truncates
+    toward zero, so falling trends (negative numerator) agree too.
+    The intercept is DEFINED on the truncated slope_ppm — part of the
+    contract, not an approximation bug. Groups with fewer than 2
+    points or zero x-variance are dropped (no line to fit).
+
+    Scale shape: one group-keyed window for the position index, then
+    ONE combiner aggregate folding all five moments — a single shuffle
+    key end-to-end, closed-form math, no iteration, no Python.
+    """
+    _require_integral(df, value_col, "trend_slopes")
+    gcols = list(group_cols)
+    wx = Window.partitionBy(*gcols).orderBy(order_col)
+    pts = df.select(
+        *gcols,
+        (F.row_number().over(wx) - 1)
+        .cast("decimal(38,0)")
+        .alias("_x"),
+        F.col(value_col).cast("decimal(38,0)").alias("_y"),
+    )
+    m = pts.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return (
+        m.where(den > 0)
+        .withColumn(
+            "slope_ppm",
+            F.expr(
+                "(_n * _sxy - _sx * _sy) * 1000000"
+                " div (_n * _sxx - _sx * _sx)"
+            ).cast("bigint"),
+        )
+        .select(
+            *gcols,
+            F.col("_n").cast("bigint").alias("n_obs"),
+            "slope_ppm",
+            F.expr("(_sy * 1000000 - slope_ppm * _sx) div _n")
+            .cast("bigint")
+            .alias("intercept_ppm"),
+        )
+        .orderBy(*gcols)
+    )

@@ -1396,6 +1396,204 @@ def _textrank_oracle(iters: int = 8) -> str:
 _TEXTRANK_SQL = _textrank_oracle()
 
 
+def ext_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery (operators/expectations.
+    inclusion_profile) over six candidate key columns: every true
+    TPC-H foreign key surfaces at containment 1e6 ppm (o_custkey in
+    c_custkey, l_orderkey = o_orderkey both ways, l_suppkey in
+    s_suppkey) while numerically-overlapping-but-unrelated key ranges
+    report their true partial containment — the full report, no
+    threshold."""
+    from ..operators.expectations import inclusion_profile
+
+    return inclusion_profile(
+        [
+            ("customer.c_custkey", load_table(spark, sf_dir, "customer"), "c_custkey"),
+            ("orders.o_custkey", load_table(spark, sf_dir, "orders"), "o_custkey"),
+            ("orders.o_orderkey", load_table(spark, sf_dir, "orders"), "o_orderkey"),
+            ("lineitem.l_orderkey", load_table(spark, sf_dir, "lineitem"), "l_orderkey"),
+            ("supplier.s_suppkey", load_table(spark, sf_dir, "supplier"), "s_suppkey"),
+            ("lineitem.l_suppkey", load_table(spark, sf_dir, "lineitem"), "l_suppkey"),
+        ]
+    )
+
+
+_INCLUSION_SQL = """
+    WITH allv AS (
+      SELECT DISTINCT 'customer.c_custkey' AS col_name,
+             CAST(c_custkey AS VARCHAR) AS val
+      FROM customer WHERE c_custkey IS NOT NULL
+      UNION ALL
+      SELECT DISTINCT 'orders.o_custkey', CAST(o_custkey AS VARCHAR)
+      FROM orders WHERE o_custkey IS NOT NULL
+      UNION ALL
+      SELECT DISTINCT 'orders.o_orderkey', CAST(o_orderkey AS VARCHAR)
+      FROM orders WHERE o_orderkey IS NOT NULL
+      UNION ALL
+      SELECT DISTINCT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR)
+      FROM lineitem WHERE l_orderkey IS NOT NULL
+      UNION ALL
+      SELECT DISTINCT 'supplier.s_suppkey', CAST(s_suppkey AS VARCHAR)
+      FROM supplier WHERE s_suppkey IS NOT NULL
+      UNION ALL
+      SELECT DISTINCT 'lineitem.l_suppkey', CAST(l_suppkey AS VARCHAR)
+      FROM lineitem WHERE l_suppkey IS NOT NULL
+    ),
+    counts AS (
+      SELECT col_name, COUNT(*) AS n_a_distinct
+      FROM allv GROUP BY col_name
+    ),
+    shared AS (
+      SELECT a.col_name AS col_a, b.col_name AS col_b,
+             COUNT(*) AS n_shared
+      FROM allv a JOIN allv b
+        ON a.val = b.val AND a.col_name <> b.col_name
+      GROUP BY 1, 2
+    )
+    SELECT s.col_a, s.col_b, s.n_shared, c.n_a_distinct,
+           CAST(s.n_shared * 1000000 // c.n_a_distinct AS BIGINT)
+             AS containment_ppm
+    FROM shared s JOIN counts c ON c.col_name = s.col_a
+    ORDER BY containment_ppm DESC, col_a, col_b
+"""
+
+
+def ext_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap repair (operators/timeseries.
+    interpolate_gaps): per-priority daily revenue punched sparse
+    (only days with day-of-epoch mod 5 < 2 survive), then every
+    missing day filled with the exact ppm-integer point on the line
+    between its observed neighbors."""
+    from ..operators.timeseries import interpolate_gaps
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    sparse = daily.where(
+        F.pmod(F.datediff("day", F.lit("1970-01-01")), 5) < 2
+    )
+    return interpolate_gaps(
+        sparse, ["o_orderpriority"], "day", "cents"
+    )
+
+
+_TS_INTERPOLATE_SQL = """
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    sparse AS (
+      SELECT * FROM daily
+      WHERE date_diff('day', DATE '1970-01-01', day) % 5 < 2
+    ),
+    ext AS (
+      SELECT o_orderpriority, MIN(day) AS d0, MAX(day) AS d1
+      FROM sparse GROUP BY 1
+    ),
+    grid AS (
+      SELECT e.o_orderpriority, CAST(u.g AS DATE) AS day
+      FROM ext e, LATERAL (
+        SELECT unnest(generate_series(e.d0, e.d1, INTERVAL 1 DAY)) AS g
+      ) u
+    ),
+    j AS (
+      SELECT g.o_orderpriority, g.day, s.cents AS v
+      FROM grid g LEFT JOIN sparse s
+        ON s.o_orderpriority = g.o_orderpriority AND s.day = g.day
+    ),
+    w AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER wp AS pd,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER wn AS nd
+      FROM j
+      WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY o_orderpriority ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_orderpriority, day,
+           CAST(CASE WHEN v IS NOT NULL THEN v * 1000000
+                ELSE pv * 1000000
+                     + (nv - pv) * 1000000
+                       * date_diff('day', pd, day)
+                       // date_diff('day', pd, nd)
+                END AS BIGINT) AS value_ppm,
+           CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+    FROM w ORDER BY o_orderpriority, day
+"""
+
+
+def ext_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (operators/timeseries.trend_slopes): the
+    revenue drift of each order priority as an exact integer slope —
+    daily revenue in whole dollars against the 0-based day index, all
+    five moment sums in decimal(38,0) (HUGEINT replay), closed-form
+    slope and intercept with truncating division both engines share."""
+    from ..operators.timeseries import trend_slopes
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    dollars = daily.select(
+        "o_orderpriority",
+        "day",
+        F.expr("cents div 100").alias("dollars"),
+    )
+    return trend_slopes(
+        dollars, ["o_orderpriority"], "day", "dollars"
+    )
+
+
+_TREND_SLOPES_SQL = """
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) // 100 AS dollars
+      FROM orders GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT o_orderpriority,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+             ) - 1 AS HUGEINT) AS x,
+             CAST(dollars AS HUGEINT) AS y
+      FROM daily
+    ),
+    m AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts GROUP BY 1
+    ),
+    sl AS (
+      SELECT o_orderpriority, n, sx, sy,
+             CAST((n * sxy - sx * sy) * 1000000
+                  // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm
+      FROM m WHERE n * sxx - sx * sx > 0
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n_obs, slope_ppm,
+           CAST((sy * 1000000 - CAST(slope_ppm AS HUGEINT) * sx) // n
+                AS BIGINT) AS intercept_ppm
+    FROM sl ORDER BY o_orderpriority
+"""
+
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -1420,6 +1618,9 @@ STAGED_R8_QUERIES = {
     "ext_interval_concurrency": ext_interval_concurrency,
     "ext_ts_decompose": ext_ts_decompose,
     "ext_text_textrank": ext_text_textrank,
+    "ext_inclusion_profile": ext_inclusion_profile,
+    "ext_ts_interpolate": ext_ts_interpolate,
+    "ext_trend_slopes": ext_trend_slopes,
 }
 
 STAGED_R8_ORACLES = {
@@ -1446,4 +1647,7 @@ STAGED_R8_ORACLES = {
     "ext_interval_concurrency": _INTERVAL_CONCURRENCY_SQL,
     "ext_ts_decompose": _TS_DECOMPOSE_SQL,
     "ext_text_textrank": _TEXTRANK_SQL,
+    "ext_inclusion_profile": _INCLUSION_SQL,
+    "ext_ts_interpolate": _TS_INTERPOLATE_SQL,
+    "ext_trend_slopes": _TREND_SLOPES_SQL,
 }

@@ -1331,3 +1331,87 @@ def test_textrank_hub_word_ranks_first(spark):
     assert {r["word"] for r in out} == {
         "hub", "alpha", "beta", "gamma", "delta"
     }
+
+
+# ---------------------------------------------------------------- wave 4
+
+
+def test_inclusion_profile_direction_and_partial(spark):
+    """fk ⊆ pk gives containment 1e6 one way and 600000 ppm the
+    other (3 of 5 pk values referenced); a disjoint column reports
+    nothing."""
+    from remap_spark.operators.expectations import inclusion_profile
+
+    pk = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5]], "k long")
+    fk = spark.createDataFrame(
+        [(i,) for i in [1, 1, 2, 2, 3]], "k long"
+    )
+    other = spark.createDataFrame([(i,) for i in [99]], "k long")
+    got = {
+        (r["col_a"], r["col_b"]): (
+            r["n_shared"], r["n_a_distinct"], r["containment_ppm"]
+        )
+        for r in inclusion_profile(
+            [("pk", pk, "k"), ("fk", fk, "k"), ("other", other, "k")]
+        ).collect()
+    }
+    assert got == {
+        ("fk", "pk"): (3, 3, 1_000_000),
+        ("pk", "fk"): (3, 5, 600_000),
+    }
+
+
+def test_interpolate_gaps_truncates_toward_zero_on_falling_segment(spark):
+    """Values 10 at day 1 and 3 at day 4 (delta -7 over gap 3): the
+    interpolated points use truncating division, -7e6 div 3 =
+    -2333333 (floor would give -2333334) — pinning the exact-replay
+    convention the oracle shares."""
+    import datetime
+
+    from remap_spark.operators.timeseries import interpolate_gaps
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [("g", d(2024, 1, 1), 10), ("g", d(2024, 1, 4), 3)],
+        "g string, day date, v long",
+    )
+    got = {
+        r["day"].day: (r["value_ppm"], r["src"])
+        for r in interpolate_gaps(df, ["g"], "day", "v").collect()
+    }
+    assert got == {
+        1: (10_000_000, "obs"),
+        2: (10_000_000 - 2_333_333, "interp"),
+        3: (10_000_000 - 4_666_666, "interp"),
+        4: (3_000_000, "obs"),
+    }
+
+
+def test_trend_slopes_exact_line_and_truncation(spark):
+    """y = 100 - 3x recovers slope -3e6 / intercept 1e8 exactly; the
+    non-collinear group (0,0),(1,1),(2,3) gives slope 1.5e6 and the
+    intercept -1e6/6 truncated toward zero (-166666, not the floored
+    -166667); a constant-x degenerate group is dropped."""
+    import datetime
+
+    from remap_spark.operators.timeseries import trend_slopes
+
+    d = datetime.date(2024, 1, 1)
+
+    def day(i):
+        return d + datetime.timedelta(days=i)
+
+    rows = (
+        [("line", day(i), 100 - 3 * i) for i in range(5)]
+        + [("kink", day(0), 0), ("kink", day(1), 1), ("kink", day(2), 3)]
+        + [("solo", day(0), 7)]
+    )
+    df = spark.createDataFrame(rows, "g string, day date, v long")
+    got = {
+        r["g"]: (r["n_obs"], r["slope_ppm"], r["intercept_ppm"])
+        for r in trend_slopes(df, ["g"], "day", "v").collect()
+    }
+    assert got == {
+        "line": (5, -3_000_000, 100_000_000),
+        "kink": (3, 1_500_000, -166_666),
+    }
