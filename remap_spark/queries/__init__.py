@@ -164,15 +164,15 @@ CHECK_WINDOW = 50
 # and queue for the r8 window rather than registering immediately, so the
 # rotation math stays satisfiable.
 #
-# r8 PROMOTION ARITHMETIC (verified at r7 end): staged_r8 holds 23
-# queries, so the r8 registry is 169 + 23 = 192 <= 200 — the 4-recorded-
-# round bound survives the promotion. The r8 window must hold the 23
+# r8 PROMOTION ARITHMETIC (verified at r7 end): staged_r8 holds 26
+# queries, so the r8 registry is 169 + 26 = 195 <= 200 — the 4-recorded-
+# round bound survives the promotion. The r8 window must hold the 26
 # never-driver-checked staged names plus the 23 _DUE_FIRST_R8 rows
-# (their r03 record leaves the last-4 set when CORRECTNESS_r08 lands),
-# leaving 4 slots for the next-stale r4 tail; the 142 non-window
-# queries are then covered by r04 (47) + r06 (up to 50) + r07 (50),
-# 147 >= 142 with 5 rows of slack. 192 also means r8 must stage (not
-# register) anything beyond 8 more new queries.
+# (their r03 record leaves the last-4 set when CORRECTNESS_r08 lands) —
+# 49 of 50 slots; the 145 non-window queries are then covered by
+# r04 (47) + r06 (up to 50) + r07 (50), 147 >= 145 with 2 rows of
+# slack. 195 also means r8 must stage (not register) anything beyond
+# 5 more new queries.
 _WINDOW_R7 = [
     # -- the 33 promoted staged queries (first driver check this round) --
     "ext_sample_wor",
