@@ -38,7 +38,8 @@ def _fresh_mode(query_names: list[str]) -> None:
         "from remap_spark.engine import build_session;"
         "from remap_spark.queries import ALL_QUERIES;"
         "from remap_spark.queries.staged_r8 import STAGED_R8_QUERIES;"
-        "ALL_QUERIES = dict(ALL_QUERIES, **STAGED_R8_QUERIES);"
+        "from remap_spark.queries.staged_r9 import STAGED_R9_QUERIES;"
+        "ALL_QUERIES = dict(ALL_QUERIES, **STAGED_R8_QUERIES, **STAGED_R9_QUERIES);"
         "spark = build_session(app_name='bench_fresh');"
         "spark.sparkContext.setLogLevel('ERROR');"
         "q = ALL_QUERIES[{name!r}];"
@@ -86,6 +87,12 @@ def main() -> None:
         from remap_spark.queries.staged_r8 import STAGED_R8_QUERIES
 
         ALL_QUERIES = {**ALL_QUERIES, **STAGED_R8_QUERIES}
+    except ImportError:
+        pass
+    try:
+        from remap_spark.queries.staged_r9 import STAGED_R9_QUERIES
+
+        ALL_QUERIES = {**ALL_QUERIES, **STAGED_R9_QUERIES}
     except ImportError:
         pass
 

@@ -277,3 +277,79 @@ def inclusion_profile(
         .where(F.col("containment_ppm") >= min_containment_ppm)
         .orderBy(F.desc("containment_ppm"), "col_a", "col_b")
     )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Two-sample chi-square drift screen over an equi-width binning —
+    the "did this feature's distribution move between the reference
+    period and today" check a feature store runs before retraining.
+    Values must be integral (fixed-point first); bin = value div
+    bin_width.
+
+    Per-bin homogeneity contribution in exact ppm integers:
+
+        contrib_ppm = (c_ref*N_cur - c_cur*N_ref)^2 * 1e6
+                      div (N_ref * N_cur * (c_ref + c_cur))
+
+    (the textbook two-sample chi-square statistic, cross-multiplied so
+    no per-bin expected-count division happens); held in decimal(38,0)
+    — HUGEINT in the replay — so the screen is engine-exact. Summing
+    contrib_ppm over bins gives chi2 * 1e6 for a threshold test.
+
+    Scale shape: one combiner count per side, a bin-keyed full outer
+    join of two report-sized relations, two single-row totals riding
+    as broadcasts. Returns (bin, n_ref, n_cur, contrib_ppm) ordered
+    by bin.
+    """
+    for side, df in (("ref", ref), ("cur", cur)):
+        dt = df.schema[value_col].dataType.simpleString()
+        if dt not in ("bigint", "int", "smallint", "tinyint"):
+            raise TypeError(
+                f"distribution_drift needs an integral {value_col!r} "
+                f"on the {side} side (got {dt})"
+            )
+
+    def binned(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.expr(f"{value_col} div {bin_width}").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+
+    bref = binned(ref).withColumnRenamed("_c", "_cr")
+    bcur = binned(cur).withColumnRenamed("_c", "_cc")
+    joined = bref.join(bcur, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("_cr", F.lit(0)).alias("n_ref"),
+        F.coalesce("_cc", F.lit(0)).alias("n_cur"),
+    )
+    tot = joined.agg(
+        F.sum("n_ref").cast("decimal(38,0)").alias("_nr"),
+        F.sum("n_cur").cast("decimal(38,0)").alias("_nc"),
+    )
+    return (
+        joined.join(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.expr(
+                "CAST((CAST(n_ref AS DECIMAL(38,0)) * _nc"
+                " - CAST(n_cur AS DECIMAL(38,0)) * _nr)"
+                " * (CAST(n_ref AS DECIMAL(38,0)) * _nc"
+                " - CAST(n_cur AS DECIMAL(38,0)) * _nr)"
+                " * 1000000"
+                " div (_nr * _nc"
+                " * (CAST(n_ref AS DECIMAL(38,0)) + n_cur))"
+                " AS BIGINT)"
+            ).alias("contrib_ppm"),
+        )
+        .orderBy("bin")
+    )

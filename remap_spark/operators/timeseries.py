@@ -739,3 +739,83 @@ def trend_slopes(
         )
         .orderBy(*gcols)
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM change-point detection per group: the instant where the
+    cumulative deviation from the group mean peaks — the classic
+    "when did this metric's level shift" screen a monitoring stack
+    runs over every entity's history.
+
+    Exact-integer formulation: with n = group size, T = group total,
+    P_i = prefix sum through row i, the mean-deviation cumsum scaled
+    by n is  S_i = n*P_i - i*T  (integer — no division by n ever
+    happens). The change point is argmax |S_i| over i < n (S_n = 0 by
+    construction), ties broken earliest. Reported strength is
+    ``|S| * 1e6 div (n*T)`` in decimal(38,0) — the deviation peak as
+    a ppm fraction of the total, engine-exact for positive totals.
+
+    Scale shape: ONE group-keyed sort feeds the row index, prefix sum,
+    and the n/T totals as window aggregates in the same partition
+    spec (one shuffle); the argmax is a max-struct combiner aggregate,
+    no join, no Python. Returns (group..., cp_at, n_obs,
+    strength_ppm) ordered by group.
+    """
+    _require_integral(df, value_col, "cusum_changepoint")
+    gcols = list(group_cols)
+    wrun = (
+        Window.partitionBy(*gcols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*gcols)
+    v = F.col(value_col).cast("decimal(38,0)")
+    staged = df.select(
+        *gcols,
+        F.col(order_col).alias("_t"),
+        F.row_number()
+        .over(Window.partitionBy(*gcols).orderBy(order_col))
+        .cast("decimal(38,0)")
+        .alias("_i"),
+        F.sum(v).over(wrun).alias("_p"),
+        F.count(F.lit(1)).over(wall).cast("decimal(38,0)").alias("_n"),
+        F.sum(v).over(wall).alias("_tot"),
+    )
+    scored = staged.where(F.col("_i") < F.col("_n")).select(
+        *gcols,
+        "_t",
+        "_n",
+        "_tot",
+        F.abs(
+            F.col("_n") * F.col("_p") - F.col("_i") * F.col("_tot")
+        ).alias("_s"),
+    )
+    # argmax |S| with earliest-time tiebreak: max over a struct whose
+    # second component is the NEGATED epoch-day (bigger = earlier)
+    pick = F.max(
+        F.struct(
+            F.col("_s"),
+            (-F.datediff(F.col("_t"), F.lit("1970-01-01"))).alias("_nt"),
+            F.col("_t").alias("cp_at"),
+            F.col("_n").alias("n"),
+            F.col("_tot").alias("tot"),
+        )
+    ).alias("_m")
+    return (
+        scored.groupBy(*gcols)
+        .agg(pick)
+        .select(
+            *gcols,
+            F.col("_m.cp_at").alias("cp_at"),
+            F.col("_m.n").cast("bigint").alias("n_obs"),
+            F.expr("_m._s * 1000000 div (_m.n * _m.tot)")
+            .cast("bigint")
+            .alias("strength_ppm"),
+        )
+        .orderBy(*gcols)
+    )

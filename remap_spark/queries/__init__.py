@@ -172,7 +172,9 @@ CHECK_WINDOW = 50
 # 49 of 50 slots; the 145 non-window queries are then covered by
 # r04 (47) + r06 (up to 50) + r07 (50), 147 >= 145 with 2 rows of
 # slack. 195 also means r8 must stage (not register) anything beyond
-# 5 more new queries.
+# 5 more new queries. Wave-5 operators (added after the r8 window
+# filled) stage in queries/staged_r9.py with the same replay contract
+# and queue for the r9 window.
 _WINDOW_R7 = [
     # -- the 33 promoted staged queries (first driver check this round) --
     "ext_sample_wor",

@@ -1415,3 +1415,61 @@ def test_trend_slopes_exact_line_and_truncation(spark):
         "line": (5, -3_000_000, 100_000_000),
         "kink": (3, 1_500_000, -166_666),
     }
+
+
+# ---------------------------------------------------------------- wave 5
+
+
+def test_cusum_changepoint_level_shift_and_tie(spark):
+    """A 0,0,0 -> 10,10,10 level shift peaks |S| at the last low day
+    (strength = 90e6 div (6*30) = 500000 ppm); a constant series has
+    S = 0 everywhere and the earliest-day tiebreak reports day 1 with
+    strength 0."""
+    import datetime
+
+    from remap_spark.operators.timeseries import cusum_changepoint
+
+    d = datetime.date(2024, 1, 1)
+
+    def day(i):
+        return d + datetime.timedelta(days=i)
+
+    rows = [("shift", day(i), 0 if i < 3 else 10) for i in range(6)]
+    rows += [("flat", day(i), 7) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, day date, v long")
+    got = {
+        r["g"]: (r["cp_at"], r["n_obs"], r["strength_ppm"])
+        for r in cusum_changepoint(df, ["g"], "day", "v").collect()
+    }
+    assert got == {
+        "shift": (day(2), 6, 500_000),
+        "flat": (day(0), 4, 0),
+    }
+
+
+def test_distribution_drift_hand_computed(spark):
+    """ref bins {0:2, 1:2} vs cur bins {0:1, 1:3}, N=4 both sides:
+    contrib(0) = (2*4-1*4)^2 * 1e6 / (4*4*3) = 333333 ppm,
+    contrib(1) = (2*4-3*4)^2 * 1e6 / (4*4*5) = 200000 ppm; a bin
+    present on one side only still reports (zero-filled)."""
+    from remap_spark.operators.expectations import distribution_drift
+
+    ref = spark.createDataFrame(
+        [(v,) for v in [0, 0, 1, 1]], "v long"
+    )
+    cur = spark.createDataFrame(
+        [(v,) for v in [0, 1, 1, 1, 9]], "v long"
+    )
+    got = {
+        r["bin"]: (r["n_ref"], r["n_cur"], r["contrib_ppm"])
+        for r in distribution_drift(ref, cur, "v", 1).collect()
+    }
+    # N_ref=4, N_cur=5
+    # bin0: (2*5-1*4)^2*1e6 / (4*5*3) = 36e6/60  = 600000
+    # bin1: (2*5-3*4)^2*1e6 / (4*5*5) = 4e6/100  = 40000
+    # bin9: (0*5-1*4)^2*1e6 / (4*5*1) = 16e6/20  = 800000
+    assert got == {
+        0: (2, 1, 600_000),
+        1: (2, 3, 40_000),
+        9: (0, 1, 800_000),
+    }
