@@ -1340,10 +1340,12 @@ def textrank_keywords(
     adj = adj.join(
         adj.groupBy("a").agg(F.sum("w").alias("wdeg")), "a"
     ).localCheckpoint(eager=False)
-    nodes = adj.select(F.col("a").alias("word")).distinct()
+    nodes = adj.select(
+        F.col("a").alias("word")
+    ).distinct().localCheckpoint(eager=False)
     state = nodes.select("word", F.lit(1_000_000).alias("score_ppm"))
     base_ppm = 1_000_000 - damping_ppm
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             adj.join(
                 state.select(
@@ -1369,4 +1371,10 @@ def textrank_keywords(
             .cast("bigint")
             .alias("score_ppm"),
         )
+        # lineage cut every 4 iterations (the pregel/hits convention):
+        # the state plan otherwise nests one join+agg per iteration,
+        # which at a web-corpus vocabulary (~1e6 nodes) makes the
+        # optimizer re-plan a deepening tree each loop
+        if (it + 1) % 4 == 0 and it + 1 < iters:
+            state = state.localCheckpoint(eager=False)
     return state.orderBy(F.desc("score_ppm"), "word").limit(top_k)
