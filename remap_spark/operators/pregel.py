@@ -1115,7 +1115,7 @@ def hits(
     edges: DataFrame,
     iters: int = 8,
     num_partitions: int | None = None,
-    checkpoint_interval: int = 4,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """HITS (Kleinberg 1999) hubs and authorities, L1-normalized.
 
@@ -1134,10 +1134,17 @@ def hits(
     identical to pagerank's per-superstep profile, so the 100 TB story
     is the same: the edge relation is the big side, pre-partitioned by
     its join key once up front; vertex state (id, hub, auth) never
-    leaves the executors; lineage is cut every ``checkpoint_interval``
-    iterations with a lazy localCheckpoint. A vertex with no in-edges
-    (resp. out-edges) holds authority 0 (resp. hub 0), the textbook
-    convention.
+    leaves the executors; lineage is cut EVERY iteration with a lazy
+    localCheckpoint (``checkpoint_interval = 1``). Unlike pagerank's
+    single state vector, HITS threads TWO mutually-referencing vectors
+    (hub feeds auth feeds hub), each consumed twice per iteration (a
+    gather join + its normalizer aggregate) — an uncut segment
+    therefore DOUBLES the logical plan per iteration, and with the
+    former 4-iteration interval Catalyst spent ~30 s analyzing the
+    2^4-wide final tree of the 8-iteration fixture query (measured;
+    per-iteration cuts take the same query to ~0.5 s). A vertex with
+    no in-edges (resp. out-edges) holds authority 0 (resp. hub 0),
+    the textbook convention.
 
     vertices: (id); edges: (src, dst). Returns (id, hub, auth).
     """
