@@ -296,3 +296,64 @@ def sorted_neighborhood_pairs(
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.distinct()
+
+
+def with_group_value_count(
+    df: DataFrame, cluster_col: str, col: str, out: str = "_freq"
+) -> DataFrame:
+    """Attach the within-cluster frequency of each row's ``col`` value
+    — the priority column for a MODAL survivorship rule (pass ``out``
+    as the rule priority in ``golden_records``). One (cluster, value)-
+    keyed window; its exchange is the price of the mode rule."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col, col)
+    return df.withColumn(out, F.count(F.lit(1)).over(w))
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    fields: dict[str, tuple[str, Column]],
+) -> DataFrame:
+    """Survivorship merge — the "golden record" step after entity
+    resolution: each output FIELD is taken from the cluster member
+    that wins that field's priority rule, so different fields of one
+    golden record may come from different source rows (unlike
+    ``dedup_canonical``, which keeps one whole row per cluster).
+
+    ``fields`` maps output column -> (source column, priority Column);
+    per field the winning row is rank 1 under (priority DESC, id ASC)
+    — the id tiebreak makes every rule deterministic. Classic rules
+    compose as priorities: longest-string = F.length(col), most-
+    trusted-source = the trust score column, latest = the timestamp,
+    modal = the ``with_group_value_count`` frequency column.
+
+    Scale shape: every per-field rank is a row_number over the SAME
+    cluster-keyed partition (one exchange, one WindowExec group with
+    one sort per distinct priority), and the final fold is a combiner
+    groupBy on the cluster key the windows already partitioned by —
+    AQE plans it exchange-free. No join, no Python. Returns
+    (cluster, n_members, <fields...>) ordered by cluster.
+    """
+    from pyspark.sql import Window
+
+    staged = df
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for i, (out, (src, prio)) in enumerate(fields.items()):
+        w = Window.partitionBy(cluster_col).orderBy(
+            prio.desc(), F.col(id_col).asc()
+        )
+        rk = f"_rk{i}"
+        staged = staged.withColumn(rk, F.row_number().over(w))
+        aggs.append(
+            F.max(
+                F.when(F.col(rk) == 1, F.col(src))
+            ).alias(out)
+        )
+    return (
+        staged.groupBy(F.col(cluster_col).alias("cluster"))
+        .agg(*aggs)
+        .orderBy("cluster")
+    )

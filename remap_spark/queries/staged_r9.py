@@ -142,12 +142,139 @@ _DISTRIBUTION_DRIFT_SQL = f"""
 """
 
 
+def ext_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (operators/linkage.golden_records) over
+    synthetic customer clusters (custkey mod 499): per golden record
+    the name comes from the longest-name member, the nation from the
+    highest-balance member, the segment from the modal value — three
+    different rules, three potentially different source rows, every
+    tie broken by min custkey so the replay is exact."""
+    from ..operators.linkage import golden_records, with_group_value_count
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        (F.col("c_custkey") % 499).alias("cl"),
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    base = with_group_value_count(base, "cl", "c_mktsegment", "_freq")
+    return golden_records(
+        base,
+        "cl",
+        "c_custkey",
+        {
+            "name": ("c_name", F.length("c_name")),
+            "nationkey": ("c_nationkey", F.col("bal_cents")),
+            "segment": ("c_mktsegment", F.col("_freq")),
+        },
+    )
+
+
+_GOLDEN_RECORDS_SQL = """
+    WITH base AS (
+      SELECT c_custkey, c_custkey % 499 AS cl, c_name, c_nationkey,
+             c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    wf AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY cl, c_mktsegment) AS _freq
+      FROM base
+    ),
+    rk AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY cl
+          ORDER BY length(c_name) DESC, c_custkey ASC) AS r0,
+        ROW_NUMBER() OVER (PARTITION BY cl
+          ORDER BY bal_cents DESC, c_custkey ASC) AS r1,
+        ROW_NUMBER() OVER (PARTITION BY cl
+          ORDER BY _freq DESC, c_custkey ASC) AS r2
+      FROM wf
+    )
+    SELECT cl AS cluster, COUNT(*) AS n_members,
+           MAX(CASE WHEN r0 = 1 THEN c_name END) AS name,
+           MAX(CASE WHEN r1 = 1 THEN c_nationkey END) AS nationkey,
+           MAX(CASE WHEN r2 = 1 THEN c_mktsegment END) AS segment
+    FROM rk GROUP BY cl ORDER BY cluster
+"""
+
+
+def ext_ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly screen — a pure COMPOSITION query:
+    decompose_additive strips trend and weekly seasonality from global
+    daily revenue, then days whose residual exceeds 3x the mean
+    absolute residual are flagged. Shows the decomposition composes
+    in-plan with a broadcast threshold (no intermediate
+    materialization); all arithmetic stays exact integer ppm."""
+    from ..operators.timeseries import decompose_additive
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    dec = decompose_additive(daily, "day", "cents", period=7)
+    r = dec.where(F.col("resid_ppm").isNotNull())
+    thr = r.agg(
+        (
+            F.lit(3).cast("decimal(38,0)")
+            * F.expr(
+                "CAST(sum(abs(CAST(resid_ppm AS DECIMAL(38,0)))) "
+                "div count(resid_ppm) AS DECIMAL(38,0))"
+            )
+        ).alias("_thr")
+    )
+    return (
+        r.join(F.broadcast(thr))
+        .where(
+            F.abs(F.col("resid_ppm")).cast("decimal(38,0)")
+            > F.col("_thr")
+        )
+        .select(
+            "day", F.col("value").alias("cents"), "resid_ppm"
+        )
+        .orderBy("day")
+    )
+
+
+_TS_ANOMALY_SQL = """
+    WITH dec AS ({decompose}),
+    r AS (SELECT * FROM dec WHERE resid_ppm IS NOT NULL),
+    t AS (
+      SELECT 3 * (CAST(SUM(ABS(resid_ppm)) AS HUGEINT)
+                  // COUNT(resid_ppm)) AS thr
+      FROM r
+    )
+    SELECT day, cents, resid_ppm
+    FROM r, t WHERE ABS(CAST(resid_ppm AS HUGEINT)) > t.thr
+    ORDER BY day
+"""
+
+
+def _ts_anomaly_oracle() -> str:
+    from .staged_r8 import _TS_DECOMPOSE_SQL
+
+    return _TS_ANOMALY_SQL.format(decompose=_TS_DECOMPOSE_SQL)
+
+
 STAGED_R9_QUERIES = {
     "ext_ts_changepoint": ext_ts_changepoint,
     "ext_distribution_drift": ext_distribution_drift,
+    "ext_golden_records": ext_golden_records,
+    "ext_ts_anomaly_seasonal": ext_ts_anomaly_seasonal,
 }
 
 STAGED_R9_ORACLES = {
     "ext_ts_changepoint": _TS_CHANGEPOINT_SQL,
     "ext_distribution_drift": _DISTRIBUTION_DRIFT_SQL,
+    "ext_golden_records": _GOLDEN_RECORDS_SQL,
+    "ext_ts_anomaly_seasonal": _ts_anomaly_oracle(),
 }

@@ -1473,3 +1473,47 @@ def test_distribution_drift_hand_computed(spark):
         1: (2, 3, 40_000),
         9: (0, 1, 800_000),
     }
+
+
+def test_golden_records_fields_from_different_rows(spark):
+    """One golden record merges fields from THREE different members:
+    longest name from row 3, trusted value from row 1 (highest
+    score), modal segment 'A' (2 of 3); modal tie in cluster 2 breaks
+    by min id."""
+    from pyspark.sql import functions as F
+
+    from remap_spark.operators.linkage import (
+        golden_records,
+        with_group_value_count,
+    )
+
+    rows = [
+        (1, 10, "bob", 90, "A"),
+        (2, 10, "alice", 50, "A"),
+        (3, 10, "bartholomew", 10, "B"),
+        (4, 20, "zed", 5, "X"),
+        (5, 20, "amy", 5, "Y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, cl long, name string, score long, seg string"
+    )
+    df = with_group_value_count(df, "cl", "seg", "_freq")
+    got = {
+        r["cluster"]: (
+            r["n_members"], r["name"], r["trusted"], r["segment"]
+        )
+        for r in golden_records(
+            df,
+            "cl",
+            "id",
+            {
+                "name": ("name", F.length("name")),
+                "trusted": ("score", F.col("score")),
+                "segment": ("seg", F.col("_freq")),
+            },
+        ).collect()
+    }
+    assert got == {
+        10: (3, "bartholomew", 90, "A"),
+        20: (2, "zed", 5, "X"),  # all ties -> min id (row 4: zed/X)
+    }

@@ -56,6 +56,9 @@ def test_no_staged_r9_query_plans_a_cartesian_product(spark):
         # broadcast into the bins-sized join — the in-plan-constant
         # contract of ext_benford / ext_ts_decompose
         "ext_distribution_drift",
+        # composition query: the decompose grand-mean broadcast plus
+        # the single-row anomaly-threshold broadcast
+        "ext_ts_anomaly_seasonal",
     }
     bad = []
     for name, fn in STAGED_R9_QUERIES.items():
