@@ -37,9 +37,18 @@ def _fresh_mode(query_names: list[str]) -> None:
         "import sys, time, json; sys.path.insert(0, {root!r});"
         "from remap_spark.engine import build_session;"
         "from remap_spark.queries import ALL_QUERIES;"
-        "from remap_spark.queries.staged_r8 import STAGED_R8_QUERIES;"
-        "from remap_spark.queries.staged_r9 import STAGED_R9_QUERIES;"
-        "ALL_QUERIES = dict(ALL_QUERIES, **STAGED_R8_QUERIES, **STAGED_R9_QUERIES);"
+        "ALL_QUERIES = dict(ALL_QUERIES);\n"
+        # staged modules are guarded exactly like main(): after a
+        # promotion deletes one, fresh mode must keep working
+        "for _m in ('staged_r7', 'staged_r8', 'staged_r9'):\n"
+        "    try:\n"
+        "        import importlib\n"
+        "        _mod = importlib.import_module('remap_spark.queries.' + _m)\n"
+        "        for _k in dir(_mod):\n"
+        "            if _k.endswith('_QUERIES') and _k.startswith('STAGED'):\n"
+        "                ALL_QUERIES.update(getattr(_mod, _k))\n"
+        "    except ImportError:\n"
+        "        pass\n"
         "spark = build_session(app_name='bench_fresh');"
         "spark.sparkContext.setLogLevel('ERROR');"
         "q = ALL_QUERIES[{name!r}];"

@@ -256,6 +256,9 @@ def inclusion_profile(
     allv = dists[0]
     for d in dists[1:]:
         allv = allv.unionByName(d)
+    # referenced three times below (counts + both join sides): one
+    # lazy checkpoint materializes each column's DISTINCT scan once
+    allv = allv.localCheckpoint(eager=False)
     counts = allv.groupBy("col_name").agg(
         F.count(F.lit(1)).alias("n_a_distinct")
     )
@@ -298,8 +301,12 @@ def distribution_drift(
 
     (the textbook two-sample chi-square statistic, cross-multiplied so
     no per-bin expected-count division happens); held in decimal(38,0)
-    — HUGEINT in the replay — so the screen is engine-exact. Summing
-    contrib_ppm over bins gives chi2 * 1e6 for a threshold test.
+    — HUGEINT in the replay — so the screen is engine-exact while
+    ``(c*N)^2 * 1e6`` fits 38 digits, i.e. per-side totals up to
+    ~3e15 row-count-x-bin-count products (comfortably past any single
+    table's row count; past that, pre-aggregate to ppm shares first).
+    Summing contrib_ppm over bins gives chi2 * 1e6 for a threshold
+    test.
 
     Scale shape: one combiner count per side, a bin-keyed full outer
     join of two report-sized relations, two single-row totals riding

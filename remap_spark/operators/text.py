@@ -1244,9 +1244,13 @@ def phrase_search(
     contains the phrase at least once, ordered by phrase then doc.
     """
     spark = docs.sparkSession
+    # the query phrase goes through the SAME lower/strip-punct/split
+    # as the corpus tokenizer, so punctuation in a phrase matches the
+    # punctuation-stripped postings instead of silently missing
+    punct_tbl = str.maketrans(PUNCT, " " * len(PUNCT))
     rows = []
     for ph in phrases:
-        ws = [w for w in ph.lower().split() if w]
+        ws = [w for w in ph.lower().translate(punct_tbl).split() if w]
         for off, w in enumerate(ws):
             rows.append((ph, off, w, len(ws)))
     terms = spark.createDataFrame(

@@ -458,7 +458,7 @@ def interval_concurrency(
         if gcols
         else Window.partitionBy(F.lit(1))
     )
-    return (
+    out = (
         running.withColumn("_peak", F.max("_alive").over(wmax))
         .where(F.col("_alive") == F.col("_peak"))
         .groupBy(*gcols)
@@ -466,18 +466,8 @@ def interval_concurrency(
             F.max("_alive").alias("max_concurrent"),
             F.min("_t").alias("peak_at"),
         )
-        .orderBy(*gcols)
     )
-
-
-# Shift making every integer-division numerator in decompose_additive
-# strictly positive, so Spark's truncating ``div`` and the oracle's
-# flooring ``//`` agree bit-for-bit. Bounded by design: |detrended|
-# never exceeds max(value, trend) in ppm units, which at the largest
-# daily-revenue fixture is ~1e15; period * SHIFT = 7 * 2e16 = 1.4e17
-# stays far inside int64. At 100 TB the exact-integer tier is the
-# auditable oracle path; the production seam swaps doubles in.
-_DECOMP_SHIFT = 20_000_000_000_000_000
+    return out.orderBy(*gcols) if gcols else out
 
 
 def decompose_additive(
@@ -501,10 +491,12 @@ def decompose_additive(
     * resid_ppm — value*1e6 - trend_ppm - seasonal_ppm; NULL where
       trend is NULL.
 
-    All arithmetic is exact int64 ppm: divisions are positive-shifted
-    (``_DECOMP_SHIFT``) so truncation == floor in every engine and
-    the DuckDB replay matches bit-for-bit. Values must be integral
-    (fixed-point first). One row per input day, ordered by day.
+    All arithmetic is exact int64 ppm. Signed integer division
+    truncates toward zero in BOTH engines (probed: DuckDB ``//`` and
+    Spark ``div`` agree on negatives — the interpolate_gaps pin), so
+    the negative detrended means divide identically with no shift and
+    no headroom hazard. Values must be integral (fixed-point first).
+    One row per input day, ordered by day.
 
     Scale shape: one ROWS window over the ordered series (single
     range-partitioned sort — a daily series is calendar-sized, tiny
@@ -516,7 +508,6 @@ def decompose_additive(
         raise ValueError("decompose_additive: period must be odd")
     _require_integral(df, value_col, "decompose_additive")
     half = period // 2
-    s = _DECOMP_SHIFT
     base = df.select(
         F.col(date_col).alias("day"),
         F.col(value_col).cast("bigint").alias("value"),
@@ -552,17 +543,11 @@ def decompose_additive(
         )
         .select(
             "_phase",
-            F.expr(f"(_ds + _dn * {s}) div _dn - {s}")
-            .cast("bigint")
-            .alias("_raw"),
+            F.expr("_ds div _dn").cast("bigint").alias("_raw"),
         )
     )
     center = per_phase.agg(
-        F.expr(
-            f"(sum(_raw) + count(*) * {s}) div count(*) - {s}"
-        )
-        .cast("bigint")
-        .alias("_m")
+        F.expr("sum(_raw) div count(*)").cast("bigint").alias("_m")
     )
     seasonal = per_phase.join(F.broadcast(center)).select(
         "_phase", (F.col("_raw") - F.col("_m")).alias("seasonal_ppm")
@@ -789,18 +774,20 @@ def cusum_changepoint(
     scored = staged.where(F.col("_i") < F.col("_n")).select(
         *gcols,
         "_t",
+        "_i",
         "_n",
         "_tot",
         F.abs(
             F.col("_n") * F.col("_p") - F.col("_i") * F.col("_tot")
         ).alias("_s"),
     )
-    # argmax |S| with earliest-time tiebreak: max over a struct whose
-    # second component is the NEGATED epoch-day (bigger = earlier)
+    # argmax |S| with earliest tiebreak: max over a struct whose
+    # second component is the NEGATED row index — generic over any
+    # orderable order_col, no date arithmetic
     pick = F.max(
         F.struct(
             F.col("_s"),
-            (-F.datediff(F.col("_t"), F.lit("1970-01-01"))).alias("_nt"),
+            (-F.col("_i")).alias("_ni"),
             F.col("_t").alias("cp_at"),
             F.col("_n").alias("n"),
             F.col("_tot").alias("tot"),

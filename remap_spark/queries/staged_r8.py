@@ -22,7 +22,6 @@ from ..operators.dedup import (
     remove_duplicate_spans_keep_one,
 )
 from ..operators.linkage import resolve_entities_multi
-from ..operators.timeseries import _DECOMP_SHIFT
 from .extensions import _SPAN_GRAM, _TOKS
 
 
@@ -1261,9 +1260,9 @@ def ext_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal-trend decomposition
     (operators/timeseries.decompose_additive) of daily order revenue
     in exact integer cents: 7-row centered-moving-average trend,
-    re-centered weekly seasonal component, residual — every division
-    positive-shifted so truncating and flooring integer division
-    agree and the replay is bit-exact."""
+    re-centered weekly seasonal component, residual — signed integer
+    division truncates toward zero in both engines (probed), so the
+    replay is bit-exact with no shift arithmetic."""
     from ..operators.timeseries import decompose_additive
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1284,8 +1283,8 @@ def ext_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ts_decompose_oracle(shift: int) -> str:
-    return f"""
+def _ts_decompose_oracle() -> str:
+    return """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
@@ -1310,14 +1309,11 @@ def _ts_decompose_oracle(shift: int) -> str:
     ),
     pp AS (
       SELECT phase,
-             CAST((SUM(detr) + COUNT(detr) * {shift}) // COUNT(detr)
-                  - {shift} AS BIGINT) AS raw
+             CAST(SUM(detr) // COUNT(detr) AS BIGINT) AS raw
       FROM det WHERE detr IS NOT NULL GROUP BY phase
     ),
     c AS (
-      SELECT CAST((SUM(raw) + COUNT(*) * {shift}) // COUNT(*)
-                  - {shift} AS BIGINT) AS m
-      FROM pp
+      SELECT CAST(SUM(raw) // COUNT(*) AS BIGINT) AS m FROM pp
     )
     SELECT d.day, d.cents, d.trend_ppm,
            CAST(p.raw - (SELECT m FROM c) AS BIGINT) AS seasonal_ppm,
@@ -1328,7 +1324,7 @@ def _ts_decompose_oracle(shift: int) -> str:
 """
 
 
-_TS_DECOMPOSE_SQL = _ts_decompose_oracle(_DECOMP_SHIFT)
+_TS_DECOMPOSE_SQL = _ts_decompose_oracle()
 
 
 def ext_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
