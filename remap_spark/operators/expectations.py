@@ -145,6 +145,16 @@ def benford_deviation(
     onto the 9-row expected table (so unobserved digits still emit);
     the total rides back as a broadcast single-row relation (in-plan,
     the modularity idiom)."""
+    if min_value < 1:
+        # values in [min_value, 1) floor to first digit 0, which the
+        # 9-row expected-table join drops while the total _t still
+        # counts it — every observed_ppm silently deflates. Sub-1
+        # magnitudes need log-domain digit extraction that differs per
+        # column semantics; refuse rather than skew.
+        raise ValueError(
+            "benford_deviation: min_value must be >= 1 (integer-part "
+            f"first-digit extraction), got {min_value!r}"
+        )
     digits = df.where(F.col(col) >= F.lit(min_value)).select(
         F.substring(
             F.floor(F.col(col)).cast("bigint").cast("string"), 1, 1
@@ -322,9 +332,20 @@ def distribution_drift(
             )
 
     def binned(df: DataFrame) -> DataFrame:
+        # FLOOR division, in pure integer arithmetic (`div` truncates
+        # toward zero, which would make the bin containing 0 span
+        # (-w, w) — double width — for signed data): shift the
+        # truncated quotient down by 1 when a negative value has a
+        # remainder. Identical expression in the DuckDB oracle
+        # (staged_r9 ext_distribution_drift) — no float FLOOR, so it
+        # stays exact past 2^53.
         return (
             df.select(
-                F.expr(f"{value_col} div {bin_width}").alias("bin")
+                F.expr(
+                    f"{value_col} div {bin_width}"
+                    f" - (CASE WHEN {value_col} % {bin_width} != 0"
+                    f" AND {value_col} < 0 THEN 1 ELSE 0 END)"
+                ).alias("bin")
             )
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias("_c"))

@@ -274,11 +274,20 @@ def write_bucketed(
 
     Bucketing requires a catalog table (``saveAsTable``); ``path``
     makes it external. Returns the re-read table handle, whose scans
-    carry the bucket spec (``SelectedBucketsCount`` in explain)."""
-    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, key)
-    if sort:
-        w = w.sortBy(key)
-    if path is not None:
-        w = w.option("path", path)
-    w.saveAsTable(table)
-    return df.sparkSession.table(table)
+    carry the bucket spec (``SelectedBucketsCount`` in explain).
+
+    Thin delegate: ``sources.write_bucketed_table`` is the one
+    canonical bucketed-write primitive (r7-advice consolidation —
+    two parallel bucketBy/sortBy/saveAsTable code paths drift); this
+    single-key convenience form stays for the layout-module API."""
+    from ..sources import write_bucketed_table
+
+    return write_bucketed_table(
+        df,
+        table,
+        [key],
+        num_buckets=n_buckets,
+        sort_cols=[key] if sort else None,
+        mode=mode,
+        path=path,
+    )

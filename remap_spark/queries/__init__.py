@@ -125,6 +125,30 @@ def register_extensions() -> None:
         ALL_ORACLES.update(staged_r7.STAGED_ORACLES)
     except ImportError:
         pass
+    try:
+        # Round-8 promotion: 24 of the 26 queries staged through round 7
+        # (replay-verified at sf0.001 AND sf0.01 by tests/test_staged_r8.py,
+        # plan-swept by its cartesian/Python sweeps) enter the registry
+        # and the driver window this round. Two are HELD for r9 — the
+        # window arithmetic below explains why — and stay staged.
+        from . import staged_r8  # noqa: F401
+
+        ALL_QUERIES.update(
+            {
+                k: v
+                for k, v in staged_r8.STAGED_R8_QUERIES.items()
+                if k not in staged_r8.HELD_FOR_R9
+            }
+        )
+        ALL_ORACLES.update(
+            {
+                k: v
+                for k, v in staged_r8.STAGED_R8_ORACLES.items()
+                if k not in staged_r8.HELD_FOR_R9
+            }
+        )
+    except ImportError:
+        pass
 
 
 register_extensions()
@@ -141,146 +165,173 @@ register_extensions()
 # sibling (plus their own recorded round-1 pass) fill the tail.
 CHECK_WINDOW = 50
 
-# Round-7 window arithmetic. The registry now holds 169 queries against a
-# 50-slot window, so a full re-verification cycle needs ceil(169/50) = 4
-# recorded correctness rounds (the former 3-round bound was only
-# satisfiable below 151 queries; the staleness test in
-# tests/test_registry.py moved with this promotion). The r7 window is
-# exactly: the 33 staged round-7 queries (never driver-checked — they MUST
-# be in-window the commit they register) + 16 of the 17 most-stale
-# r3-green rows in the priority order the r6 rotation comment documented
-# + ext_text_bigram_lm (r6-green but CHANGED this round: the model join
-# was rewritten left+coalesce with the forced broadcast dropped for the
-# uncapped path — results bit-identical under local replay, but the
-# changed-query-inside-window invariant is the stronger contract, so it
-# takes the 17th slot and ext_dedup_bloom waits for r8). The 119
-# non-window queries are all covered by the last four recorded rounds:
-# r03 covers the 23 r3-latest rows, r04 its 47, r06 its 49 (the 50th
-# r6-green row, ext_text_bigram_lm, moved into the window).
+# Round-8 window arithmetic. The registry holds 169 + 24 promoted
+# staged_r8 queries = 193 against the 50-slot window; the staleness
+# bound stays at ceil(193/50) = 4 recorded rounds. The r8 window is
+# over-subscribed by construction — 51 obligations for 50 slots:
+#   26 staged_r8 (never driver-checked => must be in-window the commit
+#      they register)
+# + 23 _DUE_FIRST_R8 rows (their r03 record leaves the last-4 recorded
+#      set the moment CORRECTNESS_r08 lands)
+# +  2 RED r7 rows (ext_inverted_index / ext_table_changes: the driver
+#      canon crashed on their ARRAY output columns, so they have never
+#      been driver-green; a red latest row cannot satisfy the
+#      staleness invariant — they re-enter with serialized outputs,
+#      see SURVEY §8's array-free convention)
+# = 51. Resolution per the r7 verdict: promote only 24 of staged_r8 —
+# ext_benford and ext_interval_concurrency are HELD for r9 (their
+# families keep in-window r8 siblings: fd_violations /
+# inclusion_profile, ts_decompose / ts_interpolate / trend_slopes) and
+# stay staged-with-replay, unregistered. That makes the window
+# 2 red re-checks + 24 promotions + 23 due-first = 49, and the 50th
+# slot pre-checks dq01_project (an r04-latest row) to smooth the r9
+# crunch below. Non-window coverage check: 193 - 50 = 143 =
+# 46 r04-latest (47 minus the pre-checked dq01) + 49 r06-latest +
+# 48 r07-latest (50 minus the 2 in-window reds) — every one inside the
+# last four recorded rounds (r03 r04 r06 r07 now; r04 r06 r07 r08 once
+# the r8 record lands, at which point the 23 r03 rows are in-window).
 #
-# REGISTRY-GROWTH FREEZE (r7): 169 against the 50×4 = 200 staleness
-# ceiling leaves 31 slots of rotation headroom; operators added this round
-# ship STAGED with oracle replays (queries/staged_r8.py, the r6 pattern)
-# and queue for the r8 window rather than registering immediately, so the
-# rotation math stays satisfiable.
-#
-# r8 PROMOTION ARITHMETIC (verified at r7 end): staged_r8 holds 26
-# queries, so the r8 registry is 169 + 26 = 195 <= 200 — the 4-recorded-
-# round bound survives the promotion. The r8 window must hold the 26
-# never-driver-checked staged names plus the 23 _DUE_FIRST_R8 rows
-# (their r03 record leaves the last-4 set when CORRECTNESS_r08 lands) —
-# 49 of 50 slots; the 145 non-window queries are then covered by
-# r04 (47) + r06 (up to 50) + r07 (50), 147 >= 145 with 2 rows of
-# slack. 195 also means r8 must stage (not register) anything beyond
-# 5 more new queries. Wave-5 operators (added after the r8 window
-# filled) stage in queries/staged_r9.py with the same replay contract
-# and queue for the r9 window.
-_WINDOW_R7 = [
-    # -- the 33 promoted staged queries (first driver check this round) --
-    "ext_sample_wor",
-    "ext_expectations",
-    "ext_attribution",
-    "ext_basket_rules",
-    "ext_entity_resolution",
-    "ext_rfm_segments",
-    "ext_ts_zscore",
-    "ext_ts_twap",
-    "ext_skyline",
-    "ext_skew_report",
-    "ext_ab_test",
-    "ext_crosstab_chi2",
-    "ext_period_over_period",
+# r9 LOOKAHEAD (verified now so the next promotion cannot over-commit):
+# when CORRECTNESS_r09 lands the last-4 set becomes r06/r07/r08/r09,
+# so the 46 _DUE_FIRST_R9 rows (latest green r04) must all sit in the
+# r9 window — leaving exactly 4 slots for promotions against 6
+# candidates (2 held staged_r8 + 4 staged_r9). r9 must therefore hold
+# 2 of staged_r9 for r10 OR retire 2 long-green duplicate-capability
+# rows. Structurally: registry 193 vs the 50x4 = 200 ceiling means
+# long-run promotion bandwidth is (200-193)/4 < 2 queries per round;
+# per the r7 verdict, additions beyond that must be capacity-neutral
+# (retire or consolidate a duplicate row per addition).
+_WINDOW_R8 = [
+    # -- the 2 red r7 rows: first priority, never driver-green --
     "ext_inverted_index",
-    "ext_markov_transitions",
-    "ext_kmv_set_ops",
-    "ext_shuffle_shards",
-    "ext_winsorize",
-    "ext_cross_matches",
-    "ext_k_core",
     "ext_table_changes",
-    "ext_segment_overlap",
-    "ext_pagerank_personalized",
-    "ext_label_propagation",
-    "ext_modularity",
-    "ext_winnow",
-    "ext_pca_project",
-    "ext_ewma_forecast",
-    "ext_seasonal",
-    "ext_semantic_decontaminate",
-    "ext_scd2_lookup",
-    "ext_quantile_bins",
-    "ext_mad_outliers",
-    # -- the 17 most-stale r3-green rows (latest green row: r03) --
-    "dq03_wordcount",
-    "ext_salted_agg",
-    "ext_pack_sequences",
-    "ext_text_line_dedup",
-    "ext_text_repetition",
-    "ext_text_boilerplate",
-    "ext_text_clean",
-    "ext_text_chunk",
-    "ext_text_lm_score",
-    "ext_text_tfidf",
-    "ext_sample_weighted",
-    "ext_sample_quality_mix",
-    "ext_source_cap",
-    "ext_corpus_report",
-    "ext_corpus_diff",
-    "ext_text_vocab",
-    "ext_text_bigram_lm",  # CHANGED r7 (see rotation comment above)
+    # -- the 24 promoted staged_r8 queries (first driver check) --
+    "ext_entity_resolution_multi",
+    "ext_dedup_span_maximal",
+    "ext_dedup_keep_one",
+    "ext_mm_audio_mp3_meta",
+    "ext_text_trigram_backoff",
+    "ext_dedup_incremental_spans",
+    "ext_graph_hits",
+    "ext_decontaminate_spans",
+    "ext_text_rake",
+    "ext_cep_pattern",
+    "ext_ivm_join_delta",
+    "ext_cumulative_users",
+    "ext_k_truss",
+    "ext_mm_exif",
+    "ext_weighted_percentiles",
+    "ext_clustering_coeff",
+    "ext_dedup_keep_best",
+    "ext_fd_violations",
+    "ext_phrase_search",
+    "ext_ts_decompose",
+    "ext_text_textrank",
+    "ext_inclusion_profile",
+    "ext_ts_interpolate",
+    "ext_trend_slopes",
+    # -- the 23 rows due first after r7 (latest green row: r03) --
+    "ext_dedup_bloom",
+    "ext_ann_hard_negatives",
+    "ext_mix_temperature",
+    "ext_range_join_binned",
+    "dq28_exists",
+    "dq30_grouping_sets",
+    "dq11_except",
+    "dq18_grouped_udf",
+    "dq24_asof_join",
+    "dq41_recursive_sql",
+    "dq43_rolling_range",
+    "dq44_merge_upsert",
+    "ext_profile_columns",
+    "ext_approx_distinct",
+    "ext_quality_classifier",
+    "ext_dedup_exact",
+    "ext_ann_ivf",
+    "ext_text_pii",
+    "ext_dedup_incremental",
+    "ext_kmeans_embed",
+    "ext_pipeline_curate",
+    "ext_text_decontaminate",
+    "ext_approx_percentiles",
+    # -- 50th slot: r04-latest pre-check, smooths the r9 crunch --
+    "dq01_project",
 ]
 
-# The 23 remaining r3-green rows: OUTSIDE the r7 window (covered by their
-# r03 record under the 4-recorded-round bound) and due FIRST in the r8
-# window — they fall outside the last-4-records set the moment the r8
-# verify lands a new CORRECTNESS file, so the r8 rotation must promote
-# them exactly as this round promoted the 17 above.
-_DUE_FIRST_R8 = [
-    "ext_dedup_bloom",  # (broadcast-probe family; ceded its r7 slot to the changed bigram-LM)
-    "ext_ann_hard_negatives",  # (ANN family: topk/lsh/pq/ivf_pq canaries)
-    "ext_mix_temperature",  # (mixture family: sample_det/stratified)
-    "ext_range_join_binned",  # (range family: dq20 r4-green, plan-pinned)
-    "dq28_exists",  # (subquery family: dq29 scalar-subquery r4-green)
-    "dq30_grouping_sets",  # (grouping family: dq12/dq23/dq31 r4-green)
-    "dq11_except",  # (set-op family: dq11_intersect/dq22 r4-green)
-    "dq18_grouped_udf",  # (UDF family: dq19 canary; mapreduce pytest)
-    "dq24_asof_join",  # (join family: dq20 range r4-green, plan-pinned)
-    "dq41_recursive_sql",  # (recursive family: dq16/dq17/dq40/dq42 r4)
-    "dq43_rolling_range",  # (window family: dq39/dq25 r4-green)
-    "dq44_merge_upsert",  # (outer-join family: dq21 variants r4-green)
-    "ext_profile_columns",  # (profiler family: corpus_report sibling)
-    "ext_approx_distinct",  # (sketch family: ext_active_users_approx)
-    "ext_quality_classifier",  # (broadcast-model family: lm_score sibling)
-    "ext_dedup_exact",  # (dedup family: ngram/minhash/simhash siblings)
-    "ext_ann_ivf",  # (ANN family)
-    "ext_text_pii",  # (text family)
-    "ext_dedup_incremental",  # (incremental family: incremental_fuzzy r6)
-    "ext_kmeans_embed",  # (quantized-Lloyd family: ext_ann_pq training)
-    "ext_pipeline_curate",  # (pipeline family: pretokenize/analytics r6)
-    "ext_text_decontaminate",  # (text family)
-    "ext_approx_percentiles",  # (percentile family: dq33/percentile_state)
+# The 46 remaining r04-latest rows: OUTSIDE the r8 window (covered by
+# their r04 record under the 4-recorded-round bound) and due FIRST in
+# the r9 window — they fall outside the last-4-records set the moment
+# the r9 verify lands a new CORRECTNESS file.
+_DUE_FIRST_R9 = [
+    "dq02_filter",
+    "dq04_collation",
+    "dq05_agg",
+    "dq06_secondary_sort",
+    "dq07_topk",
+    "dq08_join_agg",
+    "dq09_multiway_join",
+    "dq10_anti",
+    "dq10_semi",
+    "dq11_intersect",
+    "dq12_rollup",
+    "dq13_tumbling",
+    "dq14_sessionize",
+    "dq15_json",
+    "dq15_year",
+    "dq16_flood_max",
+    "dq17_pagerank",
+    "dq19_buckets",
+    "dq20_range_join",
+    "dq21_full_outer",
+    "dq21_left_outer",
+    "dq21_right_outer",
+    "dq22_union",
+    "dq23_cube",
+    "dq25_window_funcs",
+    "dq26_distinct_agg",
+    "dq27_sliding",
+    "dq29_scalar_subquery",
+    "dq31_pivot",
+    "dq32_session_window",
+    "dq34_array_funcs",
+    "dq35_regexp",
+    "dq39_running_total",
+    "dq40_pointer_jump",
+    "dq42_star_components",
+    "ext_active_users",
+    "ext_dedup_canonical",
+    "ext_dedup_components",
+    "ext_dedup_semantic",
+    "ext_dedup_span",
+    "ext_dedup_span_removal",
+    "ext_funnel",
+    "ext_funnel_conversion",
+    "ext_pagerank_dangling",
+    "ext_split_leakage_safe",
+    "ext_text_bpe_pairs",
 ]
+
 
 def _apply_check_priority() -> None:
     """Reorder ALL_QUERIES so the driver's 50-slot check window holds
-    exactly ``_WINDOW_R7`` (in that order), immediately followed by the
-    ``_DUE_FIRST_R8`` rows (outside the window this round, first in line
+    exactly ``_WINDOW_R8`` (in that order), immediately followed by the
+    ``_DUE_FIRST_R9`` rows (outside the window this round, first in line
     next round), then every other registered query in registration
     order (all r4/r6-green, code unchanged since their latest row)."""
     # membership-guarded (register_extensions deliberately swallows a
     # broken extension module's ImportError; a KeyError here would
     # take down the core DQ set that contract protects — the registry
     # tests still fail loudly on any missing window name)
-    window = {k: ALL_QUERIES[k] for k in _WINDOW_R7 if k in ALL_QUERIES}
-    due_r8 = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R8 if k in ALL_QUERIES}
+    window = {k: ALL_QUERIES[k] for k in _WINDOW_R8 if k in ALL_QUERIES}
+    due_next = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R9 if k in ALL_QUERIES}
     rest = {
         k: v
         for k, v in ALL_QUERIES.items()
-        if k not in window and k not in due_r8
+        if k not in window and k not in due_next
     }
     ALL_QUERIES.clear()
     ALL_QUERIES.update(window)
-    ALL_QUERIES.update(due_r8)
+    ALL_QUERIES.update(due_next)
     ALL_QUERIES.update(rest)
 
 

@@ -527,8 +527,26 @@ _PERIOD_OVER_PERIOD_SQL = """
 
 
 def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator keeps its typed ARRAY postings
+    (operators/text.build_inverted_index); the DRIVER-facing wrapper
+    serializes them to comma-joined strings because the driver's
+    pandas canonicalizer cannot hash list cells (the r7 red row:
+    ``TypeError: unhashable type: 'list'`` in ``_canon``). The oracle
+    mirrors with ``array_to_string`` — same hash contract, same
+    values. See the array-free output convention in SURVEY §8."""
     docs = load_table(spark, sf_dir, "documents")
-    return build_inverted_index(docs, min_doc_freq=5).orderBy("term")
+    idx = build_inverted_index(docs, min_doc_freq=5)
+    return idx.select(
+        "term",
+        "doc_freq",
+        "coll_freq",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias(
+            "doc_ids"
+        ),
+        F.array_join(F.col("term_freqs").cast("array<string>"), ",").alias(
+            "term_freqs"
+        ),
+    ).orderBy("term")
 
 
 _INVERTED_INDEX_SQL = r"""
@@ -543,8 +561,8 @@ _INVERTED_INDEX_SQL = r"""
       SELECT word AS term, doc_id, COUNT(*) AS tf FROM words GROUP BY 1, 2
     )
     SELECT term, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS coll_freq,
-           list(doc_id ORDER BY doc_id) AS doc_ids,
-           list(tf ORDER BY doc_id) AS term_freqs
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
+           array_to_string(list(tf ORDER BY doc_id), ',') AS term_freqs
     FROM tf GROUP BY term HAVING COUNT(*) >= 5 ORDER BY term
 """
 
@@ -780,7 +798,14 @@ def ext_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return table_changes(orders, new, ["o_orderkey"]).orderBy("o_orderkey")
+    out = table_changes(orders, new, ["o_orderkey"])
+    # Driver-canon contract: the operator's typed ARRAY of changed
+    # column names is serialized to a comma-joined string at the
+    # wrapper boundary (r7 red row — pandas _canon cannot hash list
+    # cells); the oracle mirrors with array_to_string. SURVEY §8.
+    return out.withColumn(
+        "changed_cols", F.array_join("changed_cols", ",")
+    ).orderBy("o_orderkey")
 
 
 _TABLE_CHANGES_SQL = """
@@ -808,14 +833,17 @@ _TABLE_CHANGES_SQL = """
            CASE WHEN NOT in_old THEN 'insert'
                 WHEN NOT in_new THEN 'delete'
                 ELSE 'update' END AS op,
-           CASE WHEN in_old AND in_new
-                THEN [c FOR c IN
-                      [CASE WHEN oc IS DISTINCT FROM nc
-                            THEN 'o_custkey' END,
-                       CASE WHEN op IS DISTINCT FROM np
-                            THEN 'o_totalprice' END]
-                      IF c IS NOT NULL]
-                ELSE [] END AS changed_cols
+           -- DuckDB array_to_string([]) is NULL (not ''): coalesce to
+           -- match Spark's array_join on the operator's empty array
+           COALESCE(array_to_string(
+             CASE WHEN in_old AND in_new
+                  THEN [c FOR c IN
+                        [CASE WHEN oc IS DISTINCT FROM nc
+                              THEN 'o_custkey' END,
+                         CASE WHEN op IS DISTINCT FROM np
+                              THEN 'o_totalprice' END]
+                        IF c IS NOT NULL]
+                  ELSE [] END, ','), '') AS changed_cols
     FROM j
     WHERE NOT in_old OR NOT in_new
        OR oc IS DISTINCT FROM nc OR op IS DISTINCT FROM np

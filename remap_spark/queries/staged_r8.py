@@ -1059,12 +1059,18 @@ _CLUSTERING_SQL = """
 """
 
 
-def ext_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative dedup policy (operators/dedup.
     dedup_canonical): MinHash-LSH candidate pairs close into clusters
     and each cluster keeps its highest-n_chars document (ties by min
     id) — the keep-the-best-copy production policy above
-    ext_dedup_components' min-id convention. Singletons survive."""
+    ext_dedup_components' min-id convention. Singletons survive.
+
+    Renamed from ``ext_dedup_canonical`` at r8 promotion time: the
+    registry already holds a DIFFERENT r04-green query under that name
+    (queries/extensions.py ext_dedup_canonical — cluster-level report,
+    quality_score ranking), and promotion is a dict merge, so the
+    staged name would have silently overwritten the registered one."""
     from ..operators.dedup import dedup_canonical, minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1590,6 +1596,17 @@ _TREND_SLOPES_SQL = """
 """
 
 
+# Round-8 promotion holds these two back for the r9 window: the r8
+# window had 51 obligations for 50 slots (24 promotions + the 2 red
+# array-canon re-checks + 23 _DUE_FIRST_R8 + 1 r04 smoothing pre-check
+# — see the rotation comment in queries/__init__). Per the r7 verdict
+# they are the two whose families already have in-window r8 siblings
+# (benford ~ fd_violations/inclusion_profile in the expectations
+# family; interval_concurrency ~ ts_decompose/ts_interpolate/
+# trend_slopes in the timeseries family). They stay staged-with-replay
+# (tests/test_staged_r8.py, both SFs) and UNREGISTERED until r9.
+HELD_FOR_R9 = ("ext_benford", "ext_interval_concurrency")
+
 STAGED_R8_QUERIES = {
     "ext_entity_resolution_multi": ext_entity_resolution_multi,
     "ext_dedup_span_maximal": ext_dedup_span_maximal,
@@ -1608,7 +1625,7 @@ STAGED_R8_QUERIES = {
     "ext_mm_exif": ext_mm_exif,
     "ext_weighted_percentiles": ext_weighted_percentiles,
     "ext_clustering_coeff": ext_clustering_coeff,
-    "ext_dedup_canonical": ext_dedup_canonical,
+    "ext_dedup_keep_best": ext_dedup_keep_best,
     "ext_fd_violations": ext_fd_violations,
     "ext_phrase_search": ext_phrase_search,
     "ext_interval_concurrency": ext_interval_concurrency,
@@ -1637,7 +1654,7 @@ STAGED_R8_ORACLES = {
     "ext_mm_exif": _EXIF_SQL,
     "ext_weighted_percentiles": _WEIGHTED_PCT_SQL,
     "ext_clustering_coeff": _CLUSTERING_SQL,
-    "ext_dedup_canonical": _DEDUP_CANONICAL_SQL,
+    "ext_dedup_keep_best": _DEDUP_CANONICAL_SQL,
     "ext_fd_violations": _FD_VIOLATIONS_SQL,
     "ext_phrase_search": _PHRASE_SEARCH_SQL,
     "ext_interval_concurrency": _INTERVAL_CONCURRENCY_SQL,

@@ -111,12 +111,16 @@ _DISTRIBUTION_DRIFT_SQL = f"""
       FROM orders
     ),
     bref AS (
-      SELECT v // {_DRIFT_BIN_CENTS} AS bin, COUNT(*) AS cr
+      SELECT v // {_DRIFT_BIN_CENTS}
+             - (CASE WHEN v % {_DRIFT_BIN_CENTS} != 0 AND v < 0
+                THEN 1 ELSE 0 END) AS bin, COUNT(*) AS cr
       FROM cents WHERE o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'
       GROUP BY 1
     ),
     bcur AS (
-      SELECT v // {_DRIFT_BIN_CENTS} AS bin, COUNT(*) AS cc
+      SELECT v // {_DRIFT_BIN_CENTS}
+             - (CASE WHEN v % {_DRIFT_BIN_CENTS} != 0 AND v < 0
+                THEN 1 ELSE 0 END) AS bin, COUNT(*) AS cc
       FROM cents WHERE o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT}'
       GROUP BY 1
     ),

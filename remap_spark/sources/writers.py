@@ -59,18 +59,28 @@ def write_bucketed_table(
     num_buckets: int = 16,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
-) -> None:
+    path: str | None = None,
+) -> DataFrame:
     """Persist as a bucketed (and optionally sorted) table — the
     co-located-join primitive: two tables bucketed on the same key with
     the same bucket count join with ZERO exchanges (and zero sorts when
     sortBy matches). At 100 TB, bucketing the fact tables on their join
     keys once at ingest removes the dominant shuffle from every
     downstream join; tests/test_sources.test_bucketed_join_no_exchange
-    pins the no-Exchange plan."""
+    pins the no-Exchange plan.
+
+    This is the ONE canonical bucketed-write API (the r7-advice
+    consolidation: operators/layout.write_bucketed now delegates
+    here). ``path`` makes the catalog table external; the return value
+    is the re-read table handle, whose scans carry the bucket spec
+    (``SelectedBucketsCount`` in explain)."""
     w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(name)
+    return df.sparkSession.table(name)
 
 
 def write_json(df: DataFrame, path: str, partition_cols: list[str] | None = None):

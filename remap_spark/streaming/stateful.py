@@ -308,9 +308,18 @@ def streaming_match_pattern(
                 st, n = 2, n + 1
             else:
                 st, anchor, n = 0, 0, 0
-        state.update((st, anchor, n))
-        if timeout_ms is not None:
-            state.setTimeoutDuration(timeout_ms)
+        if st == 0:
+            # Automaton at rest: holding a (0,0,0) row would pin every
+            # user ever seen in the state store forever under the
+            # default timeout_ms=None (the unbounded growth the module
+            # docstring warns about). Drop the row — it is re-created
+            # lazily, and byte-identically, on the user's next event.
+            if state.exists:
+                state.remove()
+        else:
+            state.update((st, anchor, n))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
         if matches:
             yield pd.DataFrame(
                 {

@@ -98,10 +98,33 @@ def canon(rows, colnames):
     return sorted(out, key=repr)
 
 
+def assert_driver_shape(sdf, name: str) -> None:
+    """Driver-canon output contract (the r7 incident, SURVEY §8): the
+    external driver canonicalizes results with pandas ``sort_values``
+    over every column, which cannot factorize list/dict cells — an
+    ARRAY/MAP/STRUCT column in a registered query's output crashes the
+    gate with ``TypeError: unhashable type`` and burns the window slot
+    RED (CORRECTNESS_r07: ext_inverted_index, ext_table_changes).
+    Query wrappers must serialize nested values (``array_join`` /
+    ``to_json``) and mirror in the oracle SQL; operators keep their
+    typed arrays — the typed pytest comparator is where arrays are
+    compared natively."""
+    bad = [
+        (c, t)
+        for c, t in sdf.dtypes
+        if t.startswith(("array", "map", "struct"))
+    ]
+    assert not bad, (
+        f"{name}: driver-facing output has nested columns {bad}; "
+        "serialize at the query-wrapper boundary (SURVEY §8 convention)"
+    )
+
+
 def assert_matches_oracle(spark, name: str, sf_dir: str = SF_DIR):
     from remap_spark.queries import ALL_ORACLES, ALL_QUERIES
 
     sdf = ALL_QUERIES[name](spark, sf_dir)
+    assert_driver_shape(sdf, name)
     srows = sdf.collect()
     scols = sdf.columns
 

@@ -15,8 +15,8 @@ import json
 import os
 
 from remap_spark.queries import (
-    _DUE_FIRST_R8,
-    _WINDOW_R7,
+    _DUE_FIRST_R9,
+    _WINDOW_R8,
     ALL_ORACLES,
     ALL_QUERIES,
     CHECK_WINDOW,
@@ -27,59 +27,51 @@ WINDOW = list(ALL_QUERIES)[:CHECK_WINDOW]
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries that have never had a full green driver row — every one must
-# sit inside the checked window until a green row is recorded. Round-7
-# promotion: the 33 staged queries (queries/staged_r7.py) registered
-# this round; each was replay-verified against its DuckDB oracle at
-# sf0.001 AND sf0.01 by tests/test_staged_r7.py before promotion, but
-# none has a driver-gate row yet. Each new queries() entry is appended
-# here the same commit it is registered.
+# sit inside the checked window until a green row is recorded. Round-8
+# promotion: 24 of the 26 staged_r8 queries registered this round
+# (ext_benford / ext_interval_concurrency are HELD for r9 — see
+# queries/staged_r8.HELD_FOR_R9); each was replay-verified against its
+# DuckDB oracle at sf0.001 AND sf0.01 by tests/test_staged_r8.py before
+# promotion, but none has a driver-gate row yet. Each new queries()
+# entry is appended here the same commit it is registered.
 NEVER_CHECKED: list[str] = [
-    "ext_sample_wor",
-    "ext_expectations",
-    "ext_attribution",
-    "ext_basket_rules",
-    "ext_entity_resolution",
-    "ext_rfm_segments",
-    "ext_ts_zscore",
-    "ext_ts_twap",
-    "ext_skyline",
-    "ext_skew_report",
-    "ext_ab_test",
-    "ext_crosstab_chi2",
-    "ext_period_over_period",
-    "ext_inverted_index",
-    "ext_markov_transitions",
-    "ext_kmv_set_ops",
-    "ext_shuffle_shards",
-    "ext_winsorize",
-    "ext_cross_matches",
-    "ext_k_core",
-    "ext_table_changes",
-    "ext_segment_overlap",
-    "ext_pagerank_personalized",
-    "ext_label_propagation",
-    "ext_modularity",
-    "ext_winnow",
-    "ext_pca_project",
-    "ext_ewma_forecast",
-    "ext_seasonal",
-    "ext_semantic_decontaminate",
-    "ext_scd2_lookup",
-    "ext_quantile_bins",
-    "ext_mad_outliers",
+    "ext_entity_resolution_multi",
+    "ext_dedup_span_maximal",
+    "ext_dedup_keep_one",
+    "ext_mm_audio_mp3_meta",
+    "ext_text_trigram_backoff",
+    "ext_dedup_incremental_spans",
+    "ext_graph_hits",
+    "ext_decontaminate_spans",
+    "ext_text_rake",
+    "ext_cep_pattern",
+    "ext_ivm_join_delta",
+    "ext_cumulative_users",
+    "ext_k_truss",
+    "ext_mm_exif",
+    "ext_weighted_percentiles",
+    "ext_clustering_coeff",
+    "ext_dedup_keep_best",
+    "ext_fd_violations",
+    "ext_phrase_search",
+    "ext_ts_decompose",
+    "ext_text_textrank",
+    "ext_inclusion_profile",
+    "ext_ts_interpolate",
+    "ext_trend_slopes",
 ]
 
-# Queries whose implementation changed since their latest recorded green
-# driver row. Empty at r7 start: all four round-5-changed queries
-# received green CORRECTNESS_r06 rows. Any semantic change to a
-# registered query this round must add its name here (forcing it into
-# the window) the same commit.
+# Queries whose implementation changed since their latest recorded
+# driver row. Any semantic change to a registered query this round must
+# add its name here (forcing it into the window) the same commit.
 CHANGED_SINCE_LAST_ROW: list[str] = [
-    # r7: bigram-LM model join rewritten (left + coalesce floor, forced
-    # broadcast dropped for the uncapped path per ADVICE; top-M cap
-    # param added). Results bit-identical under the full local replay,
-    # but a changed registered query belongs inside the window.
-    "ext_text_bigram_lm",
+    # r8: both r7 RED rows re-enter with their ARRAY output columns
+    # serialized to comma-joined strings at the query-wrapper boundary
+    # (oracles mirrored with array_to_string) — the driver's pandas
+    # canonicalizer cannot hash list cells. Operators keep typed
+    # arrays; see SURVEY §8's array-free output convention.
+    "ext_inverted_index",
+    "ext_table_changes",
 ]
 
 
@@ -96,6 +88,23 @@ def _recent_checked(n: int) -> set[str]:
     return seen
 
 
+def _latest_row_status() -> dict[str, bool]:
+    """name -> is the LATEST recorded driver row green? (rows+schema+
+    hash all true-or-absent and no harness error)."""
+    latest: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                ok = (
+                    bool(row.get("rows_match"))
+                    and row.get("schema_match") in (True, None)
+                    and row.get("hash_match") in (True, None)
+                    and not row.get("err")
+                )
+                latest[name] = ok
+    return latest
+
+
 def test_never_checked_families_inside_window():
     missing = [q for q in NEVER_CHECKED if q not in WINDOW]
     assert not missing, f"unverified queries outside driver window: {missing}"
@@ -106,35 +115,50 @@ def test_changed_queries_inside_window():
     assert not missing, f"changed queries outside driver window: {missing}"
 
 
+def test_red_latest_rows_inside_window():
+    """A registered query whose LATEST driver row is red has no valid
+    green signal at any staleness — it must re-enter the window every
+    round until a green row lands (the r7 lesson: ext_inverted_index /
+    ext_table_changes burned their first check on the array-canon
+    crash and re-check here in r8)."""
+    latest = _latest_row_status()
+    red = [q for q in ALL_QUERIES if q in latest and not latest[q]]
+    missing = [q for q in red if q not in WINDOW]
+    assert not missing, f"red-latest queries outside driver window: {missing}"
+
+
 def test_max_staleness_four_recorded_rounds():
     """Every registered query is either in the upcoming driver window
-    or has a green row within the last FOUR recorded correctness
-    rounds. Four is the tightest sustainable bound: the registry holds
-    169 queries against a 50-slot window, so a full re-verification
-    cycle needs ceil(169/50) = 4 records (the former 3-round bound was
-    arithmetically unsatisfiable the moment the 33 staged r7 queries
-    registered: 169 − 50 = 119 > 97 = |r04 ∪ r06|). The 119 non-window
-    queries are covered by r03 (23) + r04 (47) + r06 (49); the
-    50×4 = 200 ceiling leaves 31 slots of registry-growth headroom,
-    which is why r7 additions ship staged (see the rotation comment in
-    queries/__init__.py)."""
+    or has a row within the last FOUR recorded correctness rounds.
+    Four is the tightest sustainable bound: the registry holds 193
+    queries against a 50-slot window, so a full re-verification cycle
+    needs ceil(193/50) = 4 records. The 143 non-window queries are
+    covered by r04 (46 of its 47, dq01_project moved in-window as the
+    r9 smoothing pre-check) + r06 (49) + r07 (48, the 2 reds moved
+    in-window); the 50×4 = 200 ceiling leaves 7 rotation-headroom
+    slots, which is why r8 additions ship staged and the rotation
+    comment in queries/__init__.py budgets r9/r10 promotions."""
     recent = _recent_checked(4)
     stale = [q for q in ALL_QUERIES if q not in WINDOW and q not in recent]
     assert not stale, f"queries >4 recorded rounds stale and outside window: {stale}"
 
 
-def test_window_is_exactly_the_r7_plan():
-    # The r7 window is pinned name-by-name: 33 staged + the 17
-    # most-stale r3 rows, in documented priority order.
-    assert WINDOW == _WINDOW_R7
-    assert len(_WINDOW_R7) == CHECK_WINDOW
+def test_window_is_exactly_the_r8_plan():
+    # The r8 window is pinned name-by-name: the 2 red re-checks + 24
+    # promoted staged_r8 + the 23 rows due first after r7 + the
+    # dq01_project smoothing pre-check, in documented priority order.
+    assert WINDOW == _WINDOW_R8
+    assert len(_WINDOW_R8) == CHECK_WINDOW
 
 
-def test_due_first_r8_rows_follow_window():
-    # The 23 remaining r3-green rows sit immediately after the window:
-    # outside it this round (their r03 record covers them under the
-    # 4-round bound) and first in line for the r8 rotation.
-    assert list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R8)] == _DUE_FIRST_R8
+def test_due_first_r9_rows_follow_window():
+    # The 46 remaining r04-latest rows sit immediately after the
+    # window: outside it this round (their r04 record covers them
+    # under the 4-round bound) and first in line for the r9 rotation.
+    assert (
+        list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R9)]
+        == _DUE_FIRST_R9
+    )
 
 
 def test_window_queries_all_have_oracles():
@@ -147,3 +171,13 @@ def test_window_queries_all_have_oracles():
 def test_oracles_reference_registered_queries():
     unknown = [q for q in ALL_ORACLES if q not in ALL_QUERIES]
     assert not unknown, f"oracles for unregistered queries: {unknown}"
+
+
+def test_held_staged_queries_stay_unregistered():
+    """The two r8-held staged queries must NOT be registered (their
+    window slot doesn't exist this round); they re-enter via the r9
+    promotion with the staged replay as their interim signal."""
+    from remap_spark.queries.staged_r8 import HELD_FOR_R9
+
+    registered = [q for q in HELD_FOR_R9 if q in ALL_QUERIES]
+    assert not registered, f"held staged queries leaked into registry: {registered}"

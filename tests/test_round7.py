@@ -1475,6 +1475,34 @@ def test_distribution_drift_hand_computed(spark):
     }
 
 
+def test_distribution_drift_floor_bins_signed_data(spark):
+    """FLOOR (not truncate-toward-zero) binning: with width 2 the
+    values -3..2 land in bins {-2: [-3,-4), -1: [-2,-1], 0: [0,1],
+    1: [2,3]} — under `div` truncation, -1 and 1 would BOTH hit bin 0,
+    giving the zero bin double width (the r7-advice finding)."""
+    from remap_spark.operators.expectations import distribution_drift
+
+    ref = spark.createDataFrame([(v,) for v in [-3, -2, -1, 0, 1, 2]], "v long")
+    got = {
+        r["bin"]: r["n_ref"]
+        for r in distribution_drift(ref, ref, "v", 2).collect()
+    }
+    assert got == {-2: 1, -1: 2, 0: 2, 1: 1}
+
+
+def test_benford_rejects_sub_one_min_value(spark):
+    """min_value < 1 floors values to first digit 0, which the 9-row
+    expected join drops while the total still counts them — refuse
+    instead of deflating every observed_ppm (the r7-advice finding)."""
+    import pytest as _pytest
+
+    from remap_spark.operators.expectations import benford_deviation
+
+    df = spark.createDataFrame([(0.5,), (2.0,)], "v double")
+    with _pytest.raises(ValueError, match="min_value"):
+        benford_deviation(df, "v", min_value=0.1)
+
+
 def test_golden_records_fields_from_different_rows(spark):
     """One golden record merges fields from THREE different members:
     longest name from row 3, trusted value from row 1 (highest

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import SF_DIR, canon, duck_con
+from conftest import SF_DIR, assert_driver_shape, canon, duck_con
 
 from remap_spark.queries.staged_r7 import STAGED_ORACLES, STAGED_QUERIES
 
@@ -18,6 +18,7 @@ def test_staged_sets_aligned():
 @pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
 def test_staged_query_matches_oracle(spark, name):
     sdf = STAGED_QUERIES[name](spark, SF_DIR)
+    assert_driver_shape(sdf, name)
     srows, scols = sdf.collect(), sdf.columns
 
     con = duck_con(SF_DIR)

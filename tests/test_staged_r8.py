@@ -9,7 +9,14 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import SF_DIR, SF_DIR_T2, _dtype_class, canon, duck_con
+from conftest import (
+    SF_DIR,
+    SF_DIR_T2,
+    _dtype_class,
+    assert_driver_shape,
+    canon,
+    duck_con,
+)
 
 from remap_spark.queries.staged_r8 import STAGED_R8_ORACLES, STAGED_R8_QUERIES
 
@@ -22,6 +29,7 @@ def test_staged_sets_aligned():
 @pytest.mark.parametrize("name", sorted(STAGED_R8_QUERIES))
 def test_staged_r8_query_matches_oracle(spark, name, sf_dir):
     sdf = STAGED_R8_QUERIES[name](spark, sf_dir)
+    assert_driver_shape(sdf, name)
     srows, scols = sdf.collect(), sdf.columns
 
     con = duck_con(sf_dir)

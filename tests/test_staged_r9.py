@@ -8,7 +8,14 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import SF_DIR, SF_DIR_T2, _dtype_class, canon, duck_con
+from conftest import (
+    SF_DIR,
+    SF_DIR_T2,
+    _dtype_class,
+    assert_driver_shape,
+    canon,
+    duck_con,
+)
 
 from remap_spark.queries.staged_r9 import STAGED_R9_ORACLES, STAGED_R9_QUERIES
 
@@ -21,6 +28,7 @@ def test_staged_sets_aligned():
 @pytest.mark.parametrize("name", sorted(STAGED_R9_QUERIES))
 def test_staged_r9_query_matches_oracle(spark, name, sf_dir):
     sdf = STAGED_R9_QUERIES[name](spark, sf_dir)
+    assert_driver_shape(sdf, name)
     srows, scols = sdf.collect(), sdf.columns
 
     con = duck_con(sf_dir)
