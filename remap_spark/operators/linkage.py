@@ -224,7 +224,17 @@ def resolve_entities_multi(
         df, id_col, text_col, block_cols,
         max_distance=max_distance, max_block_size=max_block_size,
     )
-    comp = connected_components_star(pairs, src="id_a", dst="id_b").select(
+    # pre_collapse: one direct-neighbor-min contraction before the star
+    # fixpoint. MEASURED at sf0.1 (SCALE.md r8 note): closure alone
+    # 7.4 s -> 3.8 s cold / 4.3 s -> 3.0 s warm (the 742.5k-pair graph
+    # is 150 dense components of exactly 100 customers — TPC-H name
+    # structure — and each contracts to a handful of vertices in the
+    # one pass); whole-query fresh min-of-3 moves 11.5 s -> 10.7 s
+    # because the PAIR stage (8.9 s: 742.5k true lev<=2 pairs) is the
+    # floor, not the closure.
+    comp = connected_components_star(
+        pairs, src="id_a", dst="id_b", pre_collapse=True
+    ).select(
         F.col("id").alias(id_col), F.col("component").alias("_ent")
     )
     return (

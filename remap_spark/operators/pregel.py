@@ -529,6 +529,7 @@ def connected_components_star(
     dst: str = "dst",
     num_partitions: int | None = None,
     max_rounds: int = 50,
+    pre_collapse: bool = False,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     operations (Kiveris et al., "Connected Components in MapReduce and
@@ -546,6 +547,25 @@ def connected_components_star(
     Returns (id, component), component = min vertex id, one row per
     distinct vertex in ``edges``. Equivalent to ``connected_components``
     on every input; preferred when component diameters are unbounded.
+
+    ``pre_collapse``: contract the graph by one direct-neighbor-min
+    pass BEFORE the iterative fixpoint — every vertex u maps to
+    m(u) = min({u} ∪ N(u)) and each edge (u, v) becomes (m(u), m(v)).
+    Both pair-graph regimes benefit: trivial size-2/3 components
+    (whose min is adjacent to every member) collapse to self-loops and
+    VANISH, and dense blocks contract to a handful of vertices — the
+    measured ER case (SCALE.md r8): 742.5k pairs in 150 dense
+    100-vertex components, closure 7.4 s -> 3.8 s cold at sf0.1 — so
+    the star rounds (with their per-round checkpoint +
+    convergence-action floor) run only on the small residual. Exactness: m(u) stays inside
+    u's component; the component min c has m(c) = c, so it survives
+    contraction and remains the minimum of its contracted component —
+    composing comp(u) = comp_residual(m(u)), falling back to m(u) for
+    fully-collapsed components, reproduces the exact min-id labels
+    (pinned bit-identical against the pre_collapse=False path in
+    tests/test_round8.py). Skip it for graphs expected to be one giant
+    component (the pass would shrink nothing and pays its two mapping
+    joins).
     """
     spark = edges.sparkSession
     n = num_partitions
@@ -574,6 +594,33 @@ def connected_components_star(
         .repartition(n, "u")
         .localCheckpoint(eager=True)
     )
+    collapse_map = None
+    if pre_collapse:
+        # m(u) over the symmetrized graph (one groupBy), then two
+        # mapping joins re-point each edge at its endpoints' direct
+        # minima; self-loops (fully collapsed components) drop out.
+        sym0 = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        collapse_map = (
+            _neighbor_min(sym0).repartition(n, "u").localCheckpoint(eager=True)
+        )
+        e = (
+            e.join(
+                collapse_map.select("u", F.col("m").alias("_mu")), "u"
+            )
+            .join(
+                collapse_map.select(
+                    F.col("u").alias("v"), F.col("m").alias("_mv")
+                ),
+                "v",
+            )
+            .select(F.col("_mu").alias("u"), F.col("_mv").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .repartition(n, "u")
+            .localCheckpoint(eager=True)
+        )
     prev_e = e
     prev_sig: tuple | None = None
     # convergence is checked every SECOND round: each check is a driver
@@ -652,6 +699,22 @@ def connected_components_star(
         prev_sig = sig
         prev_e = e
     comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    if collapse_map is not None:
+        # compose: comp(u) = comp_residual(m(u)), falling back to m(u)
+        # when u's whole component collapsed out of the residual (then
+        # m(u) IS the component min for every member)
+        res = comp.select(
+            F.col("id").alias("_rid"), F.col("component").alias("_rc")
+        )
+        comp = (
+            collapse_map.join(
+                res, collapse_map["m"] == res["_rid"], "left"
+            )
+            .select(
+                F.col("u").alias("id"),
+                F.coalesce("_rc", F.col("m")).alias("component"),
+            )
+        )
     # star centers and isolated vertices map to themselves
     return verts.join(comp, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
