@@ -13,11 +13,12 @@ Spark-first:
    output is sum(b_k^2) over block sizes, not n^2 over the corpus.
    ``max_block_size`` drops degenerate blocks (the empty-string /
    "UNKNOWN" pathology) BEFORE the join, bounding the worst key.
-2. **Edge predicate** — ``F.levenshtein(a, b) <= max_distance``
-   (JVM codegen, no Python). Levenshtein cost is O(len^2) per pair:
-   cap field length upstream if records are long (names/addresses are
-   fine; don't feed documents here — that is what the MinHash tier in
-   ``operators/dedup`` is for).
+2. **Edge predicate** — thresholded ``F.levenshtein(a, b,
+   max_distance)`` (JVM codegen, no Python): the banded DP touches
+   only the 2*d+1 diagonal and abandons early, O(d*len) per pair
+   instead of O(len^2). Cap field length upstream if records are long
+   (names/addresses are fine; don't feed documents here — that is
+   what the MinHash tier in ``operators/dedup`` is for).
 3. **Closure** — matched pairs feed the O(log n) alternating-star
    connected components (``operators/pregel.connected_components_star``),
    so transitive chains (A~B~C with A!~C) still land in one entity,
@@ -75,11 +76,18 @@ def blocked_match_pairs(
         F.col("_id").alias("id_b"),
         F.col("_txt").alias("_txt_b"),
     )
+    # Thresholded levenshtein (Spark 3.5+): banded DP computes only the
+    # 2*d+1 diagonal band and abandons early, O(d*n) per pair instead of
+    # O(n^2); returns -1 past the threshold, the exact distance inside
+    # it — so the post-filter pair set and distance values are identical
+    # to the unbounded form the DuckDB oracle replays.
     return (
         a.join(b, "_blk")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("distance", F.levenshtein("_txt_a", "_txt_b"))
-        .where(F.col("distance") <= max_distance)
+        .withColumn(
+            "distance", F.levenshtein("_txt_a", "_txt_b", max_distance)
+        )
+        .where(F.col("distance") >= 0)
         .select("id_a", "id_b", "distance")
     )
 
@@ -109,7 +117,12 @@ def resolve_entities(
         df, id_col, text_col, block_col,
         max_distance=max_distance, max_block_size=max_block_size,
     )
-    comp = connected_components_star(pairs, src="id_a", dst="id_b").select(
+    # pre_collapse: same contraction win as resolve_entities_multi (the
+    # single-key pair graph has the same dense-component structure, just
+    # lower recall); bit-identical labels, measured note in SCALE.md.
+    comp = connected_components_star(
+        pairs, src="id_a", dst="id_b", pre_collapse=True
+    ).select(
         F.col("id").alias(id_col), F.col("component").alias("_ent")
     )
     return (
@@ -197,11 +210,17 @@ def blocked_match_pairs_multi(
     # ~15M-row PRE-FILTER candidate relation (with both text columns)
     # through the distinct: 19.2 s vs 14.2 s fresh. Codegen
     # levenshtein on short keys is cheaper than exchanging wide rows.
+    # Thresholded levenshtein: banded O(d*n) DP with early abandon (see
+    # blocked_match_pairs) — the candidate relation here is ~20x the
+    # true-pair count, so the per-candidate lev cost is the pair stage's
+    # dominant term and the band cut applies to every candidate.
     return (
         a.join(b, ["_kidx", "_blk"])
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("distance", F.levenshtein("_txt_a", "_txt_b"))
-        .where(F.col("distance") <= max_distance)
+        .withColumn(
+            "distance", F.levenshtein("_txt_a", "_txt_b", max_distance)
+        )
+        .where(F.col("distance") >= 0)
         .groupBy("id_a", "id_b")
         .agg(F.min("distance").alias("distance"))
     )

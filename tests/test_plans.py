@@ -426,6 +426,17 @@ def test_no_query_plans_a_cartesian_product(spark):
         "ext_kmv_set_ops",  # <=3k-row sketch-stat relations
         "ext_segment_overlap",  # |segments|-row sketch-stat pair join
         "ext_modularity",  # 1-row in-plan edge-total broadcast
+        # -- r8-promoted staged queries: audited bounded-relation BNLJ
+        # (same entries as the staged sweep in test_staged_r8.py) --
+        # corpus trigram total N: single-row broadcast into the
+        # per-trigram scoring join (bm25/tfidf in-plan-constant contract)
+        "ext_text_trigram_backoff",
+        # two 1-row L2-norm relations broadcast back per iteration
+        # (operators/pregel.hits in-plan normalizers)
+        "ext_graph_hits",
+        # per-series 1-row trend/seasonal-mean constants broadcast
+        # (operators/timeseries.decompose_additive)
+        "ext_ts_decompose",
     }
     bad = []
     for name, fn in ALL_QUERIES.items():

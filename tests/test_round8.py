@@ -99,3 +99,48 @@ def test_resolver_multi_uses_pre_collapse_and_keeps_output(spark):
     )
     got = {(r["rid"], r["entity_id"]) for r in out.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)}
+
+
+def test_thresholded_levenshtein_pairs_identical(spark):
+    """The banded thresholded levenshtein in blocked_match_pairs /
+    blocked_match_pairs_multi must produce the identical (pair,
+    distance) set as the unbounded form + <= filter: distances 0, 1,
+    exactly max_distance, max_distance+1, and far-over straddle the
+    threshold inside one block; a NULL text and a distinct block are
+    excluded by construction."""
+    from remap_spark.operators.linkage import (
+        blocked_match_pairs,
+        blocked_match_pairs_multi,
+    )
+
+    rows = [
+        (1, "kitten", "b1"),
+        (2, "kitten", "b1"),    # d=0
+        (3, "sitten", "b1"),    # d=1 vs kitten
+        (4, "sittin", "b1"),    # d=2 vs kitten
+        (5, "sitting", "b1"),   # d=3 vs kitten (excluded at max=2)
+        (6, "zzzzzzzzzz", "b1"),  # far over on every pair
+        (7, None, "b1"),        # NULL text never matches
+        (8, "kitten", "b2"),    # other block: no cross-block pair
+    ]
+    df = spark.createDataFrame(rows, "rid bigint, name string, blk string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in blocked_match_pairs(
+            df, "rid", "name", "blk", max_distance=2
+        ).collect()
+    }
+    # unbounded-form expectation, hand-checked
+    want = {
+        (1, 2, 0), (1, 3, 1), (1, 4, 2),
+        (2, 3, 1), (2, 4, 2),
+        (3, 4, 1), (3, 5, 2), (4, 5, 1),
+    }
+    assert got == want
+    got_multi = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in blocked_match_pairs_multi(
+            df, "rid", "name", ["blk"], max_distance=2
+        ).collect()
+    }
+    assert got_multi == want
