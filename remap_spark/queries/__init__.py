@@ -57,13 +57,15 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dq20_range_join": relational.dq20_range_join,
     "dq21_left_outer": relational.dq21_left_outer,
     "dq21_full_outer": relational.dq21_full_outer,
+    # dq21_right_outer: RETIRED to the pytest tier in r8 (duplicate
+    # capability — Spark plans right outer AS left outer with the build
+    # side swapped; left+full stay registered). See queries/retired.py.
     "dq22_union": relational.dq22_union,
     "dq23_cube": relational.dq23_cube,
     "dq24_asof_join": relational.dq24_asof_join,
     "dq25_window_funcs": relational.dq25_window_funcs,
     "dq26_distinct_agg": relational.dq26_distinct_agg,
     "dq27_sliding": relational.dq27_sliding,
-    "dq21_right_outer": relational.dq21_right_outer,
     "dq28_exists": relational.dq28_exists,
     "dq29_scalar_subquery": relational.dq29_scalar_subquery,
     "dq30_grouping_sets": relational.dq30_grouping_sets,
@@ -85,7 +87,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # error-band predicate (see relational.ext_approx_distinct)
     "ext_approx_distinct": relational.ext_approx_distinct,
     "ext_approx_percentiles": relational.ext_approx_percentiles,
-    "ext_funnel": relational.ext_funnel,
+    # ext_funnel: RETIRED to the pytest tier in r8 (strictly subsumed
+    # by ext_funnel_conversion; pipeline flagship also covers it).
     "ext_funnel_conversion": relational.ext_funnel_conversion,
     "ext_cohort_retention": relational.ext_cohort_retention,
     "ext_active_users": relational.ext_active_users,
@@ -166,8 +169,10 @@ register_extensions()
 CHECK_WINDOW = 50
 
 # Round-8 window arithmetic. The registry holds 169 + 24 promoted
-# staged_r8 queries = 193 against the 50-slot window; the staleness
-# bound stays at ceil(193/50) = 4 recorded rounds. The r8 window is
+# staged_r8 queries - 2 retired duplicate-capability rows (ext_funnel,
+# dq21_right_outer — moved to the pytest tier, queries/retired.py) =
+# 191 against the 50-slot window; the staleness bound stays at
+# ceil(191/50) = 4 recorded rounds. The r8 window is
 # over-subscribed by construction — 51 obligations for 50 slots:
 #   26 staged_r8 (never driver-checked => must be in-window the commit
 #      they register)
@@ -185,22 +190,28 @@ CHECK_WINDOW = 50
 # stay staged-with-replay, unregistered. That makes the window
 # 2 red re-checks + 24 promotions + 23 due-first = 49, and the 50th
 # slot pre-checks dq01_project (an r04-latest row) to smooth the r9
-# crunch below. Non-window coverage check: 193 - 50 = 143 =
-# 46 r04-latest (47 minus the pre-checked dq01) + 49 r06-latest +
-# 48 r07-latest (50 minus the 2 in-window reds) — every one inside the
-# last four recorded rounds (r03 r04 r06 r07 now; r04 r06 r07 r08 once
-# the r8 record lands, at which point the 23 r03 rows are in-window).
+# crunch below. Non-window coverage check: 191 - 50 = 141 =
+# 44 r04-latest (47 minus the pre-checked dq01 and the 2 retired) +
+# 49 r06-latest + 48 r07-latest (50 minus the 2 in-window reds) —
+# every one inside the last four recorded rounds (r03 r04 r06 r07 now;
+# r04 r06 r07 r08 once the r8 record lands, at which point the 23 r03
+# rows are in-window).
 #
 # r9 LOOKAHEAD (verified now so the next promotion cannot over-commit):
 # when CORRECTNESS_r09 lands the last-4 set becomes r06/r07/r08/r09,
-# so the 46 _DUE_FIRST_R9 rows (latest green r04) must all sit in the
-# r9 window — leaving exactly 4 slots for promotions against 6
-# candidates (2 held staged_r8 + 4 staged_r9). r9 must therefore hold
-# 2 of staged_r9 for r10 OR retire 2 long-green duplicate-capability
-# rows. Structurally: registry 193 vs the 50x4 = 200 ceiling means
-# long-run promotion bandwidth is (200-193)/4 < 2 queries per round;
-# per the r7 verdict, additions beyond that must be capacity-neutral
-# (retire or consolidate a duplicate row per addition).
+# so the 44 _DUE_FIRST_R9 rows (latest green r04) must all sit in the
+# r9 window — leaving exactly 6 slots for the 6 promotion candidates
+# (2 held staged_r8 + 4 staged_r9): the r9 window closes at exactly
+# 44 + 6 = 50 with no held-over staged queries. This is why the r7
+# verdict's sanctioned retirement option was taken in r8 (ext_funnel /
+# dq21_right_outer, strict capability duplicates — see
+# queries/retired.py): without it r9 had 52 obligations for 50 slots.
+# r10 LOOKAHEAD: last-4 becomes r07/r08/r09/r10 and the 49 r06-latest
+# rows fall due — 49 + 0 staged = 1 spare slot. Structurally: registry
+# 191 + 6 = 197 post-r9 vs the 50x4 = 200 ceiling keeps long-run
+# promotion bandwidth under 1 query per round; per the r7 verdict,
+# additions beyond that must stay capacity-neutral (retire or
+# consolidate a duplicate row per addition).
 _WINDOW_R8 = [
     # -- the 2 red r7 rows: first priority, never driver-green --
     "ext_inverted_index",
@@ -258,10 +269,11 @@ _WINDOW_R8 = [
     "dq01_project",
 ]
 
-# The 46 remaining r04-latest rows: OUTSIDE the r8 window (covered by
-# their r04 record under the 4-recorded-round bound) and due FIRST in
-# the r9 window — they fall outside the last-4-records set the moment
-# the r9 verify lands a new CORRECTNESS file.
+# The 44 remaining r04-latest rows (46 minus the 2 retired): OUTSIDE
+# the r8 window (covered by their r04 record under the
+# 4-recorded-round bound) and due FIRST in the r9 window — they fall
+# outside the last-4-records set the moment the r9 verify lands a new
+# CORRECTNESS file.
 _DUE_FIRST_R9 = [
     "dq02_filter",
     "dq04_collation",
@@ -284,7 +296,6 @@ _DUE_FIRST_R9 = [
     "dq20_range_join",
     "dq21_full_outer",
     "dq21_left_outer",
-    "dq21_right_outer",
     "dq22_union",
     "dq23_cube",
     "dq25_window_funcs",
@@ -304,7 +315,6 @@ _DUE_FIRST_R9 = [
     "ext_dedup_semantic",
     "ext_dedup_span",
     "ext_dedup_span_removal",
-    "ext_funnel",
     "ext_funnel_conversion",
     "ext_pagerank_dangling",
     "ext_split_leakage_safe",

@@ -120,17 +120,26 @@ def assert_driver_shape(sdf, name: str) -> None:
     )
 
 
-def assert_matches_oracle(spark, name: str, sf_dir: str = SF_DIR):
+def assert_matches_oracle(
+    spark, name: str, sf_dir: str = SF_DIR, query_fn=None, oracle=None
+):
+    """Typed Spark-vs-DuckDB comparison. Looks ``name`` up in the live
+    registry by default; pass ``query_fn``/``oracle`` explicitly for
+    queries outside it (the retired pytest tier, ad-hoc probes)."""
     from remap_spark.queries import ALL_ORACLES, ALL_QUERIES
 
-    sdf = ALL_QUERIES[name](spark, sf_dir)
+    if query_fn is None:
+        query_fn = ALL_QUERIES[name]
+    if oracle is None:
+        oracle = ALL_ORACLES[name]
+    sdf = query_fn(spark, sf_dir)
     assert_driver_shape(sdf, name)
     srows = sdf.collect()
     scols = sdf.columns
 
     con = duck_con(sf_dir)
     try:
-        res = con.sql(ALL_ORACLES[name])
+        res = con.sql(oracle)
         dcols = res.columns
         dtypes = [str(t) for t in res.types]
         drows = res.fetchall()

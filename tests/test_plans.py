@@ -286,7 +286,13 @@ def test_funnel_single_user_shuffle(spark):
     add small exchanges for the stage-literal join and final ordering,
     but no second exchange of the event table: total exchanges stays
     tiny and no cartesian appears beyond the 1-row stage relation."""
-    r = _report(spark, "ext_funnel")
+    # ext_funnel retired to the pytest tier in r8 (queries/retired.py);
+    # the plan pin stays — the operator and its registered sibling
+    # ext_funnel_conversion share the fold.
+    from remap_spark.plans import plan_report
+    from remap_spark.queries.retired import RETIRED_QUERIES
+
+    r = plan_report(RETIRED_QUERIES["ext_funnel"](spark, SF_DIR))
     assert r["exchanges"] <= 5, r["plan"]
     assert "CartesianProduct" not in r["plan"]
 

@@ -130,14 +130,15 @@ def test_red_latest_rows_inside_window():
 def test_max_staleness_four_recorded_rounds():
     """Every registered query is either in the upcoming driver window
     or has a row within the last FOUR recorded correctness rounds.
-    Four is the tightest sustainable bound: the registry holds 193
+    Four is the tightest sustainable bound: the registry holds 191
     queries against a 50-slot window, so a full re-verification cycle
-    needs ceil(193/50) = 4 records. The 143 non-window queries are
-    covered by r04 (46 of its 47, dq01_project moved in-window as the
-    r9 smoothing pre-check) + r06 (49) + r07 (48, the 2 reds moved
-    in-window); the 50×4 = 200 ceiling leaves 7 rotation-headroom
-    slots, which is why r8 additions ship staged and the rotation
-    comment in queries/__init__.py budgets r9/r10 promotions."""
+    needs ceil(191/50) = 4 records. The 141 non-window queries are
+    covered by r04 (44 of its 47 — dq01_project moved in-window as the
+    r9 smoothing pre-check, ext_funnel/dq21_right_outer retired to the
+    pytest tier) + r06 (49) + r07 (48, the 2 reds moved in-window);
+    the 50×4 = 200 ceiling leaves 9 rotation-headroom slots, which is
+    why r8 additions ship staged and the rotation comment in
+    queries/__init__.py budgets r9/r10 promotions."""
     recent = _recent_checked(4)
     stale = [q for q in ALL_QUERIES if q not in WINDOW and q not in recent]
     assert not stale, f"queries >4 recorded rounds stale and outside window: {stale}"
@@ -152,9 +153,11 @@ def test_window_is_exactly_the_r8_plan():
 
 
 def test_due_first_r9_rows_follow_window():
-    # The 46 remaining r04-latest rows sit immediately after the
+    # The 44 remaining r04-latest rows sit immediately after the
     # window: outside it this round (their r04 record covers them
-    # under the 4-round bound) and first in line for the r9 rotation.
+    # under the 4-round bound) and first in line for the r9 rotation
+    # (44 due-first + 6 staged promotions = exactly 50 — the retirement
+    # arithmetic in queries/retired.py).
     assert (
         list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R9)]
         == _DUE_FIRST_R9
