@@ -381,3 +381,51 @@ def distribution_drift(
         )
         .orderBy("bin")
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Re-identification risk profile (Sweeney, "k-Anonymity: A Model
+    for Protecting Privacy", IJUFKS 2002) over a set of
+    quasi-identifier columns — the compliance screen that pairs with
+    the PII detector in ``operators/text``: PII finds direct
+    identifiers; this finds COMBINATIONS of innocuous columns that
+    single records out. One row per present quasi-identifier
+    combination with its equivalence-class size ``n_rows`` and
+    ``at_risk = n_rows < k`` (the k-anonymity violation flag: a class
+    smaller than k lets an attacker who knows the quasi values narrow
+    a target to fewer than k candidates — suppress or generalize those
+    rows before release).
+
+    ``sensitive_col`` adds the l-diversity companion
+    (Machanavajjhala et al., TKDD 2007): ``n_sensitive`` = distinct
+    sensitive values inside the class — a class can be k-anonymous yet
+    leak the sensitive attribute when all its members share one value.
+
+    Scale shape: ONE combiner-aggregated groupBy on the quasi columns
+    (count + count-distinct both partial-aggregate map-side; Spark
+    plans the distinct as the standard two-phase expand), output
+    bounded by the quasi-combination cardinality — report-sized for
+    real quasi-identifiers (region x age-bucket x segment), never
+    corpus-sized. No join, no window, no Python. At 100 TB the only
+    dial is the combination cardinality itself: a near-unique quasi
+    set (e.g. a timestamp) makes the REPORT the corpus — that is a
+    finding (everything is at risk), but cap it upstream by bucketing
+    continuous columns before profiling, exactly as the k-anonymity
+    literature generalizes them.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive")
+        )
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(*aggs)
+        .withColumn("at_risk", F.col("n_rows") < F.lit(int(k)))
+        .orderBy(*quasi_cols)
+    )

@@ -207,8 +207,10 @@ CHECK_WINDOW = 50
 # dq21_right_outer, strict capability duplicates — see
 # queries/retired.py): without it r9 had 52 obligations for 50 slots.
 # r10 LOOKAHEAD: last-4 becomes r07/r08/r09/r10 and the 49 r06-latest
-# rows fall due — 49 + 0 staged = 1 spare slot. Structurally: registry
-# 191 + 6 = 197 post-r9 vs the 50x4 = 200 ceiling keeps long-run
+# rows fall due — 49 + 1 = 50 with the one spare slot earmarked for
+# the single staged_r10 query (ext_k_anonymity, queries/staged_r10.py;
+# replay-verified both SFs). Structurally: registry 191 + 6 = 197
+# post-r9, + 1 = 198 post-r10 vs the 50x4 = 200 ceiling keeps long-run
 # promotion bandwidth under 1 query per round; per the r7 verdict,
 # additions beyond that must stay capacity-neutral (retire or
 # consolidate a duplicate row per addition).
