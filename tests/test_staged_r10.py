@@ -120,3 +120,54 @@ def test_k_anonymity_hand_computed(spark):
     # without a sensitive column the l-diversity column is absent
     slim = k_anonymity_report(df, ["age", "sex"], k=3)
     assert "n_sensitive" not in slim.columns
+
+
+def test_k_anonymity_matches_pandas_groundtruth(spark):
+    """Property test: k_anonymity_report over random small tables
+    equals a pandas groupby ground truth — class sizes, distinct
+    sensitive counts, at-risk flags, and the set of emitted classes
+    (only PRESENT combinations appear)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from remap_spark.operators.expectations import k_anonymity_report
+
+    rows_st = st.lists(
+        st.tuples(
+            st.integers(0, 3),              # quasi 1
+            st.sampled_from(["a", "b"]),    # quasi 2
+            st.integers(0, 2),              # sensitive
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=rows_st, k=st.sampled_from([1, 2, 4]))
+    def run(rows, k):
+        df = spark.createDataFrame(
+            rows, "q1 int, q2 string, sens int"
+        )
+        got = {
+            (r["q1"], r["q2"]): (
+                r["n_rows"], r["n_sensitive"], r["at_risk"]
+            )
+            for r in k_anonymity_report(
+                df, ["q1", "q2"], k=k, sensitive_col="sens"
+            ).collect()
+        }
+        want: dict = {}
+        for q1, q2, s in rows:
+            n, seen = want.get((q1, q2), (0, set()))
+            seen = set(seen) | {s}
+            want[(q1, q2)] = (n + 1, seen)
+        want = {
+            key: (n, len(seen), n < k) for key, (n, seen) in want.items()
+        }
+        assert got == want
+
+    run()
