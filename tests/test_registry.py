@@ -184,3 +184,38 @@ def test_held_staged_queries_stay_unregistered():
 
     registered = [q for q in HELD_FOR_R9 if q in ALL_QUERIES]
     assert not registered, f"held staged queries leaked into registry: {registered}"
+
+
+def test_r9_window_plan_arithmetic():
+    """The r9 promotion is pre-verified mechanically: the 44 due-first
+    rows + the 2 held staged_r8 queries + the 4 staged_r9 queries are
+    exactly 50 distinct names — the retirement in queries/retired.py
+    made the plan close with zero held-over candidates (it was 52
+    obligations before). Every due-first name must still be registered
+    and every promotion candidate must exist in its staged module, so
+    a rename or deletion breaks this BEFORE the r9 window is built."""
+    from remap_spark.queries.staged_r8 import HELD_FOR_R9, STAGED_R8_QUERIES
+    from remap_spark.queries.staged_r9 import STAGED_R9_QUERIES
+
+    planned = (
+        list(_DUE_FIRST_R9)
+        + sorted(HELD_FOR_R9)
+        + sorted(STAGED_R9_QUERIES)
+    )
+    assert len(planned) == CHECK_WINDOW, len(planned)
+    assert len(set(planned)) == CHECK_WINDOW
+    missing = [n for n in _DUE_FIRST_R9 if n not in ALL_QUERIES]
+    assert not missing, f"due-first rows not registered: {missing}"
+    unstaged = [n for n in HELD_FOR_R9 if n not in STAGED_R8_QUERIES]
+    assert not unstaged, f"held names missing from staged_r8: {unstaged}"
+
+
+def test_retired_names_absent_from_rotation_lists():
+    """Retired rows must not linger in any rotation structure — a
+    stale name there would make the window builder silently skip it
+    (membership-guarded) and under-fill the driver window."""
+    from remap_spark.queries.retired import RETIRED_QUERIES
+
+    for name in RETIRED_QUERIES:
+        assert name not in _WINDOW_R8
+        assert name not in _DUE_FIRST_R9
