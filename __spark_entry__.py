@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-entry(spark)   — flagship query (DQ9 multiway join) on sf0.001.
+entry(spark)   — flagship query (ext_pipeline_curate) on sf0.001.
 queries()      — every implemented query from SURVEY.md §2.13 + extensions.
 oracle_sql()   — matching DuckDB SQL for the correctness gate.
 """
