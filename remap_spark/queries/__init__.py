@@ -130,26 +130,26 @@ def register_extensions() -> None:
         pass
     try:
         # Round-8 promotion: 24 of the 26 queries staged through round 7
-        # (replay-verified at sf0.001 AND sf0.01 by tests/test_staged_r8.py,
-        # plan-swept by its cartesian/Python sweeps) enter the registry
-        # and the driver window this round. Two are HELD for r9 — the
-        # window arithmetic below explains why — and stay staged.
+        # registered in r8; the two HELD_FOR_R9 rows (ext_benford,
+        # ext_interval_concurrency) register NOW as part of the r9
+        # promotion — both replay-verified at sf0.001 AND sf0.01 by
+        # tests/test_staged_r8.py across the r8 hold.
         from . import staged_r8  # noqa: F401
 
-        ALL_QUERIES.update(
-            {
-                k: v
-                for k, v in staged_r8.STAGED_R8_QUERIES.items()
-                if k not in staged_r8.HELD_FOR_R9
-            }
-        )
-        ALL_ORACLES.update(
-            {
-                k: v
-                for k, v in staged_r8.STAGED_R8_ORACLES.items()
-                if k not in staged_r8.HELD_FOR_R9
-            }
-        )
+        ALL_QUERIES.update(staged_r8.STAGED_R8_QUERIES)
+        ALL_ORACLES.update(staged_r8.STAGED_R8_ORACLES)
+    except ImportError:
+        pass
+    try:
+        # Round-9 promotion: the 4 queries staged through round 8
+        # (CUSUM changepoint, distribution drift, golden records,
+        # seasonal anomaly — replay-verified at sf0.001 AND sf0.01 by
+        # tests/test_staged_r9.py, plan-swept) enter the registry and
+        # the driver window this round.
+        from . import staged_r9  # noqa: F401
+
+        ALL_QUERIES.update(staged_r9.STAGED_R9_QUERIES)
+        ALL_ORACLES.update(staged_r9.STAGED_R9_ORACLES)
     except ImportError:
         pass
 
@@ -168,114 +168,45 @@ register_extensions()
 # sibling (plus their own recorded round-1 pass) fill the tail.
 CHECK_WINDOW = 50
 
-# Round-8 window arithmetic. The registry holds 169 + 24 promoted
-# staged_r8 queries - 2 retired duplicate-capability rows (ext_funnel,
-# dq21_right_outer — moved to the pytest tier, queries/retired.py) =
-# 191 against the 50-slot window; the staleness bound stays at
-# ceil(191/50) = 4 recorded rounds. The r8 window is
-# over-subscribed by construction — 51 obligations for 50 slots:
-#   26 staged_r8 (never driver-checked => must be in-window the commit
-#      they register)
-# + 23 _DUE_FIRST_R8 rows (their r03 record leaves the last-4 recorded
-#      set the moment CORRECTNESS_r08 lands)
-# +  2 RED r7 rows (ext_inverted_index / ext_table_changes: the driver
-#      canon crashed on their ARRAY output columns, so they have never
-#      been driver-green; a red latest row cannot satisfy the
-#      staleness invariant — they re-enter with serialized outputs,
-#      see SURVEY §8's array-free convention)
-# = 51. Resolution per the r7 verdict: promote only 24 of staged_r8 —
-# ext_benford and ext_interval_concurrency are HELD for r9 (their
-# families keep in-window r8 siblings: fd_violations /
-# inclusion_profile, ts_decompose / ts_interpolate / trend_slopes) and
-# stay staged-with-replay, unregistered. That makes the window
-# 2 red re-checks + 24 promotions + 23 due-first = 49, and the 50th
-# slot pre-checks dq01_project (an r04-latest row) to smooth the r9
-# crunch below. Non-window coverage check: 191 - 50 = 141 =
-# 44 r04-latest (47 minus the pre-checked dq01 and the 2 retired) +
-# 49 r06-latest + 48 r07-latest (50 minus the 2 in-window reds) —
-# every one inside the last four recorded rounds (r03 r04 r06 r07 now;
-# r04 r06 r07 r08 once the r8 record lands, at which point the 23 r03
-# rows are in-window).
+# Round-9 window arithmetic (executing the plan the r8 verdict
+# pre-verified). The registry holds 191 + 6 r9 promotions = 197
+# against the 50-slot window; the staleness bound stays at
+# ceil(197/50) = 4 recorded rounds. CORRECTNESS_r08 landed 50/50
+# green, so the last-4 recorded set becomes r06/r07/r08/r09 the
+# moment the r9 record lands — which makes the 44 `_DUE_FIRST_R9`
+# rows (latest green row: r04) the window's hard obligations. The
+# remaining 6 slots take the 6 promotion candidates, all
+# never-driver-checked and therefore in-window the commit they
+# register:
+#   2 staged_r8 rows held from r8 (ext_benford,
+#     ext_interval_concurrency — families were covered by in-window
+#     r8 siblings during the hold)
+# + 4 staged_r9 rows (ext_ts_changepoint, ext_distribution_drift,
+#     ext_golden_records, ext_ts_anomaly_seasonal)
+# = exactly 50, zero held-over candidates (the r8 retirement of
+# ext_funnel / dq21_right_outer — queries/retired.py — is what made
+# this close; it was 52 obligations before). Non-window coverage
+# check: 197 - 50 = 147 = 49 r06-latest + 48 r07-latest + 50
+# r08-latest — every one inside the last four recorded rounds both
+# before and after the r9 record lands.
 #
-# r9 LOOKAHEAD (verified now so the next promotion cannot over-commit):
-# when CORRECTNESS_r09 lands the last-4 set becomes r06/r07/r08/r09,
-# so the 44 _DUE_FIRST_R9 rows (latest green r04) must all sit in the
-# r9 window — leaving exactly 6 slots for the 6 promotion candidates
-# (2 held staged_r8 + 4 staged_r9): the r9 window closes at exactly
-# 44 + 6 = 50 with no held-over staged queries. This is why the r7
-# verdict's sanctioned retirement option was taken in r8 (ext_funnel /
-# dq21_right_outer, strict capability duplicates — see
-# queries/retired.py): without it r9 had 52 obligations for 50 slots.
-# r10 LOOKAHEAD: last-4 becomes r07/r08/r09/r10 and the 49 r06-latest
-# rows fall due — 49 + 1 = 50 with the one spare slot earmarked for
-# the single staged_r10 query (ext_k_anonymity, queries/staged_r10.py;
-# replay-verified both SFs). Structurally: registry 191 + 6 = 197
-# post-r9, + 1 = 198 post-r10 vs the 50x4 = 200 ceiling keeps long-run
-# promotion bandwidth under 1 query per round; per the r7 verdict,
-# additions beyond that must stay capacity-neutral (retire or
-# consolidate a duplicate row per addition).
-_WINDOW_R8 = [
-    # -- the 2 red r7 rows: first priority, never driver-green --
-    "ext_inverted_index",
-    "ext_table_changes",
-    # -- the 24 promoted staged_r8 queries (first driver check) --
-    "ext_entity_resolution_multi",
-    "ext_dedup_span_maximal",
-    "ext_dedup_keep_one",
-    "ext_mm_audio_mp3_meta",
-    "ext_text_trigram_backoff",
-    "ext_dedup_incremental_spans",
-    "ext_graph_hits",
-    "ext_decontaminate_spans",
-    "ext_text_rake",
-    "ext_cep_pattern",
-    "ext_ivm_join_delta",
-    "ext_cumulative_users",
-    "ext_k_truss",
-    "ext_mm_exif",
-    "ext_weighted_percentiles",
-    "ext_clustering_coeff",
-    "ext_dedup_keep_best",
-    "ext_fd_violations",
-    "ext_phrase_search",
-    "ext_ts_decompose",
-    "ext_text_textrank",
-    "ext_inclusion_profile",
-    "ext_ts_interpolate",
-    "ext_trend_slopes",
-    # -- the 23 rows due first after r7 (latest green row: r03) --
-    "ext_dedup_bloom",
-    "ext_ann_hard_negatives",
-    "ext_mix_temperature",
-    "ext_range_join_binned",
-    "dq28_exists",
-    "dq30_grouping_sets",
-    "dq11_except",
-    "dq18_grouped_udf",
-    "dq24_asof_join",
-    "dq41_recursive_sql",
-    "dq43_rolling_range",
-    "dq44_merge_upsert",
-    "ext_profile_columns",
-    "ext_approx_distinct",
-    "ext_quality_classifier",
-    "ext_dedup_exact",
-    "ext_ann_ivf",
-    "ext_text_pii",
-    "ext_dedup_incremental",
-    "ext_kmeans_embed",
-    "ext_pipeline_curate",
-    "ext_text_decontaminate",
-    "ext_approx_percentiles",
-    # -- 50th slot: r04-latest pre-check, smooths the r9 crunch --
-    "dq01_project",
-]
-
-# The 44 remaining r04-latest rows (46 minus the 2 retired): OUTSIDE
-# the r8 window (covered by their r04 record under the
-# 4-recorded-round bound) and due FIRST in the r9 window — they fall
-# outside the last-4-records set the moment the r9 verify lands a new
-# CORRECTNESS file.
+# r10 LOOKAHEAD (verified now so the next promotion cannot
+# over-commit): when CORRECTNESS_r10 lands the last-4 set becomes
+# r07/r08/r09/r10 and the 49 r06-latest rows fall due — 49 + 1 = 50
+# with the one spare slot earmarked for the single staged_r10 query
+# (ext_k_anonymity, queries/staged_r10.py; replay-verified both SFs).
+# r11 LOOKAHEAD: the 48 r07-latest rows fall due, leaving 2 spare
+# slots. Structurally: registry 197 post-r9, 198 post-r10 vs the
+# 50×4 = 200 ceiling keeps long-run promotion bandwidth under 1
+# query per round; additions beyond that must stay capacity-neutral
+# (retire or consolidate a duplicate row per addition — retirement
+# criteria: long-green for ≥2 recorded rounds, capability strictly
+# subsumed by a registered sibling, AND the verbatim oracle replay
+# retained in the pytest tier per queries/retired.py).
+#
+# The 44 rows whose latest green row is r04: due FIRST in this
+# window (they leave the last-4-records set the moment the r9
+# verify lands a new CORRECTNESS file).
 _DUE_FIRST_R9 = [
     "dq02_filter",
     "dq04_collation",
@@ -323,19 +254,89 @@ _DUE_FIRST_R9 = [
     "ext_text_bpe_pairs",
 ]
 
+# The r9 window: 6 never-driver-checked promotions first (priority —
+# they have no recorded row at all), then the 44 due-first rows.
+_WINDOW_R9 = [
+    # -- the 2 staged_r8 rows held from r8 (first driver check) --
+    "ext_benford",
+    "ext_interval_concurrency",
+    # -- the 4 staged_r9 promotions (first driver check) --
+    "ext_ts_changepoint",
+    "ext_distribution_drift",
+    "ext_golden_records",
+    "ext_ts_anomaly_seasonal",
+] + _DUE_FIRST_R9
+
+# The 49 rows whose latest green row is r06: OUTSIDE the r9 window
+# (covered by their r06 record under the 4-recorded-round bound) and
+# due FIRST in the r10 window — they fall outside the last-4-records
+# set the moment the r10 verify lands a new CORRECTNESS file. 49 + 1
+# staged_r10 promotion (ext_k_anonymity) = exactly 50.
+_DUE_FIRST_R10 = [
+    "dq33_percentiles",
+    "dq36_conditional_agg",
+    "dq37_lead_lag",
+    "dq38_sql_api",
+    "dq45_rank_funcs",
+    "ext_active_users_approx",
+    "ext_ann_ivf_pq",
+    "ext_ann_lsh",
+    "ext_ann_pq",
+    "ext_ann_topk",
+    "ext_cohort_retention",
+    "ext_dedup_embedding",
+    "ext_dedup_incremental_fuzzy",
+    "ext_dedup_lsh_verified",
+    "ext_dedup_minhash_lsh",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_paragraph_global",
+    "ext_dedup_prefix_filter",
+    "ext_dedup_simhash",
+    "ext_dedup_soft_weights",
+    "ext_dedup_span_lengths",
+    "ext_graph_sssp",
+    "ext_graph_triangles",
+    "ext_kmv_distinct",
+    "ext_layout_hilbert",
+    "ext_layout_zorder",
+    "ext_mm_audio_features",
+    "ext_mm_frame_sample",
+    "ext_mm_image_features",
+    "ext_percentile_state",
+    "ext_pipeline_analytics",
+    "ext_pipeline_pretokenize",
+    "ext_recipe_token_budget",
+    "ext_retrieval_rrf",
+    "ext_rollup_incremental",
+    "ext_sample_det",
+    "ext_sample_stratified",
+    "ext_scd2_history",
+    "ext_scd2_incremental",
+    "ext_split_train_test",
+    "ext_text_bm25",
+    "ext_text_fingerprint",
+    "ext_text_langid",
+    "ext_text_quality",
+    "ext_text_stats",
+    "ext_text_tokens",
+    "ext_ts_ewma",
+    "ext_ts_gapfill",
+    "ext_user_paths",
+]
+
 
 def _apply_check_priority() -> None:
     """Reorder ALL_QUERIES so the driver's 50-slot check window holds
-    exactly ``_WINDOW_R8`` (in that order), immediately followed by the
-    ``_DUE_FIRST_R9`` rows (outside the window this round, first in line
-    next round), then every other registered query in registration
-    order (all r4/r6-green, code unchanged since their latest row)."""
+    exactly ``_WINDOW_R9`` (in that order), immediately followed by the
+    ``_DUE_FIRST_R10`` rows (outside the window this round, first in
+    line next round), then every other registered query in registration
+    order (all r7/r8-green, code unchanged since their latest row)."""
     # membership-guarded (register_extensions deliberately swallows a
     # broken extension module's ImportError; a KeyError here would
     # take down the core DQ set that contract protects — the registry
     # tests still fail loudly on any missing window name)
-    window = {k: ALL_QUERIES[k] for k in _WINDOW_R8 if k in ALL_QUERIES}
-    due_next = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R9 if k in ALL_QUERIES}
+    window = {k: ALL_QUERIES[k] for k in _WINDOW_R9 if k in ALL_QUERIES}
+    due_next = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R10 if k in ALL_QUERIES}
     rest = {
         k: v
         for k, v in ALL_QUERIES.items()

@@ -1596,15 +1596,13 @@ _TREND_SLOPES_SQL = """
 """
 
 
-# Round-8 promotion holds these two back for the r9 window: the r8
-# window had 51 obligations for 50 slots (24 promotions + the 2 red
-# array-canon re-checks + 23 _DUE_FIRST_R8 + 1 r04 smoothing pre-check
-# — see the rotation comment in queries/__init__). Per the r7 verdict
-# they are the two whose families already have in-window r8 siblings
-# (benford ~ fd_violations/inclusion_profile in the expectations
-# family; interval_concurrency ~ ts_decompose/ts_interpolate/
-# trend_slopes in the timeseries family). They stay staged-with-replay
-# (tests/test_staged_r8.py, both SFs) and UNREGISTERED until r9.
+# The r8 promotion held these two back for the r9 window (the r8
+# window had 51 obligations for 50 slots; their families had
+# in-window r8 siblings — benford ~ fd_violations/inclusion_profile,
+# interval_concurrency ~ ts_decompose/ts_interpolate/trend_slopes).
+# PROMOTED in r9: they now register with the rest of STAGED_R8_QUERIES
+# and hold the first two slots of _WINDOW_R9 (queries/__init__). The
+# tuple stays as the record of which names took the r9 promotion path.
 HELD_FOR_R9 = ("ext_benford", "ext_interval_concurrency")
 
 STAGED_R8_QUERIES = {

@@ -16,7 +16,8 @@ import os
 
 from remap_spark.queries import (
     _DUE_FIRST_R9,
-    _WINDOW_R8,
+    _DUE_FIRST_R10,
+    _WINDOW_R9,
     ALL_ORACLES,
     ALL_QUERIES,
     CHECK_WINDOW,
@@ -27,52 +28,25 @@ WINDOW = list(ALL_QUERIES)[:CHECK_WINDOW]
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries that have never had a full green driver row — every one must
-# sit inside the checked window until a green row is recorded. Round-8
-# promotion: 24 of the 26 staged_r8 queries registered this round
-# (ext_benford / ext_interval_concurrency are HELD for r9 — see
-# queries/staged_r8.HELD_FOR_R9); each was replay-verified against its
-# DuckDB oracle at sf0.001 AND sf0.01 by tests/test_staged_r8.py before
+# sit inside the checked window until a green row is recorded. Round-9
+# promotion: the 2 staged_r8 rows held across r8 plus the 4 staged_r9
+# rows; each was replay-verified against its DuckDB oracle at sf0.001
+# AND sf0.01 (tests/test_staged_r8.py, tests/test_staged_r9.py) before
 # promotion, but none has a driver-gate row yet. Each new queries()
 # entry is appended here the same commit it is registered.
 NEVER_CHECKED: list[str] = [
-    "ext_entity_resolution_multi",
-    "ext_dedup_span_maximal",
-    "ext_dedup_keep_one",
-    "ext_mm_audio_mp3_meta",
-    "ext_text_trigram_backoff",
-    "ext_dedup_incremental_spans",
-    "ext_graph_hits",
-    "ext_decontaminate_spans",
-    "ext_text_rake",
-    "ext_cep_pattern",
-    "ext_ivm_join_delta",
-    "ext_cumulative_users",
-    "ext_k_truss",
-    "ext_mm_exif",
-    "ext_weighted_percentiles",
-    "ext_clustering_coeff",
-    "ext_dedup_keep_best",
-    "ext_fd_violations",
-    "ext_phrase_search",
-    "ext_ts_decompose",
-    "ext_text_textrank",
-    "ext_inclusion_profile",
-    "ext_ts_interpolate",
-    "ext_trend_slopes",
+    "ext_benford",
+    "ext_interval_concurrency",
+    "ext_ts_changepoint",
+    "ext_distribution_drift",
+    "ext_golden_records",
+    "ext_ts_anomaly_seasonal",
 ]
 
 # Queries whose implementation changed since their latest recorded
 # driver row. Any semantic change to a registered query this round must
 # add its name here (forcing it into the window) the same commit.
-CHANGED_SINCE_LAST_ROW: list[str] = [
-    # r8: both r7 RED rows re-enter with their ARRAY output columns
-    # serialized to comma-joined strings at the query-wrapper boundary
-    # (oracles mirrored with array_to_string) — the driver's pandas
-    # canonicalizer cannot hash list cells. Operators keep typed
-    # arrays; see SURVEY §8's array-free output convention.
-    "ext_inverted_index",
-    "ext_table_changes",
-]
+CHANGED_SINCE_LAST_ROW: list[str] = []
 
 
 def _recent_checked(n: int) -> set[str]:
@@ -118,9 +92,9 @@ def test_changed_queries_inside_window():
 def test_red_latest_rows_inside_window():
     """A registered query whose LATEST driver row is red has no valid
     green signal at any staleness — it must re-enter the window every
-    round until a green row lands (the r7 lesson: ext_inverted_index /
-    ext_table_changes burned their first check on the array-canon
-    crash and re-check here in r8)."""
+    round until a green row lands (the r7 lesson: the two array-canon
+    crashes burned their first check and re-greened in r8). As of r8
+    this set is empty; the test keeps it that way."""
     latest = _latest_row_status()
     red = [q for q in ALL_QUERIES if q in latest and not latest[q]]
     missing = [q for q in red if q not in WINDOW]
@@ -130,37 +104,38 @@ def test_red_latest_rows_inside_window():
 def test_max_staleness_four_recorded_rounds():
     """Every registered query is either in the upcoming driver window
     or has a row within the last FOUR recorded correctness rounds.
-    Four is the tightest sustainable bound: the registry holds 191
+    Four is the tightest sustainable bound: the registry holds 197
     queries against a 50-slot window, so a full re-verification cycle
-    needs ceil(191/50) = 4 records. The 141 non-window queries are
-    covered by r04 (44 of its 47 — dq01_project moved in-window as the
-    r9 smoothing pre-check, ext_funnel/dq21_right_outer retired to the
-    pytest tier) + r06 (49) + r07 (48, the 2 reds moved in-window);
-    the 50×4 = 200 ceiling leaves 9 rotation-headroom slots, which is
-    why r8 additions ship staged and the rotation comment in
-    queries/__init__.py budgets r9/r10 promotions."""
+    needs ceil(197/50) = 4 records. The 147 non-window queries are
+    covered by r06 (49) + r07 (48, its 2 reds re-greened in r08) +
+    r08 (50); the 50×4 = 200 ceiling leaves 3 rotation-headroom
+    slots, one earmarked for the r10 ext_k_anonymity promotion — which
+    is why r9 additions ship staged or capacity-neutral (see the
+    rotation comment in queries/__init__.py)."""
     recent = _recent_checked(4)
     stale = [q for q in ALL_QUERIES if q not in WINDOW and q not in recent]
     assert not stale, f"queries >4 recorded rounds stale and outside window: {stale}"
 
 
-def test_window_is_exactly_the_r8_plan():
-    # The r8 window is pinned name-by-name: the 2 red re-checks + 24
-    # promoted staged_r8 + the 23 rows due first after r7 + the
-    # dq01_project smoothing pre-check, in documented priority order.
-    assert WINDOW == _WINDOW_R8
-    assert len(_WINDOW_R8) == CHECK_WINDOW
+def test_window_is_exactly_the_r9_plan():
+    # The r9 window is pinned name-by-name: the 6 never-driver-checked
+    # promotions (2 r8-held + 4 staged_r9) + the 44 rows due first
+    # after r8 (latest green row: r04), in documented priority order —
+    # exactly the arithmetic the r8 verdict pre-verified.
+    assert WINDOW == _WINDOW_R9
+    assert len(_WINDOW_R9) == CHECK_WINDOW
+    assert _WINDOW_R9[:6] == NEVER_CHECKED
+    assert _WINDOW_R9[6:] == _DUE_FIRST_R9
 
 
-def test_due_first_r9_rows_follow_window():
-    # The 44 remaining r04-latest rows sit immediately after the
-    # window: outside it this round (their r04 record covers them
-    # under the 4-round bound) and first in line for the r9 rotation
-    # (44 due-first + 6 staged promotions = exactly 50 — the retirement
-    # arithmetic in queries/retired.py).
+def test_due_first_r10_rows_follow_window():
+    # The 49 r06-latest rows sit immediately after the window: outside
+    # it this round (their r06 record covers them under the 4-round
+    # bound) and first in line for the r10 rotation (49 due-first + 1
+    # staged_r10 promotion = exactly 50).
     assert (
-        list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R9)]
-        == _DUE_FIRST_R9
+        list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R10)]
+        == _DUE_FIRST_R10
     )
 
 
@@ -176,38 +151,53 @@ def test_oracles_reference_registered_queries():
     assert not unknown, f"oracles for unregistered queries: {unknown}"
 
 
-def test_held_staged_queries_stay_unregistered():
-    """The two r8-held staged queries must NOT be registered (their
-    window slot doesn't exist this round); they re-enter via the r9
-    promotion with the staged replay as their interim signal."""
+def test_r9_promotions_are_registered():
+    """The 6 r9 promotions (including the two formerly-held staged_r8
+    rows) must all be registered with oracles — the inverse of r8's
+    held-stays-unregistered invariant, flipped by the r9 promotion."""
     from remap_spark.queries.staged_r8 import HELD_FOR_R9
-
-    registered = [q for q in HELD_FOR_R9 if q in ALL_QUERIES]
-    assert not registered, f"held staged queries leaked into registry: {registered}"
-
-
-def test_r9_window_plan_arithmetic():
-    """The r9 promotion is pre-verified mechanically: the 44 due-first
-    rows + the 2 held staged_r8 queries + the 4 staged_r9 queries are
-    exactly 50 distinct names — the retirement in queries/retired.py
-    made the plan close with zero held-over candidates (it was 52
-    obligations before). Every due-first name must still be registered
-    and every promotion candidate must exist in its staged module, so
-    a rename or deletion breaks this BEFORE the r9 window is built."""
-    from remap_spark.queries.staged_r8 import HELD_FOR_R9, STAGED_R8_QUERIES
     from remap_spark.queries.staged_r9 import STAGED_R9_QUERIES
 
-    planned = (
-        list(_DUE_FIRST_R9)
-        + sorted(HELD_FOR_R9)
-        + sorted(STAGED_R9_QUERIES)
-    )
+    promoted = sorted(HELD_FOR_R9) + sorted(STAGED_R9_QUERIES)
+    missing = [q for q in promoted if q not in ALL_QUERIES]
+    assert not missing, f"r9 promotions not registered: {missing}"
+    no_oracle = [q for q in promoted if q not in ALL_ORACLES]
+    assert not no_oracle, f"r9 promotions without oracles: {no_oracle}"
+    assert sorted(promoted) == sorted(NEVER_CHECKED)
+
+
+def test_r10_window_plan_arithmetic():
+    """The r10 promotion is pre-verified mechanically: the 49 due-first
+    rows + the 1 staged_r10 query are exactly 50 distinct names. Every
+    due-first name must still be registered and the promotion candidate
+    must exist in its staged module, so a rename or deletion breaks
+    this BEFORE the r10 window is built."""
+    from remap_spark.queries.staged_r10 import STAGED_R10_QUERIES
+
+    planned = list(_DUE_FIRST_R10) + sorted(STAGED_R10_QUERIES)
     assert len(planned) == CHECK_WINDOW, len(planned)
     assert len(set(planned)) == CHECK_WINDOW
-    missing = [n for n in _DUE_FIRST_R9 if n not in ALL_QUERIES]
+    missing = [n for n in _DUE_FIRST_R10 if n not in ALL_QUERIES]
     assert not missing, f"due-first rows not registered: {missing}"
-    unstaged = [n for n in HELD_FOR_R9 if n not in STAGED_R8_QUERIES]
-    assert not unstaged, f"held names missing from staged_r8: {unstaged}"
+    already = [n for n in STAGED_R10_QUERIES if n in ALL_QUERIES]
+    assert not already, f"staged_r10 queries leaked into registry: {already}"
+
+
+def test_due_first_r10_is_exactly_the_r06_latest_set():
+    """The r10 due-first list must be derived, not asserted: it is
+    exactly the set of registered queries whose latest recorded driver
+    row is CORRECTNESS_r06 (not re-checked in r07/r08 and not in the
+    r9 window)."""
+    latest_round: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path).split("_r")[1].split(".")[0]
+        with open(path) as f:
+            for name in json.load(f):
+                latest_round[name] = rnd
+    r06_latest = sorted(
+        n for n, r in latest_round.items() if r == "06" and n in ALL_QUERIES
+    )
+    assert r06_latest == sorted(_DUE_FIRST_R10)
 
 
 def test_retired_names_absent_from_rotation_lists():
@@ -217,5 +207,5 @@ def test_retired_names_absent_from_rotation_lists():
     from remap_spark.queries.retired import RETIRED_QUERIES
 
     for name in RETIRED_QUERIES:
-        assert name not in _WINDOW_R8
-        assert name not in _DUE_FIRST_R9
+        assert name not in _WINDOW_R9
+        assert name not in _DUE_FIRST_R10
