@@ -324,7 +324,9 @@ DQ_ORACLES["dq32_session_window"] = """
     FROM per_sess GROUP BY user_id ORDER BY user_id LIMIT 200
 """
 
-DQ_ORACLES["dq21_right_outer"] = """
+# RETIRED in r8 (queries/retired.py): declared as a standalone
+# constant so DQ_ORACLES never contains it — no import-time pop.
+RETIRED_RIGHT_OUTER_SQL = """
     SELECT c_custkey, COUNT(o_orderkey) AS n_orders
     FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey ORDER BY c_custkey
@@ -414,7 +416,8 @@ DQ_ORACLES["ext_approx_percentiles"] = """
 """
 
 # funnel: greedy first-match == min-(ts,event_id)-after join chain
-DQ_ORACLES["ext_funnel"] = """
+# RETIRED in r8 (queries/retired.py): standalone constant, see above.
+RETIRED_FUNNEL_SQL = """
     WITH v AS (
       SELECT user_id, ts AS t, event_id AS eid FROM (
         SELECT user_id, ts, event_id,
@@ -731,10 +734,12 @@ DQ_ORACLES["dq45_rank_funcs"] = """
 
 # r8 retirement (queries/retired.py has the full rationale): the two
 # duplicate-capability rows moved from the driver gate to the pytest
-# tier. Their oracle SQL stays verbatim — popped into a separate dict
-# so the driver-facing ALL_ORACLES no longer carries them while
-# tests/test_retired.py keeps replaying them.
+# tier. Their oracle SQL stays verbatim as the standalone constants
+# above — DQ_ORACLES is a pure declaration that never contained them,
+# so appending entries anywhere in this file cannot interact with the
+# retirement (the r9 ADVICE fix; tests/test_retired.py keeps replaying
+# them and test_retired_rows_are_not_registered guards the invariant).
 RETIRED_DQ_ORACLES: dict[str, str] = {
-    name: DQ_ORACLES.pop(name)
-    for name in ("ext_funnel", "dq21_right_outer")
+    "ext_funnel": RETIRED_FUNNEL_SQL,
+    "dq21_right_outer": RETIRED_RIGHT_OUTER_SQL,
 }
