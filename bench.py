@@ -40,7 +40,8 @@ def _fresh_mode(query_names: list[str]) -> None:
         "ALL_QUERIES = dict(ALL_QUERIES);\n"
         # staged modules are guarded exactly like main(): after a
         # promotion deletes one, fresh mode must keep working
-        "for _m in ('staged_r7', 'staged_r8', 'staged_r9', 'staged_r10'):\n"
+        "for _m in ('staged_r7', 'staged_r8', 'staged_r9', 'staged_r10',"
+        " 'staged_r11'):\n"
         "    try:\n"
         "        import importlib\n"
         "        _mod = importlib.import_module('remap_spark.queries.' + _m)\n"
@@ -108,6 +109,12 @@ def main() -> None:
         from remap_spark.queries.staged_r10 import STAGED_R10_QUERIES
 
         ALL_QUERIES = {**ALL_QUERIES, **STAGED_R10_QUERIES}
+    except ImportError:
+        pass
+    try:
+        from remap_spark.queries.staged_r11 import STAGED_R11_QUERIES
+
+        ALL_QUERIES = {**ALL_QUERIES, **STAGED_R11_QUERIES}
     except ImportError:
         pass
 

@@ -516,6 +516,111 @@ def _quantized(vec_col: str, scale: int) -> Column:
     )
 
 
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    tau_mil: int = 950,
+    scale: int = 1_000_000,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space with :func:`kmeans_lloyd`, then prune near-
+    duplicates WITHIN each cluster — a point is dropped iff some
+    lower-id point in its cluster has cosine similarity >=
+    ``tau_mil``/1000 with it (the deterministic keep-lowest-id form of
+    the paper's one-per-duplicate-group rule; no transitive closure).
+    Returns (``id_col``, cluster, dropped) for every input point.
+
+    Exact integer arithmetic throughout, so the DuckDB oracle
+    hash-matches: vectors int64-quantized at ``scale``; the cosine
+    test  cos >= tau  becomes  dot > 0 AND dot^2 * 10^6 >=
+    tau_mil^2 * |a|^2 * |b|^2  in decimal(38,0) — for 64-dim unit-norm
+    vectors dot^2*10^6 < 10^32 and tau^2*na*nb < 10^34, both inside
+    38 digits; no float comparison anywhere.
+
+    Scale shape: the pairwise stage is the cluster-keyed self-join —
+    candidate volume is sum over clusters of size^2, the quantity ``k``
+    controls (SemDeDup at corpus scale runs k ~ sqrt(n) so clusters
+    stay small). ``max_cluster_size`` is the skew guard: clusters
+    above the cap pass through UNPRUNED (conservative — no drops) and
+    deterministically, the same dial as blocking's max_block_size;
+    the oracle replays the cap. No cartesian, no driver collect; the
+    kmeans stage is the documented one-broadcast-per-iteration plan."""
+    assign, _cents = kmeans_lloyd(
+        df, vec_col=vec_col, id_col=id_col, k=k, iters=iters, scale=scale
+    )
+    pts = (
+        df.select(
+            F.col(id_col).alias("_id"), _quantized(vec_col, scale).alias("_q")
+        )
+        .join(assign.withColumnRenamed(id_col, "_id"), "_id")
+        .withColumn(
+            "_n2",
+            F.aggregate(
+                F.zip_with("_q", "_q", lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    if max_cluster_size is not None:
+        sizes = pts.groupBy("cluster").agg(F.count(F.lit(1)).alias("_cs"))
+        prunable = pts.join(
+            sizes.where(F.col("_cs") <= max_cluster_size).drop("_cs"),
+            "cluster",
+        )
+    else:
+        prunable = pts
+    a = prunable.select(
+        "cluster",
+        F.col("_id").alias("_ida"),
+        F.col("_q").alias("_qa"),
+        F.col("_n2").alias("_na2"),
+    )
+    b = prunable.select(
+        "cluster",
+        F.col("_id").alias("_idb"),
+        F.col("_q").alias("_qb"),
+        F.col("_n2").alias("_nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dec = "decimal(38,0)"
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("_ida") < F.col("_idb"))
+        .withColumn("_dot", dot)
+        .where(
+            (F.col("_dot") > 0)
+            & (
+                F.col("_dot").cast(dec)
+                * F.col("_dot").cast(dec)
+                * F.lit(1_000_000).cast(dec)
+                >= F.lit(tau_mil * tau_mil).cast(dec)
+                * F.col("_na2").cast(dec)
+                * F.col("_nb2").cast(dec)
+            )
+        )
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        pts.join(dropped, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.coalesce("_dropped", F.lit(False)).alias("dropped"),
+        )
+    )
+
+
 def pq_codebook(
     candidates: DataFrame,
     m: int = 8,

@@ -364,6 +364,132 @@ def weighted_sample_wor(
     )
 
 
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    salt: str = "",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    via Importance Resampling): score each raw document by how much
+    more likely its hashed-unigram profile is under the TARGET corpus
+    than under the raw corpus — log w(x) = sum over hash buckets b of
+    c_b(x) * [ln p_target(b) - ln p_raw(b)], add-one smoothed over the
+    ``buckets`` hashed vocabulary. High log-weight documents "look
+    like" the target distribution; :func:`dsir_resample` samples
+    proportionally. Returns (``id_col``, ``log_weight``); documents
+    with zero tokens carry no profile and are absent (never sampled).
+
+    Scale shape — the unigram_lm_scores pattern twice: each corpus
+    pays ONE combiner-style token->bucket aggregate (shuffle bytes ~
+    ``buckets`` per partition, not corpus); the bucket model is a
+    bucket-domain-sized relation whose totals ride on it via a global
+    window, and it joins the per-doc profile by BROADCAST, so scoring
+    is map-side over the doc-keyed layout. The hashed profile is what
+    makes this 100 TB-able: model size is fixed at ``buckets`` rows
+    regardless of vocabulary."""
+    from ..functions import portable_hash32, tokenize
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokenize(F.col(text_col))).alias("_w"),
+        ).select(
+            "_id",
+            (
+                portable_hash32(F.concat(F.col("_w"), F.lit("|dsir|" + salt)))
+                % buckets
+            ).alias("_b"),
+        )
+
+    from pyspark.sql.window import Window
+
+    raw_prof = bucketed(raw).groupBy("_id", "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    raw_cnt = raw_prof.groupBy("_b").agg(F.sum("_c").alias("_rc"))
+    tgt_cnt = bucketed(target).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_tc")
+    )
+    # full domain union so buckets seen in only one corpus still get a
+    # smoothed ratio; totals ride on the (bucket-sized) model relation
+    model = (
+        raw_cnt.join(tgt_cnt, "_b", "full")
+        .select(
+            "_b",
+            F.coalesce("_rc", F.lit(0)).alias("_rc"),
+            F.coalesce("_tc", F.lit(0)).alias("_tc"),
+        )
+        .withColumn("_rt", F.sum("_rc").over(Window.partitionBy()))
+        .withColumn("_tt", F.sum("_tc").over(Window.partitionBy()))
+        .withColumn(
+            "_lr",
+            F.log(
+                (F.col("_tc") + 1).cast("double")
+                / (F.col("_tt") + buckets).cast("double")
+            )
+            - F.log(
+                (F.col("_rc") + 1).cast("double")
+                / (F.col("_rt") + buckets).cast("double")
+            ),
+        )
+        .select("_b", "_lr")
+    )
+    return (
+        raw_prof.join(F.broadcast(model), "_b")
+        .groupBy("_id")
+        .agg(F.sum(F.col("_c") * F.col("_lr")).alias("log_weight"))
+        .select(F.col("_id").alias(id_col), "log_weight")
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+    buckets: int = 1024,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic DSIR selection: top-``k`` documents by Gumbel-
+    perturbed log-weight — sel_key = log w(x) + Gumbel(hash(x)), the
+    log-space equivalent of sampling WITHOUT replacement proportional
+    to w(x) (Gumbel top-k trick; the A-ES sibling of
+    weighted_sample_wor for weights that live in log space and would
+    over/underflow exp). The Gumbel draw is a pure function of the
+    document key, so the sample is re-runnable and engine-portable;
+    sel_key is rounded to 6 decimals BEFORE the top-k cut with the id
+    as tie-break, so a last-ulp ln() difference between engines cannot
+    flip the selected set. Returns the k selected (``id_col``,
+    ``log_weight``, ``sel_key``).
+
+    Shape: the weight plan (see dsir_log_weights) plus one global
+    TakeOrdered — no sort of the full corpus."""
+    lw = dsir_log_weights(raw, target, text_col, id_col, buckets, salt)
+    u = (
+        portable_hash32(
+            F.concat(F.col(id_col).cast("string"), F.lit("|dsirg|" + salt))
+        )
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
+    return (
+        lw.withColumn(
+            "sel_key", F.round(F.col("log_weight") + gumbel, 6)
+        )
+        .orderBy(F.desc("sel_key"), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.round("log_weight", 5).alias("log_weight"),
+            "sel_key",
+        )
+    )
+
+
 def shuffle_for_training(
     df: DataFrame,
     key: Column | str,

@@ -196,9 +196,12 @@ CHECK_WINDOW = 50
 # with the one spare slot earmarked for the single staged_r10 query
 # (ext_k_anonymity, queries/staged_r10.py; replay-verified both SFs).
 # r11 LOOKAHEAD: the 48 r07-latest rows fall due, leaving 2 spare
-# slots. Structurally: registry 197 post-r9, 198 post-r10 vs the
-# 50×4 = 200 ceiling keeps long-run promotion bandwidth under 1
-# query per round; additions beyond that must stay capacity-neutral
+# slots — earmarked for the two staged_r11 queries
+# (ext_dedup_semdedup, ext_sample_dsir: queries/staged_r11.py,
+# replay-verified both SFs), bringing the registry to the 200
+# ceiling exactly. Structurally: registry 197 post-r9, 198 post-r10,
+# 200 post-r11 vs the 50×4 = 200 ceiling; from r12 on, additions
+# must stay capacity-neutral
 # (retire or consolidate a duplicate row per addition — retirement
 # criteria: long-green for ≥2 recorded rounds, capability strictly
 # subsumed by a registered sibling, AND the verbatim oracle replay

@@ -1723,7 +1723,13 @@ def ext_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 3, scale: int = 1_000_000) -> str:
+def _kmeans_assign_cte(
+    k: int = 4, iters: int = 3, scale: int = 1_000_000
+) -> str:
+    """WITH-prefix replaying kmeans_lloyd's quantized iterations as
+    unrolled CTEs, ending at ``afin`` (vec_id, cl) — the final
+    assignment. Shared by _kmeans_oracle and the staged_r11 SemDeDup
+    oracle (which prunes within the afin clusters)."""
     sql = f"""
     WITH qv AS (
       SELECT vec_id, ord, CAST(ROUND(CAST(val AS DOUBLE) * {scale}) AS BIGINT) AS q
@@ -1762,10 +1768,17 @@ def _kmeans_oracle(k: int = 4, iters: int = 3, scale: int = 1_000_000) -> str:
     ), afin AS (
       SELECT vec_id, cl FROM dfin
       QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) = 1
-    ), cnt AS (
+    )"""
+    )
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 3, scale: int = 1_000_000) -> str:
+    return (
+        _kmeans_assign_cte(k, iters, scale)
+        + f""", cnt AS (
       SELECT cl, COUNT(*) AS n_points FROM afin GROUP BY cl
     ), l1 AS (
-      SELECT cl, SUM(ABS(q)) AS c_l1 FROM {prev} GROUP BY cl
+      SELECT cl, SUM(ABS(q)) AS c_l1 FROM cent{iters} GROUP BY cl
     )
     SELECT l1.cl AS cluster,
            CAST(COALESCE(cnt.n_points, 0) AS BIGINT) AS n_points,

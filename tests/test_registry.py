@@ -183,6 +183,30 @@ def test_r10_window_plan_arithmetic():
     assert not already, f"staged_r10 queries leaked into registry: {already}"
 
 
+def test_r11_window_plan_arithmetic():
+    """r11 lookahead, derived not asserted: the registered rows whose
+    latest recorded driver row is CORRECTNESS_r07 (48 — r07's 50 minus
+    its 2 reds that re-greened in r08) + the 2 staged_r11 queries are
+    exactly 50 distinct names, reaching the 200-name registry ceiling;
+    every r12+ addition must then be capacity-neutral."""
+    from remap_spark.queries.staged_r11 import STAGED_R11_QUERIES
+
+    latest_round: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path).split("_r")[1].split(".")[0]
+        with open(path) as f:
+            for name in json.load(f):
+                latest_round[name] = rnd
+    r07_latest = [
+        n for n, r in latest_round.items() if r == "07" and n in ALL_QUERIES
+    ]
+    planned = r07_latest + sorted(STAGED_R11_QUERIES)
+    assert len(planned) == CHECK_WINDOW, len(planned)
+    assert len(set(planned)) == CHECK_WINDOW
+    already = [n for n in STAGED_R11_QUERIES if n in ALL_QUERIES]
+    assert not already, f"staged_r11 queries leaked into registry: {already}"
+
+
 def test_due_first_r10_is_exactly_the_r06_latest_set():
     """The r10 due-first list must be derived, not asserted: it is
     exactly the set of registered queries whose latest recorded driver
