@@ -443,6 +443,18 @@ def test_no_query_plans_a_cartesian_product(spark):
         # per-series 1-row trend/seasonal-mean constants broadcast
         # (operators/timeseries.decompose_additive)
         "ext_ts_decompose",
+        # -- r9-promoted staged queries: audited bounded-relation BNLJ
+        # (same entries as the staged sweeps in test_staged_r8.py /
+        # test_staged_r9.py) --
+        # 1-row total-count relation broadcast into the 9-digit
+        # expected-frequency join (operators/expectations.benford)
+        "ext_benford",
+        # chi-square totals: one single-row (N_ref, N_cur) relation
+        # broadcast into the bins-sized join
+        "ext_distribution_drift",
+        # composes the decompose grand-mean broadcast plus the
+        # single-row anomaly-threshold broadcast
+        "ext_ts_anomaly_seasonal",
     }
     bad = []
     for name, fn in ALL_QUERIES.items():
