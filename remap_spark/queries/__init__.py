@@ -192,20 +192,26 @@ CHECK_WINDOW = 50
 #
 # r10 LOOKAHEAD (verified now so the next promotion cannot
 # over-commit): when CORRECTNESS_r10 lands the last-4 set becomes
-# r07/r08/r09/r10 and the 49 r06-latest rows fall due — 49 + 1 = 50
-# with the one spare slot earmarked for the single staged_r10 query
-# (ext_k_anonymity, queries/staged_r10.py; replay-verified both SFs).
-# r11 LOOKAHEAD: the 48 r07-latest rows fall due, leaving 2 spare
-# slots — earmarked for the two staged_r11 queries
+# r07/r08/r09/r10 and the 48 r06-latest rows fall due (49 minus
+# ext_sample_det, retired in r9 — see below) — 48 + 1 staged_r10
+# promotion (ext_k_anonymity, queries/staged_r10.py; replay-verified
+# both SFs) = 49, leaving ONE smoothing slot to pre-check an
+# r07-latest row chosen at r10 planning time.
+# r11 LOOKAHEAD: the remaining r07-latest rows fall due (48 minus
+# r10's smoothing pre-check = 47) + the two staged_r11 promotions
 # (ext_dedup_semdedup, ext_sample_dsir: queries/staged_r11.py,
-# replay-verified both SFs), bringing the registry to the 200
-# ceiling exactly. Structurally: registry 197 post-r9, 198 post-r10,
-# 200 post-r11 vs the 50×4 = 200 ceiling; from r12 on, additions
-# must stay capacity-neutral
-# (retire or consolidate a duplicate row per addition — retirement
-# criteria: long-green for ≥2 recorded rounds, capability strictly
-# subsumed by a registered sibling, AND the verbatim oracle replay
-# retained in the pytest tier per queries/retired.py).
+# replay-verified both SFs) = 49, again one smoothing slot.
+# Structurally: registry 196 post-r9, 197 post-r10, 199 post-r11 vs
+# the 50×4 = 200 ceiling. The r9 retirement of ext_sample_det
+# (queries/retired.py) is what keeps ONE spare slot per round from
+# r10 onward — the red-recheck insurance a full-ceiling registry
+# lacks (a red row must re-enter the next window; at 200/200 that
+# window would be 51-for-50). Additions beyond the staged_r11 pair
+# must stay capacity-neutral (retire or consolidate a duplicate row
+# per addition — retirement criteria: long-green for ≥2 recorded
+# rounds, capability strictly subsumed by a registered sibling, AND
+# the verbatim oracle replay retained in the pytest tier per
+# queries/retired.py).
 #
 # The 44 rows whose latest green row is r04: due FIRST in this
 # window (they leave the last-4-records set the moment the r9
@@ -270,11 +276,12 @@ _WINDOW_R9 = [
     "ext_ts_anomaly_seasonal",
 ] + _DUE_FIRST_R9
 
-# The 49 rows whose latest green row is r06: OUTSIDE the r9 window
-# (covered by their r06 record under the 4-recorded-round bound) and
-# due FIRST in the r10 window — they fall outside the last-4-records
-# set the moment the r10 verify lands a new CORRECTNESS file. 49 + 1
-# staged_r10 promotion (ext_k_anonymity) = exactly 50.
+# The 48 rows whose latest green row is r06 (49 minus the r9-retired
+# ext_sample_det): OUTSIDE the r9 window (covered by their r06 record
+# under the 4-recorded-round bound) and due FIRST in the r10 window —
+# they fall outside the last-4-records set the moment the r10 verify
+# lands a new CORRECTNESS file. 48 + 1 staged_r10 promotion
+# (ext_k_anonymity) = 49, plus the smoothing/insurance slot = 50.
 _DUE_FIRST_R10 = [
     "dq33_percentiles",
     "dq36_conditional_agg",
@@ -311,7 +318,8 @@ _DUE_FIRST_R10 = [
     "ext_recipe_token_budget",
     "ext_retrieval_rrf",
     "ext_rollup_incremental",
-    "ext_sample_det",
+    # ext_sample_det: retired to the pytest tier in r9 (strict subset
+    # of ext_split_train_test's hash_split CDF — queries/retired.py)
     "ext_sample_stratified",
     "ext_scd2_history",
     "ext_scd2_incremental",

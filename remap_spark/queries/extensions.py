@@ -3332,7 +3332,10 @@ EXT_QUERIES = {
     "ext_text_langid": ext_text_langid,
     "ext_text_fingerprint": ext_text_fingerprint,
     "ext_split_train_test": ext_split_train_test,
-    "ext_sample_det": ext_sample_det,
+    # ext_sample_det: RETIRED to the pytest tier in r9 —
+    # deterministic_sample(frac) is hash_split's first CDF segment
+    # (same split_bucket primitive, proven by ext_split_train_test).
+    # See queries/retired.py.
     "ext_sample_stratified": ext_sample_stratified,
     "ext_dedup_components": ext_dedup_components,
     "ext_pack_sequences": ext_pack_sequences,
@@ -3398,7 +3401,8 @@ EXT_ORACLES = {
     "ext_text_langid": _langid_oracle(),
     "ext_text_fingerprint": _FINGERPRINT_SQL,
     "ext_split_train_test": _SPLIT_SQL,
-    "ext_sample_det": _SAMPLE_SQL,
+    # ext_sample_det retired in r9: _SAMPLE_SQL replays from
+    # queries/retired.py (tests/test_retired.py)
     "ext_sample_stratified": _STRAT_SQL,
     "ext_dedup_components": _components_oracle(),
     "ext_pack_sequences": _PACK_SQL,

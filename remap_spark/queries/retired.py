@@ -31,14 +31,30 @@ consumes driver-window slots. Reinstating one is a two-line dict move.
 
 from __future__ import annotations
 
-from . import relational
+from . import extensions, relational
 from .oracles import RETIRED_DQ_ORACLES
 
+# r9 retirement — restores rotation slack before the registry reaches
+# the 200-name ceiling at r11 (a full registry leaves ZERO spare slots
+# from r12 on, so a single red row would make the next window
+# 51-for-50; one slack slot per round is the red-recheck insurance):
+#
+# - ``ext_sample_det`` (r06-green, green since r3): constant-fraction
+#   deterministic sampling. deterministic_sample(df, key, frac) IS
+#   hash_split(df, key, {keep: frac})'s first CDF segment — the same
+#   ``split_bucket`` md5 primitive compared against the same cumulative
+#   cutoff (operators/split.py:115 vs :59-67) — so the registered
+#   ``ext_split_train_test`` proves the identical engine-portable
+#   assignment capability; the operator also remains load-bearing
+#   inside weighted_sample and the leakage-safe splitter, both
+#   registered.
 RETIRED_QUERIES = {
     "ext_funnel": relational.ext_funnel,
     "dq21_right_outer": relational.dq21_right_outer,
+    "ext_sample_det": extensions.ext_sample_det,
 }
 
 RETIRED_ORACLES = dict(RETIRED_DQ_ORACLES)
+RETIRED_ORACLES["ext_sample_det"] = extensions._SAMPLE_SQL
 
 assert set(RETIRED_ORACLES) == set(RETIRED_QUERIES)

@@ -104,14 +104,14 @@ def test_red_latest_rows_inside_window():
 def test_max_staleness_four_recorded_rounds():
     """Every registered query is either in the upcoming driver window
     or has a row within the last FOUR recorded correctness rounds.
-    Four is the tightest sustainable bound: the registry holds 197
-    queries against a 50-slot window, so a full re-verification cycle
-    needs ceil(197/50) = 4 records. The 147 non-window queries are
-    covered by r06 (49) + r07 (48, its 2 reds re-greened in r08) +
-    r08 (50); the 50×4 = 200 ceiling leaves 3 rotation-headroom
-    slots, one earmarked for the r10 ext_k_anonymity promotion — which
-    is why r9 additions ship staged or capacity-neutral (see the
-    rotation comment in queries/__init__.py)."""
+    Four is the tightest sustainable bound: the registry holds 196
+    queries (197 promoted minus the r9-retired ext_sample_det) against
+    a 50-slot window, so a full re-verification cycle needs
+    ceil(196/50) = 4 records. The 146 non-window queries are covered
+    by r06 (48 remaining) + r07 (48, its 2 reds re-greened in r08) +
+    r08 (50); the retirement keeps one smoothing/insurance slot per
+    round from r10 onward (see the rotation comment in
+    queries/__init__.py)."""
     recent = _recent_checked(4)
     stale = [q for q in ALL_QUERIES if q not in WINDOW and q not in recent]
     assert not stale, f"queries >4 recorded rounds stale and outside window: {stale}"
@@ -167,16 +167,20 @@ def test_r9_promotions_are_registered():
 
 
 def test_r10_window_plan_arithmetic():
-    """The r10 promotion is pre-verified mechanically: the 49 due-first
-    rows + the 1 staged_r10 query are exactly 50 distinct names. Every
-    due-first name must still be registered and the promotion candidate
-    must exist in its staged module, so a rename or deletion breaks
-    this BEFORE the r10 window is built."""
+    """The r10 promotion is pre-verified mechanically: the 48
+    due-first rows (49 r06-latest minus the r9-retired ext_sample_det)
+    + the 1 staged_r10 query = 49 pinned obligations; the 50th slot is
+    the deliberate smoothing/insurance slot (an r07-latest pre-check
+    chosen at r10 planning, or a red re-check if one exists — the
+    slack the ext_sample_det retirement bought). Every due-first name
+    must still be registered and the promotion candidate must exist in
+    its staged module, so a rename or deletion breaks this BEFORE the
+    r10 window is built."""
     from remap_spark.queries.staged_r10 import STAGED_R10_QUERIES
 
     planned = list(_DUE_FIRST_R10) + sorted(STAGED_R10_QUERIES)
-    assert len(planned) == CHECK_WINDOW, len(planned)
-    assert len(set(planned)) == CHECK_WINDOW
+    assert len(planned) == CHECK_WINDOW - 1, len(planned)
+    assert len(set(planned)) == CHECK_WINDOW - 1
     missing = [n for n in _DUE_FIRST_R10 if n not in ALL_QUERIES]
     assert not missing, f"due-first rows not registered: {missing}"
     already = [n for n in STAGED_R10_QUERIES if n in ALL_QUERIES]
@@ -186,9 +190,10 @@ def test_r10_window_plan_arithmetic():
 def test_r11_window_plan_arithmetic():
     """r11 lookahead, derived not asserted: the registered rows whose
     latest recorded driver row is CORRECTNESS_r07 (48 — r07's 50 minus
-    its 2 reds that re-greened in r08) + the 2 staged_r11 queries are
-    exactly 50 distinct names, reaching the 200-name registry ceiling;
-    every r12+ addition must then be capacity-neutral."""
+    its 2 reds that re-greened in r08) + the 2 staged_r11 queries fit
+    the window with ZERO held-over candidates; r10's smoothing
+    pre-check (see test_r10_window_plan_arithmetic) will then move one
+    of these r07 rows forward, leaving r11 its own spare slot."""
     from remap_spark.queries.staged_r11 import STAGED_R11_QUERIES
 
     latest_round: dict[str, str] = {}
@@ -201,8 +206,8 @@ def test_r11_window_plan_arithmetic():
         n for n, r in latest_round.items() if r == "07" and n in ALL_QUERIES
     ]
     planned = r07_latest + sorted(STAGED_R11_QUERIES)
-    assert len(planned) == CHECK_WINDOW, len(planned)
-    assert len(set(planned)) == CHECK_WINDOW
+    assert len(planned) <= CHECK_WINDOW, len(planned)
+    assert len(planned) == len(set(planned))
     already = [n for n in STAGED_R11_QUERIES if n in ALL_QUERIES]
     assert not already, f"staged_r11 queries leaked into registry: {already}"
 

@@ -43,7 +43,8 @@ def test_retired_capability_siblings_stay_registered():
     from remap_spark.queries import ALL_QUERIES
 
     for sibling in ("ext_funnel_conversion", "dq21_left_outer",
-                    "dq21_full_outer", "ext_pipeline_analytics"):
+                    "dq21_full_outer", "ext_pipeline_analytics",
+                    "ext_split_train_test"):
         assert sibling in ALL_QUERIES, (
             f"{sibling} left the registry; reinstate the retired row "
             "it was covering for (queries/retired.py)"
