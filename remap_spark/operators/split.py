@@ -406,8 +406,16 @@ def dsir_log_weights(
 
     from pyspark.sql.window import Window
 
-    raw_prof = bucketed(raw).groupBy("_id", "_b").agg(
-        F.count(F.lit(1)).alias("_c")
+    # one doc-keyed exchange serves BOTH per-doc aggregates: hash
+    # partitioning on _id satisfies the (_id, _b) clustering too, so
+    # the profile groupBy and the final scoring groupBy run
+    # shuffle-free on this layout and tokens themselves never shuffle
+    # (the unigram_lm_scores plan shape)
+    n_part = int(raw.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    raw_prof = (
+        bucketed(raw.repartition(n_part, F.col(id_col)))
+        .groupBy("_id", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     raw_cnt = raw_prof.groupBy("_b").agg(F.sum("_c").alias("_rc"))
     tgt_cnt = bucketed(target).groupBy("_b").agg(
