@@ -81,19 +81,17 @@ def blocked_match_pairs(
     # O(n^2); returns -1 past the threshold, the exact distance inside
     # it — so the post-filter pair set and distance values are identical
     # to the unbounded form the DuckDB oracle replays.
-    # Length prefilter: lev(a, b) >= |len(a) - len(b)| (each unmatched
-    # length unit costs at least one edit), so candidates whose lengths
-    # differ by more than the threshold skip the banded DP entirely —
-    # provably lossless (equivalence pinned in tests/test_round9.py).
+    # An explicit length prefilter (abs(length diff) <= max_distance,
+    # lossless since lev >= |len diff|) was added in r9 and REMOVED
+    # after measurement: the three-arg levenshtein already performs
+    # that exact O(1) length reject internally before touching the DP,
+    # so the predicate only duplicated work — a wash on fixed-width
+    # TPC-H and a consistent ~10 % loss on varied-length corpora
+    # (interleaved A/B in SCALE.md r9; equivalence corpus retained in
+    # tests/test_round9.py).
     return (
         a.join(b, "_blk")
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (
-                F.abs(F.length("_txt_a") - F.length("_txt_b"))
-                <= max_distance
-            )
-        )
+        .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "distance", F.levenshtein("_txt_a", "_txt_b", max_distance)
         )
@@ -223,20 +221,12 @@ def blocked_match_pairs_multi(
     # Thresholded levenshtein: banded O(d*n) DP with early abandon (see
     # blocked_match_pairs) — the candidate relation here is ~20x the
     # true-pair count, so the per-candidate lev cost is the pair stage's
-    # dominant term and the band cut applies to every candidate. The
-    # length prefilter (lev >= |len diff|, lossless — see
-    # blocked_match_pairs) drops length-mismatched candidates before
-    # the DP; on fixed-width corpora (TPC-H names) it's a no-op by
-    # construction, on varied-length text it's the standard cheap cut.
+    # dominant term and the band cut applies to every candidate. No
+    # explicit length prefilter: the three-arg form performs that O(1)
+    # reject internally (measured note in blocked_match_pairs).
     return (
         a.join(b, ["_kidx", "_blk"])
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (
-                F.abs(F.length("_txt_a") - F.length("_txt_b"))
-                <= max_distance
-            )
-        )
+        .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "distance", F.levenshtein("_txt_a", "_txt_b", max_distance)
         )

@@ -1,7 +1,10 @@
-"""Round-9 additions: the lossless length-difference prefilter on the
-entity-resolution candidate join (lev(a, b) >= |len(a) - len(b)|, so
-``abs(length diff) <= max_distance`` drops only candidates the banded
-DP would reject anyway)."""
+"""Round-9 ER pair-stage equivalence on a random VARIED-LENGTH corpus
+(lengths 0..14): blocked_match_pairs vs brute-force all-pairs-within-
+block levenshtein for several thresholds. Written for the r9 length-
+prefilter experiment and retained after the prefilter's removal (the
+three-arg levenshtein performs the same length reject internally —
+SCALE.md r9): it pins exactly the behavior that reject must preserve,
+so a regression in the thresholded-lev semantics fails here first."""
 
 from __future__ import annotations
 
