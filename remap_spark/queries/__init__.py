@@ -282,6 +282,12 @@ _WINDOW_R9 = [
 # they fall outside the last-4-records set the moment the r10 verify
 # lands a new CORRECTNESS file. 48 + 1 staged_r10 promotion
 # (ext_k_anonymity) = 49, plus the smoothing/insurance slot = 50.
+# RECOMMENDED smoothing pick for r10 (decide at r10 planning; a red
+# row, if any, takes the slot instead): ext_entity_resolution — an
+# r07-latest row whose OPERATOR plan changed twice since its record
+# (r8 pre_collapse + banded lev; r9 prefilter add/remove, net zero),
+# each change pinned bit-identical by pytest but never re-driven; a
+# fresh driver row closes that loop and pre-drains the r11 due set.
 _DUE_FIRST_R10 = [
     "dq33_percentiles",
     "dq36_conditional_agg",
