@@ -466,7 +466,7 @@ def kmeans_lloyd(
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     pts = (
         df.select(F.col(id_col).alias("_pid"), q.alias("_q"))
-        .repartition(n_part, F.col(id_col))
+        .repartition(n_part, F.col("_pid"))
         .localCheckpoint(eager=False)
     )
     cents = pts.where(F.col("_pid") < k).select(

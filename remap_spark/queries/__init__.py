@@ -152,6 +152,17 @@ def register_extensions() -> None:
         ALL_ORACLES.update(staged_r9.STAGED_R9_ORACLES)
     except ImportError:
         pass
+    try:
+        # Round-10 promotion: the one query staged through round 9
+        # (ext_k_anonymity — replay-verified at sf0.001 AND sf0.01 by
+        # tests/test_staged_r10.py, plan-swept, property-tested against
+        # a pandas ground truth) takes the r10 window's promotion slot.
+        from . import staged_r10  # noqa: F401
+
+        ALL_QUERIES.update(staged_r10.STAGED_R10_QUERIES)
+        ALL_ORACLES.update(staged_r10.STAGED_R10_ORACLES)
+    except ImportError:
+        pass
 
 
 register_extensions()
@@ -168,41 +179,36 @@ register_extensions()
 # sibling (plus their own recorded round-1 pass) fill the tail.
 CHECK_WINDOW = 50
 
-# Round-9 window arithmetic (executing the plan the r8 verdict
-# pre-verified). The registry holds 191 + 6 r9 promotions = 197
-# against the 50-slot window; the staleness bound stays at
-# ceil(197/50) = 4 recorded rounds. CORRECTNESS_r08 landed 50/50
-# green, so the last-4 recorded set becomes r06/r07/r08/r09 the
-# moment the r9 record lands — which makes the 44 `_DUE_FIRST_R9`
-# rows (latest green row: r04) the window's hard obligations. The
-# remaining 6 slots take the 6 promotion candidates, all
-# never-driver-checked and therefore in-window the commit they
-# register:
-#   2 staged_r8 rows held from r8 (ext_benford,
-#     ext_interval_concurrency — families were covered by in-window
-#     r8 siblings during the hold)
-# + 4 staged_r9 rows (ext_ts_changepoint, ext_distribution_drift,
-#     ext_golden_records, ext_ts_anomaly_seasonal)
-# = exactly 50, zero held-over candidates (the r8 retirement of
-# ext_funnel / dq21_right_outer — queries/retired.py — is what made
-# this close; it was 52 obligations before). Non-window coverage
-# check: 197 - 50 = 147 = 49 r06-latest + 48 r07-latest + 50
-# r08-latest — every one inside the last four recorded rounds both
-# before and after the r9 record lands.
+# Round-10 window arithmetic (executing the plan the r9 verdict
+# pre-verified, name-for-name). The registry holds 196 + 1 r10
+# promotion = 197 against the 50-slot window; the staleness bound
+# stays at ceil(197/50) = 4 recorded rounds. CORRECTNESS_r09 landed
+# 50/50 green, so the last-4 recorded set becomes r07/r08/r09/r10
+# the moment the r10 record lands — which makes the 48
+# `_DUE_FIRST_R10` rows (latest green row: r06) the window's hard
+# obligations. The remaining 2 slots:
+#   1 staged_r10 promotion (ext_k_anonymity — never driver-checked,
+#     in-window the commit it registers), and
+#   1 smoothing/insurance slot. No registered query has a red latest
+#     row (r9 closed 196/196 green), so the slot takes the planned
+#     pre-check: ext_entity_resolution — the r07-latest row whose
+#     OPERATOR plan changed twice since its record (r8 pre_collapse +
+#     banded lev; r9 prefilter add/remove, net zero), each change
+#     pinned bit-identical by pytest but never re-driven. A fresh
+#     driver row closes that loop and pre-drains the r11 due set.
+# = exactly 50. Non-window coverage check: 197 - 50 = 147 =
+# 47 r07-latest (48 minus the smoothing pre-check) + 50 r08-latest
+# + 50 r09-latest — every one inside the last four recorded rounds
+# both before and after the r10 record lands.
 #
-# r10 LOOKAHEAD (verified now so the next promotion cannot
-# over-commit): when CORRECTNESS_r10 lands the last-4 set becomes
-# r07/r08/r09/r10 and the 48 r06-latest rows fall due (49 minus
-# ext_sample_det, retired in r9 — see below) — 48 + 1 staged_r10
-# promotion (ext_k_anonymity, queries/staged_r10.py; replay-verified
-# both SFs) = 49, leaving ONE smoothing slot to pre-check an
-# r07-latest row chosen at r10 planning time.
-# r11 LOOKAHEAD: the remaining r07-latest rows fall due (48 minus
-# r10's smoothing pre-check = 47) + the two staged_r11 promotions
-# (ext_dedup_semdedup, ext_sample_dsir: queries/staged_r11.py,
-# replay-verified both SFs) = 49, again one smoothing slot.
-# Structurally: registry 196 post-r9, 197 post-r10, 199 post-r11 vs
-# the 50×4 = 200 ceiling. The r9 retirement of ext_sample_det
+# r11 LOOKAHEAD (verified now so the next promotion cannot
+# over-commit): when CORRECTNESS_r11 lands the last-4 set becomes
+# r08/r09/r10/r11 and the 47 remaining r07-latest rows fall due —
+# 47 + the two staged_r11 promotions (ext_dedup_semdedup,
+# ext_sample_dsir: queries/staged_r11.py, replay-verified both SFs)
+# = 49, again one smoothing slot.
+# Structurally: registry 197 post-r10, 199 post-r11 vs the 50×4 =
+# 200 ceiling. The r9 retirement of ext_sample_det
 # (queries/retired.py) is what keeps ONE spare slot per round from
 # r10 onward — the red-recheck insurance a full-ceiling registry
 # lacks (a red row must re-enter the next window; at 200/200 that
@@ -213,81 +219,10 @@ CHECK_WINDOW = 50
 # the verbatim oracle replay retained in the pytest tier per
 # queries/retired.py).
 #
-# The 44 rows whose latest green row is r04: due FIRST in this
-# window (they leave the last-4-records set the moment the r9
-# verify lands a new CORRECTNESS file).
-_DUE_FIRST_R9 = [
-    "dq02_filter",
-    "dq04_collation",
-    "dq05_agg",
-    "dq06_secondary_sort",
-    "dq07_topk",
-    "dq08_join_agg",
-    "dq09_multiway_join",
-    "dq10_anti",
-    "dq10_semi",
-    "dq11_intersect",
-    "dq12_rollup",
-    "dq13_tumbling",
-    "dq14_sessionize",
-    "dq15_json",
-    "dq15_year",
-    "dq16_flood_max",
-    "dq17_pagerank",
-    "dq19_buckets",
-    "dq20_range_join",
-    "dq21_full_outer",
-    "dq21_left_outer",
-    "dq22_union",
-    "dq23_cube",
-    "dq25_window_funcs",
-    "dq26_distinct_agg",
-    "dq27_sliding",
-    "dq29_scalar_subquery",
-    "dq31_pivot",
-    "dq32_session_window",
-    "dq34_array_funcs",
-    "dq35_regexp",
-    "dq39_running_total",
-    "dq40_pointer_jump",
-    "dq42_star_components",
-    "ext_active_users",
-    "ext_dedup_canonical",
-    "ext_dedup_components",
-    "ext_dedup_semantic",
-    "ext_dedup_span",
-    "ext_dedup_span_removal",
-    "ext_funnel_conversion",
-    "ext_pagerank_dangling",
-    "ext_split_leakage_safe",
-    "ext_text_bpe_pairs",
-]
-
-# The r9 window: 6 never-driver-checked promotions first (priority —
-# they have no recorded row at all), then the 44 due-first rows.
-_WINDOW_R9 = [
-    # -- the 2 staged_r8 rows held from r8 (first driver check) --
-    "ext_benford",
-    "ext_interval_concurrency",
-    # -- the 4 staged_r9 promotions (first driver check) --
-    "ext_ts_changepoint",
-    "ext_distribution_drift",
-    "ext_golden_records",
-    "ext_ts_anomaly_seasonal",
-] + _DUE_FIRST_R9
-
 # The 48 rows whose latest green row is r06 (49 minus the r9-retired
-# ext_sample_det): OUTSIDE the r9 window (covered by their r06 record
-# under the 4-recorded-round bound) and due FIRST in the r10 window —
-# they fall outside the last-4-records set the moment the r10 verify
-# lands a new CORRECTNESS file. 48 + 1 staged_r10 promotion
-# (ext_k_anonymity) = 49, plus the smoothing/insurance slot = 50.
-# RECOMMENDED smoothing pick for r10 (decide at r10 planning; a red
-# row, if any, takes the slot instead): ext_entity_resolution — an
-# r07-latest row whose OPERATOR plan changed twice since its record
-# (r8 pre_collapse + banded lev; r9 prefilter add/remove, net zero),
-# each change pinned bit-identical by pytest but never re-driven; a
-# fresh driver row closes that loop and pre-drains the r11 due set.
+# ext_sample_det): due FIRST in this window (they leave the
+# last-4-records set the moment the r10 verify lands a new
+# CORRECTNESS file).
 _DUE_FIRST_R10 = [
     "dq33_percentiles",
     "dq36_conditional_agg",
@@ -341,19 +276,93 @@ _DUE_FIRST_R10 = [
     "ext_user_paths",
 ]
 
+# The r10 smoothing/insurance slot (see the rotation comment above):
+# no red latest rows exist, so it takes the planned pre-check of the
+# most-changed-since-its-row r07-latest query.
+_SMOOTHING_R10 = "ext_entity_resolution"
+
+# The r10 window: the 1 never-driver-checked promotion first
+# (priority — it has no recorded row at all), the smoothing pre-check
+# second, then the 48 due-first rows.
+_WINDOW_R10 = [
+    # -- the staged_r10 promotion (first driver check) --
+    "ext_k_anonymity",
+    # -- the smoothing-slot pre-check (r07-latest, plan changed twice
+    #    since its record, both changes pinned bit-identical) --
+    _SMOOTHING_R10,
+] + _DUE_FIRST_R10
+
+# The 47 rows whose latest green row is r07 (48 minus the
+# _SMOOTHING_R10 pre-check, which gets a fresh r10 row): OUTSIDE the
+# r10 window (covered by their r07 record under the 4-recorded-round
+# bound) and due FIRST in the r11 window — they fall outside the
+# last-4-records set the moment the r11 verify lands a new
+# CORRECTNESS file. 47 + 2 staged_r11 promotions = 49, plus the
+# smoothing/insurance slot = 50.
+_DUE_FIRST_R11 = [
+    "dq03_wordcount",
+    "ext_ab_test",
+    "ext_attribution",
+    "ext_basket_rules",
+    "ext_corpus_diff",
+    "ext_corpus_report",
+    "ext_cross_matches",
+    "ext_crosstab_chi2",
+    "ext_ewma_forecast",
+    "ext_expectations",
+    "ext_k_core",
+    "ext_kmv_set_ops",
+    "ext_label_propagation",
+    "ext_mad_outliers",
+    "ext_markov_transitions",
+    "ext_modularity",
+    "ext_pack_sequences",
+    "ext_pagerank_personalized",
+    "ext_pca_project",
+    "ext_period_over_period",
+    "ext_quantile_bins",
+    "ext_rfm_segments",
+    "ext_salted_agg",
+    "ext_sample_quality_mix",
+    "ext_sample_weighted",
+    "ext_sample_wor",
+    "ext_scd2_lookup",
+    "ext_seasonal",
+    "ext_segment_overlap",
+    "ext_semantic_decontaminate",
+    "ext_shuffle_shards",
+    "ext_skew_report",
+    "ext_skyline",
+    "ext_source_cap",
+    "ext_text_bigram_lm",
+    "ext_text_boilerplate",
+    "ext_text_chunk",
+    "ext_text_clean",
+    "ext_text_line_dedup",
+    "ext_text_lm_score",
+    "ext_text_repetition",
+    "ext_text_tfidf",
+    "ext_text_vocab",
+    "ext_ts_twap",
+    "ext_ts_zscore",
+    "ext_winnow",
+    "ext_winsorize",
+]
+
 
 def _apply_check_priority() -> None:
     """Reorder ALL_QUERIES so the driver's 50-slot check window holds
-    exactly ``_WINDOW_R9`` (in that order), immediately followed by the
-    ``_DUE_FIRST_R10`` rows (outside the window this round, first in
-    line next round), then every other registered query in registration
-    order (all r7/r8-green, code unchanged since their latest row)."""
+    exactly ``_WINDOW_R10`` (in that order), immediately followed by
+    the ``_DUE_FIRST_R11`` rows (outside the window this round, first
+    in line next round), then every other registered query in
+    registration order (all r8/r9-green, code unchanged since their
+    latest row)."""
     # membership-guarded (register_extensions deliberately swallows a
     # broken extension module's ImportError; a KeyError here would
     # take down the core DQ set that contract protects — the registry
     # tests still fail loudly on any missing window name)
-    window = {k: ALL_QUERIES[k] for k in _WINDOW_R9 if k in ALL_QUERIES}
-    due_next = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R10 if k in ALL_QUERIES}
+    window = {k: ALL_QUERIES[k] for k in _WINDOW_R10 if k in ALL_QUERIES}
+    due_next = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R11 if k in ALL_QUERIES}
     rest = {
         k: v
         for k, v in ALL_QUERIES.items()

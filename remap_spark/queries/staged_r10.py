@@ -1,13 +1,13 @@
-"""Round-10 staged driver registrations.
+"""Round-10 driver registration (PROMOTED in r10).
 
-The r9 promotion window is exactly full (44 due-first + 6 staged = 50
-— see the rotation comment in ``queries/__init__`` and
-``queries/retired.py``), and the r10 window carries the 49 r06-latest
-rows, leaving ONE spare slot. Operators added in round 8 therefore
-stage HERE for that slot — same contract as staged_r7/r8/r9: a
+Staged across round 9 under the same contract as staged_r7/r8/r9 — a
 deterministic ``(spark, sf_dir) -> DataFrame`` wrapper plus the exact
 DuckDB oracle, replayed at both test scale factors by
-``tests/test_staged_r10.py`` and plan-swept for unbounded joins.
+``tests/test_staged_r10.py`` and plan-swept for unbounded joins — and
+registered into the r10 driver window's promotion slot by
+``queries/__init__.register_extensions`` (see the rotation comment
+there: 48 r06-due rows + this promotion + the ext_entity_resolution
+smoothing pre-check = 50).
 """
 
 from __future__ import annotations

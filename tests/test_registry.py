@@ -15,9 +15,10 @@ import json
 import os
 
 from remap_spark.queries import (
-    _DUE_FIRST_R9,
     _DUE_FIRST_R10,
-    _WINDOW_R9,
+    _DUE_FIRST_R11,
+    _SMOOTHING_R10,
+    _WINDOW_R10,
     ALL_ORACLES,
     ALL_QUERIES,
     CHECK_WINDOW,
@@ -28,19 +29,14 @@ WINDOW = list(ALL_QUERIES)[:CHECK_WINDOW]
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries that have never had a full green driver row — every one must
-# sit inside the checked window until a green row is recorded. Round-9
-# promotion: the 2 staged_r8 rows held across r8 plus the 4 staged_r9
-# rows; each was replay-verified against its DuckDB oracle at sf0.001
-# AND sf0.01 (tests/test_staged_r8.py, tests/test_staged_r9.py) before
-# promotion, but none has a driver-gate row yet. Each new queries()
-# entry is appended here the same commit it is registered.
+# sit inside the checked window until a green row is recorded. Round-10
+# promotion: the single staged_r10 row, replay-verified against its
+# DuckDB oracle at sf0.001 AND sf0.01 (tests/test_staged_r10.py) and
+# property-tested against a pandas ground truth before promotion, but
+# with no driver-gate row yet. Each new queries() entry is appended
+# here the same commit it is registered.
 NEVER_CHECKED: list[str] = [
-    "ext_benford",
-    "ext_interval_concurrency",
-    "ext_ts_changepoint",
-    "ext_distribution_drift",
-    "ext_golden_records",
-    "ext_ts_anomaly_seasonal",
+    "ext_k_anonymity",
 ]
 
 # Queries whose implementation changed since their latest recorded
@@ -60,6 +56,17 @@ def _recent_checked(n: int) -> set[str]:
         with open(path) as f:
             seen |= set(json.load(f))
     return seen
+
+
+def _latest_round() -> dict[str, str]:
+    """name -> round id ('04'..'09') of the latest recorded driver row."""
+    latest: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path).split("_r")[1].split(".")[0]
+        with open(path) as f:
+            for name in json.load(f):
+                latest[name] = rnd
+    return latest
 
 
 def _latest_row_status() -> dict[str, bool]:
@@ -93,7 +100,7 @@ def test_red_latest_rows_inside_window():
     """A registered query whose LATEST driver row is red has no valid
     green signal at any staleness — it must re-enter the window every
     round until a green row lands (the r7 lesson: the two array-canon
-    crashes burned their first check and re-greened in r8). As of r8
+    crashes burned their first check and re-greened in r8). As of r9
     this set is empty; the test keeps it that way."""
     latest = _latest_row_status()
     red = [q for q in ALL_QUERIES if q in latest and not latest[q]]
@@ -104,38 +111,42 @@ def test_red_latest_rows_inside_window():
 def test_max_staleness_four_recorded_rounds():
     """Every registered query is either in the upcoming driver window
     or has a row within the last FOUR recorded correctness rounds.
-    Four is the tightest sustainable bound: the registry holds 196
-    queries (197 promoted minus the r9-retired ext_sample_det) against
-    a 50-slot window, so a full re-verification cycle needs
-    ceil(196/50) = 4 records. The 146 non-window queries are covered
-    by r06 (48 remaining) + r07 (48, its 2 reds re-greened in r08) +
-    r08 (50); the retirement keeps one smoothing/insurance slot per
-    round from r10 onward (see the rotation comment in
-    queries/__init__.py)."""
+    Four is the tightest sustainable bound: the registry holds 197
+    queries (196 post-r9 plus the r10-promoted ext_k_anonymity)
+    against a 50-slot window, so a full re-verification cycle needs
+    ceil(197/50) = 4 records. The 147 non-window queries are covered
+    by r07 (47 remaining after the smoothing pre-check) + r08 (50) +
+    r09 (50); the r9 ext_sample_det retirement keeps one
+    smoothing/insurance slot per round from r10 onward (see the
+    rotation comment in queries/__init__.py)."""
     recent = _recent_checked(4)
     stale = [q for q in ALL_QUERIES if q not in WINDOW and q not in recent]
     assert not stale, f"queries >4 recorded rounds stale and outside window: {stale}"
 
 
-def test_window_is_exactly_the_r9_plan():
-    # The r9 window is pinned name-by-name: the 6 never-driver-checked
-    # promotions (2 r8-held + 4 staged_r9) + the 44 rows due first
-    # after r8 (latest green row: r04), in documented priority order —
-    # exactly the arithmetic the r8 verdict pre-verified.
-    assert WINDOW == _WINDOW_R9
-    assert len(_WINDOW_R9) == CHECK_WINDOW
-    assert _WINDOW_R9[:6] == NEVER_CHECKED
-    assert _WINDOW_R9[6:] == _DUE_FIRST_R9
+def test_window_is_exactly_the_r10_plan():
+    # The r10 window is pinned name-by-name: the 1 never-driver-checked
+    # promotion (staged_r10's ext_k_anonymity), the smoothing-slot
+    # pre-check (ext_entity_resolution — r07-latest, plan changed twice
+    # since its record with bit-identical pytest pins), then the 48
+    # rows due first after r9 (latest green row: r06), in documented
+    # priority order — exactly the arithmetic the r9 verdict
+    # pre-verified.
+    assert WINDOW == _WINDOW_R10
+    assert len(_WINDOW_R10) == CHECK_WINDOW
+    assert _WINDOW_R10[:1] == NEVER_CHECKED
+    assert _WINDOW_R10[1] == _SMOOTHING_R10
+    assert _WINDOW_R10[2:] == _DUE_FIRST_R10
 
 
-def test_due_first_r10_rows_follow_window():
-    # The 49 r06-latest rows sit immediately after the window: outside
-    # it this round (their r06 record covers them under the 4-round
-    # bound) and first in line for the r10 rotation (49 due-first + 1
-    # staged_r10 promotion = exactly 50).
+def test_due_first_r11_rows_follow_window():
+    # The 47 r07-latest rows sit immediately after the window: outside
+    # it this round (their r07 record covers them under the 4-round
+    # bound) and first in line for the r11 rotation (47 due-first + 2
+    # staged_r11 promotions = 49, one spare slot).
     assert (
-        list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R10)]
-        == _DUE_FIRST_R10
+        list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R11)]
+        == _DUE_FIRST_R11
     )
 
 
@@ -151,82 +162,72 @@ def test_oracles_reference_registered_queries():
     assert not unknown, f"oracles for unregistered queries: {unknown}"
 
 
-def test_r9_promotions_are_registered():
-    """The 6 r9 promotions (including the two formerly-held staged_r8
-    rows) must all be registered with oracles — the inverse of r8's
-    held-stays-unregistered invariant, flipped by the r9 promotion."""
-    from remap_spark.queries.staged_r8 import HELD_FOR_R9
-    from remap_spark.queries.staged_r9 import STAGED_R9_QUERIES
-
-    promoted = sorted(HELD_FOR_R9) + sorted(STAGED_R9_QUERIES)
-    missing = [q for q in promoted if q not in ALL_QUERIES]
-    assert not missing, f"r9 promotions not registered: {missing}"
-    no_oracle = [q for q in promoted if q not in ALL_ORACLES]
-    assert not no_oracle, f"r9 promotions without oracles: {no_oracle}"
-    assert sorted(promoted) == sorted(NEVER_CHECKED)
-
-
-def test_r10_window_plan_arithmetic():
-    """The r10 promotion is pre-verified mechanically: the 48
-    due-first rows (49 r06-latest minus the r9-retired ext_sample_det)
-    + the 1 staged_r10 query = 49 pinned obligations; the 50th slot is
-    the deliberate smoothing/insurance slot (an r07-latest pre-check
-    chosen at r10 planning, or a red re-check if one exists — the
-    slack the ext_sample_det retirement bought). Every due-first name
-    must still be registered and the promotion candidate must exist in
-    its staged module, so a rename or deletion breaks this BEFORE the
-    r10 window is built."""
+def test_r10_promotion_is_registered():
+    """The r10 promotion must be registered with its oracle, and be
+    exactly the NEVER_CHECKED set (nothing else in the registry lacks
+    a driver row)."""
     from remap_spark.queries.staged_r10 import STAGED_R10_QUERIES
 
-    planned = list(_DUE_FIRST_R10) + sorted(STAGED_R10_QUERIES)
-    assert len(planned) == CHECK_WINDOW - 1, len(planned)
-    assert len(set(planned)) == CHECK_WINDOW - 1
-    missing = [n for n in _DUE_FIRST_R10 if n not in ALL_QUERIES]
-    assert not missing, f"due-first rows not registered: {missing}"
-    already = [n for n in STAGED_R10_QUERIES if n in ALL_QUERIES]
-    assert not already, f"staged_r10 queries leaked into registry: {already}"
+    promoted = sorted(STAGED_R10_QUERIES)
+    missing = [q for q in promoted if q not in ALL_QUERIES]
+    assert not missing, f"r10 promotion not registered: {missing}"
+    no_oracle = [q for q in promoted if q not in ALL_ORACLES]
+    assert not no_oracle, f"r10 promotion without oracle: {no_oracle}"
+    assert promoted == sorted(NEVER_CHECKED)
+
+
+def test_smoothing_pick_is_r07_latest():
+    """The smoothing slot must re-check a query that HAS a recorded
+    green row but the oldest one eligible (r07-latest after the r06
+    set enters the window) — not burn the slot on an already-fresh
+    row."""
+    latest = _latest_round()
+    assert latest.get(_SMOOTHING_R10) == "07"
+    assert _latest_row_status()[_SMOOTHING_R10] is True
 
 
 def test_r11_window_plan_arithmetic():
     """r11 lookahead, derived not asserted: the registered rows whose
-    latest recorded driver row is CORRECTNESS_r07 (48 — r07's 50 minus
-    its 2 reds that re-greened in r08) + the 2 staged_r11 queries fit
-    the window with ZERO held-over candidates; r10's smoothing
-    pre-check (see test_r10_window_plan_arithmetic) will then move one
-    of these r07 rows forward, leaving r11 its own spare slot."""
+    latest recorded driver row is CORRECTNESS_r07, minus the r10
+    smoothing pre-check (which gets a fresh r10 row), + the 2
+    staged_r11 queries fit the window with ZERO held-over candidates
+    and one spare slot."""
     from remap_spark.queries.staged_r11 import STAGED_R11_QUERIES
 
-    latest_round: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = os.path.basename(path).split("_r")[1].split(".")[0]
-        with open(path) as f:
-            for name in json.load(f):
-                latest_round[name] = rnd
+    latest = _latest_round()
     r07_latest = [
-        n for n, r in latest_round.items() if r == "07" and n in ALL_QUERIES
+        n
+        for n, r in latest.items()
+        if r == "07" and n in ALL_QUERIES and n != _SMOOTHING_R10
     ]
     planned = r07_latest + sorted(STAGED_R11_QUERIES)
-    assert len(planned) <= CHECK_WINDOW, len(planned)
+    assert len(planned) <= CHECK_WINDOW - 1, len(planned)
     assert len(planned) == len(set(planned))
     already = [n for n in STAGED_R11_QUERIES if n in ALL_QUERIES]
     assert not already, f"staged_r11 queries leaked into registry: {already}"
 
 
 def test_due_first_r10_is_exactly_the_r06_latest_set():
-    """The r10 due-first list must be derived, not asserted: it is
-    exactly the set of registered queries whose latest recorded driver
-    row is CORRECTNESS_r06 (not re-checked in r07/r08 and not in the
-    r9 window)."""
-    latest_round: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = os.path.basename(path).split("_r")[1].split(".")[0]
-        with open(path) as f:
-            for name in json.load(f):
-                latest_round[name] = rnd
+    """The window's due-first body must be derived, not asserted: it
+    is exactly the set of registered queries whose latest recorded
+    driver row is CORRECTNESS_r06 (not re-checked in r07/r08/r09)."""
+    latest = _latest_round()
     r06_latest = sorted(
-        n for n, r in latest_round.items() if r == "06" and n in ALL_QUERIES
+        n for n, r in latest.items() if r == "06" and n in ALL_QUERIES
     )
     assert r06_latest == sorted(_DUE_FIRST_R10)
+
+
+def test_due_first_r11_is_exactly_the_remaining_r07_latest_set():
+    """Same derivation for the next round's due set: the r07-latest
+    registered rows minus the smoothing pre-check."""
+    latest = _latest_round()
+    r07_latest = sorted(
+        n
+        for n, r in latest.items()
+        if r == "07" and n in ALL_QUERIES and n != _SMOOTHING_R10
+    )
+    assert r07_latest == sorted(_DUE_FIRST_R11)
 
 
 def test_retired_names_absent_from_rotation_lists():
@@ -236,5 +237,5 @@ def test_retired_names_absent_from_rotation_lists():
     from remap_spark.queries.retired import RETIRED_QUERIES
 
     for name in RETIRED_QUERIES:
-        assert name not in _WINDOW_R9
-        assert name not in _DUE_FIRST_R10
+        assert name not in _WINDOW_R10
+        assert name not in _DUE_FIRST_R11
