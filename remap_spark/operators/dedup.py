@@ -503,25 +503,20 @@ def _covered_positions(
     df: DataFrame, text_col: str, id_col: str, k: int, min_docs: int
 ):
     """Shared stream under the exact-substring-dedup action operators:
-    (toks, covered) where ``toks`` is the positional token stream
-    (doc, i, w) over an id-hash repartition (eagerly checkpointed —
-    it feeds the gram build and the caller's rebuild/merge) and
-    ``covered`` is the distinct (doc, i, _cov=1) set of token
-    positions tiled by any k-window occurring in >= min_docs
-    documents. See remove_duplicate_spans for the full scale
-    rationale (hashed gram keys, partial-agg dup count, no gram-keyed
-    window, k-fold explode of duplicated starts only)."""
+    the distinct (doc, i) set of token positions tiled by any k-window
+    occurring in >= min_docs documents, duplicated-material-sized. See
+    remove_duplicate_spans for the full scale rationale (hashed gram
+    keys, partial-agg dup count, no gram-keyed window, k-fold explode
+    of duplicated starts only)."""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    toks = (
-        df.repartition(n_part, F.col(id_col))
-        .select(
-            F.col(id_col).alias("doc"),
-            F.posexplode(tokenize(F.col(text_col))).alias("i", "w"),
-        )
-        .localCheckpoint(eager=True)
+    # token stream is single-consumer (the gram build) since the r10
+    # rebuild rework (_rebuild_without_covered) — no checkpoint
+    toks = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("i", "w"),
     )
     w = Window.partitionBy("doc").orderBy("i")
     gram = F.concat_ws(
@@ -554,9 +549,53 @@ def _covered_positions(
             ),
         )
         .distinct()
-        .withColumn("_cov", F.lit(1))
     )
-    return toks, covered
+    return covered
+
+
+def _rebuild_without_covered(
+    df: DataFrame, text_col: str, id_col: str, covered: DataFrame
+) -> DataFrame:
+    """Rebuild every document's text from the tokens NOT in ``covered``
+    (the distinct (doc, i) set of duplicated positions) — the shared
+    action step of the span-removal operators. Returns
+    (doc, text, n_tokens, n_removed) for documents with >= 1 token.
+
+    Shape: the covered set is DUPLICATED-MATERIAL-sized, not
+    corpus-sized, so it folds to one array per affected doc (tiny
+    doc-keyed aggregate) and joins the DOCUMENT relation — doc-sized
+    rows, one exchange each side. The former shape joined covered to
+    the 5M-row token stream on (doc, i) and re-aggregated per doc:
+    two full corpus-sized token shuffles that this rebuild removes
+    entirely (r10 50k-doc/5M-token probe, SCALE.md:
+    remove_duplicate_spans 53.4 -> 17.9 s, incremental_remove_spans
+    25.2 -> 6.5 s; outputs token-identical vs a pure-Python ground
+    truth). The per-token array_contains probe is map-side and
+    O(|covered(doc)|), bounded by the doc length."""
+    cov = covered.groupBy("doc").agg(
+        F.array_sort(F.collect_list("i")).alias("_cov")
+    )
+    kept = F.when(F.col("_cov").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            F.col("_toks"),
+            lambda w, i: ~F.array_contains(F.col("_cov"), i),
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("_toks")
+        )
+        .where(F.size("_toks") > 0)
+        .join(cov, "doc", "left")
+        .select(
+            "doc",
+            F.concat_ws(" ", kept).alias("text"),
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size("_cov"), F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
 
 
 def duplicate_span_lengths(
@@ -582,7 +621,7 @@ def duplicate_span_lengths(
     corpus-sized exchange beyond the shared covered build."""
     from pyspark.sql.window import Window
 
-    _toks, covered = _covered_positions(df, text_col, id_col, k, min_docs)
+    covered = _covered_positions(df, text_col, id_col, k, min_docs)
     w = Window.partitionBy("doc").orderBy("i")
     islands = covered.select(
         "doc", "i", (F.col("i") - F.row_number().over(w)).alias("_isl")
@@ -871,8 +910,8 @@ def remove_duplicate_spans_keep_one(
     Shape: maximal matches as in :func:`maximal_match_spans` (same
     bounds), then only the doc_b side explodes to covered positions
     (span-length-fold on duplicated material only) and the rebuild is
-    the per-doc aggregate of remove_duplicate_spans. Returns
-    (doc, text, n_tokens, n_removed)."""
+    the doc-keyed covered-array join of :func:`_rebuild_without_covered`.
+    Returns (doc, text, n_tokens, n_removed)."""
     if min_len is None:
         min_len = k
     grams = _positional_grams(df, text_col, id_col, k, max_gram_docs)
@@ -888,28 +927,8 @@ def remove_duplicate_spans_keep_one(
             ).alias("i"),
         )
         .distinct()
-        .withColumn("_cov", F.lit(1))
     )
-    spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    toks = df.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(tokenize(F.col(text_col))).alias("i", "w"),
-    )
-    marked = toks.join(covered, ["doc", "i"], "left")
-    kept_words = F.transform(
-        F.array_sort(
-            F.collect_list(
-                F.when(F.col("_cov").isNull(), F.struct("i", "w"))
-            )
-        ),
-        lambda s: s["w"],
-    )
-    return marked.groupBy("doc").agg(
-        F.concat_ws(" ", kept_words).alias("text"),
-        F.count("*").alias("n_tokens"),
-        F.coalesce(F.sum("_cov"), F.lit(0)).alias("n_removed"),
-    )
+    return _rebuild_without_covered(df, text_col, id_col, covered)
 
 
 def span_gram_store_rows(
@@ -956,7 +975,8 @@ def incremental_remove_spans(
     (plan-pinned); the within-batch tier reuses the batch gram
     relation for a partial-aggregated distinct-doc count exactly like
     remove_duplicate_spans. Coverage explodes duplicated starts only;
-    the rebuild is one per-doc aggregate on the id-hash layout."""
+    the rebuild is the doc-keyed covered-array join of
+    :func:`_rebuild_without_covered`."""
     grams = _positional_grams(new_docs, text_col, id_col, k, None)
     hits = grams.join(store.select("g"), "g", "left_semi")
     if dedup_within_batch:
@@ -977,28 +997,8 @@ def incremental_remove_spans(
             ).alias("i"),
         )
         .distinct()
-        .withColumn("_cov", F.lit(1))
     )
-    spark = new_docs.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    toks = new_docs.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(tokenize(F.col(text_col))).alias("i", "w"),
-    )
-    marked = toks.join(covered, ["doc", "i"], "left")
-    kept_words = F.transform(
-        F.array_sort(
-            F.collect_list(
-                F.when(F.col("_cov").isNull(), F.struct("i", "w"))
-            )
-        ),
-        lambda s: s["w"],
-    )
-    return marked.groupBy("doc").agg(
-        F.concat_ws(" ", kept_words).alias("text"),
-        F.count("*").alias("n_tokens"),
-        F.coalesce(F.sum("_cov"), F.lit(0)).alias("n_removed"),
-    )
+    return _rebuild_without_covered(new_docs, text_col, id_col, covered)
 
 
 def remove_duplicate_spans(
@@ -1020,31 +1020,18 @@ def remove_duplicate_spans(
     Returns (doc, text, n_tokens, n_removed) for documents with >= 1
     token.
 
-    Shape: the positional token stream (posexplode over an id-hash
-    repartition) is eagerly cut once — it feeds the gram build and the
-    final rebuild. Gram starts ship as 60-bit hashes; the
-    duplicated-gram set comes from a partial-aggregated distinct-doc
-    count (no gram-keyed window — same skew reasoning as
-    span_duplication) and is joined back to gram START POSITIONS;
-    coverage explodes only the DUPLICATED starts k-fold, stays keyed
-    by (doc, pos), and the rebuild is one per-doc aggregation reusing
-    the id-hash partitioning. Everything is corpus-proportional; the
-    k-fold explode touches only duplicated material."""
-    toks, covered = _covered_positions(df, text_col, id_col, k, min_docs)
-    marked = toks.join(covered, ["doc", "i"], "left")
-    kept_words = F.transform(
-        F.array_sort(
-            F.collect_list(
-                F.when(F.col("_cov").isNull(), F.struct("i", "w"))
-            )
-        ),
-        lambda s: s["w"],
-    )
-    return marked.groupBy("doc").agg(
-        F.concat_ws(" ", kept_words).alias("text"),
-        F.count("*").alias("n_tokens"),
-        F.coalesce(F.sum("_cov"), F.lit(0)).alias("n_removed"),
-    )
+    Shape: gram starts ship as 60-bit hashes; the duplicated-gram set
+    comes from a partial-aggregated distinct-doc count (no gram-keyed
+    window — same skew reasoning as span_duplication) and is joined
+    back to gram START POSITIONS; coverage explodes only the
+    DUPLICATED starts k-fold and stays duplicated-material-sized; the
+    rebuild is the doc-keyed covered-array join of
+    :func:`_rebuild_without_covered` (r10 probe: the former
+    token-keyed rebuild added two corpus-sized shuffles). Everything
+    is corpus-proportional; the k-fold explode touches only
+    duplicated material."""
+    covered = _covered_positions(df, text_col, id_col, k, min_docs)
+    return _rebuild_without_covered(df, text_col, id_col, covered)
 
 
 def dedup_paragraphs_global(
