@@ -1106,6 +1106,79 @@ def dedup_paragraphs_global(
     )
 
 
+def dedup_paragraphs_per_host(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """PER-SITE paragraph dedup — the crawl-curation middle policy
+    between ``dedup_lines`` (intra-document) and
+    ``dedup_paragraphs_global`` (corpus-wide): the first-occurrence
+    rule of the global variant, scoped to the URL HOST
+    (operators/text.url_host over normalize_url). Removes within-site
+    boilerplate — nav bars, footers, cookie banners repeated across
+    one site's pages — while leaving legitimate cross-site repetition
+    (quotes, licenses, syndicated ledes) untouched, which the global
+    policy would strip. A segment survives at its first occurrence
+    within EACH host — the (min doc_id, then min position) one per
+    (host, segment) — and every other same-host copy is dropped.
+    Scheme-less URLs scope to host '' (they dedup against each other
+    only). Returns (doc, host, text, n_segments, n_removed) for
+    documents with >= 1 segment.
+
+    Shape: identical to dedup_paragraphs_global — segments ship as
+    60-bit hashes into ONE first-occurrence aggregate, now keyed by
+    (host, hash) so a boilerplate segment shared by MANY sites splits
+    across host keys instead of concentrating on one (the per-host
+    key is a free skew guard); one hash-keyed join back; one per-doc
+    rebuild on the id-hash partitioning."""
+    from .text import normalize_url, url_host
+
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    segs = (
+        df.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            url_host(normalize_url(F.col(url_col))).alias("host"),
+            F.posexplode(
+                F.split(F.col(text_col), re.escape(sep))
+            ).alias("pos", "seg"),
+        )
+        .where(F.trim(F.col("seg")) != "")
+        .select("doc", "host", "pos", "seg", portable_hash60("seg").alias("h"))
+        .localCheckpoint(eager=True)  # feeds first-occurrence AND probe
+    )
+    firsts = segs.groupBy("host", "h").agg(
+        F.min(F.struct("doc", "pos")).alias("_first")
+    )
+    marked = segs.join(firsts, ["host", "h"]).select(
+        "doc",
+        "host",
+        "pos",
+        "seg",
+        (
+            (F.col("_first.doc") == F.col("doc"))
+            & (F.col("_first.pos") == F.col("pos"))
+        ).cast("int").alias("_keep"),
+    )
+    kept_segs = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_keep") == 1, F.struct("pos", "seg"))
+            )
+        ),
+        lambda s: s["seg"],
+    )
+    return marked.groupBy("doc", "host").agg(
+        F.concat_ws(sep, kept_segs).alias("text"),
+        F.count("*").alias("n_segments"),
+        F.sum(F.lit(1) - F.col("_keep")).alias("n_removed"),
+    )
+
+
 def contamination_hits(
     corpus: DataFrame,
     probes: DataFrame,

@@ -806,6 +806,20 @@ def normalize_url(col: Column | str) -> Column:
     return u
 
 
+def url_host(col: Column | str) -> Column:
+    """Host (authority minus userinfo/port) of a URL, lowercased — the
+    scope key of per-site curation policies (per-host paragraph dedup,
+    per-domain caps). Scheme-less inputs yield '' (callers decide the
+    policy for them; dedup_paragraphs_per_host documents its own).
+    Pure codegen regexp, no lookaround (Java-regex/RE2 portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(
+        F.regexp_extract(
+            c, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1
+        )
+    )
+
+
 def url_duplicates(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
