@@ -206,7 +206,14 @@ CHECK_WINDOW = 50
 # r08/r09/r10/r11 and the 47 remaining r07-latest rows fall due —
 # 47 + the two staged_r11 promotions (ext_dedup_semdedup,
 # ext_sample_dsir: queries/staged_r11.py, replay-verified both SFs)
-# = 49, again one smoothing slot.
+# = 49, again one smoothing slot. RECOMMENDED r11 smoothing pick
+# (decide at r11 planning; a red row, if any, takes the slot
+# instead): ext_dedup_keep_one — an r08-latest row whose OPERATOR
+# changed in r10 (the _rebuild_without_covered rework, SCALE.md r10
+# probe: pair tier measured token-exact at 52.9M anchors), pinned
+# bit-identical by the both-SF oracle replays but never re-driven;
+# it also pre-drains the r12 due set (50 r08-latest rows = a full
+# window) so r12 keeps a free slot.
 # Structurally: registry 197 post-r10, 199 post-r11 vs the 50×4 =
 # 200 ceiling. The r9 retirement of ext_sample_det
 # (queries/retired.py) is what keeps ONE spare slot per round from
