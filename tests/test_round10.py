@@ -127,3 +127,33 @@ def test_dedup_paragraphs_per_host_single_exchange_per_side(spark):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p and "MapInPandas" not in p
     assert "partial_min" in p or "HashAggregate" in p
+
+
+def test_repartition_for_media_floors_at_parallelism(spark, tmp_path):
+    """The byte target is a ceiling, not the only rule: a small-blob
+    table whose total bytes fit in fewer byte-sized partitions than
+    the cluster has cores must still fan out to defaultParallelism
+    (r10 probe: 2 partitions starved 30 of 32 cores). An explicit
+    min_partitions pins the count exactly."""
+    import pandas as pd
+
+    from remap_spark.operators.multimodal import repartition_for_media
+
+    p = str(tmp_path / "media.parquet")
+    pd.DataFrame(
+        {"media_id": range(100), "media": [b"x" * 1000] * 100}
+    ).to_parquet(p, index=False)
+    df = spark.read.parquet(p)
+    dp = spark.sparkContext.defaultParallelism
+    assert repartition_for_media(df, 1000).rdd.getNumPartitions() == dp
+    assert (
+        repartition_for_media(df, 1000, min_partitions=3)
+        .rdd.getNumPartitions()
+        == 3
+    )
+    # fat rows: the byte ceiling still splits beyond the floor
+    n = repartition_for_media(
+        df, 5 << 20, target_partition_bytes=10 << 20,
+        approx_total_rows=10_000, min_partitions=4,
+    ).rdd.getNumPartitions()
+    assert n == 5000
