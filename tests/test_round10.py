@@ -157,3 +157,42 @@ def test_repartition_for_media_floors_at_parallelism(spark, tmp_path):
         approx_total_rows=10_000, min_partitions=4,
     ).rdd.getNumPartitions()
     assert n == 5000
+
+
+def test_cosine_topk_gemm_equals_bruteforce(spark):
+    """The GEMM scale tier must return the exact same top-k rows as
+    the Catalyst-expression tier (ids, ranks; cosines to float
+    tolerance) — including self-exclusion and the (desc cosine,
+    vec_id) tie order — on random clustered vectors."""
+    import numpy as np
+
+    from remap_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_gemm,
+    )
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(300, 16).astype(np.float32)
+    cand = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(300)],
+        "vec_id bigint, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(0, 300, 37)],
+        "vec_id bigint, embedding array<float>",
+    ).repartition(1)
+
+    brute = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in cosine_topk_bruteforce(qs, cand, k=5).collect()
+    }
+    gemm = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in cosine_topk_gemm(qs, cand.repartition(7), k=5).collect()
+    }
+    assert set(brute) == set(gemm)
+    for key in brute:
+        assert brute[key][0] == gemm[key][0], (key, brute[key], gemm[key])
+        assert abs(brute[key][1] - gemm[key][1]) < 1e-9, key
+    # no query matches itself
+    assert all(q != v for (q, _), (v, _c) in gemm.items())
