@@ -68,6 +68,82 @@ def cosine_topk_bruteforce(
     )
 
 
+def _topk_gemm(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    label_col: str | None,
+) -> DataFrame:
+    """Shared core of the GEMM top-k tiers: broadcast query matrix,
+    one dense numpy GEMM per Arrow batch of candidates, per-batch
+    local top-k (exact — top-k distributes over a partition of the
+    candidates), one final per-query window. With ``label_col``,
+    same-label pairs are masked out (the hard-negative contract) in
+    addition to self-ids."""
+    import numpy as np
+
+    q_cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    q_rows = queries.select(*q_cols).collect()
+    if not q_rows:
+        return candidates.sparkSession.createDataFrame(
+            [], "query_id bigint, rank int, vec_id bigint, cosine double"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_labels = (
+        np.array([r[2] for r in q_rows], dtype=object) if label_col else None
+    )
+    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_unit = np.divide(
+        q_mat, q_norm, out=np.zeros_like(q_mat), where=q_norm != 0
+    )
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_unit, q_labels))
+
+    def local_topk(pdfs):
+        import pandas as pd
+
+        ids, unit, labels = bq.value
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_unit = np.divide(
+                c_mat, c_norm, out=np.zeros_like(c_mat), where=c_norm != 0
+            )
+            sims = unit @ c_unit.T  # nq x batch
+            sims[np.equal.outer(ids, c_ids)] = -np.inf  # self-exclusion
+            if labels is not None:
+                c_labels = np.array(list(pdf[label_col]), dtype=object)
+                sims[labels[:, None] == c_labels[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            # per-query local top-k with (desc sim, asc id) tie order
+            order = np.lexsort((c_ids[None, :].repeat(len(ids), 0), -sims))
+            top = order[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, kk),
+                    "vec_id": c_ids[top].ravel(),
+                    "cosine": np.take_along_axis(sims, top, 1).ravel(),
+                }
+            )
+
+    c_cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    local = candidates.select(*c_cols).mapInPandas(
+        local_topk, schema="query_id bigint, vec_id bigint, cosine double"
+    ).where(F.col("cosine") != float("-inf"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        local.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def cosine_topk_gemm(
     queries: DataFrame,
     candidates: DataFrame,
@@ -91,58 +167,26 @@ def cosine_topk_gemm(
     tests/test_round10.test_cosine_topk_gemm_equals_bruteforce.
     Shuffle volume is k x queries x partitions rows — independent of
     corpus size."""
-    import numpy as np
+    return _topk_gemm(queries, candidates, k, vec_col, id_col, None)
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        return candidates.sparkSession.createDataFrame(
-            [], "query_id bigint, rank int, vec_id bigint, cosine double"
-        )
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
-    q_unit = np.divide(
-        q_mat, q_norm, out=np.zeros_like(q_mat), where=q_norm != 0
-    )
-    sc = queries.sparkSession.sparkContext
-    bq = sc.broadcast((q_ids, q_unit))
 
-    def local_topk(pdfs):
-        import pandas as pd
-
-        ids, unit = bq.value
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            c_norm = np.linalg.norm(c_mat, axis=1, keepdims=True)
-            c_unit = np.divide(
-                c_mat, c_norm, out=np.zeros_like(c_mat), where=c_norm != 0
-            )
-            sims = unit @ c_unit.T  # nq x batch
-            sims[np.equal.outer(ids, c_ids)] = -np.inf  # self-exclusion
-            kk = min(k, sims.shape[1])
-            # per-query local top-k with (desc sim, asc id) tie order
-            order = np.lexsort((c_ids[None, :].repeat(len(ids), 0), -sims))
-            top = order[:, :kk]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(ids, kk),
-                    "vec_id": c_ids[top].ravel(),
-                    "cosine": np.take_along_axis(sims, top, 1).ravel(),
-                }
-            )
-
-    local = candidates.select(id_col, vec_col).mapInPandas(
-        local_topk, schema="query_id bigint, vec_id bigint, cosine double"
-    ).where(F.col("cosine") != float("-inf"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        local.select("*", F.row_number().over(w).alias("rank"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
-    )
+def hard_negative_topk_gemm(
+    anchors: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """GEMM scale tier of :func:`hard_negative_topk` — identical
+    contract (top-k most-similar DIFFERENT-label candidates per
+    anchor, desc-cosine then vec_id), the same-label mask applied
+    per Arrow batch on the sims matrix instead of a crossJoin
+    predicate. Row-identical to the expression tier
+    (tests/test_round10.test_hard_negative_gemm_equals_expression);
+    same per-batch-local-top-k exactness argument as
+    cosine_topk_gemm."""
+    return _topk_gemm(anchors, candidates, k, vec_col, id_col, label_col)
 
 
 def hard_negative_topk(

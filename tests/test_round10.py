@@ -196,3 +196,42 @@ def test_cosine_topk_gemm_equals_bruteforce(spark):
         assert abs(brute[key][1] - gemm[key][1]) < 1e-9, key
     # no query matches itself
     assert all(q != v for (q, _), (v, _c) in gemm.items())
+
+
+def test_hard_negative_gemm_equals_expression(spark):
+    """The GEMM hard-negative tier must return the exact same rows as
+    the expression tier: same-label candidates masked, self excluded,
+    (desc cosine, vec_id) order."""
+    import numpy as np
+
+    from remap_spark.operators.similarity import (
+        hard_negative_topk,
+        hard_negative_topk_gemm,
+    )
+
+    rng = np.random.RandomState(4)
+    X = rng.randn(200, 12).astype(np.float32)
+    labels = ["c%d" % (i % 4) for i in range(200)]
+    cand = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]], labels[i]) for i in range(200)],
+        "vec_id bigint, embedding array<float>, label string",
+    )
+    anchors = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]], labels[i])
+         for i in range(0, 200, 23)],
+        "vec_id bigint, embedding array<float>, label string",
+    )
+    expr = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in hard_negative_topk(anchors, cand, k=4).collect()
+    }
+    gemm = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in hard_negative_topk_gemm(
+            anchors, cand.repartition(5), k=4
+        ).collect()
+    }
+    assert set(expr) == set(gemm)
+    for key in expr:
+        assert expr[key][0] == gemm[key][0], (key, expr[key], gemm[key])
+        assert abs(expr[key][1] - gemm[key][1]) < 1e-9, key
