@@ -1124,9 +1124,11 @@ def dedup_paragraphs_per_host(
     policy would strip. A segment survives at its first occurrence
     within EACH host — the (min doc_id, then min position) one per
     (host, segment) — and every other same-host copy is dropped.
-    Scheme-less URLs scope to host '' (they dedup against each other
-    only). Returns (doc, host, text, n_segments, n_removed) for
-    documents with >= 1 segment.
+    Scheme-less AND NULL URLs scope to host '' (they dedup against
+    each other only — the host is coalesced so null-url documents
+    flow through the inner join instead of vanishing on a null key).
+    Returns (doc, host, text, n_segments, n_removed) for documents
+    with >= 1 segment.
 
     Shape: identical to dedup_paragraphs_global — segments ship as
     60-bit hashes into ONE first-occurrence aggregate, now keyed by
@@ -1142,7 +1144,11 @@ def dedup_paragraphs_per_host(
         df.repartition(n_part, F.col(id_col))
         .select(
             F.col(id_col).alias("doc"),
-            url_host(normalize_url(F.col(url_col))).alias("host"),
+            # coalesce: url_host(NULL) is NULL, and null keys never
+            # match an inner join — null-url docs would silently drop
+            F.coalesce(
+                url_host(normalize_url(F.col(url_col))), F.lit("")
+            ).alias("host"),
             F.posexplode(
                 F.split(F.col(text_col), re.escape(sep))
             ).alias("pos", "seg"),

@@ -163,6 +163,17 @@ def register_extensions() -> None:
         ALL_ORACLES.update(staged_r10.STAGED_R10_ORACLES)
     except ImportError:
         pass
+    try:
+        # Round-11 promotion: the two queries staged through round 10
+        # (SemDeDup + DSIR — replay-verified at sf0.001 AND sf0.01 by
+        # tests/test_staged_r11.py, property-tested against pure-Python
+        # ground truths) take the r11 window's two promotion slots.
+        from . import staged_r11  # noqa: F401
+
+        ALL_QUERIES.update(staged_r11.STAGED_R11_QUERIES)
+        ALL_ORACLES.update(staged_r11.STAGED_R11_ORACLES)
+    except ImportError:
+        pass
 
 
 register_extensions()
@@ -179,57 +190,50 @@ register_extensions()
 # sibling (plus their own recorded round-1 pass) fill the tail.
 CHECK_WINDOW = 50
 
-# Round-10 window arithmetic (executing the plan the r9 verdict
-# pre-verified, name-for-name). The registry holds 196 + 1 r10
-# promotion = 197 against the 50-slot window; the staleness bound
-# stays at ceil(197/50) = 4 recorded rounds. CORRECTNESS_r09 landed
-# 50/50 green, so the last-4 recorded set becomes r07/r08/r09/r10
-# the moment the r10 record lands — which makes the 48
-# `_DUE_FIRST_R10` rows (latest green row: r06) the window's hard
-# obligations. The remaining 2 slots:
-#   1 staged_r10 promotion (ext_k_anonymity — never driver-checked,
-#     in-window the commit it registers), and
+# Round-11 window arithmetic (executing the plan the r10 verdict
+# pre-verified, name-for-name). The registry holds 197 + 2 r11
+# promotions = 199 against the 50-slot window; the staleness bound
+# stays at ceil(199/50) = 4 recorded rounds. CORRECTNESS_r10 landed
+# 50/50 green, so the last-4 recorded set becomes r08/r09/r10/r11
+# the moment the r11 record lands — which makes the 47
+# `_DUE_FIRST_R11` rows (latest green row: r07, after r10's
+# ext_entity_resolution smoothing pre-check drained one) the
+# window's hard obligations. The remaining 3 slots:
+#   2 staged_r11 promotions (ext_dedup_semdedup + ext_sample_dsir —
+#     never driver-checked, in-window the commit they register), and
 #   1 smoothing/insurance slot. No registered query has a red latest
-#     row (r9 closed 196/196 green), so the slot takes the planned
-#     pre-check: ext_entity_resolution — the r07-latest row whose
-#     OPERATOR plan changed twice since its record (r8 pre_collapse +
-#     banded lev; r9 prefilter add/remove, net zero), each change
-#     pinned bit-identical by pytest but never re-driven. A fresh
-#     driver row closes that loop and pre-drains the r11 due set.
-# = exactly 50. Non-window coverage check: 197 - 50 = 147 =
-# 47 r07-latest (48 minus the smoothing pre-check) + 50 r08-latest
-# + 50 r09-latest — every one inside the last four recorded rounds
-# both before and after the r10 record lands.
+#     row (r10 closed 197/197 green), so the slot takes the r10
+#     verdict's endorsed pick: ext_dedup_keep_one — an r08-latest
+#     row whose OPERATOR changed in r10 (the _rebuild_without_covered
+#     rework, SCALE.md r10 probe: pair tier token-exact at 52.9M
+#     anchors), pinned bit-identical by the both-SF oracle replays
+#     but never re-driven. It also pre-drains the r12 due set.
+# = exactly 50. Non-window coverage check: 199 - 50 = 149 =
+# 49 r08-latest (50 minus the smoothing pre-check) + 50 r09-latest
+# + 50 r10-latest — every one inside the last four recorded rounds
+# both before and after the r11 record lands.
 #
-# r11 LOOKAHEAD (verified now so the next promotion cannot
-# over-commit): when CORRECTNESS_r11 lands the last-4 set becomes
-# r08/r09/r10/r11 and the 47 remaining r07-latest rows fall due —
-# 47 + the two staged_r11 promotions (ext_dedup_semdedup,
-# ext_sample_dsir: queries/staged_r11.py, replay-verified both SFs)
-# = 49, again one smoothing slot. RECOMMENDED r11 smoothing pick
-# (decide at r11 planning; a red row, if any, takes the slot
-# instead): ext_dedup_keep_one — an r08-latest row whose OPERATOR
-# changed in r10 (the _rebuild_without_covered rework, SCALE.md r10
-# probe: pair tier measured token-exact at 52.9M anchors), pinned
-# bit-identical by the both-SF oracle replays but never re-driven;
-# it also pre-drains the r12 due set (50 r08-latest rows = a full
-# window) so r12 keeps a free slot.
-# Structurally: registry 197 post-r10, 199 post-r11 vs the 50×4 =
-# 200 ceiling. The r9 retirement of ext_sample_det
-# (queries/retired.py) is what keeps ONE spare slot per round from
-# r10 onward — the red-recheck insurance a full-ceiling registry
-# lacks (a red row must re-enter the next window; at 200/200 that
-# window would be 51-for-50). Additions beyond the staged_r11 pair
-# must stay capacity-neutral (retire or consolidate a duplicate row
-# per addition — retirement criteria: long-green for ≥2 recorded
-# rounds, capability strictly subsumed by a registered sibling, AND
-# the verbatim oracle replay retained in the pytest tier per
-# queries/retired.py).
+# r12 LOOKAHEAD (verified now so the next promotion cannot
+# over-commit): when CORRECTNESS_r12 lands the last-4 set becomes
+# r09/r10/r11/r12 and the 49 remaining r08-latest rows fall due —
+# 49 + the one staged_r12 promotion (ext_dedup_per_host:
+# queries/staged_r12.py, the crawl-curation composition the r10
+# verdict earmarked as the natural 200th name) = exactly 50, zero
+# spare. That is acceptable for ONE round only because r13's due set
+# is the 50 r09-latest rows minus however many r12 re-drains — if
+# any r11/r12 row lands red, the red row takes the staged_r12
+# promotion's slot instead (a red row must re-enter the next window)
+# and the promotion waits a round. Registry 199 post-r11, 200
+# post-r12 = the 50×4 ceiling; from r13 onward additions must retire
+# or consolidate a duplicate row per addition (retirement criteria:
+# long-green for ≥2 recorded rounds, capability strictly subsumed by
+# a registered sibling, AND the verbatim oracle replay retained in
+# the pytest tier per queries/retired.py).
 #
-# The 48 rows whose latest green row is r06 (49 minus the r9-retired
-# ext_sample_det): due FIRST in this window (they leave the
-# last-4-records set the moment the r10 verify lands a new
-# CORRECTNESS file).
+# HISTORICAL (r10 plan, kept for the round-pinned derivation tests in
+# tests/test_registry.py — pinned to the CORRECTNESS set that existed
+# when the plan was made, so they stay green forever): the 48 rows
+# whose latest green row was r06 at r10 planning time.
 _DUE_FIRST_R10 = [
     "dq33_percentiles",
     "dq36_conditional_agg",
@@ -283,14 +287,12 @@ _DUE_FIRST_R10 = [
     "ext_user_paths",
 ]
 
-# The r10 smoothing/insurance slot (see the rotation comment above):
-# no red latest rows exist, so it takes the planned pre-check of the
-# most-changed-since-its-row r07-latest query.
+# The r10 smoothing/insurance pick (historical; got its fresh r10
+# row — CORRECTNESS_r10 green).
 _SMOOTHING_R10 = "ext_entity_resolution"
 
-# The r10 window: the 1 never-driver-checked promotion first
-# (priority — it has no recorded row at all), the smoothing pre-check
-# second, then the 48 due-first rows.
+# The executed r10 window (historical; CORRECTNESS_r10 landed 50/50
+# green name-for-name against this list).
 _WINDOW_R10 = [
     # -- the staged_r10 promotion (first driver check) --
     "ext_k_anonymity",
@@ -300,12 +302,10 @@ _WINDOW_R10 = [
 ] + _DUE_FIRST_R10
 
 # The 47 rows whose latest green row is r07 (48 minus the
-# _SMOOTHING_R10 pre-check, which gets a fresh r10 row): OUTSIDE the
-# r10 window (covered by their r07 record under the 4-recorded-round
-# bound) and due FIRST in the r11 window — they fall outside the
-# last-4-records set the moment the r11 verify lands a new
-# CORRECTNESS file. 47 + 2 staged_r11 promotions = 49, plus the
-# smoothing/insurance slot = 50.
+# _SMOOTHING_R10 pre-check, which got a fresh r10 row): due FIRST in
+# the r11 window — they fall outside the last-4-records set the
+# moment the r11 verify lands a new CORRECTNESS file. 47 + 2
+# staged_r11 promotions + the smoothing slot = 50.
 _DUE_FIRST_R11 = [
     "dq03_wordcount",
     "ext_ab_test",
@@ -356,20 +356,98 @@ _DUE_FIRST_R11 = [
     "ext_winsorize",
 ]
 
+# The r11 smoothing/insurance slot (see the rotation comment above):
+# no red latest rows exist, so it takes the r10 verdict's endorsed
+# pre-check of the r08-latest row whose operator changed most
+# recently (the r10 span-rebuild rework).
+_SMOOTHING_R11 = "ext_dedup_keep_one"
+
+# The r11 window: the 2 never-driver-checked promotions first
+# (priority — they have no recorded row at all), the smoothing
+# pre-check second, then the 47 due-first rows.
+_WINDOW_R11 = [
+    # -- the staged_r11 promotions (first driver check) --
+    "ext_dedup_semdedup",
+    "ext_sample_dsir",
+    # -- the smoothing-slot pre-check (r08-latest; operator's rebuild
+    #    path reworked in r10, pinned bit-identical by both-SF oracle
+    #    replays but never re-driven) --
+    _SMOOTHING_R11,
+] + _DUE_FIRST_R11
+
+# The 49 rows whose latest green row is r08 (50 minus the
+# _SMOOTHING_R11 pre-check, which gets a fresh r11 row): OUTSIDE the
+# r11 window (covered by their r08 record under the 4-recorded-round
+# bound) and due FIRST in the r12 window — they fall outside the
+# last-4-records set the moment the r12 verify lands a new
+# CORRECTNESS file. 49 + the staged_r12 promotion = 50 exactly.
+_DUE_FIRST_R12 = [
+    "dq01_project",
+    "dq11_except",
+    "dq18_grouped_udf",
+    "dq24_asof_join",
+    "dq28_exists",
+    "dq30_grouping_sets",
+    "dq41_recursive_sql",
+    "dq43_rolling_range",
+    "dq44_merge_upsert",
+    "ext_ann_hard_negatives",
+    "ext_ann_ivf",
+    "ext_approx_distinct",
+    "ext_approx_percentiles",
+    "ext_cep_pattern",
+    "ext_clustering_coeff",
+    "ext_cumulative_users",
+    "ext_decontaminate_spans",
+    "ext_dedup_bloom",
+    "ext_dedup_exact",
+    "ext_dedup_incremental",
+    "ext_dedup_incremental_spans",
+    "ext_dedup_keep_best",
+    # ext_dedup_keep_one: the r11 smoothing pre-check (fresh r11 row)
+    "ext_dedup_span_maximal",
+    "ext_entity_resolution_multi",
+    "ext_fd_violations",
+    "ext_graph_hits",
+    "ext_inclusion_profile",
+    "ext_inverted_index",
+    "ext_ivm_join_delta",
+    "ext_k_truss",
+    "ext_kmeans_embed",
+    "ext_mix_temperature",
+    "ext_mm_audio_mp3_meta",
+    "ext_mm_exif",
+    "ext_phrase_search",
+    "ext_pipeline_curate",
+    "ext_profile_columns",
+    "ext_quality_classifier",
+    "ext_range_join_binned",
+    "ext_table_changes",
+    "ext_text_decontaminate",
+    "ext_text_pii",
+    "ext_text_rake",
+    "ext_text_textrank",
+    "ext_text_trigram_backoff",
+    "ext_trend_slopes",
+    "ext_ts_decompose",
+    "ext_ts_interpolate",
+    "ext_weighted_percentiles",
+]
+
 
 def _apply_check_priority() -> None:
     """Reorder ALL_QUERIES so the driver's 50-slot check window holds
-    exactly ``_WINDOW_R10`` (in that order), immediately followed by
-    the ``_DUE_FIRST_R11`` rows (outside the window this round, first
+    exactly ``_WINDOW_R11`` (in that order), immediately followed by
+    the ``_DUE_FIRST_R12`` rows (outside the window this round, first
     in line next round), then every other registered query in
-    registration order (all r8/r9-green, code unchanged since their
+    registration order (all r9/r10-green, code unchanged since their
     latest row)."""
     # membership-guarded (register_extensions deliberately swallows a
     # broken extension module's ImportError; a KeyError here would
     # take down the core DQ set that contract protects — the registry
     # tests still fail loudly on any missing window name)
-    window = {k: ALL_QUERIES[k] for k in _WINDOW_R10 if k in ALL_QUERIES}
-    due_next = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R11 if k in ALL_QUERIES}
+    window = {k: ALL_QUERIES[k] for k in _WINDOW_R11 if k in ALL_QUERIES}
+    due_next = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R12 if k in ALL_QUERIES}
     rest = {
         k: v
         for k, v in ALL_QUERIES.items()

@@ -6,6 +6,14 @@ proved this the hard way: 16 late-registered extension queries got no
 driver row at all. These tests pin the ordering contract so a future
 registration edit can't silently push an unverified family out of the
 window again, and bound how stale any query's latest green row may be.
+
+ROUND-PINNING (the r10 lesson): every window-plan derivation test is
+pinned to the CORRECTNESS records that existed when that plan was made
+(``upto=`` round bound). The r10 plan tests derived "r06-latest" from
+ALL records, so the moment the driver's CORRECTNESS_r10.json landed in
+the worktree they went red — the judged state was 2-failing even though
+the committed state was green. With the pin, landing a round's record
+never requires a lockstep test rewrite.
 """
 
 from __future__ import annotations
@@ -17,8 +25,11 @@ import os
 from remap_spark.queries import (
     _DUE_FIRST_R10,
     _DUE_FIRST_R11,
+    _DUE_FIRST_R12,
     _SMOOTHING_R10,
+    _SMOOTHING_R11,
     _WINDOW_R10,
+    _WINDOW_R11,
     ALL_ORACLES,
     ALL_QUERIES,
     CHECK_WINDOW,
@@ -29,14 +40,15 @@ WINDOW = list(ALL_QUERIES)[:CHECK_WINDOW]
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries that have never had a full green driver row — every one must
-# sit inside the checked window until a green row is recorded. Round-10
-# promotion: the single staged_r10 row, replay-verified against its
-# DuckDB oracle at sf0.001 AND sf0.01 (tests/test_staged_r10.py) and
-# property-tested against a pandas ground truth before promotion, but
-# with no driver-gate row yet. Each new queries() entry is appended
+# sit inside the checked window until a green row is recorded. Round-11
+# promotions: the two staged_r11 rows, replay-verified against their
+# DuckDB oracles at sf0.001 AND sf0.01 (tests/test_staged_r11.py) and
+# property-tested against pure-Python ground truths before promotion,
+# but with no driver-gate row yet. Each new queries() entry is appended
 # here the same commit it is registered.
 NEVER_CHECKED: list[str] = [
-    "ext_k_anonymity",
+    "ext_dedup_semdedup",
+    "ext_sample_dsir",
 ]
 
 # Queries whose implementation changed since their latest recorded
@@ -45,23 +57,38 @@ NEVER_CHECKED: list[str] = [
 CHANGED_SINCE_LAST_ROW: list[str] = []
 
 
+def _records(upto: int | None = None) -> list[str]:
+    """Paths of recorded CORRECTNESS files, optionally bounded to
+    rounds <= ``upto`` (the pin that keeps plan-derivation tests green
+    after later records land)."""
+    paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if upto is not None:
+        paths = [
+            p
+            for p in paths
+            if int(os.path.basename(p).split("_r")[1].split(".")[0]) <= upto
+        ]
+    return paths
+
+
 def _recent_checked(n: int) -> set[str]:
     """Union of query names green-checked in the last ``n`` RECORDED
     correctness rounds (the driver writes CORRECTNESS_r{N}.json when a
     round's verify step completes — round 5's record never landed, so
     'recorded rounds' and 'rounds' are not the same clock)."""
-    records = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))[-n:]
     seen: set[str] = set()
-    for path in records:
+    for path in _records()[-n:]:
         with open(path) as f:
             seen |= set(json.load(f))
     return seen
 
 
-def _latest_round() -> dict[str, str]:
-    """name -> round id ('04'..'09') of the latest recorded driver row."""
+def _latest_round(upto: int | None = None) -> dict[str, str]:
+    """name -> round id ('04'..) of the latest driver row among the
+    records bounded by ``upto`` (None = all records; pass the round the
+    plan was computed from for derivation tests)."""
     latest: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in _records(upto):
         rnd = os.path.basename(path).split("_r")[1].split(".")[0]
         with open(path) as f:
             for name in json.load(f):
@@ -69,11 +96,11 @@ def _latest_round() -> dict[str, str]:
     return latest
 
 
-def _latest_row_status() -> dict[str, bool]:
+def _latest_row_status(upto: int | None = None) -> dict[str, bool]:
     """name -> is the LATEST recorded driver row green? (rows+schema+
     hash all true-or-absent and no harness error)."""
     latest: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in _records(upto):
         with open(path) as f:
             for name, row in json.load(f).items():
                 ok = (
@@ -84,6 +111,12 @@ def _latest_row_status() -> dict[str, bool]:
                 )
                 latest[name] = ok
     return latest
+
+
+# ---------------------------------------------------------------------------
+# Live invariants (derive from ALL records — by construction they stay
+# green when a new record lands, because a new green row only ever
+# FRESHENS a query's latest round).
 
 
 def test_never_checked_families_inside_window():
@@ -100,7 +133,7 @@ def test_red_latest_rows_inside_window():
     """A registered query whose LATEST driver row is red has no valid
     green signal at any staleness — it must re-enter the window every
     round until a green row lands (the r7 lesson: the two array-canon
-    crashes burned their first check and re-greened in r8). As of r9
+    crashes burned their first check and re-greened in r8). As of r10
     this set is empty; the test keeps it that way."""
     latest = _latest_row_status()
     red = [q for q in ALL_QUERIES if q in latest and not latest[q]]
@@ -111,43 +144,16 @@ def test_red_latest_rows_inside_window():
 def test_max_staleness_four_recorded_rounds():
     """Every registered query is either in the upcoming driver window
     or has a row within the last FOUR recorded correctness rounds.
-    Four is the tightest sustainable bound: the registry holds 197
-    queries (196 post-r9 plus the r10-promoted ext_k_anonymity)
+    Four is the tightest sustainable bound: the registry holds 199
+    queries (197 post-r10 plus the two r11-promoted staged rows)
     against a 50-slot window, so a full re-verification cycle needs
-    ceil(197/50) = 4 records. The 147 non-window queries are covered
-    by r07 (47 remaining after the smoothing pre-check) + r08 (50) +
-    r09 (50); the r9 ext_sample_det retirement keeps one
-    smoothing/insurance slot per round from r10 onward (see the
-    rotation comment in queries/__init__.py)."""
+    ceil(199/50) = 4 records. The 149 non-window queries are covered
+    by r08 (49 remaining after the smoothing pre-check) + r09 (50) +
+    r10 (50) — and stay covered when CORRECTNESS_r11 lands (last-4
+    becomes r08..r11)."""
     recent = _recent_checked(4)
     stale = [q for q in ALL_QUERIES if q not in WINDOW and q not in recent]
     assert not stale, f"queries >4 recorded rounds stale and outside window: {stale}"
-
-
-def test_window_is_exactly_the_r10_plan():
-    # The r10 window is pinned name-by-name: the 1 never-driver-checked
-    # promotion (staged_r10's ext_k_anonymity), the smoothing-slot
-    # pre-check (ext_entity_resolution — r07-latest, plan changed twice
-    # since its record with bit-identical pytest pins), then the 48
-    # rows due first after r9 (latest green row: r06), in documented
-    # priority order — exactly the arithmetic the r9 verdict
-    # pre-verified.
-    assert WINDOW == _WINDOW_R10
-    assert len(_WINDOW_R10) == CHECK_WINDOW
-    assert _WINDOW_R10[:1] == NEVER_CHECKED
-    assert _WINDOW_R10[1] == _SMOOTHING_R10
-    assert _WINDOW_R10[2:] == _DUE_FIRST_R10
-
-
-def test_due_first_r11_rows_follow_window():
-    # The 47 r07-latest rows sit immediately after the window: outside
-    # it this round (their r07 record covers them under the 4-round
-    # bound) and first in line for the r11 rotation (47 due-first + 2
-    # staged_r11 promotions = 49, one spare slot).
-    assert (
-        list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R11)]
-        == _DUE_FIRST_R11
-    )
 
 
 def test_window_queries_all_have_oracles():
@@ -162,66 +168,42 @@ def test_oracles_reference_registered_queries():
     assert not unknown, f"oracles for unregistered queries: {unknown}"
 
 
-def test_r10_promotion_is_registered():
-    """The r10 promotion must be registered with its oracle, and be
-    exactly the NEVER_CHECKED set (nothing else in the registry lacks
-    a driver row)."""
-    from remap_spark.queries.staged_r10 import STAGED_R10_QUERIES
+def test_retired_names_absent_from_rotation_lists():
+    """Retired rows must not linger in any rotation structure — a
+    stale name there would make the window builder silently skip it
+    (membership-guarded) and under-fill the driver window."""
+    from remap_spark.queries.retired import RETIRED_QUERIES
 
-    promoted = sorted(STAGED_R10_QUERIES)
-    missing = [q for q in promoted if q not in ALL_QUERIES]
-    assert not missing, f"r10 promotion not registered: {missing}"
-    no_oracle = [q for q in promoted if q not in ALL_ORACLES]
-    assert not no_oracle, f"r10 promotion without oracle: {no_oracle}"
-    assert promoted == sorted(NEVER_CHECKED)
+    for name in RETIRED_QUERIES:
+        assert name not in _WINDOW_R11
+        assert name not in _DUE_FIRST_R12
 
 
-def test_smoothing_pick_is_r07_latest():
-    """The smoothing slot must re-check a query that HAS a recorded
-    green row but the oldest one eligible (r07-latest after the r06
-    set enters the window) — not burn the slot on an already-fresh
-    row."""
-    latest = _latest_round()
-    assert latest.get(_SMOOTHING_R10) == "07"
-    assert _latest_row_status()[_SMOOTHING_R10] is True
+# ---------------------------------------------------------------------------
+# r11 plan (live window) — derivations pinned to the records that
+# existed at r11 planning time (upto=10).
 
 
-def test_r11_window_plan_arithmetic():
-    """r11 lookahead, derived not asserted: the registered rows whose
-    latest recorded driver row is CORRECTNESS_r07, minus the r10
-    smoothing pre-check (which gets a fresh r10 row), + the 2
-    staged_r11 queries fit the window with ZERO held-over candidates
-    and one spare slot."""
-    from remap_spark.queries.staged_r11 import STAGED_R11_QUERIES
-
-    latest = _latest_round()
-    r07_latest = [
-        n
-        for n, r in latest.items()
-        if r == "07" and n in ALL_QUERIES and n != _SMOOTHING_R10
-    ]
-    planned = r07_latest + sorted(STAGED_R11_QUERIES)
-    assert len(planned) <= CHECK_WINDOW - 1, len(planned)
-    assert len(planned) == len(set(planned))
-    already = [n for n in STAGED_R11_QUERIES if n in ALL_QUERIES]
-    assert not already, f"staged_r11 queries leaked into registry: {already}"
-
-
-def test_due_first_r10_is_exactly_the_r06_latest_set():
-    """The window's due-first body must be derived, not asserted: it
-    is exactly the set of registered queries whose latest recorded
-    driver row is CORRECTNESS_r06 (not re-checked in r07/r08/r09)."""
-    latest = _latest_round()
-    r06_latest = sorted(
-        n for n, r in latest.items() if r == "06" and n in ALL_QUERIES
-    )
-    assert r06_latest == sorted(_DUE_FIRST_R10)
+def test_window_is_exactly_the_r11_plan():
+    # The r11 window is pinned name-by-name: the 2 never-driver-checked
+    # promotions (staged_r11's SemDeDup + DSIR), the smoothing-slot
+    # pre-check (ext_dedup_keep_one — r08-latest, rebuild path reworked
+    # in r10 with bit-identical pytest pins), then the 47 rows due
+    # first after r10 (latest green row: r07), in documented priority
+    # order — exactly the arithmetic the r10 verdict pre-verified.
+    assert WINDOW == _WINDOW_R11
+    assert len(_WINDOW_R11) == CHECK_WINDOW
+    assert _WINDOW_R11[:2] == NEVER_CHECKED
+    assert _WINDOW_R11[2] == _SMOOTHING_R11
+    assert _WINDOW_R11[3:] == _DUE_FIRST_R11
 
 
 def test_due_first_r11_is_exactly_the_remaining_r07_latest_set():
-    """Same derivation for the next round's due set: the r07-latest
-    registered rows minus the smoothing pre-check."""
-    latest = _latest_round()
+    """The window's due-first body must be derived, not asserted: it
+    is exactly the set of registered queries whose latest driver row
+    at r11 planning time (records through r10) was CORRECTNESS_r07,
+    minus the r10 smoothing pre-check (which got a fresh r10 row)."""
+    latest = _latest_round(upto=10)
     r07_latest = sorted(
         n
         for n, r in latest.items()
@@ -230,12 +212,95 @@ def test_due_first_r11_is_exactly_the_remaining_r07_latest_set():
     assert r07_latest == sorted(_DUE_FIRST_R11)
 
 
-def test_retired_names_absent_from_rotation_lists():
-    """Retired rows must not linger in any rotation structure — a
-    stale name there would make the window builder silently skip it
-    (membership-guarded) and under-fill the driver window."""
-    from remap_spark.queries.retired import RETIRED_QUERIES
+def test_r11_smoothing_pick_is_oldest_changed():
+    """The r11 smoothing slot must re-check a query that HAS a
+    recorded green row but belongs to the oldest eligible tier
+    (r08-latest at planning time) — not burn the slot on an
+    already-fresh row."""
+    latest = _latest_round(upto=10)
+    assert latest.get(_SMOOTHING_R11) == "08"
+    assert _latest_row_status(upto=10)[_SMOOTHING_R11] is True
 
-    for name in RETIRED_QUERIES:
-        assert name not in _WINDOW_R10
-        assert name not in _DUE_FIRST_R11
+
+def test_r11_promotions_are_registered():
+    """The r11 promotions must be registered with their oracles, and
+    be exactly the NEVER_CHECKED set (nothing else in the registry
+    lacks a driver row)."""
+    from remap_spark.queries.staged_r11 import STAGED_R11_QUERIES
+
+    promoted = sorted(STAGED_R11_QUERIES)
+    missing = [q for q in promoted if q not in ALL_QUERIES]
+    assert not missing, f"r11 promotion not registered: {missing}"
+    no_oracle = [q for q in promoted if q not in ALL_ORACLES]
+    assert not no_oracle, f"r11 promotion without oracle: {no_oracle}"
+    assert promoted == sorted(NEVER_CHECKED)
+
+
+def test_due_first_r12_rows_follow_window():
+    # The 49 r08-latest rows sit immediately after the window: outside
+    # it this round (their r08 record covers them under the 4-round
+    # bound) and first in line for the r12 rotation.
+    assert (
+        list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R12)]
+        == _DUE_FIRST_R12
+    )
+
+
+def test_due_first_r12_is_exactly_the_remaining_r08_latest_set():
+    """Same derivation for the next round's due set: the r08-latest
+    registered rows at r11 planning time, minus the r11 smoothing
+    pre-check."""
+    latest = _latest_round(upto=10)
+    r08_latest = sorted(
+        n
+        for n, r in latest.items()
+        if r == "08" and n in ALL_QUERIES and n != _SMOOTHING_R11
+    )
+    assert r08_latest == sorted(_DUE_FIRST_R12)
+
+
+def test_r12_window_plan_arithmetic():
+    """r12 lookahead, derived not asserted: the 49 remaining r08-latest
+    rows + the one staged_r12 promotion (the crawl-curation per-host
+    dedup composition) fill the window exactly, with zero held-over
+    candidates. Zero spare is acceptable for one round only (registry
+    hits the 200 = 50x4 ceiling at r12); if any r11/r12 row lands red,
+    the red row takes the promotion's slot and the promotion waits."""
+    from remap_spark.queries.staged_r12 import STAGED_R12_QUERIES
+
+    planned = list(_DUE_FIRST_R12) + sorted(STAGED_R12_QUERIES)
+    assert len(planned) <= CHECK_WINDOW, len(planned)
+    assert len(planned) == len(set(planned))
+    already = [n for n in STAGED_R12_QUERIES if n in ALL_QUERIES]
+    assert not already, f"staged_r12 queries leaked into registry: {already}"
+
+
+# ---------------------------------------------------------------------------
+# Historical plan derivations (pinned to the records their plans were
+# computed from — these prove the derivation logic and stay green
+# regardless of which records land later).
+
+
+def test_r10_window_was_the_r06_latest_set():
+    """The executed r10 window's due-first body was exactly the set of
+    registered queries whose latest driver row at r10 planning time
+    (records through r09) was CORRECTNESS_r06."""
+    latest = _latest_round(upto=9)
+    r06_latest = sorted(
+        n for n, r in latest.items() if r == "06" and n in ALL_QUERIES
+    )
+    assert r06_latest == sorted(_DUE_FIRST_R10)
+    assert len(_WINDOW_R10) == CHECK_WINDOW
+    assert latest.get(_SMOOTHING_R10) == "07"
+
+
+def test_r10_window_landed_green():
+    """CORRECTNESS_r10 recorded the executed r10 window name-for-name,
+    all green — the plan arithmetic above is not hypothetical."""
+    path = os.path.join(REPO, "CORRECTNESS_r10.json")
+    with open(path) as f:
+        record = json.load(f)
+    assert list(record) == _WINDOW_R10
+    status = _latest_row_status(upto=10)
+    red = [n for n in _WINDOW_R10 if not status[n]]
+    assert not red, f"r10 window rows recorded red: {red}"
