@@ -1301,8 +1301,14 @@ def repartition_for_media(
     image table on a 32-core node — the pure byte rule would starve
     the decode stage (r10 probe: 9.0 s at its 2 byte-sized partitions
     vs 5.6 s at 64; smaller-than-target partitions are always
-    memory-safe, so the floor never violates the rationale). Override
-    with ``min_partitions`` to pin an exact count.
+    memory-safe, so the floor never violates the rationale).
+    ``min_partitions`` replaces that parallelism FLOOR with your own —
+    the byte rule can still size ABOVE it (it is not an exact pin:
+    max(1, rows//rows_per_part, min_partitions)); callers wanting an
+    exact count should df.repartition(n) directly. NOTE the
+    parallelism floor is an r10 behavior change: call sites that
+    previously got the pure byte rule now get at least
+    defaultParallelism partitions unless they pass min_partitions.
 
     Sizing uses metadata only (never a job over the blobs): pass the
     catalog's row-count estimate as ``approx_total_rows``; without it

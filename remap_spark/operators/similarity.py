@@ -166,7 +166,17 @@ def cosine_topk_gemm(
     row-identical to the expression tier by
     tests/test_round10.test_cosine_topk_gemm_equals_bruteforce.
     Shuffle volume is k x queries x partitions rows — independent of
-    corpus size."""
+    corpus size.
+
+    Row-identity caveats (degenerate inputs): the claim holds for
+    NON-ZERO-NORM vectors — a zero-norm vector makes the expression
+    tier's dot/(na*nb) raise DIVIDE_BY_ZERO under Spark 4 ANSI mode,
+    while this tier guards (where=norm!=0) and scores such pairs at
+    cosine 0.0. The tiers also compute cosine by different float
+    formulas (unit-normalize-then-dot here vs dot/(na*nb) there), so
+    an exact float TIE in one tier can rank differently in the other;
+    real-valued embeddings make that probability-zero, but synthetic
+    integer fixtures can hit it."""
     return _topk_gemm(queries, candidates, k, vec_col, id_col, None)
 
 
@@ -347,6 +357,61 @@ def cosine_topk_lsh(
     )
 
 
+def _assign_cells_gemm(
+    candidates: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Map-side nearest-centroid assignment — the SCALE tier of
+    ivf_topk's coarse quantization. The centroid matrix (codebook-sized
+    by definition: the collect is n_centroids rows, covered by the
+    action lint's driver-sized contract for similarity.py) broadcasts
+    to every candidate partition; each Arrow batch runs ONE dense numpy
+    GEMM (batch x n_centroids) and an argmax — NO shuffle, NO window,
+    NO corpus x n_centroids intermediate. Ties break to the lowest cid
+    (centroid rows are cid-sorted, so argmax's first-hit rule matches
+    the expression tier's orderBy(desc sim, cid)); zero-norm vectors
+    assign to the lowest cid at similarity 0. Returns
+    (vec_id, vec, cell)."""
+    import numpy as np
+
+    cent_rows = sorted(
+        centroids.select("cid", "cv").collect(), key=lambda r: r["cid"]
+    )
+    c_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    c_mat = np.array([r["cv"] for r in cent_rows], dtype=np.float64)
+    n = np.linalg.norm(c_mat, axis=1, keepdims=True)
+    c_unit = np.divide(c_mat, n, out=np.zeros_like(c_mat), where=n != 0)
+    bc = candidates.sparkSession.sparkContext.broadcast((c_ids, c_unit))
+
+    vec_type = candidates.schema[vec_col].dataType.simpleString()
+    out_schema = f"vec_id bigint, vec {vec_type}, cell bigint"
+
+    def assign_batches(pdfs):
+        import pandas as pd
+
+        ids, unit = bc.value
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            nn = np.linalg.norm(mat, axis=1, keepdims=True)
+            vu = np.divide(mat, nn, out=np.zeros_like(mat), where=nn != 0)
+            best = np.argmax(vu @ unit.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "vec": pdf["vec"],
+                    "cell": ids[best],
+                }
+            )
+
+    return candidates.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).mapInPandas(assign_batches, schema=out_schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -356,6 +421,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    assign: str = "expr",
 ) -> DataFrame:
     """IVF-flat approximate top-k: candidates are pre-assigned to the
     cell of their nearest coarse centroid (one broadcast pass, linear);
@@ -368,26 +434,48 @@ def ivf_topk(
     everything downstream identical (composition asserted in
     test_extensions.test_ivf_with_trained_centroids). At 100 TB the
     assignment pass writes (cell) as a partition column so probes
-    become partition-pruned scans."""
+    become partition-pruned scans.
+
+    ``assign`` picks the quantization tier. ``"expr"`` (default — the
+    registered oracle query's replayable form) scores candidates x
+    centroids through the Catalyst cosine expression and argmins via a
+    per-vector window: a corpus x n_centroids intermediate plus a
+    corpus-sized shuffle — fine at oracle scale, the measured
+    bottleneck at 100k+ vectors (r10 probe: 68-82 s of the IVF wall).
+    ``"gemm"`` (the SCALE tier) replaces that pass with
+    :func:`_assign_cells_gemm`: map-side numpy argmax against the
+    broadcast codebook — no shuffle, no window, no blown-up
+    intermediate; assignment ties and results pinned identical to the
+    expression tier on non-degenerate (non-zero-norm, tie-free) inputs
+    by tests/test_round11.test_ivf_gemm_assignment_matches_expression.
+    Everything downstream (probe selection, cell join, final window)
+    is identical."""
     if centroids is None:
         centroids = candidates.where(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
         )
     cent = F.broadcast(centroids.select("cid", "cv"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
-    assign = (
-        candidates.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2"))
-        .crossJoin(cent)
-        .select(
-            "vec_id",
-            "cv2",
-            "cid",
-            cosine_similarity(F.col("cv2"), F.col("cv")).alias("sim"),
+    if assign == "gemm":
+        assign_df = _assign_cells_gemm(candidates, centroids, vec_col, id_col)
+    else:
+        w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+        assign_df = (
+            candidates.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2")
+            )
+            .crossJoin(cent)
+            .select(
+                "vec_id",
+                "cv2",
+                "cid",
+                cosine_similarity(F.col("cv2"), F.col("cv")).alias("sim"),
+            )
+            .select("*", F.row_number().over(w_assign).alias("rn"))
+            .where(F.col("rn") == 1)
+            .select(
+                "vec_id", F.col("cv2").alias("vec"), F.col("cid").alias("cell")
+            )
         )
-        .select("*", F.row_number().over(w_assign).alias("rn"))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cv2").alias("vec"), F.col("cid").alias("cell"))
-    )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cid")
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -404,7 +492,7 @@ def ivf_topk(
     )
     scored = (
         F.broadcast(probes)
-        .join(assign, "cell")
+        .join(assign_df, "cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",

@@ -459,6 +459,12 @@ def test_no_query_plans_a_cartesian_product(spark):
         # composes the decompose grand-mean broadcast plus the
         # single-row anomaly-threshold broadcast
         "ext_ts_anomaly_seasonal",
+        # -- r11-promoted staged queries: audited bounded-relation BNLJ
+        # (same entry as the staged sweep in test_staged_r11.py) --
+        # kmeans: the k-row centroid relation broadcast into the
+        # distance scan each Lloyd iteration (ext_kmeans_embed's
+        # pinned plan, extended through the pruning stage)
+        "ext_dedup_semdedup",
     }
     bad = []
     for name, fn in ALL_QUERIES.items():

@@ -1,0 +1,75 @@
+"""Round-11 additions: the ivf_topk GEMM assignment tier (the r10
+verdict's one remaining scale-weak plan) pinned row-identical to the
+expression tier, and its plan shape (no corpus x centroids window)."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from pyspark.sql import functions as F
+
+from remap_spark.engine import load_table
+from remap_spark.operators import similarity as sim
+
+
+def _ivf(spark, assign):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return sim.ivf_topk(
+        queries, emb, k=10, n_centroids=8, n_probe=2, assign=assign
+    )
+
+
+def test_ivf_gemm_assignment_matches_expression(spark):
+    """The GEMM tier must reproduce the expression tier's results
+    row-for-row on the fixture corpus (real-valued embeddings:
+    non-zero-norm, tie-free — the regime the row-identity claim is
+    scoped to)."""
+    expr_rows = sorted(
+        map(tuple, _ivf(spark, "expr").collect())
+    )
+    gemm_rows = sorted(
+        map(tuple, _ivf(spark, "gemm").collect())
+    )
+    assert len(expr_rows) == len(gemm_rows) > 0
+    for a, b in zip(expr_rows, gemm_rows):
+        assert a[:3] == b[:3], (a, b)  # query_id, rank, vec_id
+        assert abs(a[3] - b[3]) < 1e-9, (a, b)  # cosine (formula drift)
+
+
+def test_ivf_gemm_assignment_plan_has_no_assignment_window(spark):
+    """The expression tier argmins via a per-vector row_number window
+    over a corpus x n_centroids crossJoin — the measured r10 bottleneck
+    (68-82 s of an 82 s IVF wall at 100k vectors). The GEMM tier's
+    assignment must be map-side: exactly ONE window in the whole plan
+    (the final per-query rank), and no CartesianProduct."""
+    from remap_spark.plans import explain_str
+
+    p = explain_str(_ivf(spark, "gemm"), "formatted")
+    # structural check that survives formatting drift: the expression
+    # tier plans TWO row_number windows (assign + final) vs ONE here
+    p_expr = explain_str(_ivf(spark, "expr"), "formatted")
+    assert p.count("row_number") < p_expr.count("row_number")
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_gemm_zero_norm_vector_assigns_lowest_cid(spark):
+    """Degenerate-input contract: a zero-norm vector scores 0 against
+    every centroid and assigns to the lowest cid (argmax first-hit on
+    the cid-sorted codebook) instead of raising DIVIDE_BY_ZERO like
+    the ANSI-mode expression tier would."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.0, 0.0]),  # zero-norm
+        (3, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid bigint, cv array<double>"
+    )
+    out = {
+        r["vec_id"]: r["cell"]
+        for r in sim._assign_cells_gemm(df, cent, "embedding", "vec_id").collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 0, 3: 0}
