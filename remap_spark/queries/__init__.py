@@ -99,81 +99,44 @@ ALL_QUERIES: dict[str, QueryFn] = {
 ALL_ORACLES: dict[str, str] = {**DQ_ORACLES, **GRAPH_ORACLES}
 
 
+# (module name, queries attr, oracles attr) for every extension module.
+# Promotion rounds: staged_r7 (33 queries), staged_r8 (24+2), staged_r9
+# (4), staged_r10 (ext_k_anonymity), staged_r11 (SemDeDup + DSIR) —
+# each replay-verified at sf0.001 AND sf0.01 by its tests/test_staged_*
+# file before registering.
+_EXTENSION_MODULES = [
+    ("extensions", "EXT_QUERIES", "EXT_ORACLES"),
+    ("multimodal_q", "MM_QUERIES", "MM_ORACLES"),
+    ("staged_r7", "STAGED_QUERIES", "STAGED_ORACLES"),
+    ("staged_r8", "STAGED_R8_QUERIES", "STAGED_R8_ORACLES"),
+    ("staged_r9", "STAGED_R9_QUERIES", "STAGED_R9_ORACLES"),
+    ("staged_r10", "STAGED_R10_QUERIES", "STAGED_R10_ORACLES"),
+    ("staged_r11", "STAGED_R11_QUERIES", "STAGED_R11_ORACLES"),
+]
+
+# Import failures recorded here instead of swallowed: the production
+# contract is that a broken extension module never takes down the core
+# DQ set (the registry still loads), but the breakage must be LOUD —
+# tests/test_registry.py asserts this list is empty, so CI fails the
+# moment an extension import breaks rather than silently shrinking the
+# registry (and the driver window) by that module's queries.
+EXTENSION_IMPORT_ERRORS: list[tuple[str, str]] = []
+
+
 def register_extensions() -> None:
     """Extension queries (dedup / similarity / text analysis) register
     themselves here as they are implemented; imported lazily so a broken
-    extension never takes down the core DQ set."""
-    try:
-        from . import extensions  # noqa: F401
+    extension never takes down the core DQ set. Failures are recorded in
+    ``EXTENSION_IMPORT_ERRORS`` (asserted empty by the registry tests)."""
+    import importlib
 
-        ALL_QUERIES.update(extensions.EXT_QUERIES)
-        ALL_ORACLES.update(extensions.EXT_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from . import multimodal_q  # noqa: F401
-
-        ALL_QUERIES.update(multimodal_q.MM_QUERIES)
-        ALL_ORACLES.update(multimodal_q.MM_ORACLES)
-    except ImportError:
-        pass
-    try:
-        # Round-7 promotion: the 33 queries staged through round 6
-        # (replay-verified at sf0.001 AND sf0.01 by tests/test_staged_r7.py,
-        # plan-swept by tests/test_plans_r6.py) enter the registry and the
-        # driver window this round.
-        from . import staged_r7  # noqa: F401
-
-        ALL_QUERIES.update(staged_r7.STAGED_QUERIES)
-        ALL_ORACLES.update(staged_r7.STAGED_ORACLES)
-    except ImportError:
-        pass
-    try:
-        # Round-8 promotion: 24 of the 26 queries staged through round 7
-        # registered in r8; the two HELD_FOR_R9 rows (ext_benford,
-        # ext_interval_concurrency) register NOW as part of the r9
-        # promotion — both replay-verified at sf0.001 AND sf0.01 by
-        # tests/test_staged_r8.py across the r8 hold.
-        from . import staged_r8  # noqa: F401
-
-        ALL_QUERIES.update(staged_r8.STAGED_R8_QUERIES)
-        ALL_ORACLES.update(staged_r8.STAGED_R8_ORACLES)
-    except ImportError:
-        pass
-    try:
-        # Round-9 promotion: the 4 queries staged through round 8
-        # (CUSUM changepoint, distribution drift, golden records,
-        # seasonal anomaly — replay-verified at sf0.001 AND sf0.01 by
-        # tests/test_staged_r9.py, plan-swept) enter the registry and
-        # the driver window this round.
-        from . import staged_r9  # noqa: F401
-
-        ALL_QUERIES.update(staged_r9.STAGED_R9_QUERIES)
-        ALL_ORACLES.update(staged_r9.STAGED_R9_ORACLES)
-    except ImportError:
-        pass
-    try:
-        # Round-10 promotion: the one query staged through round 9
-        # (ext_k_anonymity — replay-verified at sf0.001 AND sf0.01 by
-        # tests/test_staged_r10.py, plan-swept, property-tested against
-        # a pandas ground truth) takes the r10 window's promotion slot.
-        from . import staged_r10  # noqa: F401
-
-        ALL_QUERIES.update(staged_r10.STAGED_R10_QUERIES)
-        ALL_ORACLES.update(staged_r10.STAGED_R10_ORACLES)
-    except ImportError:
-        pass
-    try:
-        # Round-11 promotion: the two queries staged through round 10
-        # (SemDeDup + DSIR — replay-verified at sf0.001 AND sf0.01 by
-        # tests/test_staged_r11.py, property-tested against pure-Python
-        # ground truths) take the r11 window's two promotion slots.
-        from . import staged_r11  # noqa: F401
-
-        ALL_QUERIES.update(staged_r11.STAGED_R11_QUERIES)
-        ALL_ORACLES.update(staged_r11.STAGED_R11_ORACLES)
-    except ImportError:
-        pass
+    for mod_name, q_attr, o_attr in _EXTENSION_MODULES:
+        try:
+            mod = importlib.import_module(f".{mod_name}", __package__)
+            ALL_QUERIES.update(getattr(mod, q_attr))
+            ALL_ORACLES.update(getattr(mod, o_attr))
+        except ImportError as exc:
+            EXTENSION_IMPORT_ERRORS.append((mod_name, str(exc)))
 
 
 register_extensions()

@@ -33,6 +33,7 @@ from remap_spark.queries import (
     ALL_ORACLES,
     ALL_QUERIES,
     CHECK_WINDOW,
+    EXTENSION_IMPORT_ERRORS,
 )
 
 WINDOW = list(ALL_QUERIES)[:CHECK_WINDOW]
@@ -117,6 +118,15 @@ def _latest_row_status(upto: int | None = None) -> dict[str, bool]:
 # Live invariants (derive from ALL records — by construction they stay
 # green when a new record lands, because a new green row only ever
 # FRESHENS a query's latest round).
+
+
+def test_no_extension_module_failed_to_import():
+    """register_extensions keeps the core DQ set alive through a broken
+    extension module (the production contract) but records the failure —
+    a silent pass here would shrink the registry and the driver window
+    by that module's queries with no signal until the round's
+    CORRECTNESS record came back short."""
+    assert not EXTENSION_IMPORT_ERRORS, EXTENSION_IMPORT_ERRORS
 
 
 def test_never_checked_families_inside_window():
