@@ -41,7 +41,7 @@ def _fresh_mode(query_names: list[str]) -> None:
         # staged modules are guarded exactly like main(): after a
         # promotion deletes one, fresh mode must keep working
         "for _m in ('staged_r7', 'staged_r8', 'staged_r9', 'staged_r10',"
-        " 'staged_r11'):\n"
+        " 'staged_r11', 'staged_r12'):\n"
         "    try:\n"
         "        import importlib\n"
         "        _mod = importlib.import_module('remap_spark.queries.' + _m)\n"
@@ -115,6 +115,12 @@ def main() -> None:
         from remap_spark.queries.staged_r11 import STAGED_R11_QUERIES
 
         ALL_QUERIES = {**ALL_QUERIES, **STAGED_R11_QUERIES}
+    except ImportError:
+        pass
+    try:
+        from remap_spark.queries.staged_r12 import STAGED_R12_QUERIES
+
+        ALL_QUERIES = {**ALL_QUERIES, **STAGED_R12_QUERIES}
     except ImportError:
         pass
 
