@@ -362,6 +362,7 @@ def _assign_cells_gemm(
     centroids: DataFrame,
     vec_col: str,
     id_col: str,
+    include_vec: bool = True,
 ) -> DataFrame:
     """Map-side nearest-centroid assignment — the SCALE tier of
     ivf_topk's coarse quantization. The centroid matrix (codebook-sized
@@ -373,7 +374,9 @@ def _assign_cells_gemm(
     (centroid rows are cid-sorted, so argmax's first-hit rule matches
     the expression tier's orderBy(desc sim, cid)); zero-norm vectors
     assign to the lowest cid at similarity 0. Returns
-    (vec_id, vec, cell)."""
+    (vec_id, vec, cell), or (vec_id, cell) with ``include_vec=False``
+    (the IVF-PQ caller only needs the cell — keeping the vector out of
+    the Arrow round-trip halves the boundary bytes)."""
     import numpy as np
 
     cent_rows = sorted(
@@ -386,7 +389,10 @@ def _assign_cells_gemm(
     bc = candidates.sparkSession.sparkContext.broadcast((c_ids, c_unit))
 
     vec_type = candidates.schema[vec_col].dataType.simpleString()
-    out_schema = f"vec_id bigint, vec {vec_type}, cell bigint"
+    if include_vec:
+        out_schema = f"vec_id bigint, vec {vec_type}, cell bigint"
+    else:
+        out_schema = "vec_id bigint, cell bigint"
 
     def assign_batches(pdfs):
         import pandas as pd
@@ -399,13 +405,11 @@ def _assign_cells_gemm(
             nn = np.linalg.norm(mat, axis=1, keepdims=True)
             vu = np.divide(mat, nn, out=np.zeros_like(mat), where=nn != 0)
             best = np.argmax(vu @ unit.T, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "vec": pdf["vec"],
-                    "cell": ids[best],
-                }
-            )
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            if include_vec:
+                out["vec"] = pdf["vec"]
+            out["cell"] = ids[best]
+            yield pd.DataFrame(out)
 
     return candidates.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
@@ -1097,6 +1101,7 @@ def ivf_pq_topk(
     dim: int = 64,
     scale: int = 1_000_000,
     codebook: DataFrame | None = None,
+    assign: str = "expr",
 ) -> DataFrame:
     """IVF+PQ — the full production ANN composition: the coarse
     quantizer prunes the candidate set to the query's n_probe cells
@@ -1107,29 +1112,40 @@ def ivf_pq_topk(
     only corpus bytes the scan touches, and the per-candidate work is
     m array lookups — the FAISS IVFADC layout expressed as DataFrame
     ops. Returns (query_id, rank, vec_id, dist2), dist2 the exact
-    quantized ADC distance."""
+    quantized ADC distance.
+
+    ``assign`` mirrors ivf_topk: ``"expr"`` (default, oracle-replayable)
+    runs the corpus x centroids cosine expression + per-vector window;
+    ``"gemm"`` swaps that pass for the map-side numpy argmax
+    (:func:`_assign_cells_gemm`, cell only — the vector stays out of
+    the Arrow round-trip), results pinned identical by
+    tests/test_round11.py."""
     if codebook is None:
         codebook = pq_codebook(candidates, m, n_cent, vec_col, id_col, dim, scale)
     codes = pq_encode(candidates, codebook, m, vec_col, id_col, dim, scale)
-    cent = F.broadcast(
-        candidates.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-        )
+    centroids = candidates.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
-    assign = (
-        candidates.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2")
+    cent = F.broadcast(centroids)
+    if assign == "gemm":
+        assign_df = _assign_cells_gemm(
+            candidates, centroids, vec_col, id_col, include_vec=False
         )
-        .crossJoin(cent)
-        .select(
-            "vec_id", "cid",
-            cosine_similarity(F.col("cv2"), F.col("cv")).alias("sim"),
+    else:
+        w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+        assign_df = (
+            candidates.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2")
+            )
+            .crossJoin(cent)
+            .select(
+                "vec_id", "cid",
+                cosine_similarity(F.col("cv2"), F.col("cv")).alias("sim"),
+            )
+            .select("*", F.row_number().over(w_assign).alias("rn"))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cell"))
         )
-        .select("*", F.row_number().over(w_assign).alias("rn"))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
-    )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cid")
     probes = (
         queries.select(
@@ -1192,7 +1208,7 @@ def ivf_pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy("dist2", "vec_id")
     return (
-        codes.join(assign, "vec_id")
+        codes.join(assign_df, "vec_id")
         .join(F.broadcast(probes), "cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .join(F.broadcast(lut), "query_id")

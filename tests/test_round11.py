@@ -53,6 +53,30 @@ def test_ivf_gemm_assignment_plan_has_no_assignment_window(spark):
     assert "CartesianProduct" not in p
 
 
+def test_ivf_pq_gemm_assignment_matches_expression(spark):
+    """Same pin for the IVF-PQ composition: swapping the coarse
+    quantizer's expression pass for the map-side GEMM argmax must not
+    change a single (query_id, rank, vec_id, dist2) row — ADC
+    distances are integer-exact, so even the distances must agree."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    def run(assign):
+        return sorted(
+            map(
+                tuple,
+                sim.ivf_pq_topk(
+                    queries, emb, k=10, n_centroids=8, n_probe=2,
+                    assign=assign,
+                ).collect(),
+            )
+        )
+
+    expr_rows, gemm_rows = run("expr"), run("gemm")
+    assert len(expr_rows) > 0
+    assert expr_rows == gemm_rows
+
+
 def test_ivf_gemm_zero_norm_vector_assigns_lowest_cid(spark):
     """Degenerate-input contract: a zero-norm vector scores 0 against
     every centroid and assigns to the lowest cid (argmax first-hit on
