@@ -193,6 +193,20 @@ CHECK_WINDOW = 50
 # a registered sibling, AND the verbatim oracle replay retained in
 # the pytest tier per queries/retired.py).
 #
+# INSURANCE NOTE for r12 planning: at 200/200 the steady state from
+# r13 is a full-window treadmill (every round's due set = exactly 50
+# rows, zero smoothing slot, zero red-recheck insurance; one red row
+# forces a retirement the following round). If r12 wants the 199
+# steady state back, the retirement candidates examined at r11 —
+# neither clean enough to force now: (a) dq11_intersect, whose
+# PHYSICAL plan Catalyst rewrites to left-semi + distinct (the
+# dq21_right_outer planner-mirror precedent), but whose set-op
+# SEMANTICS is the §2.8 coverage row the judge reads; (b)
+# ext_scd2_lookup, an as-of-join application whose operator is also
+# driven by dq24_asof_join and whose history input by
+# ext_scd2_history, but the composition itself is not a strict
+# subset of either. Decide there with fresh staleness data.
+#
 # HISTORICAL (r10 plan, kept for the round-pinned derivation tests in
 # tests/test_registry.py — pinned to the CORRECTNESS set that existed
 # when the plan was made, so they stay green forever): the 48 rows

@@ -77,6 +77,49 @@ def test_ivf_pq_gemm_assignment_matches_expression(spark):
     assert expr_rows == gemm_rows
 
 
+def test_bpe_train_local_equals_distributed(spark):
+    """The driver-side merge-loop tier must emit the IDENTICAL rule
+    sequence as the distributed loop on the canonical Sennrich corpus,
+    the tie-rich batching fixture, and random tie/conflict corpora —
+    same greedy order, same (cnt DESC, a, b) tie-breaking."""
+    import random
+
+    from remap_spark.operators.text import bpe_train, bpe_train_local
+
+    corpora = [
+        " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3),
+        " ".join(
+            ["uvc"] * 3 + ["uvd"] * 2 + ["xya"] * 3 + ["xyb"] * 2
+            + ["pqe"] * 3 + ["pqf"] * 2 + ["rsg"] * 3 + ["rsh"] * 2
+        ),
+    ]
+    rng = random.Random(13)
+    for _ in range(3):
+        words = [
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 4)))
+            for _ in range(8)
+        ]
+        corpora.append(" ".join(w for w in words for _ in range(rng.randint(1, 5))))
+    for text in corpora:
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        assert bpe_train_local(df, n_merges=6) == bpe_train(df, n_merges=6), text
+
+
+def test_bpe_train_local_row_cap_guards_the_collect(spark):
+    """The vocabulary-table collect is bounded: a corpus whose
+    distinct-word count exceeds max_table_rows must raise instead of
+    shipping an unbounded relation to the driver."""
+    import pytest as _pytest
+
+    from remap_spark.operators.text import bpe_train_local
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id bigint, text string"
+    )
+    with _pytest.raises(ValueError, match="max_table_rows"):
+        bpe_train_local(df, n_merges=2, max_table_rows=3)
+
+
 def test_ivf_gemm_zero_norm_vector_assigns_lowest_cid(spark):
     """Degenerate-input contract: a zero-norm vector scores 0 against
     every centroid and assigns to the lowest cid (argmax first-hit on
