@@ -739,6 +739,58 @@ def _quantized(vec_col: str, scale: int) -> Column:
     )
 
 
+def _semdedup_prune_gemm(prunable: DataFrame, tau_mil: int) -> DataFrame:
+    """Within-cluster near-duplicate drops via one int64 GEMM per
+    cluster — the scale tier of semdedup's pairwise prune, with the
+    expression tier's EXACT integer semantics: drop j iff some i < j
+    in its cluster has dot > 0 and dot^2 * 10^6 >= tau^2 * n_i^2 *
+    n_j^2. The dot matrix is exact (int64 matmul; 64-dim dots of
+    ~scale-bounded components are < 2^53); the squared-threshold
+    inequality is screened in float64 and any pair inside the 1e-9
+    relative borderline band is re-decided with arbitrary-precision
+    Python ints, so the drop set is bit-identical to the decimal(38,0)
+    expression, not float-approximate. Input: (cluster, _id, _q, _n2)
+    restricted to prunable clusters (the caller's max_cluster_size cap
+    bounds the per-cluster size^2 matrix). Returns one (_id) row per
+    dropped point per cluster."""
+    import numpy as np
+
+    tau2 = tau_mil * tau_mil
+
+    def prune(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"_id": np.empty(0, dtype=np.int64)})
+        order = np.argsort(pdf["_id"].to_numpy(dtype=np.int64), kind="stable")
+        ids = pdf["_id"].to_numpy(dtype=np.int64)[order]
+        mat = np.array(list(pdf["_q"].iloc[order]), dtype=np.int64)
+        n2 = pdf["_n2"].to_numpy(dtype=np.int64)[order]
+        dots = mat @ mat.T
+        iu, ju = np.triu_indices(n, k=1)
+        d = dots[iu, ju]
+        pos = d > 0
+        df_ = d.astype(np.float64)
+        lhs = df_ * df_ * 1e6
+        rhs = float(tau2) * n2[iu].astype(np.float64) * n2[ju].astype(np.float64)
+        ge = lhs >= rhs
+        # ulp-borderline band: re-decide exactly with Python ints
+        denom = np.maximum(np.abs(lhs), np.abs(rhs))
+        border = np.abs(lhs - rhs) <= 1e-9 * denom
+        for t in np.nonzero(border & pos)[0]:
+            di = int(d[t])
+            ge[t] = di * di * 1_000_000 >= tau2 * int(n2[iu[t]]) * int(
+                n2[ju[t]]
+            )
+        drop_j = np.unique(ju[pos & ge])
+        return pd.DataFrame({"_id": ids[drop_j]})
+
+    return prunable.select("cluster", "_id", "_q", "_n2").groupBy(
+        "cluster"
+    ).applyInPandas(prune, schema="_id bigint")
+
+
 def semdedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -748,6 +800,7 @@ def semdedup(
     tau_mil: int = 950,
     scale: int = 1_000_000,
     max_cluster_size: int | None = None,
+    pair_mode: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     embedding space with :func:`kmeans_lloyd`, then prune near-
@@ -756,6 +809,22 @@ def semdedup(
     ``tau_mil``/1000 with it (the deterministic keep-lowest-id form of
     the paper's one-per-duplicate-group rule; no transitive closure).
     Returns (``id_col``, cluster, dropped) for every input point.
+
+    ``pair_mode`` picks the within-cluster pruning tier. ``"expr"``
+    (default — the registered oracle query's replayable form) scores
+    each candidate pair through the Catalyst zip_with/aggregate dot:
+    exact, but ~orders slower than BLAS per element (the r10/r11 probe
+    theme). ``"gemm"`` computes the SAME exact integer semantics per
+    cluster in numpy: one int64 matmul for all pairwise dots (exact —
+    quantized components stay ~<= scale for unit-ish vectors, so
+    64-dim dots are < 2^53 and far under int64), a float64 screen on
+    the squared-threshold inequality, and an arbitrary-precision
+    Python-int recheck for the ulp-borderline band — so drops are
+    BIT-IDENTICAL to the expression tier (pinned by
+    tests/test_round11.py), not float-approximate. Cluster matrices
+    are bounded by ``max_cluster_size`` (the skew dial); without a cap
+    a single huge cluster builds a size^2 dot matrix — cap it at
+    scale exactly as the expression tier's candidate volume demands.
 
     Exact integer arithmetic throughout, so the DuckDB oracle
     hash-matches: vectors int64-quantized at ``scale``; the cosine
@@ -803,43 +872,50 @@ def semdedup(
         )
     else:
         prunable = pts
-    a = prunable.select(
-        "cluster",
-        F.col("_id").alias("_ida"),
-        F.col("_q").alias("_qa"),
-        F.col("_n2").alias("_na2"),
-    )
-    b = prunable.select(
-        "cluster",
-        F.col("_id").alias("_idb"),
-        F.col("_q").alias("_qb"),
-        F.col("_n2").alias("_nb2"),
-    )
-    dot = F.aggregate(
-        F.zip_with("_qa", "_qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    dec = "decimal(38,0)"
-    dropped = (
-        a.join(b, "cluster")
-        .where(F.col("_ida") < F.col("_idb"))
-        .withColumn("_dot", dot)
-        .where(
-            (F.col("_dot") > 0)
-            & (
-                F.col("_dot").cast(dec)
-                * F.col("_dot").cast(dec)
-                * F.lit(1_000_000).cast(dec)
-                >= F.lit(tau_mil * tau_mil).cast(dec)
-                * F.col("_na2").cast(dec)
-                * F.col("_nb2").cast(dec)
-            )
+    if pair_mode == "gemm":
+        dropped = (
+            _semdedup_prune_gemm(prunable, tau_mil)
+            .distinct()
+            .withColumn("_dropped", F.lit(True))
         )
-        .select(F.col("_idb").alias("_id"))
-        .distinct()
-        .withColumn("_dropped", F.lit(True))
-    )
+    else:
+        a = prunable.select(
+            "cluster",
+            F.col("_id").alias("_ida"),
+            F.col("_q").alias("_qa"),
+            F.col("_n2").alias("_na2"),
+        )
+        b = prunable.select(
+            "cluster",
+            F.col("_id").alias("_idb"),
+            F.col("_q").alias("_qb"),
+            F.col("_n2").alias("_nb2"),
+        )
+        dot = F.aggregate(
+            F.zip_with("_qa", "_qb", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        dec = "decimal(38,0)"
+        dropped = (
+            a.join(b, "cluster")
+            .where(F.col("_ida") < F.col("_idb"))
+            .withColumn("_dot", dot)
+            .where(
+                (F.col("_dot") > 0)
+                & (
+                    F.col("_dot").cast(dec)
+                    * F.col("_dot").cast(dec)
+                    * F.lit(1_000_000).cast(dec)
+                    >= F.lit(tau_mil * tau_mil).cast(dec)
+                    * F.col("_na2").cast(dec)
+                    * F.col("_nb2").cast(dec)
+                )
+            )
+            .select(F.col("_idb").alias("_id"))
+            .distinct()
+            .withColumn("_dropped", F.lit(True))
+        )
     return (
         pts.join(dropped, "_id", "left")
         .select(

@@ -77,6 +77,41 @@ def test_ivf_pq_gemm_assignment_matches_expression(spark):
     assert expr_rows == gemm_rows
 
 
+def test_semdedup_gemm_pair_mode_matches_expression(spark):
+    """pair_mode='gemm' must produce the BIT-IDENTICAL (vec_id,
+    cluster, dropped) set as the expression tier — the int64 matmul +
+    exact borderline recheck preserves the decimal(38,0) semantics, on
+    both the real fixture corpus and the planted near-dup corpus."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for kwargs in (
+        dict(k=8, iters=3, tau_mil=400, max_cluster_size=2000),
+        dict(k=4, iters=2, tau_mil=950),
+    ):
+        e = sorted(map(tuple, sim.semdedup(emb, **kwargs).collect()))
+        g = sorted(
+            map(tuple, sim.semdedup(emb, pair_mode="gemm", **kwargs).collect())
+        )
+        assert e == g, kwargs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.999, 0.001, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    e = sorted(map(tuple, sim.semdedup(df, k=4, iters=2, tau_mil=950).collect()))
+    g = sorted(
+        map(
+            tuple,
+            sim.semdedup(
+                df, k=4, iters=2, tau_mil=950, pair_mode="gemm"
+            ).collect(),
+        )
+    )
+    assert e == g
+
+
 def test_bpe_train_local_equals_distributed(spark):
     """The driver-side merge-loop tier must emit the IDENTICAL rule
     sequence as the distributed loop on the canonical Sennrich corpus,
