@@ -640,12 +640,29 @@ def kmeans_lloyd(
     k: int = 4,
     iters: int = 3,
     scale: int = 1_000_000,
+    assign_mode: str = "expr",
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd k-means over an embedding column — the
     clustering tier of semantic dedup / corpus curation (cluster, then
     sample or drop per cluster). Returns ``(assignment, centroids)``:
     ``assignment`` is (id, cluster) under the FINAL centroids;
     ``centroids`` is (cluster, centroid) as a quantized int array.
+
+    ``assign_mode`` picks the per-iteration assignment tier.
+    ``"expr"`` (default — the registered oracle query's replayable
+    form) scores points x centroids through the Catalyst
+    zip_with/aggregate distance and argmins via a per-point window: a
+    points x k intermediate plus a point-table-sized shuffle per
+    iteration. ``"gemm"`` collects the k centroids each iteration
+    (model-sized by definition — the classic driver-resident-model
+    kmeans loop; action-lint contract) and assigns map-side per Arrow
+    batch: |x|^2 - 2x.c + |c|^2 via ONE int64 matmul — every quantity
+    an exact integer (64-dim dots of scale-quantized components sit
+    far under 2^63), argmin first-hit on the cluster-sorted codebook
+    = the min-cluster-id tie rule — so assignments, centroid updates,
+    and the final output are BIT-IDENTICAL to the expression tier
+    (pinned by tests/test_round11.py), with no shuffle, no window,
+    and no points x k blow-up.
 
     Engine-portable by construction: vectors are quantized to int64 at
     ``scale`` (ROUND(x * scale) — identical IEEE double multiply +
@@ -692,7 +709,7 @@ def kmeans_lloyd(
     )
     w = Window.partitionBy("_pid").orderBy("_d", "cluster")
 
-    def _assign(cents: DataFrame) -> DataFrame:
+    def _assign_expr(cents: DataFrame) -> DataFrame:
         return (
             pts.crossJoin(F.broadcast(cents))
             .select("_pid", "_q", "cluster", dist.alias("_d"))
@@ -700,6 +717,42 @@ def kmeans_lloyd(
             .where(F.col("_rn") == 1)
             .select("_pid", "_q", "cluster")
         )
+
+    def _assign_gemm(cents: DataFrame) -> DataFrame:
+        import numpy as np
+
+        rows = sorted(
+            cents.select("cluster", "_cq").collect(), key=lambda r: r["cluster"]
+        )
+        c_ids = np.array([r["cluster"] for r in rows], dtype=np.int64)
+        c_mat = np.array([r["_cq"] for r in rows], dtype=np.int64)
+        c_n2 = (c_mat * c_mat).sum(axis=1)
+        bc = df.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_n2))
+
+        def go(pdfs):
+            import pandas as pd
+
+            ids, cmat, cn2 = bc.value
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf["_q"]), dtype=np.int64)
+                xn2 = (mat * mat).sum(axis=1)
+                d = xn2[:, None] - 2 * (mat @ cmat.T) + cn2[None, :]
+                best = np.argmin(d, axis=1)  # first-hit = min cluster id
+                yield pd.DataFrame(
+                    {
+                        "_pid": pdf["_pid"].to_numpy(dtype=np.int64),
+                        "_q": pdf["_q"],
+                        "cluster": ids[best],
+                    }
+                )
+
+        return pts.mapInPandas(
+            go, schema="_pid bigint, _q array<bigint>, cluster bigint"
+        )
+
+    _assign = _assign_gemm if assign_mode == "gemm" else _assign_expr
 
     for _ in range(iters):
         assign = _assign(cents)
@@ -801,6 +854,7 @@ def semdedup(
     scale: int = 1_000_000,
     max_cluster_size: int | None = None,
     pair_mode: str = "expr",
+    assign_mode: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     embedding space with :func:`kmeans_lloyd`, then prune near-
@@ -825,6 +879,10 @@ def semdedup(
     are bounded by ``max_cluster_size`` (the skew dial); without a cap
     a single huge cluster builds a size^2 dot matrix — cap it at
     scale exactly as the expression tier's candidate volume demands.
+    ``assign_mode`` forwards to kmeans_lloyd the same way (its "gemm"
+    tier is integer-exact too, so ("gemm", "gemm") is still
+    bit-identical to the oracle form end-to-end — the full scale
+    configuration).
 
     Exact integer arithmetic throughout, so the DuckDB oracle
     hash-matches: vectors int64-quantized at ``scale``; the cosine
@@ -842,7 +900,13 @@ def semdedup(
     the oracle replays the cap. No cartesian, no driver collect; the
     kmeans stage is the documented one-broadcast-per-iteration plan."""
     assign, _cents = kmeans_lloyd(
-        df, vec_col=vec_col, id_col=id_col, k=k, iters=iters, scale=scale
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        k=k,
+        iters=iters,
+        scale=scale,
+        assign_mode=assign_mode,
     )
     # pts feeds both sides of the self-join plus the final output join;
     # no lineage cut here — the exchange is identical on both join

@@ -112,6 +112,53 @@ def test_semdedup_gemm_pair_mode_matches_expression(spark):
     assert e == g
 
 
+def test_kmeans_gemm_assignment_matches_expression(spark):
+    """kmeans_lloyd assign_mode='gemm' must be bit-identical to the
+    expression tier — assignments AND final centroids — on the fixture
+    corpus: the int64 distance matmul is exact, and argmin first-hit
+    on the cluster-sorted codebook reproduces the min-cluster-id tie
+    rule."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for kwargs in (dict(k=8, iters=3), dict(k=4, iters=2)):
+        a_e, c_e = sim.kmeans_lloyd(emb, **kwargs)
+        a_g, c_g = sim.kmeans_lloyd(emb, assign_mode="gemm", **kwargs)
+        assert sorted(map(tuple, a_e.collect())) == sorted(
+            map(tuple, a_g.collect())
+        ), kwargs
+        assert sorted((r["cluster"], tuple(r["centroid"])) for r in c_e.collect()) == sorted(
+            (r["cluster"], tuple(r["centroid"])) for r in c_g.collect()
+        ), kwargs
+
+
+def test_semdedup_full_gemm_configuration_matches_expression(spark):
+    """The full scale configuration (assign_mode='gemm' +
+    pair_mode='gemm') must still be bit-identical to the oracle form."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    e = sorted(
+        map(
+            tuple,
+            sim.semdedup(
+                emb, k=8, iters=3, tau_mil=400, max_cluster_size=2000
+            ).collect(),
+        )
+    )
+    g = sorted(
+        map(
+            tuple,
+            sim.semdedup(
+                emb,
+                k=8,
+                iters=3,
+                tau_mil=400,
+                max_cluster_size=2000,
+                pair_mode="gemm",
+                assign_mode="gemm",
+            ).collect(),
+        )
+    )
+    assert e == g
+
+
 def test_bpe_train_local_equals_distributed(spark):
     """The driver-side merge-loop tier must emit the IDENTICAL rule
     sequence as the distributed loop on the canonical Sennrich corpus,
