@@ -17,7 +17,21 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from remap_spark.queries import ALL_ORACLES, ALL_QUERIES  # noqa: E402
+from remap_spark.queries import (  # noqa: E402
+    ALL_ORACLES,
+    ALL_QUERIES,
+    EXTENSION_IMPORT_ERRORS,
+)
+
+# A broken extension import must fail the driver contract LOUDLY, not
+# silently shrink queries() (and the 50-slot check window) by that
+# module's rows — the registry keeps the core DQ set alive for
+# interactive use, but a driver run against a partial registry would
+# record misleading green coverage.
+if EXTENSION_IMPORT_ERRORS:
+    raise ImportError(
+        f"extension modules failed to import: {EXTENSION_IMPORT_ERRORS}"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -497,6 +497,116 @@ def ivf_topk(
     scored = (
         F.broadcast(probes)
         .join(assign_df, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("qv"), F.col("vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def write_ivf_layout(
+    candidates: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    assign: str = "gemm",
+) -> None:
+    """Materialize the IVF layout the ivf_topk docstring promises at
+    100 TB: the corpus written ONCE partitioned by its coarse cell
+    (``<path>/corpus``, parquet partition column ``cell``) plus the
+    codebook (``<path>/centroids``), so every subsequent probe is a
+    PARTITION-PRUNED scan — n_probe/n_centroids of the corpus bytes
+    read per query batch, enforced by the planner rather than by a
+    filter over a full scan (plan-pinned: PartitionFilters in
+    tests/test_round11.py). Assignment defaults to the map-side GEMM
+    tier (one linear pass, no shuffle beyond the write's own
+    partitioning); ``assign='expr'`` keeps the oracle-replayable
+    expression form. Same deterministic default quantizer as ivf_topk."""
+    if centroids is None:
+        centroids = candidates.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+    if assign == "gemm":
+        assigned = _assign_cells_gemm(candidates, centroids, vec_col, id_col)
+    else:
+        cent = F.broadcast(centroids.select("cid", "cv"))
+        w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+        assigned = (
+            candidates.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2")
+            )
+            .crossJoin(cent)
+            .select(
+                "vec_id",
+                "cv2",
+                "cid",
+                cosine_similarity(F.col("cv2"), F.col("cv")).alias("sim"),
+            )
+            .select("*", F.row_number().over(w_assign).alias("rn"))
+            .where(F.col("rn") == 1)
+            .select(
+                "vec_id", F.col("cv2").alias("vec"), F.col("cid").alias("cell")
+            )
+        )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/corpus"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a :func:`write_ivf_layout` corpus: pick each query's
+    ``n_probe`` nearest cells against the stored codebook (broadcast,
+    query-sized), then scan ONLY those cells' partitions — the probe
+    cell set (driver-sized: queries x n_probe ids; the same bounded
+    contract as the GEMM tiers' query collect) is pushed as a static
+    partition filter, so the scan's PartitionFilters prune at plan
+    time and the corpus bytes read scale with n_probe/n_centroids,
+    not corpus size. Scoring and ranking are ivf_topk's exactly —
+    row-identical on the same centroids + assignment (pinned by
+    tests/test_round11.py)."""
+    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cid")
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .crossJoin(cents)
+        .select(
+            "query_id",
+            "qv",
+            "cid",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+        .select("*", F.row_number().over(w_probe).alias("rn"))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    corpus = spark.read.parquet(f"{path}/corpus").where(
+        F.col("cell").isin(cells)
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",

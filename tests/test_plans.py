@@ -150,10 +150,13 @@ def test_no_unbounded_driver_actions_in_operator_sources():
         # doubles as the materializer for the round's lazy checkpoints,
         # which a partial take/first would corrupt)
         "pregel.py": {".first()", ".count()"},
-        # .first(): dim=None fallback only. .collect(): cosine_topk_gemm
-        # collects the QUERY relation — driver-sized by the same contract
-        # under which every other top-k tier F.broadcast()s it — to ship
-        # it as a numpy matrix; the candidate corpus never moves.
+        # .first(): dim=None fallback only. .collect(): the GEMM tiers
+        # collect model-sized relations to ship as numpy matrices — the
+        # QUERY relation (cosine_topk_gemm; driver-sized by the same
+        # contract under which every other top-k tier F.broadcast()s
+        # it) and the CODEBOOK/centroid relations (_assign_cells_gemm,
+        # kmeans_lloyd assign_mode='gemm'; k rows by definition). The
+        # candidate corpus never moves.
         "similarity.py": {".first()", ".collect()"},
         # dedup.py: NO driver actions — the max_doc_freq corpus count
         # is in-plan as a broadcast 1-row relation since round 5
