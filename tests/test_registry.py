@@ -285,6 +285,21 @@ def test_r12_window_plan_arithmetic():
     assert not already, f"staged_r12 queries leaked into registry: {already}"
 
 
+def test_r13_window_lookahead_arithmetic():
+    """One round beyond the staged horizon, derived at r11 planning
+    time (upto=10): after r12 drains the 49 remaining r08-latest rows
+    + the staged_r12 promotion, r13's due set is the 50 r09-latest
+    rows — a FULL window with zero promotion or smoothing slots (the
+    steady state at the 200-name ceiling; see the INSURANCE NOTE in
+    queries/__init__). This pins that no r13 over-commit is possible:
+    exactly 50 rows fall due, none spill."""
+    latest = _latest_round(upto=10)
+    r09_latest = sorted(
+        n for n, r in latest.items() if r == "09" and n in ALL_QUERIES
+    )
+    assert len(r09_latest) == CHECK_WINDOW, len(r09_latest)
+
+
 # ---------------------------------------------------------------------------
 # Historical plan derivations (pinned to the records their plans were
 # computed from — these prove the derivation logic and stay green
