@@ -470,6 +470,17 @@ def bpe_train(
         top_run = [
             (r["a"], r["b"]) for r in top_rows if r["cnt"] == top_cnt
         ]
+        # strings every prior rule (and this batch) produced: if a
+        # candidate's merged string m COLLIDES with one, symbol m may
+        # already exist in the table, and applying the candidate then
+        # BOOSTS pre-existing (x, m)/(m, y) pair counts — potentially
+        # above top_cnt, where the new-pair hazard analysis below (which
+        # bounds NEW pairs at <= top_cnt) does not apply. Strict BPE
+        # character dynamics make the collision hard to reach (two
+        # routes to the same string need disjoint surviving contexts),
+        # but the guard is one set lookup: accept the colliding rule,
+        # then end the pass so the next aggregate sees boosted counts.
+        produced = {x + y for x, y in merges}
         batch: list[tuple[str, str]] = []
         used: set[str] = set()
         for a, b in top_run:
@@ -491,6 +502,9 @@ def bpe_train(
                 break
             batch.append((a, b))
             used.update((a, b))
+            if a + b in produced:
+                break  # symbol-string collision: see comment above
+            produced.add(a + b)
         merges.extend(batch)
 
         def apply_merges(batches, _rules=dict(((a, b), a + b) for a, b in batch)):
