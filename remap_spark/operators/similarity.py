@@ -357,6 +357,45 @@ def cosine_topk_lsh(
     )
 
 
+def _assign_cells_expr(
+    candidates: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    include_vec: bool = True,
+) -> DataFrame:
+    """Expression-tier nearest-centroid assignment — the
+    oracle-replayable form shared by ivf_topk / ivf_pq_topk /
+    write_ivf_layout: candidates x broadcast centroids through the
+    Catalyst cosine expression, argmin via a per-vector row_number
+    window (ties to the lowest cid). Corpus x n_centroids intermediate
+    + a corpus-sized shuffle — fine at oracle scale; the GEMM tier
+    below is the measured 100 TB path (SCALE.md r11: 15.8x at 100k
+    vectors). Returns (vec_id, vec, cell) or (vec_id, cell)."""
+    cent = F.broadcast(centroids.select("cid", "cv"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    out_cols = (
+        ["vec_id", F.col("cv2").alias("vec"), F.col("cid").alias("cell")]
+        if include_vec
+        else ["vec_id", F.col("cid").alias("cell")]
+    )
+    return (
+        candidates.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2")
+        )
+        .crossJoin(cent)
+        .select(
+            "vec_id",
+            "cv2",
+            "cid",
+            cosine_similarity(F.col("cv2"), F.col("cv")).alias("sim"),
+        )
+        .select("*", F.row_number().over(w_assign).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select(*out_cols)
+    )
+
+
 def _assign_cells_gemm(
     candidates: DataFrame,
     centroids: DataFrame,
@@ -462,24 +501,7 @@ def ivf_topk(
     if assign == "gemm":
         assign_df = _assign_cells_gemm(candidates, centroids, vec_col, id_col)
     else:
-        w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
-        assign_df = (
-            candidates.select(
-                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2")
-            )
-            .crossJoin(cent)
-            .select(
-                "vec_id",
-                "cv2",
-                "cid",
-                cosine_similarity(F.col("cv2"), F.col("cv")).alias("sim"),
-            )
-            .select("*", F.row_number().over(w_assign).alias("rn"))
-            .where(F.col("rn") == 1)
-            .select(
-                "vec_id", F.col("cv2").alias("vec"), F.col("cid").alias("cell")
-            )
-        )
+        assign_df = _assign_cells_expr(candidates, centroids, vec_col, id_col)
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cid")
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -539,25 +561,7 @@ def write_ivf_layout(
     if assign == "gemm":
         assigned = _assign_cells_gemm(candidates, centroids, vec_col, id_col)
     else:
-        cent = F.broadcast(centroids.select("cid", "cv"))
-        w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
-        assigned = (
-            candidates.select(
-                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2")
-            )
-            .crossJoin(cent)
-            .select(
-                "vec_id",
-                "cv2",
-                "cid",
-                cosine_similarity(F.col("cv2"), F.col("cv")).alias("sim"),
-            )
-            .select("*", F.row_number().over(w_assign).alias("rn"))
-            .where(F.col("rn") == 1)
-            .select(
-                "vec_id", F.col("cv2").alias("vec"), F.col("cid").alias("cell")
-            )
-        )
+        assigned = _assign_cells_expr(candidates, centroids, vec_col, id_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/corpus"
     )
@@ -1382,19 +1386,8 @@ def ivf_pq_topk(
             candidates, centroids, vec_col, id_col, include_vec=False
         )
     else:
-        w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
-        assign_df = (
-            candidates.select(
-                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2")
-            )
-            .crossJoin(cent)
-            .select(
-                "vec_id", "cid",
-                cosine_similarity(F.col("cv2"), F.col("cv")).alias("sim"),
-            )
-            .select("*", F.row_number().over(w_assign).alias("rn"))
-            .where(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias("cell"))
+        assign_df = _assign_cells_expr(
+            candidates, centroids, vec_col, id_col, include_vec=False
         )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), "cid")
     probes = (
