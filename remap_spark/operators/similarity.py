@@ -605,6 +605,10 @@ def ivf_probe_topk(
         .select("query_id", "qv", F.col("cid").alias("cell"))
     )
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    if not cells:  # empty query set: empty result, correct schema
+        return spark.createDataFrame(
+            [], "query_id bigint, rank int, vec_id bigint, cosine double"
+        )
     corpus = spark.read.parquet(f"{path}/corpus").where(
         F.col("cell").isin(cells)
     )

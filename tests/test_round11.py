@@ -138,6 +138,19 @@ def test_ivf_layout_probe_matches_ivf_topk(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_ivf_probe_empty_query_set_returns_empty(spark, tmp_path):
+    """An empty query batch must return an empty, correctly-typed
+    result instead of feeding isin() an empty cell list."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_layout(emb, path, n_centroids=4, assign="gemm")
+    out = sim.ivf_probe_topk(
+        spark, path, emb.where(F.col("vec_id") < 0), k=5, n_probe=2
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "rank", "vec_id", "cosine"]
+
+
 def test_ivf_probe_scan_is_partition_pruned(spark, tmp_path):
     """The probe's corpus scan must carry the cell set as a PARTITION
     filter (pruned at planning), not a post-scan predicate — the
