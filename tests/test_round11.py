@@ -138,6 +138,25 @@ def test_ivf_layout_probe_matches_ivf_topk(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_ivf_layout_expr_assignment_matches_gemm_layout(spark, tmp_path):
+    """Both assignment tiers of write_ivf_layout must place every
+    vector in the same cell (the parity the ivf_topk tiers pin,
+    re-checked through the layout writer's own code path)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    p1, p2 = str(tmp_path / "g"), str(tmp_path / "e")
+    sim.write_ivf_layout(emb, p1, n_centroids=8, assign="gemm")
+    sim.write_ivf_layout(emb, p2, n_centroids=8, assign="expr")
+    g = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(f"{p1}/corpus").select("vec_id", "cell").collect()
+    }
+    e = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(f"{p2}/corpus").select("vec_id", "cell").collect()
+    }
+    assert g == e and len(g) > 0
+
+
 def test_ivf_probe_empty_query_set_returns_empty(spark, tmp_path):
     """An empty query batch must return an empty, correctly-typed
     result instead of feeding isin() an empty cell list."""

@@ -83,6 +83,39 @@ def test_staged_r12_queries_stay_jvm_side(spark):
     assert not bad, bad
 
 
+def test_per_host_keeps_cross_site_repetition_once_per_host(spark):
+    """The policy discriminator vs dedup_paragraphs_global (pinned at
+    1M docs by the r11 SCALE probe, here as a permanent fixture): a
+    line shared across N hosts survives once PER HOST — N survivors —
+    where the global policy keeps exactly one corpus-wide."""
+    from remap_spark.operators.dedup import (
+        dedup_paragraphs_global,
+        dedup_paragraphs_per_host,
+    )
+
+    rows = [
+        (1, "https://a.com/1", "syndicated lede\nalpha"),
+        (2, "https://a.com/2", "syndicated lede\nbravo"),
+        (3, "https://b.com/1", "syndicated lede\ncharlie"),
+        (4, "https://c.com/1", "syndicated lede"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string, text string")
+    per_host = {
+        r["doc"]: r["text"] for r in dedup_paragraphs_per_host(df).collect()
+    }
+    # one survivor per host: docs 1 (a.com first), 3 (b.com), 4 (c.com)
+    assert per_host[1] == "syndicated lede\nalpha"
+    assert per_host[2] == "bravo"  # same-host copy dies
+    assert per_host[3] == "syndicated lede\ncharlie"
+    assert per_host[4] == "syndicated lede"
+    # the global policy keeps exactly ONE copy corpus-wide
+    global_ = {
+        r["doc"]: r["text"]
+        for r in dedup_paragraphs_global(df.drop("url")).collect()
+    }
+    assert sum(t.count("syndicated lede") for t in global_.values()) == 1
+
+
 def test_per_host_null_url_docs_dedup_in_empty_host_bucket(spark):
     """The ADVICE r10 fix: url_host(NULL) is NULL, and an inner join
     never matches null keys — before the coalesce, every segment of a
