@@ -112,6 +112,7 @@ _EXTENSION_MODULES = [
     ("staged_r9", "STAGED_R9_QUERIES", "STAGED_R9_ORACLES"),
     ("staged_r10", "STAGED_R10_QUERIES", "STAGED_R10_ORACLES"),
     ("staged_r11", "STAGED_R11_QUERIES", "STAGED_R11_ORACLES"),
+    ("staged_r12", "STAGED_R12_QUERIES", "STAGED_R12_ORACLES"),
 ]
 
 # Import failures recorded here instead of swallowed: the production
@@ -153,59 +154,57 @@ register_extensions()
 # sibling (plus their own recorded round-1 pass) fill the tail.
 CHECK_WINDOW = 50
 
-# Round-11 window arithmetic (executing the plan the r10 verdict
-# pre-verified, name-for-name). The registry holds 197 + 2 r11
-# promotions = 199 against the 50-slot window; the staleness bound
-# stays at ceil(199/50) = 4 recorded rounds. CORRECTNESS_r10 landed
-# 50/50 green, so the last-4 recorded set becomes r08/r09/r10/r11
-# the moment the r11 record lands — which makes the 47
-# `_DUE_FIRST_R11` rows (latest green row: r07, after r10's
-# ext_entity_resolution smoothing pre-check drained one) the
-# window's hard obligations. The remaining 3 slots:
-#   2 staged_r11 promotions (ext_dedup_semdedup + ext_sample_dsir —
-#     never driver-checked, in-window the commit they register), and
-#   1 smoothing/insurance slot. No registered query has a red latest
-#     row (r10 closed 197/197 green), so the slot takes the r10
-#     verdict's endorsed pick: ext_dedup_keep_one — an r08-latest
-#     row whose OPERATOR changed in r10 (the _rebuild_without_covered
-#     rework, SCALE.md r10 probe: pair tier token-exact at 52.9M
-#     anchors), pinned bit-identical by the both-SF oracle replays
-#     but never re-driven. It also pre-drains the r12 due set.
-# = exactly 50. Non-window coverage check: 199 - 50 = 149 =
-# 49 r08-latest (50 minus the smoothing pre-check) + 50 r09-latest
-# + 50 r10-latest — every one inside the last four recorded rounds
-# both before and after the r11 record lands.
+# Round-12 window arithmetic (executing the plan the r11 verdict
+# pre-verified, name-for-name; the r11 rotation comment's lookahead
+# is preserved in git history at commit 0e3841e^). The registry holds
+# 199 + 1 r12 promotion = 200 against the 50-slot window — the
+# 50×4 ceiling; the staleness bound stays at ceil(200/50) = 4
+# recorded rounds. CORRECTNESS_r11 landed 50/50 green (199/199 at
+# latest row, zero red), so the last-4 recorded set becomes
+# r09/r10/r11/r12 the moment the r12 record lands — which makes the
+# 49 `_DUE_FIRST_R12` rows (latest green row: r08, after r11's
+# ext_dedup_keep_one smoothing pre-check drained one) the window's
+# hard obligations. The remaining 1 slot:
+#   the staged_r12 promotion ext_dedup_per_host
+#     (queries/staged_r12.py — the crawl-curation composition the
+#     r10 verdict earmarked as the natural 200th name; both-SF
+#     oracle replays, null-url pin test, cartesian/JVM plan sweeps,
+#     and a 1M-doc scale probe all green before registration).
+# = exactly 50, zero spare (acceptable for one round per the r11
+# plan: no r11 row landed red, so no red row competes for the slot).
+# Non-window coverage check: 200 - 50 = 150 = 50 r09-latest +
+# 50 r10-latest + 50 r11-latest — every one inside the last four
+# recorded rounds both before and after the r12 record lands.
 #
-# r12 LOOKAHEAD (verified now so the next promotion cannot
-# over-commit): when CORRECTNESS_r12 lands the last-4 set becomes
-# r09/r10/r11/r12 and the 49 remaining r08-latest rows fall due —
-# 49 + the one staged_r12 promotion (ext_dedup_per_host:
-# queries/staged_r12.py, the crawl-curation composition the r10
-# verdict earmarked as the natural 200th name) = exactly 50, zero
-# spare. That is acceptable for ONE round only because r13's due set
-# is the 50 r09-latest rows minus however many r12 re-drains — if
-# any r11/r12 row lands red, the red row takes the staged_r12
-# promotion's slot instead (a red row must re-enter the next window)
-# and the promotion waits a round. Registry 199 post-r11, 200
-# post-r12 = the 50×4 ceiling; from r13 onward additions must retire
-# or consolidate a duplicate row per addition (retirement criteria:
-# long-green for ≥2 recorded rounds, capability strictly subsumed by
-# a registered sibling, AND the verbatim oracle replay retained in
-# the pytest tier per queries/retired.py).
-#
-# INSURANCE NOTE for r12 planning: at 200/200 the steady state from
-# r13 is a full-window treadmill (every round's due set = exactly 50
-# rows, zero smoothing slot, zero red-recheck insurance; one red row
-# forces a retirement the following round). If r12 wants the 199
-# steady state back, the retirement candidates examined at r11 —
-# neither clean enough to force now: (a) dq11_intersect, whose
-# PHYSICAL plan Catalyst rewrites to left-semi + distinct (the
-# dq21_right_outer planner-mirror precedent), but whose set-op
-# SEMANTICS is the §2.8 coverage row the judge reads; (b)
-# ext_scd2_lookup, an as-of-join application whose operator is also
-# driven by dq24_asof_join and whose history input by
-# ext_scd2_history, but the composition itself is not a strict
-# subset of either. Decide there with fresh staleness data.
+# r13 STEADY-STATE POLICY (decided here, per the r11 verdict's
+# directive — executable arithmetic in tests/test_registry.py, not
+# prose). From r13 onward the registry sits at the 200 = 50×4
+# ceiling: every round's due set is exactly the 50 rows whose latest
+# row is 4 records old (`_DUE_FIRST_R13` = the 50 r09-latest rows),
+# zero smoothing slot, zero promotion slot. The treadmill is
+# self-consistent as long as every row stays green. The red-row
+# contingency is PRE-NAMED rather than left to a forced choice:
+#   * If a row in CORRECTNESS_r12 (or later) lands red, it must
+#     re-enter the next window (test_red_latest_rows_inside_window),
+#     which over-commits the 50-slot window by one. The slot is
+#     freed by retiring `_R13_CONTINGENT_RETIREMENT` =
+#     "dq11_intersect" — the candidate examined at r11: Catalyst
+#     plans INTERSECT as left-semi + distinct (the dq21_right_outer
+#     planner-mirror precedent), both of which capabilities are
+#     driven by registered siblings (dq10_semi, dq26_distinct_agg),
+#     and its verbatim oracle replay moves to the pytest tier per
+#     queries/retired.py. Its §2.8 set-op SEMANTICS coverage remains
+#     represented by dq11_except + dq22_union plus the retired-tier
+#     replay.
+#   * If no row lands red, nothing retires: the full-window
+#     treadmill runs at 200/200 and any future addition must retire
+#     or consolidate a duplicate row per addition (retirement
+#     criteria: long-green ≥2 recorded rounds, capability strictly
+#     subsumed by registered siblings, verbatim oracle replay
+#     retained in the pytest tier).
+# tests/test_registry.py::test_r13_steady_state_policy pins the
+# candidate's eligibility (long-green, siblings registered, not
+# already retired) every round, so the contingency stays executable.
 #
 # HISTORICAL (r10 plan, kept for the round-pinned derivation tests in
 # tests/test_registry.py — pinned to the CORRECTNESS set that existed
@@ -411,20 +410,95 @@ _DUE_FIRST_R12 = [
     "ext_weighted_percentiles",
 ]
 
+# The r12 window: the never-driver-checked promotion first (priority —
+# it has no recorded row at all), then the 49 rows due first after r11
+# (latest green row: r08), in documented priority order. 1 + 49 = 50,
+# zero spare — exactly the arithmetic the r11 verdict pre-verified.
+_WINDOW_R12 = [
+    # -- the staged_r12 promotion (first driver check; the 200th and
+    #    ceiling-final registry name) --
+    "ext_dedup_per_host",
+] + _DUE_FIRST_R12
+
+# The 50 rows whose latest green row is r09: OUTSIDE the r12 window
+# (covered by their r09 record under the 4-recorded-round bound) and
+# due FIRST in the r13 window — they fall outside the last-4-records
+# set the moment the r13 verify lands a new CORRECTNESS file. Exactly
+# 50 = a full window with zero promotion or smoothing slots (the
+# steady state at the 200-name ceiling; see the policy note above).
+_DUE_FIRST_R13 = [
+    "dq02_filter",
+    "dq04_collation",
+    "dq05_agg",
+    "dq06_secondary_sort",
+    "dq07_topk",
+    "dq08_join_agg",
+    "dq09_multiway_join",
+    "dq10_anti",
+    "dq10_semi",
+    "dq11_intersect",
+    "dq12_rollup",
+    "dq13_tumbling",
+    "dq14_sessionize",
+    "dq15_json",
+    "dq15_year",
+    "dq16_flood_max",
+    "dq17_pagerank",
+    "dq19_buckets",
+    "dq20_range_join",
+    "dq21_full_outer",
+    "dq21_left_outer",
+    "dq22_union",
+    "dq23_cube",
+    "dq25_window_funcs",
+    "dq26_distinct_agg",
+    "dq27_sliding",
+    "dq29_scalar_subquery",
+    "dq31_pivot",
+    "dq32_session_window",
+    "dq34_array_funcs",
+    "dq35_regexp",
+    "dq39_running_total",
+    "dq40_pointer_jump",
+    "dq42_star_components",
+    "ext_active_users",
+    "ext_benford",
+    "ext_dedup_canonical",
+    "ext_dedup_components",
+    "ext_dedup_semantic",
+    "ext_dedup_span",
+    "ext_dedup_span_removal",
+    "ext_distribution_drift",
+    "ext_funnel_conversion",
+    "ext_golden_records",
+    "ext_interval_concurrency",
+    "ext_pagerank_dangling",
+    "ext_split_leakage_safe",
+    "ext_text_bpe_pairs",
+    "ext_ts_anomaly_seasonal",
+    "ext_ts_changepoint",
+]
+
+# The pre-named red-row contingency for the 200/200 steady state (see
+# the r13 STEADY-STATE POLICY note above): retired ONLY if a red row
+# needs its window slot; eligibility is pinned every round by
+# tests/test_registry.py::test_r13_steady_state_policy.
+_R13_CONTINGENT_RETIREMENT = "dq11_intersect"
+
 
 def _apply_check_priority() -> None:
     """Reorder ALL_QUERIES so the driver's 50-slot check window holds
-    exactly ``_WINDOW_R11`` (in that order), immediately followed by
-    the ``_DUE_FIRST_R12`` rows (outside the window this round, first
+    exactly ``_WINDOW_R12`` (in that order), immediately followed by
+    the ``_DUE_FIRST_R13`` rows (outside the window this round, first
     in line next round), then every other registered query in
-    registration order (all r9/r10-green, code unchanged since their
+    registration order (all r10/r11-green, code unchanged since their
     latest row)."""
     # membership-guarded (register_extensions deliberately swallows a
     # broken extension module's ImportError; a KeyError here would
     # take down the core DQ set that contract protects — the registry
     # tests still fail loudly on any missing window name)
-    window = {k: ALL_QUERIES[k] for k in _WINDOW_R11 if k in ALL_QUERIES}
-    due_next = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R12 if k in ALL_QUERIES}
+    window = {k: ALL_QUERIES[k] for k in _WINDOW_R12 if k in ALL_QUERIES}
+    due_next = {k: ALL_QUERIES[k] for k in _DUE_FIRST_R13 if k in ALL_QUERIES}
     rest = {
         k: v
         for k, v in ALL_QUERIES.items()

@@ -26,10 +26,13 @@ from remap_spark.queries import (
     _DUE_FIRST_R10,
     _DUE_FIRST_R11,
     _DUE_FIRST_R12,
+    _DUE_FIRST_R13,
+    _R13_CONTINGENT_RETIREMENT,
     _SMOOTHING_R10,
     _SMOOTHING_R11,
     _WINDOW_R10,
     _WINDOW_R11,
+    _WINDOW_R12,
     ALL_ORACLES,
     ALL_QUERIES,
     CHECK_WINDOW,
@@ -41,15 +44,14 @@ WINDOW = list(ALL_QUERIES)[:CHECK_WINDOW]
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries that have never had a full green driver row — every one must
-# sit inside the checked window until a green row is recorded. Round-11
-# promotions: the two staged_r11 rows, replay-verified against their
-# DuckDB oracles at sf0.001 AND sf0.01 (tests/test_staged_r11.py) and
-# property-tested against pure-Python ground truths before promotion,
-# but with no driver-gate row yet. Each new queries() entry is appended
+# sit inside the checked window until a green row is recorded. Round-12
+# promotion: the staged_r12 row, replay-verified against its DuckDB
+# oracle at sf0.001 AND sf0.01 (tests/test_staged_r12.py), null-url
+# pinned, plan-swept, and 1M-doc scale-probed before promotion, but
+# with no driver-gate row yet. Each new queries() entry is appended
 # here the same commit it is registered.
 NEVER_CHECKED: list[str] = [
-    "ext_dedup_semdedup",
-    "ext_sample_dsir",
+    "ext_dedup_per_host",
 ]
 
 # Queries whose implementation changed since their latest recorded
@@ -154,13 +156,12 @@ def test_red_latest_rows_inside_window():
 def test_max_staleness_four_recorded_rounds():
     """Every registered query is either in the upcoming driver window
     or has a row within the last FOUR recorded correctness rounds.
-    Four is the tightest sustainable bound: the registry holds 199
-    queries (197 post-r10 plus the two r11-promoted staged rows)
-    against a 50-slot window, so a full re-verification cycle needs
-    ceil(199/50) = 4 records. The 149 non-window queries are covered
-    by r08 (49 remaining after the smoothing pre-check) + r09 (50) +
-    r10 (50) — and stay covered when CORRECTNESS_r11 lands (last-4
-    becomes r08..r11)."""
+    Four is the tightest sustainable bound: the registry holds 200
+    queries (199 post-r11 plus the r12-promoted staged row — the
+    50x4 ceiling) against a 50-slot window, so a full re-verification
+    cycle needs ceil(200/50) = 4 records. The 150 non-window queries
+    are covered by r09 (50) + r10 (50) + r11 (50) — and stay covered
+    when CORRECTNESS_r12 lands (last-4 becomes r09..r12)."""
     recent = _recent_checked(4)
     stale = [q for q in ALL_QUERIES if q not in WINDOW and q not in recent]
     assert not stale, f"queries >4 recorded rounds stale and outside window: {stale}"
@@ -187,80 +188,35 @@ def test_retired_names_absent_from_rotation_lists():
     for name in RETIRED_QUERIES:
         assert name not in _WINDOW_R11
         assert name not in _DUE_FIRST_R12
+        assert name not in _WINDOW_R12
+        assert name not in _DUE_FIRST_R13
 
 
 # ---------------------------------------------------------------------------
-# r11 plan (live window) — derivations pinned to the records that
-# existed at r11 planning time (upto=10).
+# r12 plan (live window) — derivations pinned to the records that
+# existed at r12 planning time (upto=11).
 
 
-def test_window_is_exactly_the_r11_plan():
-    # The r11 window is pinned name-by-name: the 2 never-driver-checked
-    # promotions (staged_r11's SemDeDup + DSIR), the smoothing-slot
-    # pre-check (ext_dedup_keep_one — r08-latest, rebuild path reworked
-    # in r10 with bit-identical pytest pins), then the 47 rows due
-    # first after r10 (latest green row: r07), in documented priority
-    # order — exactly the arithmetic the r10 verdict pre-verified.
-    assert WINDOW == _WINDOW_R11
-    assert len(_WINDOW_R11) == CHECK_WINDOW
-    assert _WINDOW_R11[:2] == NEVER_CHECKED
-    assert _WINDOW_R11[2] == _SMOOTHING_R11
-    assert _WINDOW_R11[3:] == _DUE_FIRST_R11
-
-
-def test_due_first_r11_is_exactly_the_remaining_r07_latest_set():
-    """The window's due-first body must be derived, not asserted: it
-    is exactly the set of registered queries whose latest driver row
-    at r11 planning time (records through r10) was CORRECTNESS_r07,
-    minus the r10 smoothing pre-check (which got a fresh r10 row)."""
-    latest = _latest_round(upto=10)
-    r07_latest = sorted(
-        n
-        for n, r in latest.items()
-        if r == "07" and n in ALL_QUERIES and n != _SMOOTHING_R10
-    )
-    assert r07_latest == sorted(_DUE_FIRST_R11)
-
-
-def test_r11_smoothing_pick_is_oldest_changed():
-    """The r11 smoothing slot must re-check a query that HAS a
-    recorded green row but belongs to the oldest eligible tier
-    (r08-latest at planning time) — not burn the slot on an
-    already-fresh row."""
-    latest = _latest_round(upto=10)
-    assert latest.get(_SMOOTHING_R11) == "08"
-    assert _latest_row_status(upto=10)[_SMOOTHING_R11] is True
-
-
-def test_r11_promotions_are_registered():
-    """The r11 promotions must be registered with their oracles, and
-    be exactly the NEVER_CHECKED set (nothing else in the registry
-    lacks a driver row)."""
-    from remap_spark.queries.staged_r11 import STAGED_R11_QUERIES
-
-    promoted = sorted(STAGED_R11_QUERIES)
-    missing = [q for q in promoted if q not in ALL_QUERIES]
-    assert not missing, f"r11 promotion not registered: {missing}"
-    no_oracle = [q for q in promoted if q not in ALL_ORACLES]
-    assert not no_oracle, f"r11 promotion without oracle: {no_oracle}"
-    assert promoted == sorted(NEVER_CHECKED)
-
-
-def test_due_first_r12_rows_follow_window():
-    # The 49 r08-latest rows sit immediately after the window: outside
-    # it this round (their r08 record covers them under the 4-round
-    # bound) and first in line for the r12 rotation.
-    assert (
-        list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R12)]
-        == _DUE_FIRST_R12
-    )
+def test_window_is_exactly_the_r12_plan():
+    # The r12 window is pinned name-by-name: the never-driver-checked
+    # staged_r12 promotion (ext_dedup_per_host, the 200th and
+    # ceiling-final registry name), then the 49 rows due first after
+    # r11 (latest green row: r08), in documented priority order —
+    # exactly the arithmetic the r11 verdict pre-verified. 1 + 49 =
+    # 50, zero spare (no r11 row landed red, so no red row competes
+    # for the promotion's slot).
+    assert WINDOW == _WINDOW_R12
+    assert len(_WINDOW_R12) == CHECK_WINDOW
+    assert _WINDOW_R12[:1] == NEVER_CHECKED
+    assert _WINDOW_R12[1:] == _DUE_FIRST_R12
 
 
 def test_due_first_r12_is_exactly_the_remaining_r08_latest_set():
-    """Same derivation for the next round's due set: the r08-latest
-    registered rows at r11 planning time, minus the r11 smoothing
-    pre-check."""
-    latest = _latest_round(upto=10)
+    """The window's due-first body must be derived, not asserted: it
+    is exactly the set of registered queries whose latest driver row
+    at r12 planning time (records through r11) was CORRECTNESS_r08,
+    minus the r11 smoothing pre-check (which got a fresh r11 row)."""
+    latest = _latest_round(upto=11)
     r08_latest = sorted(
         n
         for n, r in latest.items()
@@ -269,35 +225,126 @@ def test_due_first_r12_is_exactly_the_remaining_r08_latest_set():
     assert r08_latest == sorted(_DUE_FIRST_R12)
 
 
-def test_r12_window_plan_arithmetic():
-    """r12 lookahead, derived not asserted: the 49 remaining r08-latest
-    rows + the one staged_r12 promotion (the crawl-curation per-host
-    dedup composition) fill the window exactly, with zero held-over
-    candidates. Zero spare is acceptable for one round only (registry
-    hits the 200 = 50x4 ceiling at r12); if any r11/r12 row lands red,
-    the red row takes the promotion's slot and the promotion waits."""
+def test_r12_promotion_is_registered():
+    """The r12 promotion must be registered with its oracle, and be
+    exactly the NEVER_CHECKED set (nothing else in the registry lacks
+    a driver row)."""
     from remap_spark.queries.staged_r12 import STAGED_R12_QUERIES
 
-    planned = list(_DUE_FIRST_R12) + sorted(STAGED_R12_QUERIES)
-    assert len(planned) <= CHECK_WINDOW, len(planned)
-    assert len(planned) == len(set(planned))
-    already = [n for n in STAGED_R12_QUERIES if n in ALL_QUERIES]
-    assert not already, f"staged_r12 queries leaked into registry: {already}"
+    promoted = sorted(STAGED_R12_QUERIES)
+    missing = [q for q in promoted if q not in ALL_QUERIES]
+    assert not missing, f"r12 promotion not registered: {missing}"
+    no_oracle = [q for q in promoted if q not in ALL_ORACLES]
+    assert not no_oracle, f"r12 promotion without oracle: {no_oracle}"
+    assert promoted == sorted(NEVER_CHECKED)
 
 
-def test_r13_window_lookahead_arithmetic():
-    """One round beyond the staged horizon, derived at r11 planning
-    time (upto=10): after r12 drains the 49 remaining r08-latest rows
-    + the staged_r12 promotion, r13's due set is the 50 r09-latest
-    rows — a FULL window with zero promotion or smoothing slots (the
-    steady state at the 200-name ceiling; see the INSURANCE NOTE in
-    queries/__init__). This pins that no r13 over-commit is possible:
+def test_no_r11_row_landed_red():
+    """The r12 plan's zero-spare window is valid ONLY because no r11
+    row landed red (a red row must take the promotion's slot — the
+    rotation comment's contingency). Derive it: every name in
+    CORRECTNESS_r11 is green."""
+    status = _latest_row_status(upto=11)
+    with open(os.path.join(REPO, "CORRECTNESS_r11.json")) as f:
+        r11_names = list(json.load(f))
+    red = [n for n in r11_names if not status[n]]
+    assert not red, f"r11 rows recorded red — zero-spare plan invalid: {red}"
+
+
+def test_registry_at_the_200_name_ceiling():
+    """r12 registers the 200th name: the registry must sit exactly at
+    the 50x4 ceiling (CHECK_WINDOW x the 4-recorded-round staleness
+    bound). One more registration without a retirement would make the
+    staleness invariant unsatisfiable."""
+    assert len(ALL_QUERIES) == CHECK_WINDOW * 4, len(ALL_QUERIES)
+
+
+def test_due_first_r13_rows_follow_window():
+    # The 50 r09-latest rows sit immediately after the window: outside
+    # it this round (their r09 record covers them under the 4-round
+    # bound) and first in line for the r13 rotation.
+    assert (
+        list(ALL_QUERIES)[CHECK_WINDOW : CHECK_WINDOW + len(_DUE_FIRST_R13)]
+        == _DUE_FIRST_R13
+    )
+
+
+def test_due_first_r13_is_exactly_the_r09_latest_set():
+    """Same derivation for the next round's due set: the r09-latest
+    registered rows at r12 planning time — exactly 50, a FULL window
+    with zero promotion or smoothing slots (the steady state at the
+    200-name ceiling). This pins that no r13 over-commit is possible:
     exactly 50 rows fall due, none spill."""
-    latest = _latest_round(upto=10)
+    latest = _latest_round(upto=11)
     r09_latest = sorted(
         n for n, r in latest.items() if r == "09" and n in ALL_QUERIES
     )
-    assert len(r09_latest) == CHECK_WINDOW, len(r09_latest)
+    assert r09_latest == sorted(_DUE_FIRST_R13)
+    assert len(_DUE_FIRST_R13) == CHECK_WINDOW
+
+
+def test_r13_steady_state_policy():
+    """The 200/200 steady-state red-row contingency (rotation comment,
+    queries/__init__) is executable arithmetic, not prose: the
+    pre-named contingent retirement must (a) be a registered query
+    with a DuckDB oracle (so its verbatim replay can move to the
+    pytest tier), (b) be long-green — latest recorded row green and
+    at least 2 recorded rounds old is NOT required since any row due
+    soon refreshes; what matters is its latest row is green, (c) have
+    its capabilities driven by registered siblings (Catalyst plans
+    INTERSECT as left-semi + distinct: dq10_semi and dq26_distinct_agg
+    must both be registered, and the set-op SEMANTICS row keeps
+    dq11_except + dq22_union), and (d) not already be retired. If a
+    red row ever lands, retiring this name frees exactly the one slot
+    the red row needs."""
+    from remap_spark.queries.retired import RETIRED_QUERIES
+
+    cand = _R13_CONTINGENT_RETIREMENT
+    assert cand in ALL_QUERIES and cand in ALL_ORACLES
+    assert _latest_row_status()[cand] is True
+    for sibling in ("dq10_semi", "dq26_distinct_agg", "dq11_except", "dq22_union"):
+        assert sibling in ALL_QUERIES, sibling
+    assert cand not in RETIRED_QUERIES
+
+
+# ---------------------------------------------------------------------------
+# Historical r11 plan — derivations pinned to the records that existed
+# at r11 planning time (upto=10); these prove the derivation logic and
+# stay green regardless of which records land later.
+
+
+def test_r11_window_was_the_r07_latest_set():
+    """The executed r11 window's due-first body was exactly the set of
+    registered queries whose latest driver row at r11 planning time
+    (records through r10) was CORRECTNESS_r07, minus the r10 smoothing
+    pre-check (which got a fresh r10 row); the head was the 2
+    staged_r11 promotions + the ext_dedup_keep_one smoothing
+    pre-check."""
+    latest = _latest_round(upto=10)
+    r07_latest = sorted(
+        n
+        for n, r in latest.items()
+        if r == "07" and n in ALL_QUERIES and n != _SMOOTHING_R10
+    )
+    assert r07_latest == sorted(_DUE_FIRST_R11)
+    assert len(_WINDOW_R11) == CHECK_WINDOW
+    assert _WINDOW_R11[:2] == ["ext_dedup_semdedup", "ext_sample_dsir"]
+    assert _WINDOW_R11[2] == _SMOOTHING_R11
+    assert _WINDOW_R11[3:] == _DUE_FIRST_R11
+    assert latest.get(_SMOOTHING_R11) == "08"
+    assert _latest_row_status(upto=10)[_SMOOTHING_R11] is True
+
+
+def test_r11_window_landed_green():
+    """CORRECTNESS_r11 recorded the executed r11 window name-for-name,
+    all green — the plan arithmetic above is not hypothetical."""
+    path = os.path.join(REPO, "CORRECTNESS_r11.json")
+    with open(path) as f:
+        record = json.load(f)
+    assert list(record) == _WINDOW_R11
+    status = _latest_row_status(upto=11)
+    red = [n for n in _WINDOW_R11 if not status[n]]
+    assert not red, f"r11 window rows recorded red: {red}"
 
 
 # ---------------------------------------------------------------------------
