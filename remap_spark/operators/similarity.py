@@ -427,11 +427,16 @@ def _assign_cells_gemm(
     c_unit = np.divide(c_mat, n, out=np.zeros_like(c_mat), where=n != 0)
     bc = candidates.sparkSession.sparkContext.broadcast((c_ids, c_unit))
 
+    # derive BOTH column types from the caller's schema (the expr tier
+    # preserves whatever id_col type arrives — a hardcoded bigint here
+    # would crash or silently coerce string/decimal ids only in this
+    # tier, breaking the drop-in equivalence; r11 ADVICE, low)
     vec_type = candidates.schema[vec_col].dataType.simpleString()
+    id_type = candidates.schema[id_col].dataType.simpleString()
     if include_vec:
-        out_schema = f"vec_id bigint, vec {vec_type}, cell bigint"
+        out_schema = f"vec_id {id_type}, vec {vec_type}, cell bigint"
     else:
-        out_schema = "vec_id bigint, cell bigint"
+        out_schema = f"vec_id {id_type}, cell bigint"
 
     def assign_batches(pdfs):
         import pandas as pd
@@ -444,7 +449,7 @@ def _assign_cells_gemm(
             nn = np.linalg.norm(mat, axis=1, keepdims=True)
             vu = np.divide(mat, nn, out=np.zeros_like(mat), where=nn != 0)
             best = np.argmax(vu @ unit.T, axis=1)
-            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            out = {"vec_id": pdf["vec_id"]}
             if include_vec:
                 out["vec"] = pdf["vec"]
             out["cell"] = ids[best]
@@ -604,6 +609,15 @@ def ivf_probe_topk(
         .where(F.col("rn") <= n_probe)
         .select("query_id", "qv", F.col("cid").alias("cell"))
     )
+    # materialize ONCE before the cells collect: the probe subtree is
+    # otherwise evaluated twice (here and inside the returned join),
+    # and a nondeterministic queries input (sample/limit/rand
+    # upstream) could recompute DIFFERENT probes at action time than
+    # the cell set collected for the partition filter — silently
+    # dropping candidate cells from the scan (r11 ADVICE, low). The
+    # checkpoint is query-relation-sized (queries x n_probe rows),
+    # inside the same bounded-driver contract as the collect below.
+    probes = probes.localCheckpoint(eager=True)
     cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     if not cells:  # empty query set: empty result, correct schema
         return spark.createDataFrame(
@@ -631,6 +645,39 @@ def ivf_probe_topk(
 
 
 _PAIR_SCHEMA = "vec_a bigint, vec_b bigint, cosine double"
+
+
+# Headroom bound for the exact-integer GEMM tiers: every intermediate
+# (dot product, squared norm, distance combination) must stay under
+# 2^62 so the int64 matmul cannot wrap. numpy int64 overflow wraps
+# SILENTLY where the Spark ANSI bigint expression tier would raise —
+# the tiers' bit-identity contract therefore requires checking the
+# bound, not documenting it (r11 ADVICE, medium).
+_INT64_GEMM_HEADROOM = 2**62
+
+
+def _check_int64_gemm_bound(
+    max_abs_a: int, max_abs_b: int, dim: int, context: str
+) -> None:
+    """Raise before an int64 GEMM whose intermediates could exceed
+    2^62. The conservative bound covers dots (dim*a*b), squared norms
+    (dim*a^2 / dim*b^2), and the distance combination
+    |x|^2 - 2x.c + |c|^2 <= dim*(a+b)^2 — computed in Python ints, so
+    the check itself cannot overflow. Unit-ish embeddings at the
+    default scale=1e6 give max_abs ~1e6 and 64*(2e6)^2 ~ 2.6e14,
+    comfortably inside; quantized components beyond ~2.6e8 at dim=64
+    trip the guard instead of silently wrapping."""
+    bound = dim * (int(max_abs_a) + int(max_abs_b)) ** 2
+    if bound >= _INT64_GEMM_HEADROOM:
+        raise ValueError(
+            f"{context}: int64 GEMM overflow risk — dim={dim}, "
+            f"max|component|={max(max_abs_a, max_abs_b)} gives "
+            f"intermediate bound {bound} >= 2^62. Reduce the "
+            "quantization scale or use the expression tier "
+            "(assign_mode/pair_mode='expr'), which computes in "
+            "arbitrary-precision decimal and errors loudly under "
+            "ANSI mode instead of wrapping."
+        )
 
 
 def _gemm_pairs(a_ids, a_mat, b_ids, b_mat, threshold: float, same: bool):
@@ -836,6 +883,13 @@ def kmeans_lloyd(
             .select("_pid", "_q", "cluster")
         )
 
+    # the gemm tier must be a drop-in for the expr tier, which
+    # preserves the caller's id type — derive it rather than hardcode
+    # bigint (r11 ADVICE, low); seeding already requires a numeric id
+    # (`_pid < k`), so any Spark integral/floating id type round-trips
+    # Arrow unchanged.
+    pid_type = df.schema[id_col].dataType.simpleString()
+
     def _assign_gemm(cents: DataFrame) -> DataFrame:
         import numpy as np
 
@@ -844,30 +898,39 @@ def kmeans_lloyd(
         )
         c_ids = np.array([r["cluster"] for r in rows], dtype=np.int64)
         c_mat = np.array([r["_cq"] for r in rows], dtype=np.int64)
+        c_max = int(np.abs(c_mat).max()) if c_mat.size else 0
         c_n2 = (c_mat * c_mat).sum(axis=1)
-        bc = df.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_n2))
+        bc = df.sparkSession.sparkContext.broadcast((c_ids, c_mat, c_n2, c_max))
 
         def go(pdfs):
             import pandas as pd
 
-            ids, cmat, cn2 = bc.value
+            ids, cmat, cn2, cmax = bc.value
             for pdf in pdfs:
                 if not len(pdf):
                     continue
                 mat = np.array(list(pdf["_q"]), dtype=np.int64)
+                _check_int64_gemm_bound(
+                    int(np.abs(mat).max()) if mat.size else 0,
+                    cmax,
+                    mat.shape[1] if mat.ndim == 2 else 0,
+                    "kmeans_lloyd(assign_mode='gemm')",
+                )
                 xn2 = (mat * mat).sum(axis=1)
                 d = xn2[:, None] - 2 * (mat @ cmat.T) + cn2[None, :]
                 best = np.argmin(d, axis=1)  # first-hit = min cluster id
                 yield pd.DataFrame(
                     {
-                        "_pid": pdf["_pid"].to_numpy(dtype=np.int64),
+                        "_pid": pdf["_pid"],
                         "_q": pdf["_q"],
                         "cluster": ids[best],
                     }
                 )
 
+        # cluster ids are seed point ids, so they carry pid_type in the
+        # expr tier too — declare the same type for drop-in parity
         return pts.mapInPandas(
-            go, schema="_pid bigint, _q array<bigint>, cluster bigint"
+            go, schema=f"_pid {pid_type}, _q array<bigint>, cluster {pid_type}"
         )
 
     _assign = _assign_gemm if assign_mode == "gemm" else _assign_expr
@@ -910,7 +973,11 @@ def _quantized(vec_col: str, scale: int) -> Column:
     )
 
 
-def _semdedup_prune_gemm(prunable: DataFrame, tau_mil: int) -> DataFrame:
+def _semdedup_prune_gemm(
+    prunable: DataFrame,
+    tau_mil: int,
+    max_gemm_cluster_rows: int = 20_000,
+) -> DataFrame:
     """Within-cluster near-duplicate drops via one int64 GEMM per
     cluster — the scale tier of semdedup's pairwise prune, with the
     expression tier's EXACT integer semantics: drop j iff some i < j
@@ -923,7 +990,16 @@ def _semdedup_prune_gemm(prunable: DataFrame, tau_mil: int) -> DataFrame:
     expression, not float-approximate. Input: (cluster, _id, _q, _n2)
     restricted to prunable clusters (the caller's max_cluster_size cap
     bounds the per-cluster size^2 matrix). Returns one (_id) row per
-    dropped point per cluster."""
+    dropped point per cluster.
+
+    ``max_gemm_cluster_rows`` is the enforced skew guard (r11 ADVICE,
+    low — mirroring bpe_train_local's max_table_rows contract): a
+    cluster larger than the bound would build an n^2 int64 dot matrix
+    inside ONE task (20k rows -> 3.2 GB); instead of OOM-ing that
+    executor the group raises with the cap to set. The expression
+    tier degrades to a large-but-distributed join for such clusters —
+    use it (pair_mode='expr') or pass semdedup(max_cluster_size=...)
+    to split them."""
     import numpy as np
 
     tau2 = tau_mil * tau_mil
@@ -934,9 +1010,23 @@ def _semdedup_prune_gemm(prunable: DataFrame, tau_mil: int) -> DataFrame:
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"_id": np.empty(0, dtype=np.int64)})
+        if n > max_gemm_cluster_rows:
+            raise ValueError(
+                f"semdedup(pair_mode='gemm'): cluster of {n} rows exceeds "
+                f"max_gemm_cluster_rows={max_gemm_cluster_rows} — the dense "
+                f"n^2 dot matrix ({8 * n * n / 1e9:.1f} GB) would OOM one "
+                "executor. Pass max_cluster_size to split skewed clusters, "
+                "raise max_gemm_cluster_rows if the executors have room, "
+                "or use pair_mode='expr' (distributed join)."
+            )
         order = np.argsort(pdf["_id"].to_numpy(dtype=np.int64), kind="stable")
         ids = pdf["_id"].to_numpy(dtype=np.int64)[order]
         mat = np.array(list(pdf["_q"].iloc[order]), dtype=np.int64)
+        m_abs = int(np.abs(mat).max()) if mat.size else 0
+        _check_int64_gemm_bound(
+            m_abs, m_abs, mat.shape[1] if mat.ndim == 2 else 0,
+            "semdedup(pair_mode='gemm')",
+        )
         n2 = pdf["_n2"].to_numpy(dtype=np.int64)[order]
         dots = mat @ mat.T
         iu, ju = np.triu_indices(n, k=1)
@@ -994,9 +1084,13 @@ def semdedup(
     Python-int recheck for the ulp-borderline band — so drops are
     BIT-IDENTICAL to the expression tier (pinned by
     tests/test_round11.py), not float-approximate. Cluster matrices
-    are bounded by ``max_cluster_size`` (the skew dial); without a cap
-    a single huge cluster builds a size^2 dot matrix — cap it at
-    scale exactly as the expression tier's candidate volume demands.
+    are bounded by ``max_cluster_size`` (the skew dial); a cluster
+    that still exceeds the gemm tier's enforced per-task bound
+    (``_semdedup_prune_gemm``'s max_gemm_cluster_rows, default 20k
+    rows) RAISES with the cap to set instead of building a size^2
+    dot matrix that would OOM one executor, and components large
+    enough to overflow the int64 dots raise via
+    ``_check_int64_gemm_bound`` instead of silently wrapping.
     ``assign_mode`` forwards to kmeans_lloyd the same way (its "gemm"
     tier is integer-exact too, so ("gemm", "gemm") is still
     bit-identical to the oracle form end-to-end — the full scale

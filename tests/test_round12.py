@@ -1,0 +1,143 @@
+"""Round-12 pins: the r11 ADVICE fixes in operators/similarity.py.
+
+1. The int64 GEMM tiers RAISE on overflow risk instead of silently
+   wrapping (numpy int64 wraps where Spark ANSI bigint raises — the
+   bit-identity contract requires checking the bound, not documenting
+   it).
+2. semdedup's gemm pair tier RAISES on a cluster whose dense n^2 dot
+   matrix would OOM one executor (mirroring bpe_train_local's
+   max_table_rows contract) instead of building it.
+3. _assign_cells_gemm / kmeans _assign_gemm derive the id column type
+   from the caller's schema (drop-in parity with the expression tiers,
+   which preserve it) instead of hardcoding bigint.
+4. ivf_probe_topk materializes the probes subtree once
+   (localCheckpoint) so the collected cell filter and the join read
+   the same probes even for a nondeterministic queries input.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from remap_spark.operators import similarity as sim
+
+
+def _embed_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. overflow guards
+
+
+def test_check_int64_gemm_bound_arithmetic():
+    # unit-ish vectors at the default scale pass with huge margin
+    sim._check_int64_gemm_bound(2_000_000, 2_000_000, 64, "t")
+    # components big enough to wrap the distance combination raise
+    with pytest.raises(ValueError, match="int64 GEMM overflow"):
+        sim._check_int64_gemm_bound(2**31, 2**31, 64, "t")
+    # the check itself is Python-int exact: just under the bound passes
+    import math
+
+    m = math.isqrt(2**62 // 2) // 2 - 1
+    sim._check_int64_gemm_bound(m, m, 2, "t")
+    with pytest.raises(ValueError, match="int64 GEMM overflow"):
+        sim._check_int64_gemm_bound(m * 2, m * 2, 2, "t")
+
+
+def test_kmeans_gemm_raises_on_overflow_risk(spark):
+    # scale=10**9 quantizes unit-ish components to ~1e9; at dim=2 the
+    # distance-combination bound dim*(a+b)^2 ~ 2*(4e18) exceeds 2^62 —
+    # the expression tier would compute this exactly in decimal, so the
+    # gemm tier must refuse rather than silently wrap.
+    df = _embed_df(
+        spark, [(i, [1.0, float(i % 3) - 1.0]) for i in range(12)]
+    )
+    # the raise surfaces during kmeans_lloyd itself: the final
+    # assignment's centroid collect executes the gemm batches
+    with pytest.raises(Exception, match="int64 GEMM overflow"):
+        sim.kmeans_lloyd(
+            df, k=2, iters=1, scale=10**9, assign_mode="gemm"
+        )[0].collect()
+
+
+def test_semdedup_gemm_cluster_cap_raises(spark):
+    prunable = spark.createDataFrame(
+        [(0, i, [i, 1], 4) for i in range(6)],
+        "cluster bigint, _id bigint, _q array<bigint>, _n2 bigint",
+    )
+    capped = sim._semdedup_prune_gemm(
+        prunable, tau_mil=950, max_gemm_cluster_rows=3
+    )
+    with pytest.raises(Exception, match="max_gemm_cluster_rows"):
+        capped.collect()
+    # under the cap the same relation prunes fine
+    ok = sim._semdedup_prune_gemm(
+        prunable, tau_mil=950, max_gemm_cluster_rows=10
+    )
+    assert ok.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# 3. id-dtype drop-in parity
+
+
+def test_assign_cells_gemm_preserves_id_type(spark):
+    cands = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0]) for i in range(16)],
+        "vec_id int, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [3.0, 1.0])], "cid bigint, cv array<double>"
+    )
+    out = sim._assign_cells_gemm(cands, cents, "embedding", "vec_id")
+    assert dict(out.dtypes)["vec_id"] == "int"
+    rows = {r["vec_id"]: r["cell"] for r in out.collect()}
+    assert len(rows) == 16
+    # expression tier agrees row-for-row on the same non-bigint ids
+    expr = sim._assign_cells_expr(cands, cents, "embedding", "vec_id")
+    erows = {r["vec_id"]: r["cell"] for r in expr.collect()}
+    assert rows == erows
+
+
+def test_kmeans_gemm_preserves_id_type(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(20)],
+        "vec_id int, embedding array<double>",
+    )
+    a_gemm, _ = sim.kmeans_lloyd(df, k=2, iters=2, assign_mode="gemm")
+    a_expr, _ = sim.kmeans_lloyd(df, k=2, iters=2, assign_mode="expr")
+    assert dict(a_gemm.dtypes)["vec_id"] == "int"
+    assert sorted(map(tuple, a_gemm.collect())) == sorted(
+        map(tuple, a_expr.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. probe materialization
+
+
+def test_ivf_probe_topk_consistent_on_nondeterministic_queries(
+    spark, tmp_path
+):
+    corpus = _embed_df(
+        spark,
+        [(i, [float(i % 7) + 0.1, float(i % 3) + 0.1]) for i in range(64)],
+    )
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_layout(corpus, path, n_centroids=4)
+    # a nondeterministic queries input: without the localCheckpoint the
+    # cells collect and the join would re-sample DIFFERENT rows
+    queries = corpus.sample(0.3)
+    out = sim.ivf_probe_topk(spark, path, queries, k=3, n_probe=2).collect()
+    # every returned query must have ranked rows starting at 1 — a
+    # probe/join mismatch would surface as query_ids with missing or
+    # empty probe cells
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
