@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 from collections.abc import Callable, Iterable, Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -122,9 +123,10 @@ class MapReduceJob:
         sort_key = self.sort_key
         json_values = self.json_values
 
-        def run_reduce(pdf) -> object:
-            import pandas as pd
-
+        # full pandas type hints: a PARTIAL annotation makes pyspark's
+        # grouped-map eval-type inference raise (and warn) on every
+        # applyInPandas call; full hints resolve it silently
+        def run_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
             k2 = pdf["k2"].iloc[0]
             values = [
                 json.loads(v) if json_values else v for v in pdf["v2"]

@@ -390,15 +390,34 @@ def bpe_pair_stats(
 def bpe_train(
     df: DataFrame, text_col: str = "text", n_merges: int = 10,
     batch_limit: int = 64, _stats: dict | None = None,
+    mode: str = "auto", max_table_rows: int = 5_000_000,
 ) -> list[tuple[str, str]]:
-    """Greedy BPE merge learning, distributed: after ONE corpus pass
-    (the word-frequency aggregate) every round works on the
-    vocabulary-sized symbol table — pair-count aggregate, a BATCH of
-    merge rules picked driver-side, then all of them applied across
-    the word table in ONE Arrow-batched mapInPandas pass (per-word
-    left-to-right walk — the correct Python boundary, since the table
-    is vocab-sized, never corpus-sized). Returns the learned merge
-    rules in order.
+    """Greedy BPE merge learning. ``mode`` picks the merge-loop tier:
+
+    - ``"auto"`` (default): ONE distributed corpus pass builds the
+      word-frequency table; if it fits ``max_table_rows`` (it does for
+      every real tokenizer-training corpus — the table is VOCAB-sized,
+      not corpus-sized), the inherently sequential merge loop runs
+      in-process on the collected table (identical greedy order,
+      measured 7-10x faster than the distributed loop on Zipf corpora
+      — SCALE.md r11: the exact-tie batch path almost never fires on
+      realistic word distributions, so the distributed loop degrades
+      to ~1 merge/pass of scheduling floor). Oversized tables fall
+      through to the distributed loop on the SAME word-frequency
+      relation (no second corpus pass).
+    - ``"local"``: delegate unconditionally; raise if the table
+      exceeds ``max_table_rows`` (:func:`bpe_train_local`'s contract).
+    - ``"distributed"``: the batched distributed loop below — the
+      oracle/replay tier, and the only tier whose per-pass costs
+      ``_stats`` records.
+
+    Distributed tier: after the word-frequency aggregate every round
+    works on the vocabulary-sized symbol table — pair-count aggregate,
+    a BATCH of merge rules picked driver-side, then all of them
+    applied across the word table in ONE Arrow-batched mapInPandas
+    pass (per-word left-to-right walk — the correct Python boundary,
+    since the table is vocab-sized, never corpus-sized). Returns the
+    learned merge rules in order.
 
     Batched-yet-EXACT greedy: a pass accepts a CONTIGUOUS prefix of
     the top-count run in (cnt DESC, a, b) order, stopping at the first
@@ -422,11 +441,30 @@ def bpe_train(
     Validated against the canonical low/lower/newest/widest example
     (Sennrich et al. 2016 §3.2) and a batching-specific fixture in
     tests."""
+    if mode not in ("auto", "local", "distributed"):
+        raise ValueError(f"bpe_train: unknown mode {mode!r}")
     wf = (
         df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+    if mode in ("auto", "local"):
+        rows = wf.limit(max_table_rows + 1).collect()
+        if len(rows) <= max_table_rows:
+            if _stats is not None:
+                _stats["delegated"] = True
+            return _bpe_merge_loop(
+                [(r["freq"], tuple(r["word"]) + ("</w>",)) for r in rows],
+                n_merges,
+            )
+        if mode == "local":
+            raise ValueError(
+                f"bpe_train(mode='local'): word-frequency table exceeds "
+                f"max_table_rows={max_table_rows}; raise the cap or use "
+                f"mode='auto'/'distributed'"
+            )
+        # auto + oversized vocab: run the distributed loop on the SAME
+        # word-frequency relation (no second corpus pass)
     syms_col = F.concat(
         F.transform(
             F.sequence(F.lit(1), F.length("word")),
@@ -573,7 +611,19 @@ def bpe_train_local(
             f"max_table_rows={max_table_rows}; raise the cap or use "
             f"the distributed bpe_train"
         )
-    table = [(r["freq"], tuple(r["word"]) + ("</w>",)) for r in rows]
+    return _bpe_merge_loop(
+        [(r["freq"], tuple(r["word"]) + ("</w>",)) for r in rows], n_merges
+    )
+
+
+def _bpe_merge_loop(
+    table: list[tuple[int, tuple[str, ...]]], n_merges: int
+) -> list[tuple[str, str]]:
+    """The sequential greedy merge loop over a collected
+    (freq, symbols) word table — shared by :func:`bpe_train_local` and
+    :func:`bpe_train`'s auto-delegation. Greedy order and
+    (cnt DESC, a, b) tie-breaking identical to the distributed loop
+    (pinned by tests/test_round11.py)."""
     merges: list[tuple[str, str]] = []
     while len(merges) < n_merges:
         counts: dict[tuple[str, str], int] = {}

@@ -1026,13 +1026,13 @@ def test_bpe_batched_merges_fewer_passes(spark):
         [(1, " ".join(words))], "doc_id bigint, text string"
     )
     stats: dict = {}
-    merges = bpe_train(df, n_merges=4, _stats=stats)
+    merges = bpe_train(df, n_merges=4, _stats=stats, mode="distributed")
     assert len(merges) >= 4
     assert stats["passes"] <= 2, stats
     # sequential-greedy order at count 5, lex on (a, b):
     assert merges == [("p", "q"), ("r", "s"), ("u", "v"), ("x", "y")]
     # and the batched walk must equal one-merge-per-pass greedy here
-    assert merges == bpe_train(df, n_merges=4, batch_limit=1)
+    assert merges == bpe_train(df, n_merges=4, batch_limit=1, mode="distributed")
 
 
 def test_bpe_batched_equals_sequential(spark):
@@ -1052,8 +1052,8 @@ def test_bpe_batched_equals_sequential(spark):
         ]
         text = " ".join(w for w in words for _ in range(rng.randint(1, 5)))
         df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
-        batched = bpe_train(df, n_merges=6)
-        sequential = bpe_train(df, n_merges=6, batch_limit=1)
+        batched = bpe_train(df, n_merges=6, mode="distributed")
+        sequential = bpe_train(df, n_merges=6, batch_limit=1, mode="distributed")
         assert batched == sequential, (trial, text, batched, sequential)
 
 

@@ -261,7 +261,9 @@ def test_bpe_train_local_equals_distributed(spark):
         corpora.append(" ".join(w for w in words for _ in range(rng.randint(1, 5))))
     for text in corpora:
         df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
-        assert bpe_train_local(df, n_merges=6) == bpe_train(df, n_merges=6), text
+        assert bpe_train_local(df, n_merges=6) == bpe_train(
+            df, n_merges=6, mode="distributed"
+        ), text
 
 
 def test_bpe_train_local_row_cap_guards_the_collect(spark):

@@ -82,6 +82,36 @@ def test_semdedup_gemm_cluster_cap_raises(spark):
 
 
 # ---------------------------------------------------------------------------
+# 2b. bpe_train auto-delegation (r11 verdict item 4: steer users off
+# the measured-inert distributed merge loop)
+
+
+def test_bpe_train_auto_delegates_to_local_loop(spark):
+    from remap_spark.operators.text import bpe_train
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    stats: dict = {}
+    merges = bpe_train(df, n_merges=4, _stats=stats)
+    # default mode='auto' ran the in-process loop (the vocab table
+    # fits), NOT the distributed per-pass loop
+    assert stats == {"delegated": True}
+    # and the learned rules are identical to the distributed tier
+    assert merges == bpe_train(df, n_merges=4, mode="distributed")
+    # mode='local' raises loudly past the cap instead of collecting
+    with pytest.raises(ValueError, match="max_table_rows"):
+        bpe_train(df, n_merges=4, mode="local", max_table_rows=2)
+    # mode='auto' past the cap falls through to the distributed loop
+    assert (
+        bpe_train(df, n_merges=4, mode="auto", max_table_rows=2) == merges
+    )
+    with pytest.raises(ValueError, match="unknown mode"):
+        bpe_train(df, n_merges=4, mode="cluster")
+
+
+# ---------------------------------------------------------------------------
 # 3. id-dtype drop-in parity
 
 
