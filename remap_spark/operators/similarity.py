@@ -872,15 +872,26 @@ def kmeans_lloyd(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("_pid").orderBy("_d", "cluster")
 
     def _assign_expr(cents: DataFrame) -> DataFrame:
+        # argmin as MIN(struct(_d, cluster, _q)) — struct comparison is
+        # lexicographic, so the winner is the (min distance, min
+        # cluster-id) row: byte-identical to the former row_number()
+        # over orderBy(_d, cluster) (all-integer values, no FP ties),
+        # but a HASH AGGREGATE with map-side partials instead of a
+        # per-point sort window (guide §2.3 "aggregate before you
+        # shuffle"); (_d, cluster) is unique per point, so the trailing
+        # _q never participates in the comparison.
         return (
             pts.crossJoin(F.broadcast(cents))
             .select("_pid", "_q", "cluster", dist.alias("_d"))
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("_pid", "_q", "cluster")
+            .groupBy("_pid")
+            .agg(F.min(F.struct("_d", "cluster", "_q")).alias("_m"))
+            .select(
+                "_pid",
+                F.col("_m._q").alias("_q"),
+                F.col("_m.cluster").alias("cluster"),
+            )
         )
 
     # the gemm tier must be a drop-in for the expr tier, which

@@ -50,12 +50,21 @@ def ext_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r12 OPTIMIZATION: pair_mode='gemm' — the within-cluster prune
+    # runs as one int64 matmul per cluster (guide §4.2: whole batches
+    # through numpy) instead of the interpreted zip_with/aggregate dot
+    # per candidate pair. Drop set BIT-IDENTICAL to the expression tier
+    # (exact int64 dots + arbitrary-precision borderline recheck,
+    # pinned by tests/test_round11.py); the DuckDB oracle replay is
+    # unchanged and re-verified at both SFs. Fresh min-of-3 at sf0.1:
+    # 10.13 s -> see OPTIMIZATION_r12.md.
     res = sim.semdedup(
         emb,
         k=_SD_K,
         iters=_SD_ITERS,
         tau_mil=_SD_TAU_MIL,
         max_cluster_size=_SD_CAP,
+        pair_mode="gemm",
     )
     return (
         res.groupBy("cluster")
