@@ -1001,17 +1001,37 @@ def bigram_lm_scores(
     web-corpus model would OOM the driver. ``max_model_bigrams`` is
     the 100 TB path; the aggregates never materialize on the
     driver either way."""
-    from pyspark.sql.window import Window
-
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    toks = df.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokenize(F.col(text_col))).alias("pos", "w1"),
+    # id-hash repartition: spreads a few-split parquet scan AND is the
+    # ONE exchange all consumers below reuse (its map side — including
+    # tokenize — runs once). Bigrams then come straight off the token
+    # array via arrays_zip(arr, slice(arr, 2, len)) (r12 optimization):
+    # ordinary collection expressions evaluated once per row — the
+    # former lead() window paid a per-consumer sort of the whole token
+    # stream (model/ctx/probe each re-sorted it after the reused
+    # exchange). Pair stream and per-doc row order (= array order) are
+    # identical, so every aggregate replays bit-for-bit.
+    arr = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_arr")
     )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = toks.select(
-        "doc_id", "w1", F.lead("w1").over(wd).alias("w2")
-    ).where(F.col("w2").isNotNull())
+    toks = arr.select("doc_id", F.explode("_arr").alias("w1"))
+    bigrams = (
+        arr.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(F.col("_arr"), F.slice("_arr", 2, F.size("_arr")))
+            ).alias("_t"),
+        )
+        .select(
+            "doc_id",
+            F.col("_t").getField("_arr").alias("w1"),
+            F.col("_t").getField("1").alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        # lazy cut: model/ctx/probe consumers read the materialized
+        # bigram rows instead of re-running tokenize+zip+explode each
+        .localCheckpoint(eager=False)
+    )
     model = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
     if max_model_bigrams is not None:
         # deterministic top-M truncation (count desc, pair asc ties);
@@ -1070,20 +1090,40 @@ def trigram_backoff_scores(
     broadcast (bounded by M), uncapped joins are AQE's call; corpus
     totals ride as a single-row broadcast. Nothing touches the
     driver."""
-    from pyspark.sql.window import Window
-
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    toks = df.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokenize(F.col(text_col))).alias("pos", "w1"),
+    # Same r12 shape as bigram_lm_scores: ONE id-hash exchange whose
+    # map side tokenizes once, trigrams from arrays_zip(arr, slice+1,
+    # slice+2) instead of two lead() windows — the SEVEN consumers
+    # below (m3/ctx3/m2/ctx2/uni/tot/probe) each re-ran the window
+    # sort over the full token stream; the zip/explode they now re-run
+    # is a once-per-row collection expression. Trigram stream and
+    # per-doc row order are identical (null-padded tails dropped by
+    # the same w2/w3 non-null filter).
+    arr = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_arr")
     )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    tri = toks.select(
-        "doc_id",
-        "w1",
-        F.lead("w1", 1).over(wd).alias("w2"),
-        F.lead("w1", 2).over(wd).alias("w3"),
-    ).where(F.col("w2").isNotNull() & F.col("w3").isNotNull())
+    tri = (
+        arr.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.col("_arr"),
+                    F.slice("_arr", 2, F.size("_arr")),
+                    F.slice("_arr", 3, F.size("_arr")),
+                )
+            ).alias("_t"),
+        )
+        .select(
+            "doc_id",
+            F.col("_t").getField("_arr").alias("w1"),
+            F.col("_t").getField("1").alias("w2"),
+            F.col("_t").getField("2").alias("w3"),
+        )
+        .where(F.col("w2").isNotNull() & F.col("w3").isNotNull())
+        # lazy cut: the seven consumers read the materialized trigram
+        # rows instead of re-running tokenize+zip+explode each
+        .localCheckpoint(eager=False)
+    )
 
     m3 = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("_c3"))
     if max_model_trigrams is not None:
@@ -1463,21 +1503,40 @@ def textrank_keywords(
     no driver action in the loop. Returns the ``top_k`` (word,
     score_ppm) rows, score desc then word.
     """
-    toks = docs.select(
-        F.col(id_col).alias("_doc"),
-        F.posexplode(tokenize(text_col)).alias("pos", "word"),
+    # Window pairs straight off the token ARRAY (r12 optimization):
+    # arrays_zip(arr, slice(arr, 1+o, len)) aligns each token with its
+    # o-ahead neighbor (shorter slices null-pad), so one explode emits
+    # exactly the O(L*window) in-window pairs. The former token-stream
+    # self-join banded on (pos2 - pos <= window) was an equi-join on
+    # doc_id alone — it enumerated O(L^2) candidate rows per document
+    # before the band filter (guide §3: exploding join). arrays_zip and
+    # slice are ordinary collection expressions (evaluated once per
+    # row, never per element — the HOF-lambda trap _doc_shingles
+    # documents), and the pair multiset is identical by construction
+    # (verified exceptAll-empty both ways at sf0.1).
+    arr = docs.select(
+        F.col(id_col).alias("_doc"), tokenize(F.col(text_col)).alias("_arr")
     )
-    right = toks.select(
-        F.col("_doc").alias("_doc2"),
-        F.col("pos").alias("pos2"),
-        F.col("word").alias("word2"),
+    zipped = arr.select(
+        "_doc",
+        F.explode(
+            F.arrays_zip(
+                F.col("_arr"),
+                *[
+                    F.slice("_arr", 1 + o, F.size("_arr"))
+                    for o in range(1, window + 1)
+                ],
+            )
+        ).alias("_t"),
     )
-    pairs = toks.join(
-        right,
-        (F.col("_doc") == F.col("_doc2"))
-        & (F.col("pos2") > F.col("pos"))
-        & (F.col("pos2") <= F.col("pos") + window),
-    ).where(F.col("word") != F.col("word2"))
+    # arrays_zip names non-attribute fields positionally: "1".."window"
+    pairs = zipped.select(
+        "_doc",
+        F.col("_t").getField("_arr").alias("word"),
+        F.explode(
+            F.array(*[F.col("_t").getField(str(o)) for o in range(1, window + 1)])
+        ).alias("word2"),
+    ).where(F.col("word2").isNotNull() & (F.col("word") != F.col("word2")))
     edges = (
         pairs.select(
             F.least("word", "word2").alias("a"),
