@@ -1353,12 +1353,21 @@ def k_truss(
         )
 
     converged = False
+    kept = None
     for _ in range(max_iter):
-        keep = _support(cur).where(F.col("support") >= k - 2).select("a", "b")
-        cur = cur.join(keep, ["a", "b"], "left_semi").localCheckpoint(
-            eager=False
-        )
-        new_edges = cur.count()
+        # inner join instead of the former left_semi: same surviving
+        # edge set (supp's (a,b) keys are unique and a subset of cur),
+        # but the round's support values ride the checkpointed relation
+        # — at convergence they ARE the final in-truss supports (the
+        # fixpoint round dropped nothing, so the set the enumeration
+        # ran on equals the final set), which deletes the extra full
+        # triangle enumeration the return path used to pay (r12
+        # optimization: one wedge join per round + NONE at the end,
+        # measured plan diff in plans/r12/ext_k_truss_*).
+        supp = _support(cur).where(F.col("support") >= k - 2)
+        kept = cur.join(supp, ["a", "b"]).localCheckpoint(eager=False)
+        new_edges = kept.count()
+        cur = kept.select("a", "b")
         if new_edges == n_edges:
             converged = True
             break
@@ -1372,13 +1381,10 @@ def k_truss(
             f"peel rounds ({n_edges} edges still shrinking); raise "
             "max_iter for this graph's peel depth"
         )
-    return (
-        cur.join(_support(cur), ["a", "b"])
-        .select(
-            F.col("a").alias("src"),
-            F.col("b").alias("dst"),
-            F.col("support").cast("bigint").alias("support"),
-        )
+    return kept.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.col("support").cast("bigint").alias("support"),
     )
 
 
