@@ -527,6 +527,21 @@ def pointer_jump(
     return p.run().select("id", F.col("ptr").alias("root"))
 
 
+def _symmetrize(und: DataFrame) -> DataFrame:
+    """Both directions of an (src, dst) edge relation in ONE pass — an
+    explode of two structs per row. The union-of-two-selects form this
+    replaces re-executed the whole edge subtree once per direction
+    (r12 optimization; same fix as connected_components)."""
+    return und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+
+
 def _neighbor_min(e: DataFrame) -> DataFrame:
     """(u, m) where m = min over {u} ∪ N(u) given directed edges (u, v)."""
     return e.groupBy("u").agg(
@@ -858,9 +873,7 @@ def k_core(
     )
     und = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     sym = (
-        und.unionByName(
-            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        _symmetrize(und)
         .distinct()
         .repartition(n, "src")
         .localCheckpoint(eager=False)
@@ -931,9 +944,7 @@ def coreness(
     )
     und = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     sym = (
-        und.unionByName(
-            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        _symmetrize(und)
         .distinct()
         .repartition(n, "dst")
         .localCheckpoint(eager=False)
@@ -1083,9 +1094,7 @@ def label_propagation(
     )
     und = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     sym = (
-        und.unionByName(
-            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        _symmetrize(und)
         .distinct()
         .repartition(n, "src")
         .localCheckpoint(eager=False)
@@ -1352,13 +1361,22 @@ def k_truss(
     n_edges = cur.count()
 
     def _support(e: DataFrame) -> DataFrame:
+        # one explode of the three triangle edges instead of a 3-way
+        # union — the union form re-executed the wedge join (the
+        # enumeration's whole cost) once per side (r12 optimization;
+        # same fix as connected_components' symmetrization)
         tri = _oriented_triangles(e)
         return (
-            tri.select("a", "b")
-            .unionByName(
-                tri.select(F.col("b").alias("a"), F.col("c").alias("b"))
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a"), F.col("b")),
+                        F.struct(F.col("b").alias("a"), F.col("c").alias("b")),
+                        F.struct(F.col("a"), F.col("c").alias("b")),
+                    )
+                ).alias("_te")
             )
-            .unionByName(tri.select("a", F.col("c").alias("b")))
+            .select("_te.a", "_te.b")
             .groupBy("a", "b")
             .agg(F.count("*").alias("support"))
         )
@@ -1435,10 +1453,13 @@ def clustering_coefficient(
         .agg(F.count("*").alias("degree"))
     )
     tri = _oriented_triangles(canon)
+    # one explode of the three corners instead of a 3-way union — the
+    # union form re-executed the wedge join once per side (r12
+    # optimization, same fix as k_truss._support)
     tri_v = (
-        tri.select(F.col("a").alias("v"))
-        .unionByName(tri.select(F.col("b").alias("v")))
-        .unionByName(tri.select(F.col("c").alias("v")))
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("v")
+        )
         .groupBy("v")
         .agg(F.count("*").alias("triangles"))
     )
