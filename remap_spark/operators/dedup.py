@@ -1830,27 +1830,44 @@ def dedup_canonical(
 
     Shape: the component closure runs on the PAIR graph only (tiny
     next to the corpus — near-clique blobs, O(diameter) rounds); the
-    corpus joins the membership relation once (left join on the id,
-    AQE broadcasts the component map when it is small), and the
-    keep flag is one cluster-keyed window rank. Quality never crosses
-    an exchange except inside that window."""
-    from pyspark.sql.window import Window
-
+    per-cluster winner is decided on the MEMBERS relation (same tiny
+    pair-graph cardinality) with two hash aggregates, and the corpus
+    only ever left-joins two cluster-sized relations (membership +
+    winners — AQE broadcasts both when they fit). The corpus itself
+    never crosses an exchange: the r12 rewrite of the previous
+    corpus-wide row_number window, whose partition-and-sort touched
+    every input row just to flag the non-winners."""
     from .pregel import connected_components
 
     cc = connected_components(
         pairs, src="doc_a", dst="doc_b", num_partitions=num_partitions
     ).select(F.col("id").alias(id_col), "component")
-    tagged = df.select(id_col, quality_col).join(cc, id_col, "left").select(
+    # winner per cluster under (quality DESC, id ASC), computed on
+    # cluster MEMBERS only: max quality, then min id among the rows
+    # that attain it (type-generic — no negation trick, so any
+    # orderable quality/id columns keep working)
+    members = df.select(id_col, quality_col).join(cc, id_col)
+    best_q = members.groupBy(F.col("component").alias("_bc")).agg(
+        F.max(quality_col).alias("_bq")
+    )
+    winners = (
+        members.join(
+            best_q,
+            (F.col("component") == F.col("_bc"))
+            & (F.col(quality_col) == F.col("_bq")),
+        )
+        .groupBy(F.col("component").alias("cluster"))
+        .agg(F.min(id_col).alias("_winner"))
+    )
+    tagged = df.select(id_col).join(cc, id_col, "left").select(
         id_col,
-        quality_col,
         F.coalesce("component", F.col(id_col)).alias("cluster"),
     )
-    w = Window.partitionBy("cluster").orderBy(
-        F.desc(quality_col), F.asc(id_col)
-    )
-    return tagged.select(
+    return tagged.join(winners, "cluster", "left").select(
         id_col,
         "cluster",
-        (F.row_number().over(w) == 1).alias("keep"),
+        (
+            F.col("_winner").isNull()
+            | (F.col("_winner") == F.col(id_col))
+        ).alias("keep"),
     )

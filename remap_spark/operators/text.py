@@ -1350,11 +1350,18 @@ def rake_keywords(
     (a TOTAL order, so the cut at top_n is deterministic).
 
     Shape: one posexplode + one doc-keyed window for the phrase
-    islands (single shuffle), two vocabulary-sized word aggregates,
-    word-score joins left to AQE — NOT force-broadcast, the
-    bigram-LM lesson: vocabulary-sized relations only broadcast when
-    a cap bounds them — then one phrase aggregate and a TakeOrdered
-    top-k. No Python in the plan at any point."""
+    islands (single shuffle; the phrase-length count window over
+    (doc, _grp) piggybacks on the same hash partitioning — doc alone
+    already co-locates every (doc, _grp) group, so Spark adds only a
+    local sort, no second Exchange and no plen join), two
+    vocabulary-sized word aggregates, word-score joins left to AQE —
+    NOT force-broadcast, the bigram-LM lesson: vocabulary-sized
+    relations only broadcast when a cap bounds them — then one phrase
+    aggregate and a TakeOrdered top-k. No Python in the plan at any
+    point. The word-phrase stream is cut once with a lazy
+    localCheckpoint (the trigram-LM lesson): its two consumers (word
+    scores, phrase assembly) read the materialized rows instead of
+    re-running tokenize + explode + both windows each."""
     from pyspark.sql.window import Window
 
     sw = stopwords if stopwords is not None else RAKE_STOPWORDS
@@ -1368,8 +1375,9 @@ def rake_keywords(
     content = toks.where(~F.array_contains(sw_arr, F.col("w"))).withColumn(
         "_grp", F.col("i") - F.row_number().over(win)
     )
-    plen = content.groupBy("doc", "_grp").agg(F.count("*").alias("_plen"))
-    wp = content.join(plen, ["doc", "_grp"])
+    wp = content.withColumn(
+        "_plen", F.count("*").over(Window.partitionBy("doc", "_grp"))
+    ).localCheckpoint(eager=False)
     wscore = (
         wp.groupBy("w")
         .agg(F.count("*").alias("_freq"), F.sum("_plen").alias("_deg"))

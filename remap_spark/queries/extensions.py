@@ -1303,7 +1303,6 @@ def ext_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     one lineage; the oracle replays pairs + recursive-CTE closure +
     the score formula and picks the same winner."""
     from ..operators.pregel import connected_components
-    from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
@@ -1316,16 +1315,16 @@ def ext_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = tx.quality_score(docs).select("doc_id", "score")
     j = cc.join(scored, cc.id == scored.doc_id)
-    w = Window.partitionBy("component").orderBy(
-        F.desc("score"), F.col("doc_id")
-    )
-    ranked = j.withColumn("_rn", F.row_number().over(w))
+    # the winner under (score DESC, doc_id ASC) is the lexicographic
+    # max of (score, -doc_id) — one hash aggregate with map-side
+    # partials replaces the row_number window + its sort (same r12
+    # rewrite as kmeans' struct-min argmin); ties impossible because
+    # doc_id is unique within a component
+    best = F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("_nid")))
     return (
-        ranked.groupBy("component")
+        j.groupBy("component")
         .agg(
-            F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias(
-                "kept_doc"
-            ),
+            (-best.getField("_nid")).alias("kept_doc"),
             F.count("*").alias("n_docs"),
             (F.count("*") - 1).alias("n_dropped"),
         )
