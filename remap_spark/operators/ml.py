@@ -158,16 +158,24 @@ def logistic_score_relation(
     weights: DataFrame,
     id_col: str = "doc_id",
     out_col: str = "p",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score against a 1-row weights relation
     (``logistic_train_relation`` output) via a broadcast cross join —
-    the fully in-plan twin of ``logistic_score``."""
+    the fully in-plan twin of ``logistic_score``. ``keep_cols`` ride
+    through the scoring projection so callers that need input columns
+    (labels, splits) next to the score don't have to join the scored
+    relation back to the corpus on the id — that join is a corpus ×
+    corpus sort-merge for a column the plan already had in hand (r12:
+    removed exactly that shape from ext_quality_classifier)."""
     z = F.col("_b")
     for j, c in enumerate(feature_cols):
         z = z + F.col(f"_w{j}") * F.col(c).cast("double")
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return df.crossJoin(F.broadcast(weights)).select(
-        F.col(id_col), p.alias(out_col)
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        p.alias(out_col),
     )
 
 

@@ -2531,19 +2531,21 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the model stays IN-PLAN as a 1-row relation: 12 GD rounds unroll
     # into one job instead of one driver action per round
     wrel = logistic_train_relation(feats, _CLF_FEATURES, "y", lr=4.0, iters=12)
+    # y rides through the scoring projection (keep_cols) — the former
+    # scored-back-to-feats join on doc_id was a corpus x corpus
+    # sort-merge recovering a column the scoring pass already had
     scored = logistic_score_relation(
-        feats.select("doc_id", "y", *_CLF_FEATURES), _CLF_FEATURES, wrel
+        feats.select("doc_id", "y", *_CLF_FEATURES),
+        _CLF_FEATURES,
+        wrel,
+        keep_cols=("y",),
     )
-    return (
-        scored.join(feats.select("doc_id", "y"), "doc_id")
-        .select(
-            "doc_id",
-            F.round("p", 5).alias("p_en"),
-            (F.col("p") >= 0.5).cast("int").alias("pred"),
-            F.col("y").alias("label"),
-        )
-        .orderBy("doc_id")
-    )
+    return scored.select(
+        "doc_id",
+        F.round("p", 5).alias("p_en"),
+        (F.col("p") >= 0.5).cast("int").alias("pred"),
+        F.col("y").alias("label"),
+    ).orderBy("doc_id")
 
 
 def _classifier_oracle(iters: int = 5, lr: float = 1.0) -> str:
