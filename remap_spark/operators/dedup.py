@@ -405,17 +405,33 @@ def simhash_pairs(
     fps = simhash_fingerprints(df, text_col, id_col, 32, portable)
     nblocks = max_hamming + 1
     width = 32 // nblocks
-    blocks = None
+    # one explode of the per-block (blk, key) structs instead of an
+    # nblocks-way union — the union form re-executed the fingerprint
+    # aggregate once per block AND once per self-join side; the lazy
+    # cut materializes the (id, hash)-narrow block relation once and
+    # both join sides read it (r12, same fix as pregel._symmetrize)
+    keys = []
     for blk in range(nblocks):
         shift = blk * width
         w = width if blk < nblocks - 1 else 32 - shift
-        key = F.shiftright(F.col("simhash"), shift).bitwiseAND(
-            F.lit((1 << w) - 1)
+        keys.append(
+            F.struct(
+                F.lit(blk).alias("blk"),
+                F.shiftright(F.col("simhash"), shift)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("key"),
+            )
         )
-        frame = fps.select(
-            F.lit(blk).alias("blk"), key.alias("key"), "doc", "simhash"
+    blocks = (
+        fps.select(F.explode(F.array(*keys)).alias("_bk"), "doc", "simhash")
+        .select(
+            F.col("_bk.blk").alias("blk"),
+            F.col("_bk.key").alias("key"),
+            "doc",
+            "simhash",
         )
-        blocks = frame if blocks is None else blocks.unionByName(frame)
+        .localCheckpoint(eager=False)
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
@@ -1646,17 +1662,34 @@ def hamming_pairs(
     rows = df.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
     )
-    blocks = None
+    # one explode of the per-block (blk, key) structs instead of an
+    # nblocks-way union: the union form re-executed the UPSTREAM
+    # subtree (for image/audio near-dup that is the Python media
+    # decode) once per block and once per self-join side — up to
+    # 2 x nblocks executions; the lazy cut materializes the narrow
+    # (blk, key, id, hash) relation once (r12, pregel._symmetrize fix)
+    keys = []
     for blk in range(nblocks):
         shift = blk * width
         w = width if blk < nblocks - 1 else bits - shift
-        key = F.shiftrightunsigned(F.col("_h"), shift).bitwiseAND(
-            F.lit((1 << w) - 1)
+        keys.append(
+            F.struct(
+                F.lit(blk).alias("blk"),
+                F.shiftrightunsigned(F.col("_h"), shift)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("key"),
+            )
         )
-        frame = rows.select(
-            F.lit(blk).alias("blk"), key.alias("key"), "_id", "_h"
+    blocks = (
+        rows.select(F.explode(F.array(*keys)).alias("_bk"), "_id", "_h")
+        .select(
+            F.col("_bk.blk").alias("blk"),
+            F.col("_bk.key").alias("key"),
+            "_id",
+            "_h",
         )
-        blocks = frame if blocks is None else blocks.unionByName(frame)
+        .localCheckpoint(eager=False)
+    )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

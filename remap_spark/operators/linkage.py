@@ -313,27 +313,37 @@ def sorted_neighborhood_pairs(
     ranked = local.join(F.broadcast(offsets), "_bkt").select(
         "_id", "_key", (F.col("_off") + F.col("_lr")).alias("_rank")
     )
+    # the two shifted join passes (same-block, next-block) become ONE
+    # join against a b-side whose block key is exploded into
+    # {_blk, _blk - 1} — the union form re-executed the two-phase rank
+    # pipeline (windows + broadcast offsets) once per shift on top of
+    # once for the a-side; the lazy cut materializes it once for both
+    # sides (r12, same fix as pregel._symmetrize). A pair can satisfy
+    # only one of the two shifts, so the result multiset is unchanged
+    # and distinct() keeps its original role.
     blocked = ranked.withColumn(
         "_blk", F.expr(f"_rank div {window}")
-    )
+    ).localCheckpoint(eager=False)
     a = blocked.alias("a")
-    pairs = None
-    for shift in (0, 1):
-        b = blocked.withColumn("_blk", F.col("_blk") - shift).alias("b")
-        p = a.join(
-            b,
-            (F.col("a._blk") == F.col("b._blk"))
-            & (F.col("b._rank") > F.col("a._rank"))
-            & (F.col("b._rank") - F.col("a._rank") < window),
-        ).select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._rank").alias("rank_a"),
-            F.col("b._rank").alias("rank_b"),
-            F.col("a._key").alias("key_a"),
-            F.col("b._key").alias("key_b"),
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    b = blocked.select(
+        F.explode(F.array(F.col("_blk"), F.col("_blk") - 1)).alias("_blk"),
+        "_id",
+        "_key",
+        "_rank",
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._blk") == F.col("b._blk"))
+        & (F.col("b._rank") > F.col("a._rank"))
+        & (F.col("b._rank") - F.col("a._rank") < window),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a._rank").alias("rank_a"),
+        F.col("b._rank").alias("rank_b"),
+        F.col("a._key").alias("key_a"),
+        F.col("b._key").alias("key_b"),
+    )
     return pairs.distinct()
 
 
