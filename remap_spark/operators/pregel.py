@@ -527,19 +527,23 @@ def pointer_jump(
     return p.run().select("id", F.col("ptr").alias("root"))
 
 
-def _symmetrize(und: DataFrame) -> DataFrame:
-    """Both directions of an (src, dst) edge relation in ONE pass — an
-    explode of two structs per row. The union-of-two-selects form this
-    replaces re-executed the whole edge subtree once per direction
-    (r12 optimization; same fix as connected_components)."""
+def _symmetrize(und: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+    """Both directions of an (a, b) edge relation in ONE pass — an
+    explode of two structs per row, replacing a union of two selects
+    that re-executed the whole edge subtree once per direction (r12
+    optimization; same fix as connected_components). Use ONLY when the
+    input subtree is NOT already materialized: over a checkpointed
+    relation the union's two arms are cheap RDD scans and the explode's
+    Generate overhead measured ~10% SLOWER (dq42 A/B) — see the
+    union-of-selects notes in connected_components_star."""
     return und.select(
         F.explode(
             F.array(
-                F.struct(F.col("src"), F.col("dst")),
-                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                F.struct(F.col(a), F.col(b)),
+                F.struct(F.col(b).alias(a), F.col(a).alias(b)),
             )
         ).alias("_e")
-    ).select("_e.src", "_e.dst")
+    ).select(f"_e.{a}", f"_e.{b}")
 
 
 def _neighbor_min(e: DataFrame) -> DataFrame:
@@ -607,6 +611,11 @@ def connected_components_star(
     base = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
+    # NOTE (r12): keep the union-of-selects here — base is eagerly
+    # checkpointed, so both arms are cheap RDD scans; an explode was
+    # A/B-measured slower on the star loop (Generate overhead with no
+    # recompute to save). Explode only pays when the upstream subtree
+    # would otherwise re-execute (see _symmetrize call sites).
     verts = (
         base.select(F.col("u").alias("id"))
         .union(base.select(F.col("v").alias("id")))
@@ -663,6 +672,8 @@ def connected_components_star(
     check_every = 2
     for _round in range(max_rounds):
         # -- large-star: symmetrize, larger neighbors adopt the min
+        # (union, not explode: e is checkpointed per round — see the
+        # verts note above; A/B showed explode ~10% slower on dq42)
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         lmin = _neighbor_min(sym)
         e = (
@@ -1157,21 +1168,33 @@ def graph_modularity(
     la = labels.select(F.col("vertex_id").alias("a"), F.col("label").alias("_la"))
     lb = labels.select(F.col("vertex_id").alias("b"), F.col("label").alias("_lb"))
     tagged = und.join(la, "a").join(lb, "b")
-    internal = (
-        tagged.where(F.col("_la") == F.col("_lb"))
-        .groupBy(F.col("_la").alias("label"))
-        .agg(F.count("*").alias("e_c"))
+    # ONE explode + ONE aggregate replace the former internal-edges
+    # aggregate, the 2-way degree union, and their join — the union
+    # form re-executed the two label joins three times (r12). Each
+    # edge contributes a degree row per endpoint label; the internal
+    # flag rides the first struct only, so SUM(_i) per label is the
+    # internal-edge count and COUNT(*) the community degree — exactly
+    # the old (e_c, deg_c), with labels lacking internal edges summing
+    # to 0 (the old coalesce).
+    contrib = tagged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_la").alias("label"),
+                    (F.col("_la") == F.col("_lb"))
+                    .cast("bigint")
+                    .alias("_i"),
+                ),
+                F.struct(
+                    F.col("_lb").alias("label"),
+                    F.lit(0).cast("bigint").alias("_i"),
+                ),
+            )
+        ).alias("_c")
     )
-    deg = (
-        tagged.select(F.col("_la").alias("label"))
-        .unionByName(tagged.select(F.col("_lb").alias("label")))
-        .groupBy("label")
-        .agg(F.count("*").alias("deg_c"))
-    )
-    per_c = deg.join(internal, "label", "left").select(
-        "label",
-        F.coalesce("e_c", F.lit(0)).alias("e_c"),
-        "deg_c",
+    per_c = contrib.groupBy(F.col("_c.label").alias("label")).agg(
+        F.sum("_c._i").alias("e_c"),
+        F.count("*").alias("deg_c"),
     )
     # edge total rides IN-PLAN as a broadcast 1-row relation (the
     # tfidf/_doc_shingles idiom) — zero extra driver actions
