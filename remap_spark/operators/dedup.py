@@ -1538,25 +1538,33 @@ def lsh_verified_pairs(
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
     Shape: candidates are checkpointed once (they feed the doc-set
-    restriction and the intersection join); the distinct gram stream
-    is cut down to CANDIDATE DOCS first (broadcast of the bounded
+    restriction and the intersection join); the CORPUS is cut down to
+    candidate docs BEFORE shingling (broadcast of the bounded
     candidate-doc set — swap for a shuffle semi-join if candidates
-    ever stop fitting), intersections come from one
+    ever stop fitting), so the verify tier tokenizes only docs that
+    can appear in a pair; intersections come from one
     (pair x shared-gram) join keyed by 60-bit gram hashes, and sizes
     join back per side. Shuffle volume ~ candidate pairs x doc gram
     count — subquadratic end-to-end."""
     cands = minhash_lsh_pairs(
         df, text_col, id_col, n, num_hashes, bands, seed, portable
     ).localCheckpoint(eager=True)
-    s = _doc_shingles(df, text_col, id_col, n, None, dedup=True).select(
-        "doc", portable_hash60("gram").alias("g")
-    )
+    # restrict the CORPUS to candidate docs BEFORE shingling: the
+    # verify tier tokenizes + windows only the docs that can appear in
+    # a pair, not the whole corpus (the former shingle-then-join form
+    # ran tokenize/lead over every document and threw the non-candidate
+    # grams away at the join — r12, guide "filter early")
     cdocs = (
-        cands.select(F.col("doc_a").alias("doc"))
-        .union(cands.select(F.col("doc_b").alias("doc")))
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sc = s.join(F.broadcast(cdocs), "doc").localCheckpoint(eager=True)
+    dfc = df.select(id_col, text_col).join(F.broadcast(cdocs), id_col)
+    sc = (
+        _doc_shingles(dfc, text_col, id_col, n, None, dedup=True)
+        .select("doc", portable_hash60("gram").alias("g"))
+        .localCheckpoint(eager=True)
+    )
     sizes = sc.groupBy("doc").agg(F.count("*").alias("n"))
     a = sc.select(F.col("doc").alias("doc_a"), "g")
     b = sc.select(F.col("doc").alias("doc_b"), "g")

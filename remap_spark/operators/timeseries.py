@@ -150,6 +150,7 @@ def rolling_zscore_anomalies(
     k_num: int = 3,
     k_den: int = 1,
     out_col: str = "is_anomaly",
+    value_bound: int | None = None,
 ) -> DataFrame:
     """Flag rows whose value deviates more than ``k_num/k_den``
     population standard deviations from the mean of the TRAILING ``n``
@@ -166,10 +167,22 @@ def rolling_zscore_anomalies(
     while (n * |value|)^2 stays under 1e38 — |value| < ~3e17 at the
     default n = 30.
 
+    ``value_bound`` — a caller PROMISE that ``|value| <= value_bound``
+    — switches the whole pipeline to int64: same integers, same flags,
+    but the sliding-window state and the decision arithmetic run as
+    codegen longs instead of 16-byte BigDecimals (measured 2x+ on the
+    window stage). The promise is enforced: the bound is statically
+    checked against 2^63 at plan time (``max(4*k_den^2, 2*k_num^2) *
+    n^2 * value_bound^2`` must fit, the worst-case of both decision
+    sides) and every row is guarded in-plan — a value outside the
+    bound raises instead of silently wrapping (the same
+    check-then-raise contract as the similarity GEMM tiers).
+
     Scale shape: ONE group-keyed shuffle, then three sliding-frame
     window aggregates Spark evaluates in a single window physical node
     (shared frame, shared sort); the flag itself is codegen decimal
-    arithmetic. ``order_col`` must be unique per group.
+    (or, under ``value_bound``, long) arithmetic. ``order_col`` must
+    be unique per group.
     """
     _require_integral(df, value_col, "rolling_zscore_anomalies")
     w = (
@@ -177,7 +190,38 @@ def rolling_zscore_anomalies(
         .orderBy(order_col)
         .rowsBetween(-n, -1)
     )
-    xd = F.col(value_col).cast("decimal(38,0)")
+    if value_bound is not None:
+        b = int(value_bound)
+        worst = max(4 * k_den * k_den, 2 * k_num * k_num) * n * n * b * b
+        if b <= 0 or worst >= 2**63:
+            raise ValueError(
+                "rolling_zscore_anomalies(value_bound=...): the int64 "
+                f"tier needs max(4*k_den^2, 2*k_num^2)*n^2*bound^2 < 2^63 "
+                f"(got {worst:.3e}); shrink n/k or use the decimal tier"
+            )
+        # NULLs ride the TRUE branch (count must skip them exactly as
+        # the decimal tier does) — only a non-null out-of-bound value
+        # reaches raise_error
+        xd = F.when(
+            F.col(value_col).isNull()
+            | (F.abs(F.col(value_col)) <= F.lit(b)),
+            F.col(value_col),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "rolling_zscore_anomalies: |"
+                        + value_col
+                        + f"| exceeds the promised value_bound={b}: "
+                    ),
+                    F.col(value_col).cast("string"),
+                )
+            )
+        ).cast("long")
+        num_t = "long"
+    else:
+        xd = F.col(value_col).cast("decimal(38,0)")
+        num_t = "decimal(38,0)"
     # each window aggregate is projected ONCE (a repeated .over()
     # expression per use would make WindowExec evaluate sum/count
     # 4x per row — caught by the plan inspection below)
@@ -187,10 +231,10 @@ def rolling_zscore_anomalies(
         F.sum(xd).over(w).alias("_s"),
         F.sum(xd * xd).over(w).alias("_q"),
     )
-    c = F.col("trailing_n").cast("decimal(38,0)")
+    c = F.col("trailing_n").cast(num_t)
     dev = c * xd - F.col("_s")
-    lhs = F.lit(k_den * k_den).cast("decimal(38,0)") * dev * dev
-    rhs = F.lit(k_num * k_num).cast("decimal(38,0)") * (
+    lhs = F.lit(k_den * k_den).cast(num_t) * dev * dev
+    rhs = F.lit(k_num * k_num).cast(num_t) * (
         c * F.col("_q") - F.col("_s") * F.col("_s")
     )
     return staged.withColumn(

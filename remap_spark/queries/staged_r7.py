@@ -286,8 +286,12 @@ def ext_ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tick"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
+    # int64 tier: cents = l_extendedprice*100 <= 50 * 100k * 100 —
+    # promise 1.1e7, enforced in-plan; flags identical to the decimal
+    # tier (same integers), window state 8-byte longs not BigDecimals
     out = rolling_zscore_anomalies(
-        li, ["l_suppkey"], "tick", "cents", n=20, min_periods=5
+        li, ["l_suppkey"], "tick", "cents", n=20, min_periods=5,
+        value_bound=11_000_000,
     )
     return out.select(
         "l_suppkey", "tick", "cents", "trailing_n", "is_anomaly"

@@ -171,3 +171,59 @@ def test_ivf_probe_topk_consistent_on_nondeterministic_queries(
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
+# ---------------------------------------------------------------------------
+# 5. rolling_zscore_anomalies int64 tier (value_bound promise)
+
+
+def test_rolling_zscore_int64_tier_matches_decimal(spark):
+    import random
+
+    from remap_spark.operators.timeseries import rolling_zscore_anomalies
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(4):
+        for t in range(120):
+            v = None if rng.random() < 0.05 else rng.randint(-10_000, 10_000)
+            rows.append((f"g{g}", t, v))
+    df = spark.createDataFrame(rows, "g string, t int, x long")
+    dec = rolling_zscore_anomalies(
+        df, ["g"], "t", "x", n=10, min_periods=3
+    )
+    i64 = rolling_zscore_anomalies(
+        df, ["g"], "t", "x", n=10, min_periods=3, value_bound=10_000
+    )
+    assert dec.schema == i64.schema
+    key = lambda r: (r.g, r.t)
+    a = sorted(dec.collect(), key=key)
+    b = sorted(i64.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_rolling_zscore_int64_tier_raises_on_broken_promise(spark):
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    from remap_spark.operators.timeseries import rolling_zscore_anomalies
+
+    df = spark.createDataFrame(
+        [("g", 0, 10), ("g", 1, 10_001)], "g string, t int, x long"
+    )
+    out = rolling_zscore_anomalies(
+        df, ["g"], "t", "x", n=5, min_periods=1, value_bound=10_000
+    )
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
+        out.collect()
+    assert "value_bound" in str(ei.value)
+
+
+def test_rolling_zscore_int64_tier_static_bound_check(spark):
+    from remap_spark.operators.timeseries import rolling_zscore_anomalies
+
+    df = spark.createDataFrame([("g", 0, 1)], "g string, t int, x long")
+    # 2*k_num^2*n^2*b^2 = 18 * 900 * 1e30 >> 2^63: must raise at plan
+    # time, before any job runs
+    with pytest.raises(ValueError, match="2\\^63"):
+        rolling_zscore_anomalies(df, ["g"], "t", "x", value_bound=10**15)
