@@ -110,12 +110,52 @@ def association_rules(
     direction explode and the item-count joins, so rare pairs never
     widen. ``lift_ppm`` > 1e6 means positive association.
     """
-    pairs = basket_pair_counts(
-        df, basket_col, item_col, max_basket_size=max_basket_size
-    ).where(F.col("pair_baskets") >= min_pair_baskets)
-    items = basket_item_counts(df, basket_col, item_col)
+    # ONE distinct (basket, item) pass feeds everything below. Without
+    # the cut, Catalyst plans each consumer (both self-join sides, the
+    # two item-count join legs, the basket counter) as its OWN subtree:
+    # the r12 sweep plan showed FIVE corpus scans + five distinct
+    # aggregates for this query. A lazy localCheckpoint materializes
+    # the distinct once (the materialization piggybacks on the first
+    # action) and every consumer reads the RDD — at 100 TB this is the
+    # difference between one corpus-sized combiner pass and five.
+    distinct_items = (
+        df.select(basket_col, item_col).distinct()
+        .localCheckpoint(eager=False)
+    )
+    cap_items = distinct_items
+    if max_basket_size is not None:
+        sizes = distinct_items.groupBy(basket_col).agg(
+            F.count(F.lit(1)).alias("_bsize")
+        )
+        cap_items = (
+            distinct_items.join(sizes, basket_col)
+            .where(F.col("_bsize") <= max_basket_size)
+            .drop("_bsize")
+        )
+    a = cap_items.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a")
+    )
+    b = cap_items.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_b")
+    )
+    pairs = (
+        a.join(b, "_b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_baskets"))
+        .where(F.col("pair_baskets") >= min_pair_baskets)
+    )
+    # item counts are joined once per rule direction (antecedent +
+    # consequent legs): cut them too so the corpus-sized groupBy over
+    # the materialized distinct runs once, not once per leg. The
+    # relation itself is dimension-sized (|items| rows).
+    items = (
+        distinct_items.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("item_baskets"))
+        .localCheckpoint(eager=False)
+    )
     n_baskets = (
-        df.select(basket_col)
+        distinct_items.select(basket_col)
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )

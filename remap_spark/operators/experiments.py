@@ -110,9 +110,15 @@ def crosstab_chi2(
     (dimension-sized — never a second corpus scan), and the final
     joins broadcast the marginal relations.
     """
+    # The lazy localCheckpoint makes the "one corpus pass" claim above
+    # physically true: without it Catalyst plans the cell aggregate as
+    # its OWN subtree under each of the four consumers (both marginals,
+    # N, and the output join spine) — the r12 sweep plan showed four
+    # corpus scans + four aggregates. The cell relation is R x C rows,
+    # so the materialization is dimension-sized.
     cells = df.groupBy(
         F.col(row_col).alias("r"), F.col(col_col).alias("c")
-    ).agg(F.count(F.lit(1)).alias("observed"))
+    ).agg(F.count(F.lit(1)).alias("observed")).localCheckpoint(eager=False)
     row_m = cells.groupBy("r").agg(F.sum("observed").alias("rt"))
     col_m = cells.groupBy("c").agg(F.sum("observed").alias("ct"))
     n = cells.agg(F.sum("observed").alias("n_total"))
