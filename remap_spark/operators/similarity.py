@@ -367,17 +367,30 @@ def _assign_cells_expr(
     """Expression-tier nearest-centroid assignment — the
     oracle-replayable form shared by ivf_topk / ivf_pq_topk /
     write_ivf_layout: candidates x broadcast centroids through the
-    Catalyst cosine expression, argmin via a per-vector row_number
-    window (ties to the lowest cid). Corpus x n_centroids intermediate
-    + a corpus-sized shuffle — fine at oracle scale; the GEMM tier
-    below is the measured 100 TB path (SCALE.md r11: 15.8x at 100k
-    vectors). Returns (vec_id, vec, cell) or (vec_id, cell)."""
+    Catalyst cosine expression, argmax as a lexicographic struct-MIN
+    aggregate with map-side partials (r12; the kmeans argmin rewrite):
+    the corpus x n_centroids intermediate collapses to one row per
+    vector BEFORE the exchange, and the former row_number window's
+    corpus-wide sort disappears. The min key is (-sim, cid) with NaN
+    mapped to -infinity so the selection is identical to the old
+    orderBy(desc(sim), cid) row_number — Spark sorts NaN above every
+    double, so a NaN sim won under desc and must win under min too
+    (cosine is in [-1, 1] or NaN, so -inf cannot collide with a real
+    key). cid is unique within a vector's group, so the tie chain
+    never reaches the carried vector payload. The GEMM tier below is
+    the measured 100 TB path (SCALE.md r11: 15.8x at 100k vectors).
+    Returns (vec_id, vec, cell) or (vec_id, cell)."""
     cent = F.broadcast(centroids.select("cid", "cv"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    neg_key = F.when(
+        F.isnan(F.col("sim")), F.lit(float("-inf"))
+    ).otherwise(-F.col("sim"))
+    payload = (
+        [F.col("cv2").alias("vec")] if include_vec else []
+    )
     out_cols = (
-        ["vec_id", F.col("cv2").alias("vec"), F.col("cid").alias("cell")]
+        ["vec_id", F.col("_m.vec").alias("vec"), F.col("_m.cid").alias("cell")]
         if include_vec
-        else ["vec_id", F.col("cid").alias("cell")]
+        else ["vec_id", F.col("_m.cid").alias("cell")]
     )
     return (
         candidates.select(
@@ -390,8 +403,14 @@ def _assign_cells_expr(
             "cid",
             cosine_similarity(F.col("cv2"), F.col("cv")).alias("sim"),
         )
-        .select("*", F.row_number().over(w_assign).alias("rn"))
-        .where(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    neg_key.alias("_k"), F.col("cid").alias("cid"), *payload
+                )
+            ).alias("_m")
+        )
         .select(*out_cols)
     )
 
@@ -1287,13 +1306,19 @@ def pq_train(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("_pid", "sub").orderBy("_d", "cid")
     for _ in range(iters):
+        # argmin as struct-MIN (r12, same as pq_encode): exact int64
+        # distances, cid unique per (point, sub) group so the carried
+        # sq slice is never compared
         assign = (
             pts.join(F.broadcast(cents), "sub")
             .select("_pid", "sub", "sq", "cid", dist.alias("_d"))
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
+            .groupBy("_pid", "sub")
+            .agg(F.min(F.struct("_d", "cid", "sq")).alias("_m"))
+            .select(
+                "_pid", "sub",
+                F.col("_m.sq").alias("sq"), F.col("_m.cid").alias("cid"),
+            )
         )
         cents = (
             assign.select("sub", "cid", F.posexplode("sq").alias("_pos", "_v"))
@@ -1348,16 +1373,23 @@ def pq_encode(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("_pid", "sub").orderBy("_d", "cid")
+    # per-(vector, subspace) argmin as a lexicographic struct-MIN
+    # aggregate (r12; same rewrite as kmeans/_assign_cells_expr): the
+    # distances are exact int64 so min(struct(_d, cid)) IS the old
+    # row_number-over-orderBy(_d, cid) winner, map-side partials
+    # collapse the m*k candidate rows to m per vector before the
+    # exchange, and the window's corpus-wide sort disappears.
     return (
         subs.join(F.broadcast(codebook), "sub")
         .select("_pid", "sub", "cid", dist.alias("_d"))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        .groupBy("_pid", "sub")
+        .agg(F.min(F.struct("_d", "cid")).alias("_m"))
         .groupBy("_pid")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                F.array_sort(
+                    F.collect_list(F.struct("sub", F.col("_m.cid").alias("cid")))
+                ),
                 lambda s: s["cid"],
             ).alias("codes")
         )

@@ -38,19 +38,22 @@ def test_ivf_gemm_assignment_matches_expression(spark):
 
 
 def test_ivf_gemm_assignment_plan_has_no_assignment_window(spark):
-    """The expression tier argmins via a per-vector row_number window
-    over a corpus x n_centroids crossJoin — the measured r10 bottleneck
-    (68-82 s of an 82 s IVF wall at 100k vectors). The GEMM tier's
-    assignment must be map-side: exactly ONE window in the whole plan
-    (the final per-query rank), and no CartesianProduct."""
+    """The r10 expression tier argmined via a per-vector row_number
+    window over a corpus x n_centroids crossJoin — the measured r10
+    bottleneck (68-82 s of an 82 s IVF wall at 100k vectors). The GEMM
+    tier's assignment must stay map-side (no assignment window, no
+    CartesianProduct). Since r12 the EXPRESSION tier's assignment is a
+    struct-min aggregate rather than a window, so both tiers plan
+    exactly the same single row_number (the final per-query rank) —
+    pin that equality so an assignment window can't sneak back into
+    either tier."""
     from remap_spark.plans import explain_str
 
     p = explain_str(_ivf(spark, "gemm"), "formatted")
-    # structural check that survives formatting drift: the expression
-    # tier plans TWO row_number windows (assign + final) vs ONE here
     p_expr = explain_str(_ivf(spark, "expr"), "formatted")
-    assert p.count("row_number") < p_expr.count("row_number")
+    assert p.count("row_number") == p_expr.count("row_number")
     assert "CartesianProduct" not in p
+    assert "CartesianProduct" not in p_expr
 
 
 def test_ivf_pq_gemm_assignment_matches_expression(spark):
