@@ -168,12 +168,19 @@ def prefix_filter_pairs(
     from pyspark.sql.window import Window
 
     t_u = int(round(threshold * 1_000_000))
+    # toks feeds FIVE consumers (sizes, the rarity rank, the prefix
+    # build, and both verify-join sides) — without a cut each one
+    # re-runs the corpus tokenize+distinct (8 document scans in the
+    # r12 plan audit). One lazy checkpoint makes that corpus pass
+    # happen once; everything downstream reads the materialized
+    # (doc, word) set.
     toks = (
         df.select(
             F.col(id_col).alias("doc"),
             F.explode(tokenize(F.col(text_col))).alias("word"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = toks.groupBy("doc").agg(F.count("*").alias("sz"))
     # global rarity rank (vocabulary-sized -> broadcast)
@@ -190,6 +197,9 @@ def prefix_filter_pairs(
     pref_len = F.col("sz") - F.floor(
         (t_u * F.col("sz") + 999_999) / 1_000_000
     ) + 1
+    # the prefix relation feeds both self-join sides; cut it once so
+    # the rank/size joins + prefix window run one time, not two (same
+    # fix as the r12 blocked-pair operators)
     ranked = (
         toks.join(F.broadcast(rank), "word")
         .join(sizes, "doc")
@@ -201,6 +211,7 @@ def prefix_filter_pairs(
         )
         .where(F.col("pos") <= pref_len)
         .select("doc", "word", "sz")
+        .localCheckpoint(eager=False)
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     cand = (
@@ -1574,8 +1585,17 @@ def lsh_verified_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("_inter"))
     )
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("_na"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("_nb"))
+    # sizes is candidate-doc-bounded (the same bound that lets cdocs
+    # broadcast above), so both per-side attach joins broadcast —
+    # without the hint they planned as two SortMergeJoin exchanges
+    # over the pair relation (r12; the "struct-packed sizes" item of
+    # the round's deferred list, resolved as plain broadcasts)
+    na = F.broadcast(
+        sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("_na"))
+    )
+    nb = F.broadcast(
+        sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("_nb"))
+    )
     jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     # half-up in the 1e-5 integer domain (ROUND(double) ties diverge
     # across engines); the threshold compares the UNROUNDED quotient —

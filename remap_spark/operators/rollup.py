@@ -272,8 +272,21 @@ def kmv_set_ops_from_states(
     maintained incrementally. ZERO corpus scans: a cross-corpus
     overlap readout at 100 TB touches only 2k sketch rows. Same
     integer estimator, bit-identical to building from raw data."""
-    sa = sa.select("h").withColumn("_g", F.lit(1))
-    sb = sb.select("h").withColumn("_g", F.lit(1))
+    # Each state is consumed FOUR times below (merge, intersect, its
+    # own count/max aggregate, and the merged semi-join side); without
+    # a cut every consumer re-executes the upstream sketch build — for
+    # kmv_set_ops that is a FULL corpus distinct per consumer (the
+    # docstring's "two corpus scans" promise planned as eight; r12
+    # plan audit). One lazy checkpoint per state (<= k rows each)
+    # makes every readout consumer read the materialized sketch.
+    sa = (
+        sa.select("h").withColumn("_g", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+    sb = (
+        sb.select("h").withColumn("_g", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
     merged = merge_kmv_state(sa, sb, ["_g"], k)
     both = sa.select("h").intersect(sb.select("h"))
     m_both = merged.join(both, "h", "left_semi")
@@ -335,12 +348,21 @@ def segment_overlap_matrix(
     making the matrix a zero-corpus-scan readout."""
     from pyspark.sql.window import Window
 
-    state = kmv_state(df, [segment_col], id_col, k).select(
-        F.col(segment_col).alias("_seg"), "h"
+    # state feeds FIVE consumers (segs, both union arms, both
+    # membership flags) and segs four more — without a cut each one
+    # re-runs the corpus-wide sketch build (8 corpus scans in the r12
+    # plan audit). The state is |segments| x k rows; one lazy
+    # checkpoint makes the corpus pass happen once, and segs (a
+    # segment-count-sized aggregate of it) gets its own cut for the
+    # four join legs that read it.
+    state = (
+        kmv_state(df, [segment_col], id_col, k)
+        .select(F.col(segment_col).alias("_seg"), "h")
+        .localCheckpoint(eager=False)
     )
     segs = state.groupBy("_seg").agg(
         F.count("*").alias("n"), F.max("h").alias("hmax")
-    )
+    ).localCheckpoint(eager=False)
     pairs = segs.alias("sa").join(
         segs.alias("sb"), F.col("sa._seg") < F.col("sb._seg")
     )

@@ -105,7 +105,10 @@ def scd2_apply_batch(
     untouched side is a key-hash anti-join, no sort, no window. This
     is what makes daily dimension maintenance O(batch) at 100 TB.
     """
-    touched = changes.select(key_col).distinct()
+    # touched feeds both the anti and the semi join legs; one lazy
+    # checkpoint runs the batch key-distinct once instead of once per
+    # leg (key-distinct of the batch: batch-bounded, small)
+    touched = changes.select(key_col).distinct().localCheckpoint(eager=False)
     keep = dim.join(touched, key_col, "left_anti")
     replay = dim.join(touched, key_col, "left_semi").select(
         key_col,

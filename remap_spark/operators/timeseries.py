@@ -54,6 +54,13 @@ def fill_date_gaps(
     plus ``is_gap``.
     """
     gcols = list(group_cols)
+    # daily feeds TWO consumers (the span aggregate and the grid join
+    # side) whose exchanges are keyed differently, so without a cut
+    # the caller's whole upstream pipeline — typically a corpus-wide
+    # daily aggregate — executes twice (r12 plan audit). The relation
+    # is bounded by groups x span-days; one lazy checkpoint makes the
+    # corpus pass happen once.
+    daily = daily.localCheckpoint(eager=False)
     extent = daily.groupBy(*gcols).agg(
         F.min(date_col).alias("_d0"), F.max(date_col).alias("_d1")
     )
@@ -643,6 +650,11 @@ def interpolate_gaps(
     """
     _require_integral(df, value_col, "interpolate_gaps")
     gcols = list(group_cols)
+    # same double-consumer shape as fill_date_gaps (extent aggregate +
+    # observation join side, differently keyed exchanges): cut the
+    # caller's upstream once — the input is at most one row per
+    # (group, day) by contract, so the checkpoint is span-bounded
+    df = df.localCheckpoint(eager=False)
     extent = df.groupBy(*gcols).agg(
         F.min(date_col).alias("_d0"), F.max(date_col).alias("_d1")
     )
