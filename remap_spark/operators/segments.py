@@ -75,11 +75,15 @@ def rfm_segments(
     recency_days, frequency, monetary, r_score, f_score, m_score,
     rfm) where ``rfm`` = r*100 + f*10 + m.
     """
+    # the per-customer rollup feeds up to three consumers (recency
+    # anchor, score cuts, final projection) — cut it so the corpus
+    # aggregate runs once (4 scans in the r12 plan audit); the
+    # relation is customer-sized
     per_cust = orders.groupBy(customer_col).agg(
         F.max(order_date_col).alias("_last"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(amount_col).alias("monetary"),
-    )
+    ).localCheckpoint(eager=False)
     if ref_date is None:
         anchor = per_cust.agg(F.max("_last").alias("_ref"))
         per_cust = per_cust.crossJoin(F.broadcast(anchor))

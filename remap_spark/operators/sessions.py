@@ -97,9 +97,12 @@ def cohort_retention(
     off = F.pmod(
         F.datediff(fd, F.to_date(F.lit("1970-01-01"))), F.lit(period_days)
     )
+    # cohorts feeds the activity join AND the cohort-size aggregate —
+    # each would re-run the corpus first-seen aggregate; one cut makes
+    # that a single pass (user-sized relation, two narrow columns)
     cohorts = first.select(
         user_col, F.date_sub(fd, off.cast("int")).alias("_c0")
-    )
+    ).localCheckpoint(eager=False)
     acts = df.select(
         user_col, F.to_date(F.date_trunc("day", F.col(ts_col))).alias("_d")
     )

@@ -707,7 +707,15 @@ def tfidf_topk(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.col(text_col))).alias("word"),
     )
-    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    # tf feeds the document-frequency aggregate AND the scoring join —
+    # without a cut the corpus tokenize+explode+aggregate runs twice
+    # (r12 plan audit); tf is (doc, term-type)-sized, far below the
+    # raw token stream
+    tf = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("word").agg(F.count("*").alias("dfc"))
     ndocs = df.select(F.count("*").alias("_nd"))
     scored = (
@@ -757,6 +765,15 @@ def bm25_topk(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.col(text_col))).alias("word"),
     )
+    # NOTE (r12): the audit flagged toks re-executing once per
+    # consumer (lens x2 via consts+join, tf x2 via dfreq+scorer).
+    # Lazy cuts on lens and/or tf were A/B'd and REVERTED: both
+    # variants cost a consistent +0.1-0.25 s (~15-25%, 8/8 interleaved
+    # rounds) at fixture scale — each re-execution is a column-pruned
+    # parquet scan + codegen-fused filter/aggregate (the tf leg's term
+    # filter pushes to the scan), which beats materializing an RDD and
+    # losing the fusion. The uncut form's extra passes are scan-pruned
+    # and combiner-style, so they stay cheap at any scale.
     lens = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
     tf = (
         toks.where(F.col("word").isin(query_terms))

@@ -584,6 +584,11 @@ def decompose_additive(
         .withColumn(
             "_detr", F.col("value") * 1000000 - F.col("trend_ppm")
         )
+        # trended feeds the phase aggregate AND the final join (and a
+        # composing caller may evaluate the result more than once —
+        # ext_ts_anomaly_seasonal ran the whole decomposition 6x per
+        # the r12 plan audit); the series is day-sized, cut it once
+        .localCheckpoint(eager=False)
     )
     per_phase = (
         trended.where(F.col("_detr").isNotNull())
@@ -596,6 +601,9 @@ def decompose_additive(
             "_phase",
             F.expr("_ds div _dn").cast("bigint").alias("_raw"),
         )
+        # feeds the centering aggregate and the seasonal join;
+        # period-sized (one row per phase)
+        .localCheckpoint(eager=False)
     )
     center = per_phase.agg(
         F.expr("sum(_raw) div count(*)").cast("bigint").alias("_m")
