@@ -3034,13 +3034,21 @@ def ext_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type", "event_id"
     )
+    # scd2_apply_batch consumes the dimension twice (anti + semi legs) —
+    # correct for its production contract where dim is a STORED table
+    # (two pruned scans beat materializing 100 TB of history), but this
+    # fixture RECOMPUTES dim from events, so without a cut the whole
+    # 4-window history build ran twice (8 Window nodes / 3 events scans
+    # in the r12 plan audit). One lazy localCheckpoint of the
+    # recomputed dimension halves the build (same pattern as the
+    # decompose_additive caller cut, §13).
     dim = scd2_history(
         ev.where(epoch_us("ts") <= cutoff_us),
         key_col="user_id",
         ts_col="ts",
         attr_cols=["event_type"],
         tiebreak_col="event_id",
-    )
+    ).localCheckpoint(eager=False)
     hist = scd2_apply_batch(
         dim,
         ev.where(epoch_us("ts") > cutoff_us),
