@@ -1358,10 +1358,18 @@ def incremental_dedup(
     the join shuffles only fingerprints, never text; bucket the store
     on ``fp_col`` at write time and the anti join co-locates with zero
     store-side exchange (sources.write_bucketed_table)."""
-    from .text import content_fingerprint
+    from .text import content_fingerprint_col
 
-    fps = content_fingerprint(new_docs, text_col=text_col, id_col=id_col)
-    withfp = new_docs.join(fps, id_col)
+    # the fingerprint is a pure per-row projection — attach it with a
+    # withColumn instead of building the (id, fingerprint) relation
+    # and 1:1-joining it back, which executed the batch subtree twice
+    # and shuffled the batch by id for nothing (r12 plan audit: 5
+    # scans -> 3 on the registered fixture; at 100 TB it removes a
+    # full batch self-join). Column order matches the former join
+    # output (id first, then the rest, fingerprint last).
+    withfp = new_docs.select(
+        id_col, *[c for c in new_docs.columns if c != id_col]
+    ).withColumn(fp_col, content_fingerprint_col(text_col))
     return withfp.join(
         seen_fps.select(F.col(fp_col)), on=fp_col, how="left_anti"
     )

@@ -230,7 +230,15 @@ def temperature_weights(
     of corpus size."""
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     s = F.col(size_col) if isinstance(size_col, str) else size_col
-    sizes = df.groupBy(g.alias("grp")).agg(F.sum(s).alias("mass"))
+    # one lazy cut makes the docstring's "one tiny aggregate" claim
+    # physically true: sizes feeds tot, scaled, and (through scaled)
+    # wsum + the final projection — without it Catalyst re-planned the
+    # corpus aggregate under each consumer (4 corpus scans in the r12
+    # plan audit); the materialized relation is #groups-sized
+    sizes = (
+        df.groupBy(g.alias("grp")).agg(F.sum(s).alias("mass"))
+        .localCheckpoint(eager=False)
+    )
     tot = sizes.agg(F.sum("mass").alias("_tot"))
     scaled = sizes.crossJoin(F.broadcast(tot)).withColumn(
         "_w", F.pow(F.col("mass").cast("double") / F.col("_tot"), F.lit(alpha))

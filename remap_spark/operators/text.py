@@ -137,6 +137,23 @@ def quality_score(
     )
 
 
+def content_fingerprint_col(text_col: str = "text") -> Column:
+    """The content fingerprint as a COLUMN expression — a pure per-row
+    projection, so callers that need the fingerprint alongside other
+    columns attach it with ``withColumn`` instead of computing the
+    (id, fingerprint) relation and joining it back (a corpus-sized
+    1:1 self-join the r12 plan audit found in the incremental-dedup
+    paths)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.translate(F.col(text_col), PUNCT, " " * len(PUNCT))),
+            r"\s+",
+            " ",
+        )
+    )
+    return portable_hash60(norm)
+
+
 def content_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -145,16 +162,9 @@ def content_fingerprint(
     identical across engines (DuckDB:
     CAST('0x'||substr(md5(norm),1,15) AS BIGINT)). The cheap first
     pass before any fuzzy dedup."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.lower(F.translate(F.col(text_col), PUNCT, " " * len(PUNCT))),
-            r"\s+",
-            " ",
-        )
-    )
     return df.select(
         F.col(id_col).alias("doc_id"),
-        portable_hash60(norm).alias("fingerprint"),
+        content_fingerprint_col(text_col).alias("fingerprint"),
     )
 
 

@@ -2841,12 +2841,16 @@ def ext_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    # both fingerprint relations feed TWO consumers (the Bloom leg and
+    # the exact-verdict leg) — without a cut each consumer re-ran the
+    # corpus fingerprint pass (6 documents scans in the r12 plan
+    # audit); the materialized relations are narrow (id + 16-byte fp)
     seen_fp = tx.content_fingerprint(seen).select(
         F.col("fingerprint").cast("string").alias("fp")
-    )
+    ).localCheckpoint(eager=False)
     new_fp = tx.content_fingerprint(new).select(
         "doc_id", F.col("fingerprint").cast("string").alias("fp")
-    )
+    ).localCheckpoint(eager=False)
     bloom = dd.bloom_build(seen_fp, "fp")
     probed = dd.bloom_probe(new_fp, "fp", bloom)
     dup_ids = new_fp.join(seen_fp.distinct(), "fp", "left_semi").select(

@@ -1045,9 +1045,13 @@ def ext_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(g.select(F.col("dst").alias("vertex_id")))
         .distinct()
     )
+    # labels feeds graph_modularity's two per-endpoint label joins;
+    # without a cut each join re-ran the vertex union-distinct (2
+    # corpus scans per consumer, 4 of the query's 6 lineitem scans in
+    # the r12 plan audit). The relation is vertex-count-sized.
     labels = verts.select(
         "vertex_id", (F.col("vertex_id") % 10).alias("label")
-    )
+    ).localCheckpoint(eager=False)
     return graph_modularity(g, labels)
 
 

@@ -105,10 +105,14 @@ def ingest_dedup_batch(
     from pyspark.sql.window import Window
 
     spark = batch_df.sparkSession
-    from ..operators.text import content_fingerprint
+    from ..operators.text import content_fingerprint_col
 
-    fps = content_fingerprint(batch_df, text_col, id_col)
-    withfp = batch_df.join(fps, id_col)
+    # per-row projection instead of the former (id, fingerprint)
+    # join-back — same rewrite as operators/dedup.incremental_dedup
+    # (r12): one pass over the micro-batch, no batch self-join
+    withfp = batch_df.select(
+        id_col, *[c for c in batch_df.columns if c != id_col]
+    ).withColumn("fingerprint", content_fingerprint_col(text_col))
     first = F.row_number().over(
         Window.partitionBy("fingerprint").orderBy(id_col)
     )
