@@ -105,16 +105,27 @@ def language_id(
 
 
 def quality_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Composite keep/review/drop quality gate: bounded mix of length,
     stopword density, and punctuation noise — the shape of a Gopher/
     C4-style rule filter. Weights are config; the operator contract is
-    (doc_id, score, verdict) with score in [0,1], all codegen.
+    (doc_id, score, verdict[, *keep_cols]) with score in [0,1], all
+    codegen.
 
     The verdict thresholds compare UNROUNDED doubles (the oracle does
     the same arithmetic — bitwise-identical, so the CASE branches
-    agree); only the reported score is rounded."""
+    agree); only the reported score is rounded.
+
+    ``keep_cols`` carries named INPUT columns through the projection
+    (the r12 logistic_score_relation pattern): the gate is a pure
+    per-row projection, so a caller that needs the verdict alongside
+    other columns should carry them here instead of joining the
+    (id, score, verdict) relation back to the corpus — that join
+    re-reads the corpus and shuffles it by id for nothing."""
     df = _parallel(df)
     words = tokenize(F.col(text_col))
     n_tokens = F.size(words).cast("double")
@@ -134,6 +145,7 @@ def quality_score(
         F.col(id_col).alias("doc_id"),
         F.round(score, 5).alias("score"),
         verdict.alias("verdict"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -177,14 +189,20 @@ PII_PHONE = r"\b\d{3}-\d{4}\b"
 
 
 def redact_pii(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """PII scrubbing for training corpora: count and mask emails, IPv4
     addresses, and short phone numbers. Counts are taken on the ORIGINAL
     text; masking is sequential email -> ip -> phone (the patterns are
     disjoint on well-formed text, so order only matters for pathological
     overlaps and is part of the contract). Returns
-    (id, text, n_email, n_ip, n_phone) — all codegen, zero shuffle."""
+    (id, text, n_email, n_ip, n_phone[, *keep_cols]) — all codegen,
+    zero shuffle. ``keep_cols`` carries named input columns through
+    the projection (see quality_score) so composing pipelines chain
+    per-row passes instead of joining them back on id."""
     t = F.col(text_col)
     red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
     red = F.regexp_replace(red, PII_IPV4, "<IP>")
@@ -195,6 +213,7 @@ def redact_pii(
         F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_email"),
         F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ip"),
         F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint").alias("n_phone"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

@@ -1031,11 +1031,15 @@ def ext_pipeline_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pack import concat_chunk_pack
 
     docs = load_table(spark, sf_dir, "documents")
-    kept_ids = (
-        tx.quality_score(docs).where(F.col("verdict") != "drop")
-        .select("doc_id")
+    # the gate carries text through its projection (keep_cols, r12) —
+    # the former kept_ids ⋈ docs join re-read the full text and
+    # shuffled the corpus by id just to recover what the scoring pass
+    # already had (same rewrite as ext_quality_classifier §6)
+    kept = (
+        tx.quality_score(docs, keep_cols=["text"])
+        .where(F.col("verdict") != "drop")
+        .select("doc_id", "text")
     )
-    kept = docs.join(kept_ids, "doc_id")
     chunks = tx.chunk_documents(kept, chunk_size=32, overlap=4)
     withsrc = chunks.join(docs.select("doc_id", "source"), "doc_id")
     toks = withsrc.select(
@@ -1631,8 +1635,11 @@ def ext_sample_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engines; the oracle replays the score, the verdict, and the
     md5-CDF filter in SQL. Zero-shuffle until the final reporting agg."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = tx.quality_score(docs).select("doc_id", "verdict")
-    joined = docs.select("doc_id", "n_chars").join(scored, "doc_id")
+    # n_chars rides the gate's projection (keep_cols, r12) — the
+    # former docs ⋈ scored id join re-read the corpus for one column
+    joined = tx.quality_score(docs, keep_cols=["n_chars"]).select(
+        "doc_id", "n_chars", "verdict"
+    )
     sampled = sp.stratified_sample(
         joined,
         key="doc_id",
@@ -2134,15 +2141,23 @@ def ext_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4-plane signature projection (narrow)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    q = tx.quality_score(docs)
-    pii = tx.redact_pii(docs).select(
+    # quality gate and PII census are both pure per-row projections —
+    # CHAIN them (keep_cols, r12) instead of computing each from docs
+    # and joining on doc_id, which read the corpus twice and paid a
+    # corpus x corpus id join for columns one pass produces
+    qpii = tx.redact_pii(
+        tx.quality_score(docs, keep_cols=["text"]),
+        keep_cols=["score", "verdict"],
+    ).select(
         "doc_id",
+        "score",
+        "verdict",
         (F.col("n_email") + F.col("n_ip") + F.col("n_phone")).alias("n_pii"),
     )
     sig = sim.lsh_bucket_signatures(emb, n_planes=4, dim=64).select(
         F.col("vec_id").alias("doc_id"), (F.col("bucket") % 4).alias("bgroup")
     )
-    joined = q.join(pii, "doc_id").join(sig, "doc_id")
+    joined = qpii.join(sig, "doc_id")
     assigned = sp.hash_split(
         joined, "doc_id", {"train": 0.9, "test": 0.1}, salt="cur"
     )
@@ -2496,21 +2511,24 @@ def _clf_features(docs: DataFrame) -> DataFrame:
     costly rule/model, then run only the classifier at full scale).
     All features are exact rational arithmetic from integer counts —
     identical doubles in both engines."""
-    q = tx.quality_score(docs)
+    # features and label in ONE projection over the gate's carried
+    # columns (keep_cols, r12) — the former feats ⋈ y id join read the
+    # corpus twice and shuffled it by id to pair two per-row
+    # projections of the same rows
+    q = tx.quality_score(docs, keep_cols=["text", "n_chars"])
     t = F.col("text")
     ln = F.length(t).cast("double")
     n_spaces = ln - F.length(F.replace(t, F.lit(" "), F.lit("")))
     stop_hits = F.regexp_count(
         F.lower(t), F.lit(r"\b(the|and|of|to|is)\b")
     ).cast("double")
-    feats = docs.select(
+    return q.select(
         "doc_id",
         F.least(F.col("n_chars") / 2000.0, F.lit(1.0)).alias("x1"),
         (stop_hits / (n_spaces + 1.0)).alias("x2"),
         (n_spaces / ln).alias("x3"),
+        (F.col("verdict") != "drop").cast("int").alias("y"),
     )
-    y = q.select("doc_id", (F.col("verdict") != "drop").cast("int").alias("y"))
-    return feats.join(y, "doc_id")
 
 
 def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
