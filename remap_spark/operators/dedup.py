@@ -1360,6 +1360,13 @@ def incremental_dedup(
     store-side exchange (sources.write_bucketed_table)."""
     from .text import content_fingerprint_col
 
+    if fp_col in new_docs.columns:
+        # the old join-back errored on the ambiguity; the withColumn
+        # would silently overwrite the caller's column (r12 advice)
+        raise ValueError(
+            f"new_docs already has a column named {fp_col!r}; pass a "
+            "different fp_col or drop/rename the existing column"
+        )
     # the fingerprint is a pure per-row projection — attach it with a
     # withColumn instead of building the (id, fingerprint) relation
     # and 1:1-joining it back, which executed the batch subtree twice

@@ -235,10 +235,12 @@ def temperature_weights(
     # wsum + the final projection — without it Catalyst re-planned the
     # corpus aggregate under each consumer (4 corpus scans in the r12
     # plan audit); the materialized relation is #groups-sized
-    sizes = (
-        df.groupBy(g.alias("grp")).agg(F.sum(s).alias("mass"))
-        .localCheckpoint(eager=False)
-    )
+    sizes = df.groupBy(g.alias("grp")).agg(F.sum(s).alias("mass"))
+    if not df.isStreaming:
+        # localCheckpoint is unsupported on streaming DataFrames and
+        # pins non-replicated executor-local blocks (r12 advice) —
+        # batch callers get the cut, streaming callers keep lineage
+        sizes = sizes.localCheckpoint(eager=False)
     tot = sizes.agg(F.sum("mass").alias("_tot"))
     scaled = sizes.crossJoin(F.broadcast(tot)).withColumn(
         "_w", F.pow(F.col("mass").cast("double") / F.col("_tot"), F.lit(alpha))

@@ -104,6 +104,23 @@ def language_id(
     )
 
 
+def _check_keep_cols(keep_cols: Sequence[str], produced: Sequence[str]) -> None:
+    """keep_cols appends plain ``F.col(c)`` projections — a name that
+    collides with one the operator itself produces (or a duplicate in
+    the list) yields a duplicate output column and ambiguous downstream
+    references (r12 advice). Fail loudly at plan time instead."""
+    seen: set[str] = set()
+    for c in keep_cols:
+        if c in produced:
+            raise ValueError(
+                f"keep_cols entry {c!r} collides with an operator output "
+                f"column {tuple(produced)}; rename or drop it"
+            )
+        if c in seen:
+            raise ValueError(f"duplicate keep_cols entry {c!r}")
+        seen.add(c)
+
+
 def quality_score(
     df: DataFrame,
     text_col: str = "text",
@@ -126,6 +143,7 @@ def quality_score(
     other columns should carry them here instead of joining the
     (id, score, verdict) relation back to the corpus — that join
     re-reads the corpus and shuffles it by id for nothing."""
+    _check_keep_cols(keep_cols, ("doc_id", "score", "verdict"))
     df = _parallel(df)
     words = tokenize(F.col(text_col))
     n_tokens = F.size(words).cast("double")
@@ -203,6 +221,9 @@ def redact_pii(
     zero shuffle. ``keep_cols`` carries named input columns through
     the projection (see quality_score) so composing pipelines chain
     per-row passes instead of joining them back on id."""
+    _check_keep_cols(
+        keep_cols, ("doc_id", text_col, "n_email", "n_ip", "n_phone")
+    )
     t = F.col(text_col)
     red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
     red = F.regexp_replace(red, PII_IPV4, "<IP>")

@@ -107,6 +107,13 @@ def ingest_dedup_batch(
     spark = batch_df.sparkSession
     from ..operators.text import content_fingerprint_col
 
+    if "fingerprint" in batch_df.columns:
+        # withColumn would silently overwrite a caller-supplied
+        # column of the store's reserved name (r12 advice)
+        raise ValueError(
+            "batch_df already has a 'fingerprint' column; rename it — "
+            "the name is reserved for the ingest-dedup store"
+        )
     # per-row projection instead of the former (id, fingerprint)
     # join-back — same rewrite as operators/dedup.incremental_dedup
     # (r12): one pass over the micro-batch, no batch self-join
