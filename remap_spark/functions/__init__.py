@@ -172,3 +172,31 @@ def l2_norm(a: Column) -> Column:
             a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
         )
     )
+
+
+def lineage_cut(df, *, eager: bool = False):
+    """``localCheckpoint`` with a cluster-reliability escape hatch.
+
+    The r12 plan audits replaced re-executed subtrees with
+    ``localCheckpoint`` cuts. The trade (guide §5): the cut
+    materializes the relation to EXECUTOR-LOCAL, non-replicated
+    storage and truncates lineage, so an executor loss mid-query fails
+    the job instead of recomputing — the right default for bounded
+    relations and short jobs, but on preemptible/long-job clusters a
+    corpus-sized cut can be the wrong trade. Set
+    ``spark.remap.lineageCut=off`` (session conf) to skip every cut
+    routed through this helper: consumers then re-execute the upstream
+    subtree (the pre-r12 plan shape) and keep full fault tolerance.
+
+    Streaming inputs pass through untouched (localCheckpoint is
+    unsupported on streaming DataFrames).
+    """
+    if df.isStreaming:
+        return df
+    try:
+        enabled = df.sparkSession.conf.get("spark.remap.lineageCut", "on")
+    except Exception:
+        enabled = "on"
+    if str(enabled).lower() in ("off", "false", "0"):
+        return df
+    return df.localCheckpoint(eager=eager)

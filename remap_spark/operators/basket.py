@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import lineage_cut
+
 PPM = 1_000_000
 
 
@@ -118,9 +120,14 @@ def association_rules(
     # the distinct once (the materialization piggybacks on the first
     # action) and every consumer reads the RDD — at 100 TB this is the
     # difference between one corpus-sized combiner pass and five.
-    distinct_items = (
+    # Size bound: distinct (basket, item) is the POST-distinct event
+    # relation — ≤ input rows, two narrow columns (the dedup typically
+    # shrinks it several-fold on real basket data; ~1.1x on the
+    # fixture). Corpus-proportional: the cut trades that executor-local
+    # footprint for four avoided corpus scans + distinct aggregates.
+    # spark.remap.lineageCut=off opts out (lineage_cut).
+    distinct_items = lineage_cut(
         df.select(basket_col, item_col).distinct()
-        .localCheckpoint(eager=False)
     )
     cap_items = distinct_items
     if max_basket_size is not None:
@@ -149,10 +156,9 @@ def association_rules(
     # consequent legs): cut them too so the corpus-sized groupBy over
     # the materialized distinct runs once, not once per leg. The
     # relation itself is dimension-sized (|items| rows).
-    items = (
+    items = lineage_cut(
         distinct_items.groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("item_baskets"))
-        .localCheckpoint(eager=False)
     )
     n_baskets = (
         distinct_items.select(basket_col)

@@ -521,13 +521,18 @@ def weighted_percentiles(
     arithmetic (cw * 1e6 >= q_ppm * tw) so both engines replay it
     bit-for-bit — weights must be integral.
 
-    Shape: ONE group-keyed window (RANGE frame, so ties in the value
-    column accumulate together and row order never matters), the
-    group totals ride the same partitioning as a co-partitioned
-    join, and every requested percentile folds into a SINGLE
-    conditional-min aggregate pass — adding percentiles costs
-    expression width, never extra shuffles (the expectations
-    contract)."""
+    Shape: ONE corpus pass — both the cumulative weight (RANGE frame,
+    so ties in the value column accumulate together and row order
+    never matters) and the group total (unbounded frame) are windows
+    over the SAME group partitioning, sharing one exchange and one
+    sort (the r12 shape computed the total as a separate groupBy
+    aggregate and joined it back: a second corpus scan + shuffle +
+    join for a value each row's window partition already holds —
+    guide §2.4, windows keyed like the established partitioning add
+    no exchange). Every requested percentile then folds into a
+    SINGLE conditional-min aggregate pass riding the same
+    partitioning — adding percentiles costs expression width, never
+    extra shuffles (the expectations contract)."""
     from pyspark.sql.window import Window
 
     wcum = (
@@ -535,14 +540,14 @@ def weighted_percentiles(
         .orderBy(value_col)
         .rangeBetween(Window.unboundedPreceding, 0)
     )
+    wtot = Window.partitionBy(*group_cols)
     weight = F.col(weight_col).cast("bigint")
     cum = df.select(
         *group_cols,
         F.col(value_col).alias("_v"),
         F.sum(weight).over(wcum).alias("_cw"),
+        F.sum(weight).over(wtot).alias("_tw"),
     )
-    tot = df.groupBy(*group_cols).agg(F.sum(weight).alias("_tw"))
-    joined = cum.join(tot, group_cols)
     aggs = [
         F.min(
             F.when(
@@ -553,4 +558,4 @@ def weighted_percentiles(
         ).alias(name)
         for name, q_ppm in qs.items()
     ]
-    return joined.groupBy(*group_cols).agg(*aggs)
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -12,7 +12,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import PUNCT, portable_hash60, tokenize
+from ..functions import PUNCT, lineage_cut, portable_hash60, tokenize
 
 # deliberately small, fixed marker lists — the heuristic is the
 # operator; the lists are config
@@ -759,12 +759,14 @@ def tfidf_topk(
     )
     # tf feeds the document-frequency aggregate AND the scoring join —
     # without a cut the corpus tokenize+explode+aggregate runs twice
-    # (r12 plan audit); tf is (doc, term-type)-sized, far below the
-    # raw token stream
-    tf = (
-        toks.groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+    # (r12 plan audit). Size bound: tf is (doc, term-TYPE)-sized —
+    # ≤ tokens but typically 2-5x smaller (Heaps' law; 2.6x on the
+    # fixture corpus) — and it sits POST-aggregation, so the cut
+    # stores counted rows, never the raw token stream. Still
+    # corpus-proportional: spark.remap.lineageCut=off restores full
+    # lineage at the price of a second tokenize pass (lineage_cut).
+    tf = lineage_cut(
+        toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("word").agg(F.count("*").alias("dfc"))
     ndocs = df.select(F.count("*").alias("_nd"))
@@ -1095,10 +1097,14 @@ def bigram_lm_scores(
             F.col("_t").getField("1").alias("w2"),
         )
         .where(F.col("w2").isNotNull())
-        # lazy cut: model/ctx/probe consumers read the materialized
-        # bigram rows instead of re-running tokenize+zip+explode each
-        .localCheckpoint(eager=False)
     )
+    # lazy cut: model/ctx/probe consumers read the materialized bigram
+    # rows instead of re-running tokenize+zip+explode each. Size bound:
+    # exactly tokens-1 narrow (doc, w1, w2) rows per doc — the cut is
+    # token-stream-sized, i.e. corpus-proportional; the re-execution it
+    # removes is one full tokenize+explode pass PER CONSUMER (3 here).
+    # spark.remap.lineageCut=off opts out on fault-sensitive clusters.
+    bigrams = lineage_cut(bigrams)
     model = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
     if max_model_bigrams is not None:
         # deterministic top-M truncation (count desc, pair asc ties);
@@ -1187,10 +1193,14 @@ def trigram_backoff_scores(
             F.col("_t").getField("2").alias("w3"),
         )
         .where(F.col("w2").isNotNull() & F.col("w3").isNotNull())
-        # lazy cut: the seven consumers read the materialized trigram
-        # rows instead of re-running tokenize+zip+explode each
-        .localCheckpoint(eager=False)
     )
+    # lazy cut: the seven consumers read the materialized trigram rows
+    # instead of re-running tokenize+zip+explode each. Size bound:
+    # tokens-2 narrow rows per doc (token-stream-sized, corpus-
+    # proportional); the cut trades that executor-local footprint for
+    # SEVEN avoided tokenize passes. spark.remap.lineageCut=off opts
+    # out on fault-sensitive clusters (lineage_cut).
+    tri = lineage_cut(tri)
 
     m3 = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("_c3"))
     if max_model_trigrams is not None:
@@ -1442,9 +1452,16 @@ def rake_keywords(
     content = toks.where(~F.array_contains(sw_arr, F.col("w"))).withColumn(
         "_grp", F.col("i") - F.row_number().over(win)
     )
-    wp = content.withColumn(
-        "_plen", F.count("*").over(Window.partitionBy("doc", "_grp"))
-    ).localCheckpoint(eager=False)
+    # Size bound: wp is the CONTENT-token stream (stopword rows already
+    # dropped — ~40-60% of tokens on English-like text) with two int
+    # columns added; corpus-proportional, traded for re-running
+    # tokenize + both windows once per consumer (2 here).
+    # spark.remap.lineageCut=off opts out (lineage_cut).
+    wp = lineage_cut(
+        content.withColumn(
+            "_plen", F.count("*").over(Window.partitionBy("doc", "_grp"))
+        )
+    )
     wscore = (
         wp.groupBy("w")
         .agg(F.count("*").alias("_freq"), F.sum("_plen").alias("_deg"))
@@ -1626,12 +1643,16 @@ def textrank_keywords(
             F.col("b").alias("a"), F.col("a").alias("b"), "w"
         )
     )
-    adj = adj.join(
-        adj.groupBy("a").agg(F.sum("w").alias("wdeg")), "a"
-    ).localCheckpoint(eager=False)
-    nodes = adj.select(
-        F.col("a").alias("word")
-    ).distinct().localCheckpoint(eager=False)
+    # Size bounds: adj is the AGGREGATED co-occurrence pair relation
+    # (≤ distinct in-window word pairs — vocabulary²-bounded, in
+    # practice orders below the token stream it summarizes); nodes is
+    # vocabulary-sized. Both are read once per PageRank iteration, so
+    # the cut removes iters× re-executions of the pair build.
+    # spark.remap.lineageCut=off opts out (lineage_cut).
+    adj = lineage_cut(
+        adj.join(adj.groupBy("a").agg(F.sum("w").alias("wdeg")), "a")
+    )
+    nodes = lineage_cut(adj.select(F.col("a").alias("word")).distinct())
     state = nodes.select("word", F.lit(1_000_000).alias("score_ppm"))
     base_ppm = 1_000_000 - damping_ppm
     for it in range(iters):

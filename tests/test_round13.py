@@ -110,3 +110,41 @@ def test_ingest_dedup_batch_fingerprint_collision(spark, tmp_path):
         ingest_dedup_batch(
             docs, 0, str(tmp_path / "out"), str(tmp_path / "store")
         )
+
+
+# ---------------------------------------------------------------------------
+# 4. lineage_cut escape hatch (r12 verdict item 5: corpus-sized
+#    localCheckpoint sites need an opt-out for fault-sensitive clusters)
+
+
+def test_lineage_cut_conf_opt_out(spark):
+    from remap_spark.functions import lineage_cut
+
+    df = spark.range(10)
+    try:
+        spark.conf.set("spark.remap.lineageCut", "off")
+        out = lineage_cut(df)
+        # opt-out returns the input plan untouched
+        assert out is df
+    finally:
+        spark.conf.unset("spark.remap.lineageCut")
+    # default: a checkpointed (different) plan, same rows
+    cut = lineage_cut(df)
+    assert cut is not df
+    assert sorted(r.id for r in cut.collect()) == list(range(10))
+
+
+def test_tfidf_topk_identical_with_cuts_off(spark):
+    from remap_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat"), (3, "a cat")],
+        "doc_id bigint, text string",
+    )
+    on = tfidf_topk(docs).collect()
+    try:
+        spark.conf.set("spark.remap.lineageCut", "off")
+        off = tfidf_topk(docs).collect()
+    finally:
+        spark.conf.unset("spark.remap.lineageCut")
+    assert sorted(map(tuple, on)) == sorted(map(tuple, off))
