@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..engine import load_table
-from ..functions import epoch_us, first_char_bucket, tokenize
+from ..functions import epoch_us, first_char_bucket, lineage_cut, tokenize
 
 DEC = "decimal(28,10)"
 
@@ -368,6 +368,10 @@ def dq18_grouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .applyInPandas(agg_group, schema=schema)
+        # lazy cut below the global sort: the range sampling pass
+        # re-runs the pandas UDF over every group (a second full
+        # Python pass); the cut is 6 rows (see ext_winsorize)
+        .transform(lineage_cut)
         .orderBy("l_returnflag", "l_linestatus")
     )
 
@@ -710,6 +714,11 @@ def dq33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("_p", 2), 4).alias("p90"),
             "cnt",
         )
+        # lazy cut below the global sort: the range sampling pass
+        # re-runs the exact-percentile buffer merge (the final
+        # ObjectHashAggregate re-sorts every group's value stream a
+        # second time); the cut is 3 rows (see ext_winsorize)
+        .transform(lineage_cut)
         .orderBy("l_returnflag")
     )
 
@@ -1076,11 +1085,15 @@ def dq43_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-3_600_000_000, 0)
     )
     run = F.sum(F.col("value").cast("decimal(28,10)")).over(w)
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.count("*").over(w).alias("n_1h"),
-        F.round(run, 5).cast("double").alias("sum_1h"),
+    # lazy cut below the global sort: the range sampling pass re-runs
+    # the decimal range-frame window (see ext_winsorize)
+    return lineage_cut(
+        ev.select(
+            "event_id",
+            "event_type",
+            F.count("*").over(w).alias("n_1h"),
+            F.round(run, 5).cast("double").alias("sum_1h"),
+        )
     ).orderBy("event_type", "event_id")
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import load_table
+from ..functions import lineage_cut
 from ..operators.experiments import ab_test_report, crosstab_chi2
 from ..operators.linkage import resolve_entities
 from ..operators.basket import association_rules
@@ -143,6 +144,9 @@ _ATTRIBUTION_SQL = """
 def ext_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = association_rules(li, "l_orderkey", "l_partkey", min_pair_baskets=2)
+    # NOTE r13: a pre-sort lazy cut A/B-measured a wash (2.34/2.61 vs
+    # 2.60/2.23 s) — the rule joins already read the operator's cells
+    # cut; left uncut to keep the r12 plan shape.
     return out.orderBy("antecedent", "consequent")
 
 
@@ -675,12 +679,19 @@ def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_lo=0.05,
         p_hi=0.95,
     )
-    return out.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_returnflag",
-        F.round("l_extendedprice_wins", 4).alias("wins"),
-        "is_clipped",
+    # lazy cut below the global sort: the range exchange SAMPLES its
+    # child to pick partition bounds, re-executing the scan + cuts
+    # join once more (RDD-level, invisible in the static plan); the
+    # cut materializes the output-sized projection once (probed r13:
+    # 2.20 -> 1.86 s on this exact shape)
+    return lineage_cut(
+        out.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round("l_extendedprice_wins", 4).alias("wins"),
+            "is_clipped",
+        )
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -1363,9 +1374,13 @@ def ext_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bins=10,
         group_cols=["l_returnflag"],
     )
-    return out.select(
-        "l_orderkey", "l_linenumber",
-        F.col("l_extendedprice_bin").alias("bin"),
+    # lazy cut below the global sort (see ext_winsorize): the range
+    # exchange's sampling pass would re-run the scan + cuts join
+    return lineage_cut(
+        out.select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_extendedprice_bin").alias("bin"),
+        )
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -1398,11 +1413,15 @@ def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         group_cols=["l_returnflag"],
     )
-    return out.select(
-        "l_orderkey", "l_linenumber",
-        F.round("median", 4).alias("median"),
-        F.round("mad", 4).alias("mad"),
-        "is_outlier",
+    # lazy cut below the global sort (see ext_winsorize): the range
+    # exchange's sampling pass would re-run the two-join MAD pipeline
+    return lineage_cut(
+        out.select(
+            "l_orderkey", "l_linenumber",
+            F.round("median", 4).alias("median"),
+            F.round("mad", 4).alias("mad"),
+            "is_outlier",
+        )
     ).orderBy("l_orderkey", "l_linenumber")
 
 

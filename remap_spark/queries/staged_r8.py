@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import load_table
+from ..functions import lineage_cut
 from ..operators.dedup import (
     cross_corpus_match_spans,
     maximal_match_spans,
@@ -302,6 +303,9 @@ def ext_dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = span_gram_store_rows(docs.where(F.col("doc_id") % 2 == 0), k=5)
     new = docs.where(F.col("doc_id") % 2 == 1)
     out = incremental_remove_spans(new, store, k=5)
+    # NOTE r13: a pre-sort lazy cut A/B-measured slower (3.00 vs 2.71 s
+    # fresh min) — wide text rows make the materialization dearer than
+    # the sampling pass's re-read (the ext_winsorize rule's flip side)
     return out.select(
         F.col("doc").alias("doc_id"), "text", "n_tokens", "n_removed"
     ).orderBy("doc_id")
@@ -517,6 +521,10 @@ def ext_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cross_corpus_match_spans(
         train, evald, k=5, max_gram_docs=_MAX_GRAM_DOCS
     )
+    # NOTE r13: a pre-sort lazy cut A/B-measured a wash (2.33/2.64 vs
+    # 2.51/2.51 s) — the segment below the sort is a final aggregate
+    # over existing shuffle files; nothing expensive to save. Left
+    # uncut so the plan stays the r12 shape.
     return out.select(
         F.col("doc").alias("doc_id"),
         "span_start",
@@ -1021,6 +1029,10 @@ def ext_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % fold).alias("src"),
         (F.col("l_partkey") % fold).alias("dst"),
     )
+    # NOTE r13: a lazy cut below this sort was A/B-measured SLOWER
+    # (2.93 vs 2.55 s fresh min) — the sampling pass's re-executed
+    # segment is an SMJ over already-shuffled legs (cheap shuffle-file
+    # re-read), so materialization costs more than the recompute.
     return clustering_coefficient(g).orderBy("vertex_id")
 
 
@@ -1079,6 +1091,9 @@ def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         max(4, docs.rdd.getNumPartitions()),
     )
+    # NOTE r13: a pre-sort lazy cut A/B-measured slower (2.85 vs
+    # 2.49 s fresh min) — the below-sort window reads existing shuffle
+    # files; materializing the full keep-decision relation costs more.
     return dedup_canonical(
         docs, pairs, quality_col="n_chars", num_partitions=n_parts
     ).orderBy("doc_id")
