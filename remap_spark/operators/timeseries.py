@@ -54,13 +54,15 @@ def fill_date_gaps(
     plus ``is_gap``.
     """
     gcols = list(group_cols)
-    # daily feeds TWO consumers (the span aggregate and the grid join
-    # side) whose exchanges are keyed differently, so without a cut
-    # the caller's whole upstream pipeline — typically a corpus-wide
-    # daily aggregate — executes twice (r12 plan audit). The relation
-    # is bounded by groups x span-days; one lazy checkpoint makes the
-    # corpus pass happen once.
-    daily = daily.localCheckpoint(eager=False)
+    # NOTE r13 (reverting the r12 lazy cut here): daily's two consumers
+    # (span aggregate + grid join side) do NOT re-run the caller's
+    # upstream — ``daily`` is a post-aggregate relation in every
+    # caller, so it sits above an exchange and both consumers re-read
+    # the SHUFFLE FILES via runtime exchange reuse. The cut only added
+    # materialization: A/B at sf0.1 and at 40x groups measured
+    # cut/nocut 1.34x / 1.01x (fill) and 1.03x / 1.06x (interpolate),
+    # and the r12 driver record showed ext_ts_interpolate at 0.85x.
+    # Rule: cut only when the doubled subtree is NOT exchange-backed.
     extent = daily.groupBy(*gcols).agg(
         F.min(date_col).alias("_d0"), F.max(date_col).alias("_d1")
     )
@@ -658,11 +660,10 @@ def interpolate_gaps(
     """
     _require_integral(df, value_col, "interpolate_gaps")
     gcols = list(group_cols)
-    # same double-consumer shape as fill_date_gaps (extent aggregate +
-    # observation join side, differently keyed exchanges): cut the
-    # caller's upstream once — the input is at most one row per
-    # (group, day) by contract, so the checkpoint is span-bounded
-    df = df.localCheckpoint(eager=False)
+    # NOTE r13: the r12 lazy cut of ``df`` is REVERTED — see the
+    # fill_date_gaps note (post-aggregate inputs are exchange-backed,
+    # so the double consumer re-reads shuffle files; the cut measured
+    # 1.03-1.06x slower and the driver r12 record 0.85x).
     extent = df.groupBy(*gcols).agg(
         F.min(date_col).alias("_d0"), F.max(date_col).alias("_d1")
     )
