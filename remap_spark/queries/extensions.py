@@ -229,8 +229,11 @@ def _simhash_oracle(bits: int = 32) -> str:
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = sim.embedding_near_dup_pairs(emb, threshold=0.4)
-    return pairs.select(
-        "vec_a", "vec_b", F.round("cosine", 5).alias("cosine")
+    # lazy cut below the global sort: the range sampling pass would
+    # re-run the Arrow GEMM pair pass (a second full Python boundary
+    # crossing — the dq18 shape); cut is match-sized
+    return lineage_cut(
+        pairs.select("vec_a", "vec_b", F.round("cosine", 5).alias("cosine"))
     ).orderBy("vec_a", "vec_b")
 
 

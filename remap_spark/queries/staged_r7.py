@@ -722,8 +722,11 @@ def ext_cross_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 100),
         threshold=0.4,
     )
-    return out.select(
-        "a_id", "b_id", F.round("cosine", 5).alias("cosine")
+    # lazy cut below the global sort: the range sampling pass would
+    # re-run the Arrow GEMM pass over every block pair (a second full
+    # Python boundary crossing — the dq18 shape); cut is match-sized
+    return lineage_cut(
+        out.select("a_id", "b_id", F.round("cosine", 5).alias("cosine"))
     ).orderBy("a_id", "b_id")
 
 
