@@ -560,6 +560,7 @@ def connected_components_star(
     num_partitions: int | None = None,
     max_rounds: int = 50,
     pre_collapse: bool = False,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     operations (Kiveris et al., "Connected Components in MapReduce and
@@ -735,6 +736,10 @@ def connected_components_star(
                 break
         prev_sig = sig
         prev_e = e
+    if _stats is not None:
+        # probe instrumentation (the bpe_train _stats convention):
+        # rounds includes the converged round; no behavior change
+        _stats["rounds"] = _round + 1
     comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     if collapse_map is not None:
         # compose: comp(u) = comp_residual(m(u)), falling back to m(u)
