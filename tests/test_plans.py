@@ -555,7 +555,15 @@ def test_dq33_single_percentile_aggregate(spark):
 
     import re
 
-    r = plan_report(ALL_QUERIES["dq33_percentiles"](spark, SF_DIR))
+    # r13: the query cuts lineage below its presentation orderBy (the
+    # range-sampling rewrite), which truncates the visible plan at a
+    # Scan ExistingRDD; disable the cut so the pin still inspects the
+    # aggregate subtree
+    try:
+        spark.conf.set("spark.remap.lineageCut", "off")
+        r = plan_report(ALL_QUERIES["dq33_percentiles"](spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.remap.lineageCut")
     assert r["partial_aggs"], r["plan"]
     assert r["exchanges"] <= 2, r["plan"]
     # every percentile call in the plan is the ONE array-form aggregate
